@@ -1,0 +1,156 @@
+"""A12-A15 — doc-level aggregates and validation gates as native Spark
+expressions (whole-stage codegen; zero Python in the hot path).
+
+Mirrors the reference's file-level metadata
+(/root/reference/src/audiopro/audio/metadata.py:52-77) and signal validation
+(/root/reference/src/audiopro/audio/validator.py:80-123,
+audio_loader.py:106-119) over unit-scaled tokens.
+
+Scale design: all statistics are computed in ONE pass over each row's token
+array with a single `F.aggregate` carrying a struct accumulator — no
+explode, no shuffle; the result is one row per input row. At 100 TB this is
+a pure map stage that parallelizes with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    CLIP_THRESHOLD,
+    EPS,
+    FRAME_LENGTH,
+    MIN_SIGNAL_ENERGY,
+    SILENCE_THRESHOLD,
+    TOKEN_SCALE,
+)
+
+
+def _acc_struct(s: Column, sq: Column, mx: Column, nsil: Column, nclip: Column) -> Column:
+    return F.struct(
+        s.alias("s"), sq.alias("sq"), mx.alias("mx"), nsil.alias("nsil"), nclip.alias("nclip")
+    )
+
+
+def doc_stats_cols(
+    tokens_col: str = "tokens", token_scale: float = TOKEN_SCALE
+) -> dict[str, Column]:
+    """One-pass doc statistics (metadata.py:52-77) as column expressions.
+
+    peak = max|x|, rms = sqrt(mean x^2),
+    dynamic_range_db = 20*log10((peak+eps)/(rms+eps)),
+    dc_offset = mean x, silence_ratio = mean(|x|<0.001),
+    potentially_clipped = sum(|x|>0.99), signal_energy = sum(x^2).
+    """
+    n = F.size(F.col(tokens_col))
+    nd = n.cast("double")
+    zero = F.lit(0.0)
+    acc0 = _acc_struct(zero, zero, zero, F.lit(0).cast("long"), F.lit(0).cast("long"))
+
+    def step(acc: Column, v: Column) -> Column:
+        x = v.cast("double") / F.lit(token_scale)
+        ax = F.abs(x)
+        return _acc_struct(
+            acc["s"] + x,
+            acc["sq"] + x * x,
+            F.greatest(acc["mx"], ax),
+            acc["nsil"] + (ax < SILENCE_THRESHOLD).cast("long"),
+            acc["nclip"] + (ax > CLIP_THRESHOLD).cast("long"),
+        )
+
+    acc = F.aggregate(F.col(tokens_col), acc0, step)
+    peak = acc["mx"]
+    rms = F.sqrt(acc["sq"] / nd)
+    return {
+        "peak_amplitude": peak,
+        "rms_amplitude": rms,
+        "dynamic_range_db": F.lit(20.0)
+        * F.log10((peak + F.lit(EPS)) / (rms + F.lit(EPS))),
+        "dc_offset": acc["s"] / nd,
+        "silence_ratio": acc["nsil"].cast("double") / nd,
+        "potentially_clipped": acc["nclip"],
+        "signal_energy": acc["sq"],
+    }
+
+
+def with_doc_stats(
+    df: DataFrame, tokens_col: str = "tokens", token_scale: float = TOKEN_SCALE
+) -> DataFrame:
+    out = df
+    stats = doc_stats_cols(tokens_col, token_scale)
+    # single aggregate pass: materialize the accumulator once via a struct
+    # column so Catalyst CSE doesn't recompute per output column
+    out = out.withColumn(
+        "_stats",
+        F.struct(*[c.alias(k) for k, c in stats.items()]),
+    )
+    for k in stats:
+        out = out.withColumn(k, F.col(f"_stats.{k}"))
+    return out.drop("_stats")
+
+
+def reject_reason_col(
+    tokens_col: str = "tokens",
+    token_scale: float = TOKEN_SCALE,
+    frame_length: int = FRAME_LENGTH,
+) -> Column:
+    """Quarantine predicate (S2/S3): empty / low-energy / too-short, in the
+    reference's check order (validator.py:80-123, extractor.py:122-125).
+    NULL = accepted. Token payloads are integers so non-finite is impossible
+    here; the kernel still guards per frame (processors.py:149-152)."""
+    n = F.size(F.col(tokens_col))
+    t_len = n - (n % 2)
+    energy = F.aggregate(
+        F.col(tokens_col),
+        F.lit(0.0),
+        lambda acc, v: acc
+        + (v.cast("double") / F.lit(token_scale)) * (v.cast("double") / F.lit(token_scale)),
+    )
+    return (
+        F.when(F.col(tokens_col).isNull() | (n == 0), F.lit("empty"))
+        .when(energy <= F.lit(MIN_SIGNAL_ENERGY), F.lit("low_energy"))
+        .when(t_len < frame_length, F.lit("too_short"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def split_quarantine(
+    df: DataFrame, tokens_col: str = "tokens", **kwargs
+) -> tuple[DataFrame, DataFrame]:
+    """(accepted, quarantined-with-reason). The quarantine side is a
+    side-output table (SURVEY.md S2/S3); downstream framing only ever sees
+    accepted rows, so the n_tok >= F invariant holds by construction."""
+    tagged = df.withColumn("reject_reason", reject_reason_col(tokens_col, **kwargs))
+    ok = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    bad = tagged.filter(F.col("reject_reason").isNotNull())
+    return ok, bad
+
+
+def exact_median_expr(sorted_array: Column) -> Column:
+    """Exact median of a numeric array column (A15): element_at on the
+    sorted array, interpolating even lengths — matches np.median, NOT
+    percentile_approx (SURVEY.md §7 hardness (c))."""
+    arr = F.array_sort(sorted_array)
+    n = F.size(arr)
+    mid = (n / 2).cast("int")
+    odd = F.element_at(arr, mid + 1)
+    even = (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / 2.0
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.when(n % 2 == 1, odd).otherwise(even)
+    )
+
+
+def tempo_from_boundaries_expr(boundaries_sec: Column) -> Column:
+    """tempo = 60/median(diff(boundaries)); 0.0 when <=1 boundary or
+    non-positive median (utils/audio.py:82-89; controller.py:158-184)."""
+    b = F.array_sort(boundaries_sec)
+    n = F.size(b)
+    diffs = F.transform(
+        F.slice(b, 2, F.greatest(n - 1, F.lit(0))),
+        lambda v, i: v - F.element_at(b, i + 1),
+    )
+    med = exact_median_expr(diffs)
+    return F.when(
+        (n > 1) & (med > 0), F.lit(60.0) / med
+    ).otherwise(F.lit(0.0))

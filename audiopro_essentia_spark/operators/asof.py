@@ -1,0 +1,176 @@
+"""J1 — the point-in-time / as-of join: the engine's flagship operator.
+
+The distributed promotion of the reference's ordered index<->feature
+alignment (/root/reference/src/audiopro/audio/extractor.py:211-213 ordered
+imap; processors.py:281-285 idx->time). Spark SQL has no native ASOF JOIN,
+so it is built from first principles two ways:
+
+1. strategy='union' (default, pure JVM): union-tag both sides, ONE
+   hash-shuffle on the key + ONE in-partition sort on (ts, side), then a
+   running `last(value, ignorenulls=True)` forward-fill carries the most
+   recent right-side row onto every left row. O(n log n) per partition, no
+   Python, AQE-coalesced. Ties (right.ts == left.ts) MATCH (backward as-of
+   semantics, same as pandas merge_asof / DuckDB ASOF JOIN).
+2. strategy='cogroup' (Arrow): groupBy(key).cogroup().applyInPandas with
+   pd.merge_asof per key — used for direction='forward'/'nearest' and as an
+   independent cross-check in tests.
+
+Tolerance: a match further back than `tolerance_us` is nulled out (pandas
+merge_asof tolerance semantics).
+
+Zero temporal leakage (north rule): join on the LEFT side's availability
+timestamp (frame END per SURVEY.md §1.3) so no feature row can see right-
+side facts from its own future; tests poison future rows and assert
+invariance (tests/test_asof.py).
+
+Scale notes: the union approach shuffles each side once on the join key —
+identical cost to the shuffle of a sort-merge join, but skips the join
+build side entirely. Heavy keys: a single doc_id's rows must be co-located
+(window semantics); sub-key salting is NOT semantics-preserving here, so
+heavy keys are bounded upstream by doc size, which the corpus guarantees
+(a doc's frames ~ n_tok/H rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ts_us(c: Column) -> Column:
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, ...] = ("doc_id",),
+    left_ts: str = "available_ts",
+    right_ts: str = "label_ts",
+    right_values: tuple[str, ...] | None = None,
+    tolerance_us: int | None = None,
+    direction: str = "backward",
+    strategy: str = "union",
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """As-of join `left` with the most recent `right` row per key.
+
+    Output = all left rows + right_values columns (null when no match /
+    outside tolerance) + `matched_ts_col` (the matched right timestamp).
+    """
+    if right_values is None:
+        right_values = tuple(
+            c for c in right.columns if c not in on and c != right_ts
+        )
+    if strategy == "cogroup" or direction != "backward":
+        return _asof_cogroup(
+            left, right, on, left_ts, right_ts, right_values,
+            tolerance_us, direction, matched_ts_col,
+        )
+
+    on = tuple(on)
+    lcols = [c for c in left.columns]
+    l2 = left.select(
+        *on,
+        _ts_us(F.col(left_ts)).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lv"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    _ts_us(F.col(right_ts)).alias("_rts"),
+                    *[F.col(c) for c in right_values],
+                ).alias("x")
+            ).schema["x"].dataType.simpleString()
+        ).alias("_rv"),
+    )
+    r2 = right.select(
+        *on,
+        _ts_us(F.col(right_ts)).alias("_ts"),
+        F.lit(0).alias("_side"),  # sorts BEFORE left at equal ts -> tie matches
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("x"))
+            .schema["x"].dataType.simpleString()
+        ).alias("_lv"),
+        F.struct(
+            _ts_us(F.col(right_ts)).alias("_rts"),
+            *[F.col(c) for c in right_values],
+        ).alias("_rv"),
+    )
+    u = l2.unionByName(r2)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("_rv_f", F.last("_rv", ignorenulls=True).over(w)).filter(
+        F.col("_side") == 1
+    )
+
+    in_tol = (
+        F.lit(True)
+        if tolerance_us is None
+        else (F.col("_ts") - F.col("_rv_f._rts")) <= F.lit(int(tolerance_us))
+    )
+    keep = F.col("_rv_f").isNotNull() & in_tol
+    out_cols: list[Column] = [F.col(f"_lv.{c}").alias(c) for c in lcols]
+    out_cols.append(
+        F.when(keep, F.timestamp_micros(F.col("_rv_f._rts"))).alias(matched_ts_col)
+    )
+    for c in right_values:
+        out_cols.append(F.when(keep, F.col(f"_rv_f.{c}")).alias(c))
+    return filled.select(*out_cols)
+
+
+def _asof_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: tuple[str, ...],
+    left_ts: str,
+    right_ts: str,
+    right_values: tuple[str, ...],
+    tolerance_us: int | None,
+    direction: str,
+    matched_ts_col: str,
+) -> DataFrame:
+    """Arrow cogroup variant: pd.merge_asof per key group."""
+    import pandas as pd
+
+    lcols = list(left.columns)
+    out_schema = left.schema.simpleString()[7:-1]  # strip struct<...>
+    rv_fields = []
+    rschema = dict(right.dtypes)
+    for c in right_values:
+        rv_fields.append(f"{c}: {rschema[c]}")
+    ddl = (
+        out_schema
+        + f", {matched_ts_col}: timestamp"
+        + ("," + ",".join(rv_fields) if rv_fields else "")
+    )
+
+    tol = pd.Timedelta(microseconds=tolerance_us) if tolerance_us is not None else None
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0:
+            return pd.DataFrame(
+                columns=lcols + [matched_ts_col] + list(right_values)
+            )
+        lpdf = lpdf.sort_values(left_ts)
+        rpdf = rpdf.sort_values(right_ts).rename(columns={right_ts: matched_ts_col})
+        rpdf = rpdf[[matched_ts_col, *right_values]]
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf,
+            left_on=left_ts,
+            right_on=matched_ts_col,
+            direction=direction,
+            tolerance=tol,
+        )
+        return merged[lcols + [matched_ts_col] + list(right_values)]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(lambda l, r: merge(l, r), ddl)
+    )

@@ -1,0 +1,309 @@
+"""A1-A11 — the fused per-frame feature kernel as ONE Arrow-vectorized
+pandas UDF.
+
+The Spark analog of the reference's `process_frame` scalar UDF fanned out
+over mp.Pool (/root/reference/src/audiopro/audio/processors.py:90-302,
+extractor.py:192-213). Design (SURVEY.md §2.9):
+
+- One Series->DataFrame pandas UDF over the `window` column; each Arrow
+  batch is np.stack'ed and every feature is computed with batched numpy
+  (one rfft per batch, matmuls for MFCC/chroma) — no per-row Python.
+- Feature-config pushdown (P1/P2): `features` selects which outputs are
+  computed at all; the spectrum is computed only if a spectral feature is
+  requested (processors.py:190-214 `needs_spectrum`).
+- Constants (Hann window, freq bins, mel/DCT matrices, band indices,
+  pitch-class fold matrix) are built lazily ONCE per executor Python worker
+  — the analog of the reference's lru_cache singletons (processors.py:31-43,
+  75-88).
+- Zero-spectrum / non-finite frames yield NULL feature values plus a
+  non-null `ferror` tag instead of raising (the reference drops the frame
+  and counts it against an error budget, extractor.py:184-207); the
+  pipeline filters and accounts for them (see plans/pipeline.py).
+
+rms/volume are ALSO available as pure Spark SQL expressions (see
+`rms_volume_exprs`) for the oracle-checkable slice — whole-stage codegen,
+no Python at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..constants import (
+    ALL_FRAME_FEATURES,
+    EPS,
+    FRAME_LENGTH,
+    FREQUENCY_BANDS,
+    N_CHROMA,
+    N_MELS,
+    N_MFCC,
+    SAMPLE_RATE,
+    SPECTRAL_FEATURES,
+    TOKEN_SCALE,
+)
+
+# ---------------------------------------------------------------------------
+# lazily-built per-worker constants (one init per executor python worker)
+# ---------------------------------------------------------------------------
+
+_CONST_CACHE: dict = {}
+
+
+def _consts(frame_length: int, sample_rate: int, n_mels: int):
+    key = (frame_length, sample_rate, n_mels)
+    c = _CONST_CACHE.get(key)
+    if c is not None:
+        return c
+    hann = np.hanning(frame_length).astype(np.float32)
+    freqs = np.fft.rfftfreq(frame_length, d=1.0 / sample_rate).astype(np.float64)
+    n_bins = len(freqs)
+
+    # mel filterbank + DCT (vectorized construction; semantics match oracle)
+    mels = 2595.0 * np.log10(1.0 + np.array([0.0, sample_rate / 2.0]) / 700.0)
+    pts = 700.0 * (10.0 ** (np.linspace(mels[0], mels[1], n_mels + 2) / 2595.0) - 1.0)
+    lin = np.linspace(0.0, sample_rate / 2.0, n_bins)
+    lo, cc, hi = pts[:-2, None], pts[1:-1, None], pts[2:, None]
+    fb = np.clip(np.minimum((lin - lo) / (cc - lo), (hi - lin) / (hi - cc)), 0.0, None)
+
+    nn = np.arange(n_mels, dtype=np.float64)
+    kk = np.arange(N_MFCC, dtype=np.float64)[:, None]
+    dct = np.cos(np.pi / n_mels * (nn + 0.5) * kk)
+    dct[0] *= np.sqrt(1.0 / n_mels)
+    dct[1:] *= np.sqrt(2.0 / n_mels)
+
+    # pitch-class one-hot for interior bins (chroma fold)
+    interior = freqs[1:-1]
+    pc = (np.round(12.0 * np.log2(interior / 440.0)).astype(np.int64)) % 12
+    pc_onehot = np.zeros((len(interior), N_CHROMA), dtype=np.float64)
+    pc_onehot[np.arange(len(interior)), pc] = 1.0
+
+    f32 = freqs.astype(np.float32)
+    band_idx = {
+        name: (
+            int(np.searchsorted(f32, lo_, side="left")),
+            int(np.searchsorted(f32, hi_, side="right")),
+        )
+        for name, (lo_, hi_) in FREQUENCY_BANDS.items()
+    }
+    c = dict(
+        hann=hann, freqs=freqs, fb=fb, dct=dct, pc_onehot=pc_onehot, band_idx=band_idx
+    )
+    _CONST_CACHE[key] = c
+    return c
+
+
+# ---------------------------------------------------------------------------
+# batched feature computation
+# ---------------------------------------------------------------------------
+
+BAND_NAMES = tuple(FREQUENCY_BANDS)
+
+
+def _kernel_batch(
+    wins: np.ndarray,
+    frame_length: int,
+    sample_rate: int,
+    token_scale: float,
+    features: tuple[str, ...],
+    n_mels: int,
+) -> dict[str, np.ndarray]:
+    """Compute requested features for a (B, F) int window batch."""
+    c = _consts(frame_length, sample_rate, n_mels)
+    B = wins.shape[0]
+    X = wins.astype(np.float32) / np.float32(token_scale)
+    W = X * c["hann"][None, :]
+    out: dict[str, np.ndarray] = {}
+    fset = set(features)
+
+    bad_input = ~np.isfinite(W).all(axis=1)  # processors.py:149-152
+    zero_spec = np.zeros(B, dtype=bool)
+
+    W64 = W.astype(np.float64)
+    rms = np.sqrt(np.mean(W64**2, axis=1))
+    if "rms" in fset:
+        out["rms"] = rms
+    if "volume" in fset:
+        out["volume"] = 20.0 * np.log10(rms + EPS)
+    if "zero_crossing_rate" in fset:
+        sb = np.signbit(W)
+        out["zero_crossing_rate"] = np.mean(sb[:, 1:] != sb[:, :-1], axis=1)
+
+    if fset & SPECTRAL_FEATURES:
+        spec = np.abs(np.fft.rfft(W, axis=1)).astype(np.float64)
+        zero_spec = (spec == 0).all(axis=1)  # processors.py:198-203
+        ssum = spec.sum(axis=1)
+        safe = np.where(ssum == 0, 1.0, ssum)
+        freqs = c["freqs"]
+
+        centroid = (spec @ freqs) / safe
+        if "spectral_centroid" in fset:
+            out["spectral_centroid"] = centroid
+        if "spectral_bandwidth" in fset:
+            fd = freqs[None, :] - centroid[:, None]
+            var = np.einsum("bf,bf->b", fd * fd, spec) / safe
+            bw = np.sqrt(np.clip(var, 0.0, None))
+            out["spectral_bandwidth"] = np.where(ssum > 1e-10, bw, 0.0)
+        if "spectral_flatness" in fset:
+            gm = np.exp(np.mean(np.log(spec + EPS), axis=1))
+            out["spectral_flatness"] = gm / (np.mean(spec, axis=1) + EPS)
+        if "spectral_rolloff" in fset:
+            energy = spec**2
+            cum = np.cumsum(energy, axis=1)
+            target = 0.85 * cum[:, -1:]
+            k = np.minimum((cum < target).sum(axis=1), len(freqs) - 1)
+            out["spectral_rolloff"] = freqs[k]
+        if "mfcc" in fset:
+            mel_e = spec @ c["fb"].T
+            out["mfcc"] = list(np.log(mel_e + EPS) @ c["dct"].T)
+        if "chroma" in fset:
+            interior = spec[:, 1:-1]
+            peaks = (
+                (interior > spec[:, :-2])
+                & (interior >= spec[:, 2:])
+                & (interior > 1e-10)
+            )
+            chroma = (interior * peaks) @ c["pc_onehot"]
+            m = chroma.max(axis=1, keepdims=True)
+            out["chroma"] = list(np.where(m > 0, chroma / np.where(m == 0, 1, m), 0.0))
+        for name in BAND_NAMES:
+            if "frequency_bands" in fset:
+                li, hi = c["band_idx"][name]
+                out[f"fb_{name}"] = (
+                    spec[:, li:hi].mean(axis=1) if hi > li else np.zeros(B)
+                )
+
+    out["_bad_input"] = bad_input
+    out["_zero_spec"] = zero_spec
+    return out
+
+
+def kernel_output_fields(features: tuple[str, ...]) -> list[tuple[str, str]]:
+    """(name, ddl_type) pairs for the UDF's struct output, in order."""
+    fields: list[tuple[str, str]] = []
+    for f in features:
+        if f in ("mfcc", "chroma"):
+            fields.append((f, "array<double>"))
+        elif f == "frequency_bands":
+            fields.extend((f"fb_{b}", "double") for b in BAND_NAMES)
+        else:
+            fields.append((f, "double"))
+    fields.append(("ferror", "string"))
+    return fields
+
+
+def make_frame_kernel(
+    frame_length: int = FRAME_LENGTH,
+    sample_rate: int = SAMPLE_RATE,
+    features: tuple[str, ...] | None = None,
+    token_scale: float = TOKEN_SCALE,
+    n_mels: int | None = None,
+):
+    """Build the fused pandas UDF: window array<int> -> struct of features.
+
+    `features=None` means all (the reference computes volume by default even
+    with no config — processors.py:171-172)."""
+    feats = tuple(features) if features else ALL_FRAME_FEATURES
+    nm = n_mels or min(N_MELS, max(2, frame_length // 2 - 1))
+    fields = kernel_output_fields(feats)
+    ddl = ", ".join(f"{n}: {t}" for n, t in fields)
+
+    @pandas_udf(ddl)
+    def _udf(wins: pd.Series) -> pd.DataFrame:
+        if len(wins) == 0:
+            return pd.DataFrame({n: pd.Series(dtype=object) for n, _ in fields})
+        W = np.stack(wins.to_numpy())
+        res = _kernel_batch(W, frame_length, sample_rate, token_scale, feats, nm)
+        bad_input = res.pop("_bad_input")
+        zero_spec = res.pop("_zero_spec")
+        spectral = bad_input | zero_spec  # spectral outputs nulled (:198-203)
+        data: dict[str, object] = {}
+        for name, _t in fields:
+            if name == "ferror":
+                data[name] = pd.Series(
+                    np.where(
+                        bad_input,
+                        "nonfinite_frame",
+                        np.where(zero_spec, "zero_spectrum", None),
+                    )
+                )
+            elif name in res:
+                is_spectral = name not in ("rms", "volume", "zero_crossing_rate")
+                bad = spectral if is_spectral else bad_input
+                col = res[name]
+                if isinstance(col, list):  # array-valued
+                    data[name] = pd.Series(
+                        [None if b else v for v, b in zip(col, bad)], dtype=object
+                    )
+                else:
+                    data[name] = pd.Series(np.where(bad, np.nan, col))
+            else:
+                data[name] = pd.Series([None] * len(wins), dtype=object)
+        return pd.DataFrame(data)
+
+    return _udf, feats
+
+
+def with_frame_features(
+    frames: DataFrame,
+    features: tuple[str, ...] | None = None,
+    frame_length: int = FRAME_LENGTH,
+    sample_rate: int = SAMPLE_RATE,
+    token_scale: float = TOKEN_SCALE,
+    window_col: str = "window",
+    keep_window: bool = False,
+    n_mels: int | None = None,
+) -> DataFrame:
+    """Apply the fused kernel and flatten its struct into columns; re-nest
+    `frequency_bands` as a struct<sub_bass..treble> (reference
+    types.py:134-140)."""
+    udf, feats = make_frame_kernel(
+        frame_length, sample_rate, features, token_scale, n_mels
+    )
+    out = frames.withColumn("_feat", udf(F.col(window_col)))
+    keep = [c for c in frames.columns if keep_window or c != window_col]
+    cols: list[Column] = [F.col(c) for c in keep]
+    for f in feats:
+        if f == "frequency_bands":
+            cols.append(
+                F.struct(
+                    *[F.col(f"_feat.fb_{b}").alias(b) for b in BAND_NAMES]
+                ).alias("frequency_bands")
+            )
+        else:
+            cols.append(F.col(f"_feat.{f}").alias(f))
+    cols.append(F.col("_feat.ferror").alias("ferror"))
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# pure-SQL slice: rms/volume with NO Python (whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+def rms_volume_exprs(
+    window_col: str = "window",
+    frame_length: int = FRAME_LENGTH,
+    token_scale: float = TOKEN_SCALE,
+    windowed: bool = False,
+) -> dict[str, Column]:
+    """rms = sqrt(mean(x^2)), volume = 20*log10(rms+eps)
+    (processors.py:168,177) as native Spark expressions.
+
+    `windowed=False` computes on the raw scaled tokens (no Hann) — used for
+    the SQL-oracle-checkable queries where the oracle must express the same
+    thing in DuckDB."""
+    x = F.transform(
+        F.col(window_col), lambda v: v.cast("double") / F.lit(token_scale)
+    )
+    sq = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    rms = F.sqrt(sq / F.lit(float(frame_length)))
+    return {
+        "rms": rms,
+        "volume": F.lit(20.0) * F.log10(rms + F.lit(EPS)),
+    }

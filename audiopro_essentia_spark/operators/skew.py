@@ -1,0 +1,85 @@
+"""Salted-key skew mitigation (SURVEY.md §4: the one physical strategy
+Catalyst/AQE does not fully provide for non-join heavy keys).
+
+The fixture corpus is 80% one `source` (FIXTURES.md §1) — a classic hot-key
+shape at 100 TB. AQE splits skewed JOIN partitions, but a skewed
+`groupBy(source)` still funnels one reducer; these helpers pre-split on a
+salt (pmod(hash(...), k)) and re-aggregate, turning 1 hot reducer into k.
+
+All composition is algebraic-merge aggregation (sum/count/min/max + derived
+avg), so the two-level tree is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, cols: tuple[str, ...] | None = None,
+              salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts): pmod(hash(all/selected cols), k).
+    Deterministic (row-content keyed), so resume/retry-safe — SURVEY.md §7(d)."""
+    src = [F.col(c) for c in (cols or df.columns)]
+    return df.withColumn(salt_col, F.pmod(F.hash(*src), F.lit(n_salts)))
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    n_salts: int = 16,
+    sums: tuple[str, ...] = (),
+    counts: bool = True,
+    maxs: tuple[str, ...] = (),
+    mins: tuple[str, ...] = (),
+    salt_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Two-level aggregation: groupBy(key, salt) partial -> groupBy(key)
+    final merge. Exact for sum/count/min/max and avg (sum/count)."""
+    salted = with_salt(df, n_salts, salt_cols)
+    partial_aggs = []
+    for c in sums:
+        partial_aggs.append(F.sum(c).alias(f"_sum_{c}"))
+    for c in maxs:
+        partial_aggs.append(F.max(c).alias(f"_max_{c}"))
+    for c in mins:
+        partial_aggs.append(F.min(c).alias(f"_min_{c}"))
+    if counts:
+        partial_aggs.append(F.count(F.lit(1)).alias("_cnt"))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_aggs)
+
+    final_aggs = []
+    for c in sums:
+        final_aggs.append(F.sum(f"_sum_{c}").alias(f"sum_{c}"))
+    for c in maxs:
+        final_aggs.append(F.max(f"_max_{c}").alias(f"max_{c}"))
+    for c in mins:
+        final_aggs.append(F.min(f"_min_{c}").alias(f"min_{c}"))
+    if counts:
+        final_aggs.append(F.sum("_cnt").alias("n_rows"))
+    out = partial.groupBy(*key_cols).agg(*final_aggs)
+    for c in sums:
+        if counts:
+            out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
+    return out
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: tuple[str, ...],
+    n_salts: int = 8,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, replicate the small side
+    across all salts, equi-join on (key, salt). With broadcast(small) this
+    is shuffle-free; without, the salt spreads any hot key over n_salts
+    reducers."""
+    big_s = with_salt(big, n_salts, on)
+    salts = small.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    small_rep = small.crossJoin(F.broadcast(salts))
+    return big_s.join(
+        F.broadcast(small_rep), [*on, "_salt"], how
+    ).drop("_salt")

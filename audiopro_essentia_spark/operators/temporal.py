@@ -1,0 +1,172 @@
+"""W4-W6 — the temporal operator suite: lag/lead/rolling, forward/backward
+fill, and gap-and-island sessionization.
+
+The distributed generalization of the reference's ordered per-doc analytics:
+np.diff over beat positions (/root/reference/src/audiopro/utils/audio.py:86,
+controller.py:166), absent-feature-reads-as-None (models.py:62-66), and beat
+segmentation (utils/audio.py:79-91) — per SURVEY.md §2.5 and the north rule.
+
+Scale design: every operator here is a single hash-shuffle on the partition
+key followed by an in-partition sort (Spark window exec); nothing collects
+to the driver. For heavy keys, pre-split with skew.salted_* variants where
+the semantics allow (rolling/fill require full key locality, so heavy single
+keys are bounded by `max_rows_per_key` guidance instead — documented in
+SKEW notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(key_cols: list[str] | tuple[str, ...], order_col: str) -> Window:
+    return Window.partitionBy(*key_cols).orderBy(order_col)
+
+
+def with_lag_lead(
+    df: DataFrame,
+    value_col: str,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    lags: tuple[int, ...] = (1,),
+    leads: tuple[int, ...] = (1,),
+) -> DataFrame:
+    """W4: lag/lead columns `<value>_lag<k>` / `<value>_lead<k>`."""
+    w = _w(key_cols, order_col)
+    out = df
+    for k in lags:
+        out = out.withColumn(f"{value_col}_lag{k}", F.lag(value_col, k).over(w))
+    for k in leads:
+        out = out.withColumn(f"{value_col}_lead{k}", F.lead(value_col, k).over(w))
+    return out
+
+
+def with_rolling(
+    df: DataFrame,
+    value_col: str,
+    key_cols: tuple[str, ...],
+    order_col: str,
+    window_rows: int,
+    aggs: tuple[str, ...] = ("avg", "sum", "min", "max"),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Trailing rolling aggregates over the previous `window_rows` rows
+    (inclusive of current) — the lag/lead/rolling surface of the north rule.
+    Hop/window analog: window_rows=F//H reproduces the reference's
+    overlapping-frame coverage at the row level."""
+    w = _w(key_cols, order_col).rowsBetween(-(window_rows - 1), 0)
+    p = prefix or f"{value_col}_roll{window_rows}"
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "stddev": F.stddev, "count": F.count}
+    out = df
+    for a in aggs:
+        out = out.withColumn(f"{p}_{a}", fns[a](value_col).over(w))
+    return out
+
+
+def with_ffill(
+    df: DataFrame,
+    value_cols: tuple[str, ...],
+    key_cols: tuple[str, ...],
+    order_col: str,
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """W5 forward-fill: last non-null up to and including the current row
+    (the 'missing feature reads as previous value' analog of
+    models.py:62-66)."""
+    w = _w(key_cols, order_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def with_bfill(
+    df: DataFrame,
+    value_cols: tuple[str, ...],
+    key_cols: tuple[str, ...],
+    order_col: str,
+    suffix: str = "_bfill",
+) -> DataFrame:
+    """W5 backward-fill: first non-null at or after the current row."""
+    w = _w(key_cols, order_col).rowsBetween(0, Window.unboundedFollowing)
+    out = df
+    for c in value_cols:
+        out = out.withColumn(c + suffix, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """W6 gap-and-island sessionization: a new session starts when the gap
+    to the previous event exceeds `gap_seconds` (the distributed analog of
+    beat segmentation, utils/audio.py:79-91). session_id is 0-based per key.
+
+    Two window passes over ONE shuffle+sort (same partitioning/ordering, so
+    Spark reuses the sort)."""
+    w = _w(key_cols, ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    is_new = F.when(
+        prev.isNull() | (gap > F.lit(int(gap_seconds * 1e6))), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(session_col, F.sum(is_new).over(run) - 1)
+
+
+def session_stats(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """Per-session aggregates: start/end/duration/event count. Partial
+    aggregation (map-side combine) applies since it's a plain hash agg over
+    (key, session_id)."""
+    s = sessionize(df, key_cols, ts_col, gap_seconds)
+    return s.groupBy(*key_cols, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+        ).cast("double").alias("duration_us"),
+    )
+
+
+def session_tempo(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    gap_seconds: float,
+) -> DataFrame:
+    """A15/A16 analog: per key, session-start boundaries ->
+    tempo = 60/median(diff(boundaries_sec)), 0.0 when <=1 boundary
+    (utils/audio.py:82-89; zero-beat fallback controller.py:179-184).
+    Exact median via sorted-array element_at (not percentile_approx)."""
+    from .aggregates import tempo_from_boundaries_expr
+
+    stats = session_stats(df, key_cols, ts_col, gap_seconds)
+    bounds = stats.groupBy(*key_cols).agg(
+        F.sort_array(
+            F.collect_list(
+                F.unix_micros(F.col("session_start").cast("timestamp")).cast("double")
+                / 1e6
+            )
+        ).alias("boundaries_sec"),
+        F.count(F.lit(1)).alias("n_sessions"),
+    )
+    return bounds.withColumn(
+        "tempo_analog", tempo_from_boundaries_expr(F.col("boundaries_sec"))
+    )

