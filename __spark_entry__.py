@@ -1,38 +1,793 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator from SURVEY.md §2
+plus the training-data-pipeline extras (dedup / similarity / text /
+multimodal); `oracle_sql()` gives the DuckDB-runnable ANSI-SQL twin for
+every SQL-expressible one. Column names and rounding are matched pairwise.
+
+The `input_hint` token payload (array<int32>) has no physical table in
+/root/testdata, so token-based operators derive a deterministic token array
+from documents.text (per-word character lengths) IDENTICALLY in Spark and
+DuckDB; the real token pipeline is exercised on synthesized sequences by
+the pytest goldens and bench.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from audiopro_essentia_spark.constants import EPS  # noqa: E402
+from audiopro_essentia_spark.functions import text as T  # noqa: E402
+from audiopro_essentia_spark.operators import dedup as D  # noqa: E402
+from audiopro_essentia_spark.operators import similarity as SIM  # noqa: E402
+from audiopro_essentia_spark.operators.aggregates import reject_reason_col  # noqa: E402
+from audiopro_essentia_spark.operators.asof import asof_join  # noqa: E402
+from audiopro_essentia_spark.operators.framing import frame_tokens  # noqa: E402
+from audiopro_essentia_spark.operators.kernel import with_frame_features  # noqa: E402
+from audiopro_essentia_spark.operators.skew import salted_agg  # noqa: E402
+from audiopro_essentia_spark.operators.temporal import (  # noqa: E402
+    session_tempo,
+    sessionize,
+    with_ffill,
+    with_lag_lead,
+    with_rolling,
+)
+
+# driver-scale framing params (token arrays here are ~30-90 words long)
+DF_, DH_ = 8, 3
+GAP = 1800.0  # sessionization gap (seconds)
+MERSENNE = D.MERSENNE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokens := per-word char lengths of documents.text (portable)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_lengths(F.col("text")).alias("toks")
+    )
+
+
+# SQL twin of _docs_tokens (DuckDB)
+TOKS_CTE = (
+    "t AS (SELECT doc_id, list_transform(string_split(text, ' '), "
+    "w -> length(w)) AS toks FROM documents)"
+)
+# odd-trim + framing twin of frame_tokens(F=8, H=3)
+FRAMES_CTE = (
+    TOKS_CTE
+    + ", tt AS (SELECT doc_id, list_slice(toks, 1, len(toks) - (len(toks) % 2)) "
+    "AS toks FROM t), "
+    "f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+    f"list_slice(toks, i*{DH_}+1, i*{DH_}+{DF_}) AS w "
+    f"FROM tt, LATERAL UNNEST(generate_series(0, CAST((len(toks)-{DF_})//{DH_} AS INT))) "
+    f"AS g(i) WHERE len(toks) >= {DF_})"
+)
+
+
+def _framed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_tokens(
+        _docs_tokens(spark, sf_dir),
+        frame_length=DF_,
+        hop=DH_,
+        tokens_col="toks",
+        id_cols=("doc_id",),
+        carry_cols=(),
+        base_ts_col=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_framing_counts(spark, sf_dir):
+    """W1: frame count per doc = 1 + (N' - F) // H after odd-trim."""
+    return (
+        _framed(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    )
+
+
+def q_frame_rms(spark, sf_dir):
+    """A1+A2: per-frame rms + volume as native SQL exprs (no Hann/scale in
+    the portable variant)."""
+    framed = _framed(spark, sf_dir)
+    x = F.transform(F.col("window"), lambda v: v.cast("double"))
+    sq = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
+    rms = F.sqrt(sq / F.lit(float(DF_)))
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        F.round(rms, 6).alias("rms"),
+        F.round(F.lit(20.0) * F.log10(rms + F.lit(EPS)), 6).alias("volume"),
+    )
+
+
+def q_frame_zcr(spark, sf_dir):
+    """A3 analog: mean-crossing rate per frame (tokens are nonneg, so
+    crossings are measured around the frame mean)."""
+    framed = _framed(spark, sf_dir)
+    x = F.transform(F.col("window"), lambda v: v.cast("double"))
+    m = F.aggregate(x, F.lit(0.0), lambda a, v: a + v) / F.lit(float(DF_))
+    flips = F.aggregate(
+        F.zip_with(
+            F.slice(x, 1, DF_ - 1),
+            F.slice(x, 2, DF_ - 1),
+            lambda a, b: ((a > m) != (b > m)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        F.round(flips.cast("double") / F.lit(float(DF_ - 1)), 6).alias("mcr"),
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """A12/A13: one-pass doc aggregates over the token array."""
+    toks = _docs_tokens(spark, sf_dir)
+    x = F.transform(F.col("toks"), lambda v: v.cast("double"))
+    n = F.size("toks").cast("double")
+    s = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
+    sq = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
+    mx = F.array_max(x)
+    return toks.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.round(mx, 6).alias("peak"),
+        F.round(F.sqrt(sq / n), 6).alias("rms"),
+        F.round(s / n, 6).alias("dc_offset"),
+        F.round(sq, 6).alias("energy"),
+    )
+
+
+def q_quarantine(spark, sf_dir):
+    """S2/S3: validation split counts by reject reason (NULL = accepted)."""
+    toks = _docs_tokens(spark, sf_dir)
+    tagged = toks.withColumn(
+        "reject_reason",
+        reject_reason_col("toks", token_scale=1.0, frame_length=DF_),
+    )
+    return (
+        tagged.groupBy("reject_reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_lag_lead(spark, sf_dir):
+    """W4: lag/lead over the events stream."""
+    ev = _t(spark, sf_dir, "events")
+    return with_lag_lead(
+        ev, "value", ("user_id",), ("ts", "event_id")
+    ).select("user_id", "event_id", "value", "value_lag1", "value_lead1")
+
+
+def q_rolling(spark, sf_dir):
+    """W3/W4: trailing rolling aggregates (5-row window ~ hop/window batching)."""
+    ev = _t(spark, sf_dir, "events")
+    out = with_rolling(
+        ev, "value", ("user_id",), ("ts", "event_id"), 5, aggs=("avg", "sum", "min")
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value_roll5_avg", 6).alias("roll_avg"),
+        F.round("value_roll5_sum", 6).alias("roll_sum"),
+        F.round("value_roll5_min", 6).alias("roll_min"),
+    )
+
+
+def q_ffill(spark, sf_dir):
+    """W5: forward-fill sparse values (purchase value carried forward)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    return with_ffill(ev, ("v",), ("user_id",), ("ts", "event_id")).select(
+        "user_id", "event_id", F.round("v_ffill", 6).alias("v_ffill")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """W6: gap-and-island session ids per user."""
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, ("user_id",), "ts", GAP).select(
+        "user_id", "event_id", F.col("session_id").cast("long").alias("session_id")
+    )
+
+
+def q_session_tempo(spark, sf_dir):
+    """A15/A16 analog: 60/median(diff(session boundaries)) per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = session_tempo(ev, ("user_id",), "ts", GAP)
+    return out.select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.round("tempo_analog", 6).alias("tempo_analog"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """J1 flagship: backward as-of join clicks <- latest purchase per user."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    out = asof_join(
+        clicks, purchases, on=("user_id",), left_ts="ts", right_ts="ts",
+        right_values=("pvalue",),
+    )
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("value"),
+        "matched_ts", F.round("pvalue", 6).alias("pvalue"),
+    )
+
+
+def q_enrich_broadcast(spark, sf_dir):
+    """J2: broadcast enrichment join orders <- customer <- nation with exact
+    integer-cents revenue."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.withColumn("cents", cents)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew: salted two-level aggregation over the hot `source` key — must
+    equal a plain GROUP BY exactly."""
+    d = _t(spark, sf_dir, "documents")
+    out = salted_agg(d, ("source",), n_salts=16, sums=("n_chars",))
+    return out.select(
+        "source",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_n_chars").cast("long").alias("sum_n_chars"),
+        F.round("avg_n_chars", 6).alias("avg_n_chars"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Ranking: top-3 docs by n_chars per lang (deterministic tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_chars", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Partial-agg shape (TPC-H Q1-like) with exact integer arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("qty_i", F.round("l_quantity").cast("long"))
+        .withColumn("price_c", F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty_i").cast("long").alias("sum_qty"),
+            F.sum("price_c").cast("long").alias("sum_price_cents"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Dedup: exact (md5 hash-groupBy), deterministic representative."""
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup: exact word-3-gram Jaccard pairs >= 0.5 via inverted index."""
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, threshold=0.5).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Dedup: MinHash(16) + LSH(4 bands) candidate pairs (portable hashes)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(d, k=16, bands=4).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """Dedup: 64-bit SimHash signature per doc (rows-only check — the
+    bit-level SQL twin would be ~4000 terms)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Dedup: exact embedding-cosine near-dup pairs >= 0.2."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(e, threshold=0.2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Similarity: brute-force cosine top-5 for query vectors vec_id < 5."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.brute_force_topk(e, q, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Similarity: LSH-bucketed approximate top-5 (scale path; rows-only —
+    bucket recall differs from brute force by design)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_topk(e, q, k=5, n_planes=6)
+
+
+def q_text_quality(spark, sf_dir):
+    """Text: quality metrics + composite score per doc."""
+    d = _t(spark, sf_dir, "documents")
+    m = T.quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        m["n_words"].cast("long").alias("n_words"),
+        F.round(m["avg_word_len"], 6).alias("avg_word_len"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Text: stopword-hit-rate language ID, counts per language."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Text: whitespace + BPE-ish token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("long").alias("n_words"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Text: order-sensitive rolling-hash document fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_kernel_features(spark, sf_dir):
+    """A3-A11: the fused Arrow kernel over derived tokens (F=16, H=4) —
+    FFT-based features, covered by numpy-oracle pytest goldens (rows-only
+    here)."""
+    toks = _docs_tokens(spark, sf_dir)
+    framed = frame_tokens(
+        toks, frame_length=16, hop=4, tokens_col="toks",
+        id_cols=("doc_id",), carry_cols=(), base_ts_col=None,
+    )
+    return with_frame_features(
+        framed, frame_length=16, token_scale=64.0,
+        features=("rms", "volume", "zero_crossing_rate", "spectral_centroid",
+                  "spectral_flatness", "mfcc"),
+    )
+
+
+def q_multimodal(spark, sf_dir):
+    """Multimodal: binary payload -> mapInPandas feature extraction
+    (decode stubbed; plumbing real). Rows-only."""
+    from audiopro_essentia_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_media_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_media_features(attach_binary_payload(d))
+
+
+def q_streaming_session(spark, sf_dir):
+    """Structured Streaming: session_window sessionization driven to
+    completion on a bounded file stream (rows-only)."""
+    from audiopro_essentia_spark.streaming.stream_ops import (
+        run_to_memory,
+        streaming_sessionize,
+    )
+
+    import tempfile
+
+    ev_schema = _t(spark, sf_dir, "events").schema
+    # the streaming file source wants a directory — expose the single
+    # parquet file through a temp dir symlink
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = spark.readStream.schema(ev_schema).parquet(d)
+    return run_to_memory(
+        streaming_sessionize(stream, gap="1800 seconds"), "stream_sessions"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: derived tokens -> framing -> per-frame rms/volume
+    -> doc-stat broadcast enrichment."""
+    sf_dir = "/root/testdata/sf0.001"
+    rms = q_frame_rms(spark, sf_dir)
+    stats = q_doc_stats(spark, sf_dir).select(
+        "doc_id",
+        F.col("peak").alias("doc_peak"),
+        F.col("rms").alias("doc_rms"),
+        F.col("dc_offset").alias("doc_dc_offset"),
+        F.col("energy").alias("doc_energy"),
+    )
+    return rms.join(F.broadcast(stats), "doc_id", "left").orderBy(
+        "doc_id", "frame_idx"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "framing_counts": q_framing_counts,
+        "frame_rms": q_frame_rms,
+        "frame_zcr": q_frame_zcr,
+        "doc_stats": q_doc_stats,
+        "quarantine": q_quarantine,
+        "lag_lead": q_lag_lead,
+        "rolling": q_rolling,
+        "ffill": q_ffill,
+        "sessionize": q_sessionize,
+        "session_tempo": q_session_tempo,
+        "asof_join": q_asof_join,
+        "enrich_broadcast": q_enrich_broadcast,
+        "salted_agg": q_salted_agg,
+        "topk_per_group": q_topk_per_group,
+        "tpch_q1": q_tpch_q1,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embed_neardup": q_embed_neardup,
+        "ann_topk": q_ann_topk,
+        "lsh_ann": q_lsh_ann,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "fingerprint": q_fingerprint,
+        "kernel_features": q_kernel_features,
+        "multimodal": q_multimodal,
+        "streaming_session": q_streaming_session,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB twins)
+# ---------------------------------------------------------------------------
+
+H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _minhash_sql() -> str:
+    """Generated DuckDB twin of q_minhash_lsh (k=16, bands=4, rows=4)."""
+    params = D._minhash_params(16)
+    h = H32.format(x="s")
+    sig_terms = [
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE}))"
+        for (a, b) in params
+    ]
+    bands = []
+    for b in range(4):
+        parts = " || ',' || ".join(
+            f"CAST(sig[{b * 4 + r + 1}] AS VARCHAR)" for r in range(4)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, {parts} AS bsig FROM sig")
+    banded = " UNION ALL ".join(bands)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, array_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
+    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
+  )) AS shingles FROM documents
+),
+hs AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh),
+sig AS (SELECT doc_id, [{", ".join(sig_terms)}] AS sig FROM hs),
+banded AS ({banded})
+SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS id_a, CAST(r.doc_id AS BIGINT) AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    h32w = H32.format(x="w")
+    sw_en = "['the','a','and','of','to','in','is','that','it','for']"
+    sw_de = "['der','die','das','und','zu','ist','nicht','ein','mit','von']"
+    sw_fr = "['le','la','et','de','un','est','pas','une','pour','que']"
+    shingle_cte = (
+        "sh AS (SELECT doc_id, array_distinct(list_transform("
+        "generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
+        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')"
+        ")) AS shingles FROM documents)"
+    )
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
+    )
+    return {
+        "framing_counts": f"""
+WITH {FRAMES_CTE}
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM f GROUP BY doc_id
+""",
+        "frame_rms": f"""
+WITH {FRAMES_CTE}
+SELECT doc_id, frame_idx,
+  round(sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))/{DF_}.0), 6) AS rms,
+  round(20.0 * log10(sqrt(list_sum(list_transform(w, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))/{DF_}.0) + 2.220446049250313e-16), 6) AS volume
+FROM f
+""",
+        "frame_zcr": f"""
+WITH {FRAMES_CTE},
+m AS (SELECT doc_id, frame_idx, w,
+      list_sum(list_transform(w, x -> CAST(x AS DOUBLE)))/{DF_}.0 AS mu FROM f)
+SELECT doc_id, frame_idx,
+  round(CAST(list_sum(list_transform(generate_series(1, {DF_ - 1}),
+    i -> CASE WHEN (CAST(w[i] AS DOUBLE) > mu) <> (CAST(w[i+1] AS DOUBLE) > mu)
+         THEN 1 ELSE 0 END)) AS DOUBLE) / {DF_ - 1}.0, 6) AS mcr
+FROM m
+""",
+        "doc_stats": f"""
+WITH {TOKS_CTE}
+SELECT doc_id,
+  round(CAST(list_max(toks) AS DOUBLE), 6) AS peak,
+  round(sqrt(list_sum(list_transform(toks, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))/len(toks)), 6) AS rms,
+  round(list_sum(list_transform(toks, x -> CAST(x AS DOUBLE)))/len(toks), 6) AS dc_offset,
+  round(list_sum(list_transform(toks, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 6) AS energy
+FROM t WHERE len(toks) > 0
+""",
+        "quarantine": f"""
+WITH {TOKS_CTE}
+SELECT CASE
+    WHEN toks IS NULL OR len(toks) = 0 THEN 'empty'
+    WHEN list_sum(list_transform(toks, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) <= 1e-6 THEN 'low_energy'
+    WHEN (len(toks) - (len(toks) % 2)) < {DF_} THEN 'too_short'
+    ELSE NULL END AS reject_reason,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM t GROUP BY 1
+""",
+        "lag_lead": """
+SELECT user_id, event_id, value,
+  lag(value) OVER w AS value_lag1,
+  lead(value) OVER w AS value_lead1
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "rolling": """
+SELECT user_id, event_id,
+  round(avg(value) OVER w, 6) AS roll_avg,
+  round(sum(value) OVER w, 6) AS roll_sum,
+  round(min(value) OVER w, 6) AS roll_min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "ffill": """
+SELECT user_id, event_id,
+  round(last_value(v IGNORE NULLS) OVER w, 6) AS v_ffill
+FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS v FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "sessionize": """
+SELECT user_id, event_id,
+  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+    THEN 1 ELSE 0 END AS is_new
+  FROM events)
+""",
+        "session_tempo": """
+WITH s AS (
+  SELECT user_id, ts,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+          THEN 1 ELSE 0 END AS is_new FROM events)
+),
+b AS (SELECT user_id, session_id,
+        CAST(epoch_us(min(ts)) AS DOUBLE)/1e6 AS boundary
+      FROM s GROUP BY user_id, session_id),
+d AS (SELECT user_id, boundary - lag(boundary) OVER
+        (PARTITION BY user_id ORDER BY boundary) AS diff
+      FROM b),
+nb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions FROM b GROUP BY user_id),
+md AS (SELECT user_id, median(CAST(diff AS DOUBLE)) AS med FROM d
+       WHERE diff IS NOT NULL GROUP BY user_id)
+SELECT nb.user_id, nb.n_sessions,
+  round(CASE WHEN nb.n_sessions > 1 AND md.med > 0 THEN 60.0 / md.med ELSE 0.0 END, 6) AS tempo_analog
+FROM nb LEFT JOIN md ON nb.user_id = md.user_id
+""",
+        "asof_join": """
+WITH clicks AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.user_id, c.event_id, round(c.value, 6) AS value,
+       p.ts AS matched_ts, round(p.pvalue, 6) AS pvalue
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+        "enrich_broadcast": """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "salted_agg": """
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+  round(CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS BIGINT), 6) AS avg_n_chars
+FROM documents GROUP BY source
+""",
+        "topk_per_group": """
+SELECT lang, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+  SELECT lang, doc_id, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents) WHERE rank <= 3
+""",
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "dedup_exact": """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "ngram_jaccard": f"""
+WITH {shingle_cte},
+nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM nz),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) AS jaccard
+FROM cand JOIN nz a ON cand.id_a = a.doc_id JOIN nz b ON cand.id_b = b.doc_id
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.5
+""",
+        "minhash_lsh": _minhash_sql(),
+        "embed_neardup": f"""
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, {cos} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.2
+""",
+        "ann_topk": f"""
+SELECT * FROM (
+  SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(b.vec_id AS BIGINT) AS vec_id,
+    {cos} AS cosine,
+    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id ASC) AS INT) AS rank
+  FROM embeddings a JOIN embeddings b ON true
+  WHERE a.vec_id < 5
+) WHERE rank <= 5
+""",
+        "text_quality": f"""
+WITH q AS (
+  SELECT doc_id, n_chars, text,
+    string_split(text, ' ') AS ws,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+    CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars, n_words,
+    list_sum(list_transform(ws, w -> CAST(length(w) AS DOUBLE))) / n_words AS avg_word_len,
+    CAST(len(list_filter(ws, w -> list_contains({sw_en}, w))) AS DOUBLE) / n_words AS stopword_ratio,
+    n_punct / CAST(length(text) AS DOUBLE) AS punct_ratio,
+    n_digit / CAST(length(text) AS DOUBLE) AS digit_ratio
+  FROM q
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_words,
+  round(avg_word_len, 6) AS avg_word_len,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(0.4 * least(stopword_ratio * 4.0, 1.0)
+      + 0.3 * (1.0 - least(abs(avg_word_len - 5.0) / 10.0, 1.0))
+      + 0.15 * (1.0 - least(punct_ratio * 5.0, 1.0))
+      + 0.15 * (1.0 - least(digit_ratio * 5.0, 1.0)), 6) AS quality_score
+FROM m
+""",
+        "lang_id": f"""
+WITH s AS (
+  SELECT doc_id,
+    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_en}, w))) AS DOUBLE)
+      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_en,
+    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_de}, w))) AS DOUBLE)
+      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_de,
+    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_fr}, w))) AS DOUBLE)
+      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_fr
+  FROM documents
+)
+SELECT CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM s GROUP BY 1
+""",
+        "token_count": """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(list_sum(list_transform(string_split(text, ' '),
+       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_ish
+FROM documents
+""",
+        "fingerprint": f"""
+SELECT doc_id,
+  CASE WHEN len(string_split(text, ' ')) = 0 THEN 0
+  ELSE list_reduce(list_transform(string_split(text, ' '), w -> {h32w}),
+       (a, b) -> (a * 31 + b) % {MERSENNE}) % {MERSENNE}
+  END AS fp
+FROM documents
+""",
+    }

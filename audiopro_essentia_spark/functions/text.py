@@ -1,0 +1,148 @@
+"""Text-analysis function surface for training-data pipelines: tokenization,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Spark SQL expressions (whole-stage codegen, no Python) and all
+deterministic + portable: each has an exact ANSI-SQL twin runnable by DuckDB
+(the driver's correctness oracle). The portable 32-bit hash is
+int(hex(md5(s)[:8])) — identical in Spark (`conv(substring(md5(x),1,8),16,10)`)
+and DuckDB (`('0x'||substr(md5(x),1,8))::BIGINT`).
+
+Scale notes: everything is a narrow map over the documents table; token
+arrays are transient projections (Catalyst prunes them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists for the language-ID heuristic
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "zu", "ist", "nicht", "ein", "mit", "von"),
+    "fr": ("le", "la", "et", "de", "un", "est", "pas", "une", "pour", "que"),
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (single-space split; portable with DuckDB
+    string_split)."""
+    return F.split(text, " ")
+
+
+def token_lengths(text: Column) -> Column:
+    """tokens := per-word character lengths — the deterministic, SQL-portable
+    derivation of an array<int> payload from a text column (used by the
+    driver harness where no physical tokens column exists)."""
+    return F.transform(words(text), F.length)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate BPE token count: word-pieces of <=4 chars —
+    sum(ceil(len(word)/4)) over whitespace words."""
+    return F.aggregate(
+        words(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("long"),
+    )
+
+
+def portable_hash32(s: Column) -> Column:
+    """First 8 hex chars of md5 as a BIGINT — identical in DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Document quality scoring: length, word stats, punctuation / stopword /
+    digit ratios. The doc-quality analog of the reference's per-file quality
+    metrics (silence ratio / clipping — metadata.py:73-77)."""
+    n_chars = F.length(text).cast("double")
+    ws = words(text)
+    n_words = F.size(ws).cast("double")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    ).cast("double")
+    n_digit = (n_chars - F.length(F.regexp_replace(text, r"[0-9]", ""))).cast("double")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast("double")
+    avg_word_len = F.coalesce(
+        F.try_divide(
+            F.aggregate(ws, F.lit(0.0), lambda a, w: a + F.length(w)), n_words
+        ),
+        F.lit(0.0),
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "avg_word_len": avg_word_len,
+        "punct_ratio": F.coalesce(F.try_divide(n_punct, n_chars), F.lit(0.0)),
+        "digit_ratio": F.coalesce(F.try_divide(n_digit, n_chars), F.lit(0.0)),
+        "stopword_ratio": F.coalesce(F.try_divide(n_stop, n_words), F.lit(0.0)),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: rewards stopword presence and sane word
+    length, penalizes punctuation/digit noise. Deterministic linear blend."""
+    m = quality_metrics(text)
+    word_len_ok = F.lit(1.0) - F.least(
+        F.abs(m["avg_word_len"] - F.lit(5.0)) / F.lit(10.0), F.lit(1.0)
+    )
+    s = (
+        F.lit(0.4) * F.least(m["stopword_ratio"] * F.lit(4.0), F.lit(1.0))
+        + F.lit(0.3) * word_len_ok
+        + F.lit(0.15) * (F.lit(1.0) - F.least(m["punct_ratio"] * 5.0, F.lit(1.0)))
+        + F.lit(0.15) * (F.lit(1.0) - F.least(m["digit_ratio"] * 5.0, F.lit(1.0)))
+    )
+    return F.round(s, 6)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword hit-rate per language — the n-gram-free language-ID
+    heuristic. Deterministic, portable."""
+    ws = words(text)
+    n_words = F.size(ws).cast("double")
+    out = {}
+    for lang, stops in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in stops])
+        hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, w))).cast("double")
+        out[lang] = F.coalesce(F.try_divide(hits, n_words), F.lit(0.0))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language; 'und' (undetermined) when all scores are zero.
+    Deterministic tie-break by (score desc, lang asc)."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(F.round(c, 9).alias("score"), F.lit(lang).alias("lang"))
+            for lang, c in sorted(scores.items())
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, mod: int = 2_147_483_647, mult: int = 31) -> Column:
+    """Order-sensitive rolling document fingerprint:
+    fp = fold(words, 0, (acc, w) -> (acc*31 + H32(w)) mod p). Portable."""
+    return F.aggregate(
+        words(text),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(mult) + portable_hash32(w)) % F.lit(mod),
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) — dedup shingling."""
+    ws = words(text)
+    cnt = F.size(ws) - (n - 1)
+    # sequence(1, 0) would DESCEND in Spark — emit an empty array instead
+    grams = F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+    )
+    return F.array_distinct(grams)

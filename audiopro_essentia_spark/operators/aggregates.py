@@ -61,14 +61,18 @@ def doc_stats_cols(
 
     acc = F.aggregate(F.col(tokens_col), acc0, step)
     peak = acc["mx"]
-    rms = F.sqrt(acc["sq"] / nd)
+    # try_divide: NULL on empty docs (ANSI mode), coalesced to the oracle's
+    # empty-doc defaults (oracle.doc_stats)
+    rms = F.sqrt(F.coalesce(F.try_divide(acc["sq"], nd), F.lit(0.0)))
     return {
         "peak_amplitude": peak,
         "rms_amplitude": rms,
         "dynamic_range_db": F.lit(20.0)
         * F.log10((peak + F.lit(EPS)) / (rms + F.lit(EPS))),
-        "dc_offset": acc["s"] / nd,
-        "silence_ratio": acc["nsil"].cast("double") / nd,
+        "dc_offset": F.coalesce(F.try_divide(acc["s"], nd), F.lit(0.0)),
+        "silence_ratio": F.coalesce(
+            F.try_divide(acc["nsil"].cast("double"), nd), F.lit(0.0)
+        ),
         "potentially_clipped": acc["nclip"],
         "signal_energy": acc["sq"],
     }

@@ -1,0 +1,292 @@
+"""Deduplication suite for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design notes (the point of each variant at 100 TB):
+- exact: one hash-agg shuffle on a 16-byte digest; min(doc_id) keeps a
+  deterministic canonical row.
+- ngram-Jaccard: candidate generation via an inverted shingle index
+  (explode -> self-join on shingle) so the cross product never materializes;
+  exact Jaccard only on candidates sharing >=1 shingle.
+- MinHash+LSH: K portable permutation-hashes, banded into B bands of R rows;
+  one equi-join shuffle on (band_id, band_signature); collisions verified
+  with exact Jaccard. Probability of catching sim s: 1-(1-s^R)^B.
+- SimHash: one 64-bit signature per doc; near-dup = small Hamming distance;
+  banded lookup over bit-chunks for scale.
+- embedding cosine: exact threshold pairs via block join (small N) or an
+  LSH/bucketed variant in similarity.py.
+
+Everything except SimHash's Hamming verify is pure Spark SQL expressions;
+the portable hash (md5-prefix) makes MinHash reproducible in DuckDB for the
+driver's oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash32, word_ngrams
+
+MERSENNE = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per exact duplicate
+    group (md5 of the text)."""
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups"))
+        .drop("_h")
+    )
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    rng_a, rng_b = 1_103_515_245, 12_345
+    out = []
+    a, b = 7, 3
+    for _ in range(k):
+        a = (a * rng_a + rng_b) % MERSENNE
+        b = (b * rng_a + rng_b) % MERSENNE
+        out.append((a | 1, b))
+    return out
+
+
+def minhash_signature(
+    shingles: Column, k: int = 32
+) -> Column:
+    """K-wide MinHash signature over a distinct-shingle array column.
+    h_i = min over shingles of (a_i * H32(s) + b_i) mod p — all portable
+    (same expression exists in DuckDB for the oracle)."""
+    base = F.transform(shingles, portable_hash32)
+    sigs = []
+    for a, b in _minhash_params(k):
+        sigs.append(
+            F.array_min(
+                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE))
+            )
+        )
+    return F.array(*sigs)
+
+
+def make_minhash_band_udf(k: int, bands: int):
+    """Arrow-vectorized banded MinHash: shingle array -> array of `bands`
+    comma-joined signature strings. ONE evaluation per row (the pure-expr
+    form gets re-inlined by projection collapse — k x bands md5 passes);
+    arithmetic is IDENTICAL to minhash_signature / the DuckDB oracle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = k // bands
+    params = np.array(_minhash_params(k), dtype=np.int64)  # (k, 2)
+    A, B = params[:, 0][:, None], params[:, 1][:, None]
+
+    # NOTE: no type annotations — `from __future__ import annotations` makes
+    # them strings, which pandas_udf's signature inspection rejects
+    @pandas_udf("array<string>")
+    def _bands(shingles):
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append(None)
+                continue
+            hs = np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh],
+                dtype=np.int64,
+            )[None, :]
+            sig = ((hs * A + B) % MERSENNE).min(axis=1)  # (k,)
+            out.append(
+                [
+                    ",".join(str(v) for v in sig[b * rows : (b + 1) * rows])
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out, dtype=object)
+
+    return _bands
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) whose MinHash signatures
+    collide in >=1 LSH band. One shuffle on (band, signature)."""
+    udf = make_minhash_band_udf(k, bands)
+    banded = (
+        df.select(
+            F.col(id_col),
+            udf(word_ngrams(F.col(text_col), ngram)).alias("bsigs"),
+        )
+        .filter(F.col("bsigs").isNotNull())
+        .select(id_col, F.posexplode("bsigs").alias("band", "bsig"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| on distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.coalesce(F.try_divide(inter, union), F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs >= threshold. Candidates from an
+    inverted shingle index (never a cross join)."""
+    sh = df.select(
+        F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    inv = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    cand = (
+        inv.alias("l")
+        .join(
+            inv.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_expr(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, ngram: int = 2) -> Column:
+    """64-bit SimHash over word n-grams: bit j = sign of sum over shingles of
+    (+1 if bit j of H(s||j-salt) else -1). Built from two portable 32-bit
+    hashes (md5 prefix of s and of reverse(s)) -> 64 bits."""
+    sh = word_ngrams(text, ngram)
+    h_lo = F.transform(sh, portable_hash32)
+    h_hi = F.transform(sh, lambda s: portable_hash32(F.concat(s, F.lit("#hi"))))
+
+    def bit_sum(hashes: Column, j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1),
+        )
+
+    def bit_lit(pos: int):
+        # bit 63 = int64 sign bit: 1<<63 overflows a long literal
+        return F.lit(-(1 << 63) if pos == 63 else (1 << pos)).cast("long")
+
+    bits = F.lit(0).cast("long")
+    for j in range(32):
+        bits = bits + F.when(bit_sum(h_lo, j) > 0, bit_lit(j)).otherwise(0)
+    for j in range(32):
+        bits = bits + F.when(bit_sum(h_hi, j) > 0, bit_lit(j + 32)).otherwise(0)
+    return bits
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    ngram: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
+    generation by 16-bit chunk equality (4 chunks: any pair within Hamming 3
+    shares >=1 identical chunk — pigeonhole), then exact popcount verify."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col), ngram).alias("sig"))
+    chunks = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("sig", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cval"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cs"),
+    ).select(id_col, "sig", "cs.chunk", "cs.cval")
+    cand = (
+        chunks.alias("l")
+        .join(
+            chunks.alias("r"),
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.cval") == F.col("r.cval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs >= threshold. Block-nested join; for
+    corpus-scale, prune with similarity.lsh_bucket_candidates first."""
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

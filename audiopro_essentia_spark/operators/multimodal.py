@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded / feature-extracted via Arrow-batched mapInPandas.
+
+The real thing at 100 TB: image/audio/video bytes live in a `binary` column
+(or object-store pointers), metadata in typed sibling columns; decode and
+feature-extraction run as vectorized pandas stages. The decode libraries are
+NOT in this container, so the decode step is a clearly-marked deterministic
+STUB — but the Spark-side plumbing (schema, partitioning, UDF signature,
+Arrow batch shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id string, media_type string, payload binary, "
+    "n_bytes long, declared_format string"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id string, media_type string, n_bytes long, "
+    "byte_entropy double, byte_histogram array<double>, "
+    "decode_status string"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a media table from a text table: payload = utf-8 bytes (stands
+    in for image/audio bytes), media_type assigned deterministically."""
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.crc32(F.col(text_col)) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+        F.lit("raw/v1").alias("declared_format"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """STUB for the real decoder (PIL/ffmpeg/torchaudio are not in this
+    container). Deterministic fake: the raw bytes themselves. A production
+    build replaces ONLY this function; everything around it (batching,
+    schema, partitioning) is the real pipeline."""
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def extract_media_features(
+    media: DataFrame, hist_bins: int = 16
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads: byte histogram +
+    entropy (the deterministic stand-ins for embeddings / spectrograms /
+    frame samples). Arrow-batched; one Python crossing per batch."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, mt, payload, nb in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["n_bytes"]
+            ):
+                try:
+                    arr = _decode_stub(bytes(payload), mt)
+                    hist = np.histogram(
+                        arr, bins=hist_bins, range=(0, 256), density=False
+                    )[0].astype(np.float64)
+                    total = hist.sum()
+                    p = hist / total if total else hist
+                    nz = p[p > 0]
+                    ent = float(-(nz * np.log2(nz)).sum()) if len(nz) else 0.0
+                    rows.append((doc_id, mt, int(nb), ent, (hist / max(total, 1)).tolist(), "ok"))
+                except NotImplementedError as e:
+                    rows.append((doc_id, mt, int(nb), None, None, f"stub:{e}"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "byte_entropy",
+                    "byte_histogram",
+                    "decode_status",
+                ],
+            )
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)

@@ -20,8 +20,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _w(key_cols: list[str] | tuple[str, ...], order_col: str) -> Window:
-    return Window.partitionBy(*key_cols).orderBy(order_col)
+def _ord(order_col) -> tuple:
+    return tuple(order_col) if isinstance(order_col, (list, tuple)) else (order_col,)
+
+
+def _w(key_cols: list[str] | tuple[str, ...], order_col) -> Window:
+    return Window.partitionBy(*key_cols).orderBy(*_ord(order_col))
 
 
 def with_lag_lead(
@@ -111,7 +115,7 @@ def sessionize(
     Two window passes over ONE shuffle+sort (same partitioning/ordering, so
     Spark reuses the sort)."""
     w = _w(key_cols, ts_col)
-    prev = F.lag(ts_col).over(w)
+    prev = F.lag(ts_col).over(w)  # gap depends on ts only; ties => gap 0, stable
     gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
         prev.cast("timestamp")
     )

@@ -1,0 +1,80 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference streams per-frame rows through a callback while upstream
+stages run (/root/reference/src/audiopro/audio/extractor.py:214-217,
+controller.py:96-100). The streaming analogs here:
+
+- sliding windowed aggregates == the hop/window loop (`window(ts, F, H)`);
+- watermark == the leakage rule (a frame is available only at its END
+  timestamp, SURVEY.md §1.3) — late data beyond the watermark is dropped;
+- session_window == gap-and-island sessionization (W6);
+- foreachBatch == the incremental batched emission (S7) writing through the
+  CheckpointedWriter for exactly-once.
+
+Local tests drive these with a file source + memory sink +
+processAllAvailable() (synchronous completion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_dur: str = "2048 seconds",
+    hop: str = "512 seconds",
+    watermark: str = "1 hour",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Sliding-window per-key aggregates — the streaming form of W1 framing
+    (frame length F seconds, hop H seconds) with rms-style stats (A1)."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_dur, hop), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sqrt(F.avg(F.col(value_col) * F.col(value_col))).alias("rms"),
+            F.avg(value_col).alias("mean"),
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "1800 seconds",
+    watermark: str = "1 hour",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Native session_window sessionization — streaming W6."""
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a bounded streaming query to completion synchronously and
+    return the result table (test/smoke harness)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,138 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Measures the engine's headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+1. the flagship token pipeline (framing -> fused Arrow kernel -> doc
+   aggregates -> broadcast enrichment -> as-of label join) over a
+   deterministically synthesized sequences table sized to the SF tier —
+   reporting sequences/sec and tokens/sec (BASELINE.json metric), and
+2. the headline SQL-expressible queries from __spark_entry__ on the driver
+   tables — per-query wall seconds.
+
+Scaling evidence (north rule: N vs 4N executors) is produced by
+bench_scaling.py (spark-submit at two parallelism levels); this file is the
+per-round single-level harness the driver runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# synthesized sequences scale per SF tier: ~8k tokens/doc average
+N_DOCS = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}
+
+BENCH_QUERIES = (
+    "frame_rms",
+    "doc_stats",
+    "asof_join",
+    "sessionize",
+    "session_tempo",
+    "rolling",
+    "minhash_lsh",
+    "ann_topk",
+    "text_quality",
+    "tpch_q1",
+)
+
+
+def _noop_sink(df) -> int:
+    """Force full computation without driver materialization."""
+    return df.write.format("noop").mode("overwrite").save() or df.count()
+
+
+def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
+    import pyarrow.parquet as pq
+
+    from audiopro_essentia_spark.fixtures import make_labels, make_sequences
+    from audiopro_essentia_spark.operators.asof import asof_join
+    from audiopro_essentia_spark.plans.pipeline import analyze_sequences
+
+    seq_path = os.path.join(tmp_dir, "sequences.parquet")
+    if not os.path.exists(seq_path):
+        tbl = make_sequences(n_docs=n_docs, profile="bench", avg_n_tok=8192)
+        pq.write_table(tbl, seq_path)
+        ids = tbl.column("doc_id").to_pylist()
+        pq.write_table(make_labels(ids, per_doc=5), os.path.join(tmp_dir, "labels.parquet"))
+
+    seqs_meta = spark.read.parquet(seq_path)
+    n_seq = seqs_meta.count()
+    n_tok = seqs_meta.selectExpr("sum(n_tok)").collect()[0][0]
+
+    t0 = time.perf_counter()
+    res = analyze_sequences(spark, seq_path, repartition_output=False)
+    labels = spark.read.parquet(os.path.join(tmp_dir, "labels.parquet"))
+    joined = asof_join(
+        res["frame_features"].select(
+            "doc_id", "frame_idx", "available_ts", "rms", "volume",
+            "spectral_centroid", "mfcc",
+        ),
+        labels,
+        left_ts="available_ts",
+        right_ts="label_ts",
+    )
+    n_frames = joined.count()
+    elapsed = time.perf_counter() - t0
+    res["frame_features"].unpersist() if hasattr(res["frame_features"], "unpersist") else None
+    return {
+        "pipeline_sec": round(elapsed, 3),
+        "n_sequences": n_seq,
+        "n_tokens": int(n_tok),
+        "n_frames": n_frames,
+        "sequences_per_sec": round(n_seq / elapsed, 2),
+        "tokens_per_sec": round(n_tok / elapsed, 1),
+    }
+
+
+def main() -> None:
+    import tempfile
+
+    from audiopro_essentia_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR))
+    tmp_dir = os.path.join(
+        tempfile.gettempdir(), f"bench_seqs_{sf_name}"
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    pipe = run_token_pipeline(spark, tmp_dir, N_DOCS.get(sf_name, 512))
+
+    qs = E.queries()
+    per_query: dict[str, float] = {}
+    total = pipe["pipeline_sec"]
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _noop_sink(qs[name](spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    out = {
+        "metric": "tokens/sec feature-engineering throughput (flagship token pipeline) + headline query wall-clock",
+        "value": pipe["tokens_per_sec"],
+        "unit": "tokens/sec",
+        "queries": {"token_pipeline": pipe["pipeline_sec"], **per_query},
+        "sf": sf_name,
+        "total_sec": round(total, 3),
+        "pipeline": pipe,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Two-cluster-size scaling evidence (north rule: >=0.8 efficiency N -> 4N).
+
+No multi-node cluster exists in this sandbox, so per BASELINE.md the
+identical job runs via spark-submit --py-files at two local parallelism
+levels (default local[8] vs local[32]) on identical input; efficiency =
+(T_N / T_4N) / (cores_4N / cores_N).
+
+Usage:  python bench_scaling.py [--n 8 --xn 32 --runs 3]
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+JOB = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+from audiopro_essentia_spark.operators.asof import asof_join
+from audiopro_essentia_spark.plans.pipeline import analyze_sequences
+
+seq_path, label_path = sys.argv[1], sys.argv[2]
+t0 = time.perf_counter()
+res = analyze_sequences(spark, seq_path, repartition_output=False)
+labels = spark.read.parquet(label_path)
+joined = asof_join(
+    res["frame_features"].select("doc_id", "frame_idx", "available_ts",
+                                 "rms", "volume", "spectral_centroid", "mfcc"),
+    labels, left_ts="available_ts", right_ts="label_ts")
+n = joined.count()
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({"sec": dt, "frames": n}))
+"""
+
+
+def build_inputs(tmp: str, n_docs: int) -> tuple[str, str, int, int]:
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, REPO)
+    from audiopro_essentia_spark.fixtures import make_labels, make_sequences
+
+    seq = os.path.join(tmp, "sequences.parquet")
+    lab = os.path.join(tmp, "labels.parquet")
+    tbl = make_sequences(n_docs=n_docs, profile="bench", avg_n_tok=8192)
+    pq.write_table(tbl, seq)
+    pq.write_table(make_labels(tbl.column("doc_id").to_pylist()), lab)
+    return seq, lab, len(tbl), sum(tbl.column("n_tok").to_pylist())
+
+
+def zip_pkg(tmp: str) -> str:
+    zpath = os.path.join(tmp, "audiopro_essentia_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "audiopro_essentia_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_once(master: str, zpath: str, jobfile: str, seq: str, lab: str) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(shutil.which("pyspark") or "spark-submit"), "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", master,
+        "--py-files", zpath,
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", f"spark.sql.shuffle.partitions={master[master.find('[')+1:-1]}",
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.ui.enabled=false",
+        "--driver-memory", "8g",
+        jobfile, seq, lab,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT line from {master}:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--xn", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--docs", type=int, default=1024)
+    args = ap.parse_args()
+
+    tmp = tempfile.mkdtemp(prefix="scaling_")
+    seq, lab, n_seq, n_tok = build_inputs(tmp, args.docs)
+    zpath = zip_pkg(tmp)
+    jobfile = os.path.join(tmp, "job.py")
+    with open(jobfile, "w") as f:
+        f.write(JOB)
+
+    results = {}
+    for cores in (args.n, args.xn):
+        times = []
+        for r in range(args.runs):
+            res = run_once(f"local[{cores}]", zpath, jobfile, seq, lab)
+            times.append(res["sec"])
+            print(f"local[{cores}] run {r + 1}: {res['sec']:.2f}s "
+                  f"({res['frames']} frames)", file=sys.stderr)
+        results[cores] = {
+            "median_sec": statistics.median(times),
+            "times": [round(t, 2) for t in times],
+            "tokens_per_sec": round(n_tok / statistics.median(times), 1),
+        }
+
+    t_n = results[args.n]["median_sec"]
+    t_4n = results[args.xn]["median_sec"]
+    core_ratio = args.xn / args.n
+    speedup = t_n / t_4n
+    efficiency = speedup / core_ratio
+
+    summary = {
+        "metric": "scaling efficiency (N -> 4N cores, identical input)",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "n_cores": args.n,
+        "xn_cores": args.xn,
+        "speedup": round(speedup, 3),
+        "n_sequences": n_seq,
+        "n_tokens": n_tok,
+        "results": {str(k): v for k, v in results.items()},
+        "gate": ">=0.8",
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    import platform
+
+    with open(md, "w") as f:
+        f.write(
+            "# BENCH/BASELINE — two-parallelism-level scaling evidence\n\n"
+            "Protocol per /root/repo/BASELINE.md: identical flagship job "
+            "(framing -> fused Arrow kernel -> doc aggregates -> broadcast "
+            "enrichment -> as-of label join) via `spark-submit --py-files` on "
+            "identical synthesized input, N vs 4N local cores, median of "
+            f"{args.runs} runs.\n\n"
+            f"- input: {n_seq} sequences, {n_tok:,} tokens (seed 42)\n"
+            f"- local[{args.n}]: median {t_n:.2f}s, "
+            f"{results[args.n]['tokens_per_sec']:,} tokens/sec "
+            f"(runs: {results[args.n]['times']})\n"
+            f"- local[{args.xn}]: median {t_4n:.2f}s, "
+            f"{results[args.xn]['tokens_per_sec']:,} tokens/sec "
+            f"(runs: {results[args.xn]['times']})\n"
+            f"- speedup {speedup:.3f}x over {core_ratio:.0f}x cores -> "
+            f"**scaling efficiency {efficiency:.3f}** "
+            f"(gate >= 0.8: {'PASS' if efficiency >= 0.8 else 'FAIL'})\n\n"
+            "Config: Spark "
+            + __import__("pyspark").__version__
+            + ", AQE on, shuffle.partitions = cores, Arrow batches = 1000, "
+            "driver-memory 8g, host "
+            + platform.platform()
+            + f", {os.cpu_count()} CPUs.\n"
+        )
+    print(f"wrote {md}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Local mimic of the driver's queries()-vs-oracle_sql() compare:
+row count + column names + order-insensitive value comparison.
+
+Used by tests/test_entry.py and runnable standalone:
+    python tests/driver_compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def duck_con(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except ImportError:
+        pass
+    return v
+
+
+def rows_to_set(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(canon(r[i]) for i in idx) for r in rows
+    )
+
+
+def compare_one(spark, con, name, qfn, sql, sf_dir):
+    sdf = qfn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.sql(sql)
+    dcols = res.columns
+    drows = res.fetchall()
+    problems = []
+    if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
+        problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+    if len(srows) != len(drows):
+        problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+    if not problems:
+        a = rows_to_set([c.lower() for c in scols], srows)
+        b = rows_to_set([c.lower() for c in dcols], drows)
+        if a != b:
+            diff_a = [r for r in a if r not in set(b)][:3]
+            diff_b = [r for r in b if r not in set(a)][:3]
+            problems.append(f"values: spark-only={diff_a} duck-only={diff_b}")
+    return problems, len(srows)
+
+
+def main():
+    from audiopro_essentia_spark.session import get_spark
+    import __spark_entry__ as E
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", app_name="driver-compare")
+    con = duck_con(sf_dir)
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failed = []
+    for name, qfn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                n = qfn(spark, sf_dir).count()
+                print(f"  {name:<20} rows-only: {n} rows")
+            except Exception as e:
+                print(f"  {name:<20} ERROR {type(e).__name__}: {str(e)[:200]}")
+                failed.append(name)
+            continue
+        try:
+            problems, n = compare_one(spark, con, name, qfn, oracles[name], sf_dir)
+        except Exception as e:
+            print(f"  {name:<20} ERROR {type(e).__name__}: {str(e)[:300]}")
+            failed.append(name)
+            continue
+        if problems:
+            print(f"  {name:<20} MISMATCH ({n} rows): " + " | ".join(problems))
+            failed.append(name)
+        else:
+            print(f"  {name:<20} OK ({n} rows)")
+    print("FAILED:" if failed else "ALL OK", failed)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

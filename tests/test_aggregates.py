@@ -1,0 +1,94 @@
+"""A12-A15 doc-level aggregate parity vs the numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from audiopro_essentia_spark import oracle
+from audiopro_essentia_spark.operators.aggregates import (
+    exact_median_expr,
+    split_quarantine,
+    with_doc_stats,
+)
+
+KEYS = (
+    "peak_amplitude",
+    "rms_amplitude",
+    "dynamic_range_db",
+    "dc_offset",
+    "silence_ratio",
+    "potentially_clipped",
+    "signal_energy",
+)
+
+
+def test_doc_stats_parity(spark, tiny_seqs, tiny_table):
+    got = {r.doc_id: r for r in with_doc_stats(tiny_seqs).collect()}
+    tbl = tiny_table.to_pydict()
+    for doc_id, toks in zip(tbl["doc_id"], tbl["tokens"]):
+        if len(toks) == 0:
+            continue
+        exp = oracle.doc_stats(np.asarray(toks, dtype=np.int64))
+        row = got[doc_id]
+        for k in KEYS:
+            assert np.allclose(getattr(row, k), exp[k], rtol=1e-9, atol=1e-12), (
+                doc_id,
+                k,
+                getattr(row, k),
+                exp[k],
+            )
+
+
+def test_clipping_doc(spark, tiny_seqs):
+    """Constant 32767 tokens: |x| = 32767/32768 > 0.99 -> every sample
+    potentially clipped (metadata.py:76-77)."""
+    row = with_doc_stats(tiny_seqs).filter("doc_id = 'doc000101'").collect()[0]
+    assert row.potentially_clipped == row.n_tok == 4096
+    assert row.silence_ratio == 0.0
+
+
+def test_quarantine_reasons(spark, tiny_seqs, tiny_table):
+    ok, bad = split_quarantine(tiny_seqs)
+    reasons = {r.doc_id: r.reject_reason for r in bad.collect()}
+    tbl = tiny_table.to_pydict()
+    for doc_id, toks in zip(tbl["doc_id"], tbl["tokens"]):
+        exp = oracle.reject_reason(np.asarray(toks, dtype=np.int64))
+        assert reasons.get(doc_id) == exp, (doc_id, reasons.get(doc_id), exp)
+    ok_ids = {r.doc_id for r in ok.select("doc_id").collect()}
+    assert ok_ids.isdisjoint(reasons)
+    assert ok_ids | set(reasons) == set(tbl["doc_id"])
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [[1.0], [1.0, 2.0], [3.0, 1.0, 2.0], [4.0, 1.0, 3.0, 2.0], list(range(101))],
+)
+def test_exact_median_matches_numpy(spark, vals):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.array(*[F.lit(float(v)) for v in vals]).alias("a")
+    )
+    got = df.select(exact_median_expr(F.col("a")).alias("m")).collect()[0].m
+    assert got == pytest.approx(float(np.median(vals)))
+
+
+def test_tempo_expr_matches_oracle(spark):
+    from pyspark.sql import functions as F
+    from audiopro_essentia_spark.operators.aggregates import (
+        tempo_from_boundaries_expr,
+    )
+
+    cases = [
+        [],
+        [5.0],
+        [0.0, 0.5, 1.0, 1.5],          # uniform: tempo = 120
+        [0.0, 0.4, 1.0, 1.3, 2.2],     # irregular
+    ]
+    for b in cases:
+        df = spark.range(1).select(
+            F.array(*[F.lit(float(v)) for v in b]).alias("b")
+        )
+        got = df.select(tempo_from_boundaries_expr(F.col("b")).alias("t")).collect()[0].t
+        assert got == pytest.approx(oracle.tempo_from_boundaries(np.array(b))), b

@@ -1,0 +1,150 @@
+"""J1 as-of join: golden = pandas merge_asof per doc (FIXTURES.md §6),
+plus tie, tolerance, and ZERO-LEAKAGE property tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from audiopro_essentia_spark.fixtures import make_labels, make_sequences
+from audiopro_essentia_spark.operators.asof import asof_join
+from audiopro_essentia_spark.operators.framing import frame_tokens
+from audiopro_essentia_spark.operators.kernel import rms_volume_exprs
+
+
+@pytest.fixture(scope="module")
+def frames(spark, tiny_seqs):
+    f = frame_tokens(tiny_seqs)
+    e = rms_volume_exprs()
+    return (
+        f.select("doc_id", "frame_idx", "event_ts", "available_ts",
+                 e["rms"].alias("rms"))
+        .persist()
+    )
+
+
+@pytest.fixture(scope="module")
+def labels(spark, tiny_table):
+    ids = tiny_table.to_pydict()["doc_id"]
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    p = os.path.join(tempfile.mkdtemp(), "labels.parquet")
+    pq.write_table(make_labels(ids), p)
+    return spark.read.parquet(p)
+
+
+def _golden(frames_pd: pd.DataFrame, labels_pd: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for doc, grp in frames_pd.groupby("doc_id"):
+        rl = labels_pd[labels_pd.doc_id == doc].sort_values("label_ts")
+        merged = pd.merge_asof(
+            grp.sort_values("available_ts"),
+            rl[["label_ts", "label"]],
+            left_on="available_ts",
+            right_on="label_ts",
+            direction="backward",
+        )
+        out.append(merged)
+    return pd.concat(out).sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_asof_matches_merge_asof(spark, frames, labels, strategy):
+    got = (
+        asof_join(frames, labels, left_ts="available_ts", right_ts="label_ts",
+                  strategy=strategy)
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+    )
+    exp = _golden(frames.toPandas(), labels.toPandas())
+    assert len(got) == len(exp)
+    assert np.allclose(got["label"], exp["label"], equal_nan=True)
+    g = got["matched_ts"].to_numpy("datetime64[us]")
+    e = exp["label_ts"].to_numpy("datetime64[us]")
+    both = ~(pd.isna(got["matched_ts"]) | pd.isna(exp["label_ts"]))
+    assert (pd.isna(got["matched_ts"]).to_numpy() == pd.isna(exp["label_ts"]).to_numpy()).all()
+    assert np.array_equal(g[both.to_numpy()], e[both.to_numpy()])
+
+
+def test_tie_matches(spark):
+    """right.ts == left.ts must MATCH (backward as-of)."""
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame([("a", t0)], "doc_id string, available_ts timestamp")
+    right = spark.createDataFrame(
+        [("a", t0, 7.0)], "doc_id string, label_ts timestamp, label double"
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row.label == 7.0
+
+
+def test_no_match_before_first_label(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame([("a", t0)], "doc_id string, available_ts timestamp")
+    right = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=1), 7.0)],
+        "doc_id string, label_ts timestamp, label double",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row.label is None and row.matched_ts is None
+
+
+def test_tolerance(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=10))],
+        "doc_id string, available_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", t0, 7.0)], "doc_id string, label_ts timestamp, label double"
+    )
+    ok = asof_join(left, right, tolerance_us=11_000_000).collect()[0]
+    assert ok.label == 7.0
+    out = asof_join(left, right, tolerance_us=9_000_000).collect()[0]
+    assert out.label is None
+
+
+def test_zero_leakage(spark, frames, labels):
+    """North rule: poison every label STRICTLY AFTER each frame's
+    available_ts; as-of output must be invariant (no feature/join reads
+    the future)."""
+    base = asof_join(frames, labels, left_ts="available_ts", right_ts="label_ts")
+    poisoned_labels = labels.withColumn(
+        "label", F.col("label") + F.lit(1e9)
+    )
+    # keep past labels intact, poison only future ones relative to the max
+    # frame availability per doc: any change in output would mean a future read
+    max_avail = frames.groupBy("doc_id").agg(F.max("available_ts").alias("mx"))
+    mixed = (
+        labels.join(max_avail, "doc_id", "left")
+        .withColumn(
+            "label",
+            F.when(F.col("label_ts") > F.col("mx"), F.col("label") + 1e9).otherwise(
+                F.col("label")
+            ),
+        )
+        .drop("mx")
+    )
+    got1 = base.orderBy("doc_id", "frame_idx").toPandas()
+    got2 = (
+        asof_join(frames, mixed, left_ts="available_ts", right_ts="label_ts")
+        .orderBy("doc_id", "frame_idx")
+        .toPandas()
+    )
+    assert np.allclose(got1["label"], got2["label"], equal_nan=True)
+
+
+def test_forward_direction_cogroup(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame([("a", t0)], "doc_id string, available_ts timestamp")
+    right = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=5), 7.0),
+         ("a", t0 - dt.timedelta(seconds=1), 3.0)],
+        "doc_id string, label_ts timestamp, label double",
+    )
+    row = asof_join(left, right, direction="forward").collect()[0]
+    assert row.label == 7.0

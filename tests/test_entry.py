@@ -1,0 +1,53 @@
+"""Driver-contract smoke + oracle parity for a representative subset
+(the full 29-query compare runs via tests/driver_compare.py and the
+driver's own CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from tests.driver_compare import compare_one, duck_con  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = (
+    "framing_counts",
+    "frame_rms",
+    "doc_stats",
+    "sessionize",
+    "asof_join",
+    "minhash_lsh",
+    "ann_topk",
+    "fingerprint",
+)
+
+
+def test_contract_shape():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) >= 25
+    assert set(oracles).issubset(set(qs))
+    # >=20 SQL-oracle-checked operators
+    assert len(oracles) >= 20
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert "rms" in df.columns and "doc_id" in df.columns
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, name):
+    con = duck_con(SF)
+    problems, n = compare_one(
+        spark, con, name, E.queries()[name], E.oracle_sql()[name], SF
+    )
+    assert not problems, (name, problems)
+    assert n > 0

@@ -1,0 +1,157 @@
+"""Dedup / similarity / text / multimodal / streaming operator tests with
+python-side oracles (the SQL twins are covered by driver_compare)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_with_planted_dup(spark, docs):
+    from audiopro_essentia_spark.operators.dedup import exact_dedup
+
+    planted = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    d2 = docs.unionByName(planted)
+    out = exact_dedup(d2).collect()
+    dups = [r for r in out if r.n_dups > 1]
+    assert len(dups) == 3
+    assert all(r.doc_id < 100000 for r in dups)  # min-id representative
+
+
+def test_minhash_finds_planted_neardup(spark, docs):
+    from audiopro_essentia_spark.operators.dedup import minhash_lsh_candidates
+
+    # plant a near-duplicate: copy a doc, tweak the last word
+    src = docs.filter(F.col("n_chars") > 300).limit(1)
+    dup = src.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    d2 = docs.unionByName(dup)
+    src_id = src.collect()[0].doc_id
+    pairs = minhash_lsh_candidates(d2, k=16, bands=4).collect()
+    assert any(
+        r.id_a == src_id and r.id_b == src_id + 100000 for r in pairs
+    ), pairs[:10]
+
+
+def test_simhash_near_for_neardup_far_for_random(spark, docs):
+    from audiopro_essentia_spark.operators.dedup import simhash64
+
+    src = docs.filter(F.col("n_chars") > 300).limit(2)
+    rows = src.collect()
+    dup = src.limit(1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzz"))
+    )
+    sigs = {
+        r.doc_id: r.s
+        for r in src.unionByName(dup.withColumn("doc_id", F.col("doc_id") + 100000))
+        .select("doc_id", simhash64(F.col("text")).alias("s"))
+        .collect()
+    }
+    a, b = rows[0].doc_id, rows[1].doc_id
+    ham_dup = bin((sigs[a] ^ sigs[a + 100000]) & (2**64 - 1)).count("1")
+    ham_rand = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    assert ham_dup <= 6
+    assert ham_rand > ham_dup
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings):
+    from audiopro_essentia_spark.operators.similarity import brute_force_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(embeddings, q, k=5).collect()
+    pdf = embeddings.toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(M, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        cos = np.round((M @ M[qi]) / (norms * norms[qi]), 6)
+        order = sorted(zip(-cos, ids))[:5]
+        exp = [(i, -c) for c, i in order]
+        g = sorted(
+            [(r.vec_id, r.cosine) for r in got if r.query_id == qid],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [i for i, _ in g] == [i for i, _ in exp], (qid, g, exp)
+
+
+def test_lsh_ann_subset_of_bruteforce_domain(spark, embeddings):
+    from audiopro_essentia_spark.operators.similarity import lsh_topk
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = lsh_topk(embeddings, q, k=5, n_planes=4)
+    rows = got.collect()
+    assert len(rows) > 0
+    # every query must at least retrieve itself (same signature, cosine 1)
+    self_hits = {r.query_id for r in rows if r.vec_id == r.query_id}
+    assert self_hits == {0, 1, 2}
+
+
+def test_multimodal_plumbing(spark, docs):
+    from audiopro_essentia_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_media_features,
+    )
+
+    media = attach_binary_payload(docs.limit(20))
+    out = extract_media_features(media).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.decode_status == "ok"
+        assert r.byte_entropy is not None and 0 < r.byte_entropy <= 8
+        assert len(r.byte_histogram) == 16
+        assert abs(sum(r.byte_histogram) - 1.0) < 1e-9
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    import datetime as dt
+
+    import __spark_entry__ as E
+    from audiopro_essentia_spark.operators.temporal import session_stats
+
+    stream_out = E.q_streaming_session(spark, SF)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    batch = session_stats(ev, ("user_id",), "ts", 1800.0)
+    # append mode holds back sessions not yet past the watermark: compare
+    # only sessions finalized before max_ts - watermark - gap
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(seconds=3600 + 1800)
+    got = sorted(
+        (r.user_id, r.n_events)
+        for r in stream_out.collect()
+        if r.session_end <= cutoff
+    )
+    exp = sorted(
+        (r.user_id, r.n_events)
+        for r in batch.collect()
+        if r.session_end <= cutoff
+    )
+    assert got == exp and len(got) > 500
+
+
+def test_quality_and_langid_shape(spark, docs):
+    from audiopro_essentia_spark.functions.text import lang_id, quality_score
+
+    out = docs.select(
+        quality_score(F.col("text")).alias("q"), lang_id(F.col("text")).alias("l")
+    ).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+    assert {r.l for r in out} <= {"en", "de", "fr", "und"}

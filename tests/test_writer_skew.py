@@ -1,0 +1,94 @@
+"""CheckpointedWriter resume/lineage/error-budget + salted-skew equivalence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from audiopro_essentia_spark.operators.skew import salted_agg, salted_broadcast_join
+from audiopro_essentia_spark.sources.sinks import CheckpointedWriter, validate_output_path
+
+
+@pytest.fixture()
+def small_df(spark):
+    return spark.range(1000).select(
+        F.concat(F.lit("doc"), (F.col("id") % 37).cast("string")).alias("doc_id"),
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 100 == 0, F.lit("boom")).alias("ferror"),
+    )
+
+
+def test_write_resume_exactly_once(spark, small_df, tmp_path):
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(out, n_buckets=4)
+    stats = w.write(small_df)
+    assert sorted(stats["committed"]) == [0, 1, 2, 3]
+    assert stats["total_rows"] == 1000
+    # simulate crash: drop one commit marker, data dir stays
+    os.remove(os.path.join(out, "_lineage", "commit_1.json"))
+    stats2 = CheckpointedWriter(out, n_buckets=4).write(small_df)
+    assert stats2["committed"] == [1]
+    back = w.read(spark)
+    assert back.count() == 1000
+    assert back.select("doc_id", "v").distinct().count() == 1000
+
+
+def test_lineage_records(spark, small_df, tmp_path):
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(out, n_buckets=2)
+    w.write(small_df, error_col="ferror", error_budget_pct=0.5, input_files=["x"])
+    lin = w.lineage()
+    assert len(lin) == 2
+    assert sum(r["row_count"] for r in lin) == 1000
+    assert sum(r["error_count"] for r in lin) == 10
+    assert all(r["input_files"] == ["x"] for r in lin)
+
+
+def test_error_budget_abort(spark, small_df, tmp_path):
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(out, n_buckets=2)
+    with pytest.raises(RuntimeError, match="error budget"):
+        w.write(small_df, error_col="ferror", error_budget_pct=0.001)
+
+
+def test_validate_output_path():
+    assert validate_output_path("/tmp/x/out_dir", "parquet") == "/tmp/x/out_dir"
+    with pytest.raises(ValueError):
+        validate_output_path("/tmp/x/out.msgpack", "json")
+
+
+def test_salted_agg_equals_plain(spark):
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 8, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        (F.col("id") % 101).cast("double").alias("v"),
+    )
+    got = {
+        r.k: (r.sum_v, r.n_rows, r.avg_v, r.max_v)
+        for r in salted_agg(df, ("k",), n_salts=8, sums=("v",), maxs=("v",)).collect()
+    }
+    exp = {
+        r.k: (r.sum_v, r.n_rows, r.avg_v, r.max_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg("v").alias("avg_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_salted_broadcast_join_equals_plain(spark):
+    big = spark.range(5000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(7).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    got = salted_broadcast_join(big, small, ("k",), n_salts=4).orderBy("v").collect()
+    exp = big.join(small, "k", "left").orderBy("v").collect()
+    assert [(r.k, r.v, r.w) for r in got] == [(r.k, r.v, r.w) for r in exp]
