@@ -191,12 +191,23 @@ def q_rolling(spark, sf_dir):
 
 
 def q_ffill(spark, sf_dir):
-    """W5: forward-fill sparse values (purchase value carried forward)."""
+    """W5: forward/backward-fill sparse values (purchase value carried)."""
+    from audiopro_essentia_spark.operators.temporal import with_bfill
+
     ev = _t(spark, sf_dir, "events").withColumn(
         "v", F.when(F.col("event_type") == "purchase", F.col("value"))
     )
-    return with_ffill(ev, ("v",), ("user_id",), ("ts", "event_id")).select(
-        "user_id", "event_id", F.round("v_ffill", 6).alias("v_ffill")
+    filled = with_bfill(
+        with_ffill(ev, ("v",), ("user_id",), ("ts", "event_id")),
+        ("v",),
+        ("user_id",),
+        ("ts", "event_id"),
+    )
+    return filled.select(
+        "user_id",
+        "event_id",
+        F.round("v_ffill", 6).alias("v_ffill"),
+        F.round("v_bfill", 6).alias("v_bfill"),
     )
 
 
@@ -425,6 +436,38 @@ def q_kernel_features(spark, sf_dir):
     )
 
 
+def q_rhythm(spark, sf_dir):
+    """A16: grouped-map (applyInPandas) beat/tempo extraction over derived
+    tokens (rows-only; numpy-oracle parity in tests/test_rhythm_sources.py)."""
+    from audiopro_essentia_spark.operators.rhythm import extract_rhythm
+
+    toks = _docs_tokens(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("toks").alias("tokens"),
+    )
+    return extract_rhythm(
+        toks, frame_length=16, hop=4, token_scale=64.0, sample_rate=44100
+    )
+
+
+def q_fused_pipeline(spark, sf_dir):
+    """W1+A1-A11 fused mapInPandas path (framing inside the kernel) over
+    derived tokens (rows-only; oracle parity in tests/test_fused.py)."""
+    from audiopro_essentia_spark.operators.fused import fused_frame_features
+
+    toks = _docs_tokens(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("toks").alias("tokens"),
+    )
+    return fused_frame_features(
+        toks,
+        features=("rms", "volume", "spectral_centroid", "mfcc"),
+        frame_length=16,
+        hop=4,
+        token_scale=64.0,
+    )
+
+
 def q_multimodal(spark, sf_dir):
     """Multimodal: binary payload -> mapInPandas feature extraction
     (decode stubbed; plumbing real). Rows-only."""
@@ -506,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "kernel_features": q_kernel_features,
+        "rhythm": q_rhythm,
+        "fused_pipeline": q_fused_pipeline,
         "multimodal": q_multimodal,
         "streaming_session": q_streaming_session,
     }
@@ -625,10 +670,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """,
         "ffill": """
 SELECT user_id, event_id,
-  round(last_value(v IGNORE NULLS) OVER w, 6) AS v_ffill
+  round(last_value(v IGNORE NULLS) OVER w, 6) AS v_ffill,
+  round(first_value(v IGNORE NULLS) OVER w2, 6) AS v_bfill
 FROM (SELECT *, CASE WHEN event_type = 'purchase' THEN value END AS v FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 """,
         "sessionize": """
 SELECT user_id, event_id,

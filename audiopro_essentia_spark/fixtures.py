@@ -71,19 +71,32 @@ def make_sequences(
         for i in range(n_docs):
             add(i, _doc_tokens(i, int(lens[i])))
 
+    # ListArray.from_arrays: zero-copy-ish token column build (tolist() on
+    # hundreds of millions of ints took minutes)
+    lengths = np.array([len(t) for t in tokens], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    values = (
+        np.concatenate(tokens) if len(tokens) else np.empty(0, dtype=np.int32)
+    )
+    tok_arr = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), pa.array(values, pa.int32())
+    )
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.string()),
-            "tokens": pa.array([t.tolist() for t in tokens], pa.list_(pa.int32())),
-            "n_tok": pa.array([len(t) for t in tokens], pa.int32()),
+            "tokens": tok_arr,
+            "n_tok": pa.array(lengths.astype(np.int32), pa.int32()),
             "source": pa.array(sources, pa.string()),
             "base_ts": pa.array(base_ts, pa.timestamp("us")),
         }
     )
 
 
-def write_sequences(path: str, **kwargs) -> str:
-    pq.write_table(make_sequences(**kwargs), path)
+def write_sequences(path: str, row_group_docs: int = 32, **kwargs) -> str:
+    """Small row groups keep the file SPLITTABLE: a single-row-group parquet
+    scans as one Spark task no matter how many cores (the 100 TB corpus is
+    many files/row groups; the fixture must behave the same)."""
+    pq.write_table(make_sequences(**kwargs), path, row_group_size=row_group_docs)
     return path
 
 

@@ -1,0 +1,192 @@
+"""Fused framing + feature kernel as ONE mapInPandas stage (the
+performance path of W1 + A1-A11).
+
+Why this exists (measured on local[32], 67M tokens / 117k frames):
+materializing 2048-token windows JVM-side (explode + slice) and shipping
+them through Arrow costs ~4x the raw token bytes (75% overlap) plus
+per-element JVM list conversion — the pure kernel compute is ~12 CPU-s but
+the explode+slice plan spends 19-43 s. This operator ships each doc's
+token array to Python ONCE and frames it with numpy stride tricks
+(sliding_window_view — zero-copy view), then runs the exact same batched
+kernel (_kernel_batch). Semantics are identical to
+frame_tokens + with_frame_features (odd-trim, tail truncation, frame-start
+time_ms, frame-end available_ts); tests assert equality against the numpy
+oracle for both paths.
+
+Scale notes: input Arrow batches carry ~(rows x avg n_tok x 4) bytes; at
+1000-row batches and 16k-token docs that is ~64 MB per batch. Output rows
+are yielded in bounded chunks. One narrow stage: no shuffle, no JVM window
+materialization. This is the UDTF shape of SURVEY.md §2.9 realized as
+mapInPandas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..constants import (
+    ALL_FRAME_FEATURES,
+    FRAME_LENGTH,
+    HOP_LENGTH,
+    N_MELS,
+    SAMPLE_RATE,
+    TOKEN_SCALE,
+)
+from .kernel import BAND_NAMES, _kernel_batch, kernel_output_fields
+
+# Small chunks keep the spectral temporaries (chunk x 1025 float64) inside
+# the cache hierarchy: measured 17x throughput and 0.95 scaling efficiency
+# 8->32 procs at chunk<=512 vs DRAM-thrashing at 8192 (this host saturates
+# memory bandwidth long before 32 cores).
+MAX_FRAMES_PER_CHUNK = 256
+
+
+def fused_frame_features(
+    seqs: DataFrame,
+    features: tuple[str, ...] | None = None,
+    frame_length: int = FRAME_LENGTH,
+    hop: int = HOP_LENGTH,
+    sample_rate: int = SAMPLE_RATE,
+    token_scale: float = TOKEN_SCALE,
+    start_sample: int = 0,
+    n_mels: int | None = None,
+    with_timestamps: bool = True,
+    validate: bool = False,
+) -> DataFrame:
+    """sequences(doc_id, tokens[, base_ts]) -> frame feature rows.
+
+    Output: doc_id, frame_idx, time_ms[, event_ts, available_ts],
+    <feature columns>, ferror — the same shape with_frame_features yields
+    (frequency_bands flattened to fb_* columns here; see
+    plans/pipeline.py for re-nesting).
+    """
+    feats = tuple(features) if features else ALL_FRAME_FEATURES
+    nm = n_mels or min(N_MELS, max(2, frame_length // 2 - 1))
+    fields = kernel_output_fields(feats)
+    has_ts = with_timestamps and "base_ts" in seqs.columns
+
+    ddl = "doc_id string, frame_idx int, time_ms double"
+    if has_ts:
+        ddl += ", event_ts timestamp, available_ts timestamp"
+    ddl += ", " + ", ".join(f"{n} {t}" for n, t in fields)
+
+    cols = ["doc_id", "tokens"] + (["base_ts"] if has_ts else [])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list = []
+            frame_idx_parts: list[np.ndarray] = []
+            win_parts: list[np.ndarray] = []
+            base_us_parts: list[np.ndarray] = []
+            n_frames_per_doc: list[int] = []
+
+            for i in range(len(pdf)):
+                toks = np.asarray(pdf["tokens"].iloc[i])
+                n = len(toks) - (len(toks) % 2)  # odd-trim
+                if n < frame_length:
+                    continue
+                if validate:
+                    # in-kernel quarantine (validator.py:80-123 semantics):
+                    # numpy sum beats an interpreted Catalyst fold ~10x, and
+                    # needs no extra scan or join
+                    x = toks.astype(np.float64) / token_scale
+                    if float(np.dot(x, x)) <= 1e-6:
+                        continue
+                wins = np.lib.stride_tricks.sliding_window_view(
+                    toks[:n], frame_length
+                )[::hop]
+                nf = len(wins)
+                doc_ids.append(pdf["doc_id"].iloc[i])
+                n_frames_per_doc.append(nf)
+                frame_idx_parts.append(np.arange(nf, dtype=np.int32))
+                win_parts.append(wins)
+                if has_ts:
+                    base = np.int64(
+                        pd.Timestamp(pdf["base_ts"].iloc[i]).value // 1000
+                    )
+                    base_us_parts.append(np.full(nf, base, dtype=np.int64))
+
+            if not doc_ids:
+                continue
+
+            W = np.vstack(win_parts)
+            fidx = np.concatenate(frame_idx_parts)
+            docs = np.repeat(np.asarray(doc_ids, dtype=object), n_frames_per_doc)
+            base_us = np.concatenate(base_us_parts) if has_ts else None
+
+            for lo in range(0, len(W), MAX_FRAMES_PER_CHUNK):
+                hi = min(lo + MAX_FRAMES_PER_CHUNK, len(W))
+                res = _kernel_batch(
+                    W[lo:hi], frame_length, sample_rate, token_scale, feats, nm
+                )
+                bad_input = res.pop("_bad_input")
+                zero_spec = res.pop("_zero_spec")
+                spectral_bad = bad_input | zero_spec
+                fi = fidx[lo:hi]
+                start = (
+                    start_sample + fi.astype(np.int64) * hop
+                )
+                out: dict[str, object] = {
+                    "doc_id": docs[lo:hi],
+                    "frame_idx": fi,
+                    "time_ms": start / sample_rate * 1000.0,
+                }
+                if has_ts:
+                    bu = base_us[lo:hi]
+                    out["event_ts"] = pd.to_datetime(
+                        bu + np.round(start * 1e6 / sample_rate).astype(np.int64),
+                        unit="us",
+                    )
+                    last = start + frame_length - 1
+                    out["available_ts"] = pd.to_datetime(
+                        bu + np.round(last * 1e6 / sample_rate).astype(np.int64),
+                        unit="us",
+                    )
+                for name, _t in fields:
+                    if name == "ferror":
+                        out[name] = pd.Series(
+                            np.where(
+                                bad_input,
+                                "nonfinite_frame",
+                                np.where(zero_spec, "zero_spectrum", None),
+                            )
+                        )
+                    elif name in res:
+                        is_spectral = name not in (
+                            "rms", "volume", "zero_crossing_rate"
+                        )
+                        bad = spectral_bad if is_spectral else bad_input
+                        col = res[name]
+                        if isinstance(col, list):
+                            out[name] = pd.Series(
+                                [None if b else v for v, b in zip(col, bad)],
+                                dtype=object,
+                            )
+                        else:
+                            out[name] = np.where(bad, np.nan, col)
+                    else:
+                        out[name] = pd.Series([None] * (hi - lo), dtype=object)
+                yield pd.DataFrame(out)
+
+    return seqs.select(*cols).mapInPandas(gen, ddl)
+
+
+def nest_frequency_bands(df: DataFrame) -> DataFrame:
+    """Re-nest fb_* columns into frequency_bands struct (reference
+    types.py:134-140 shape)."""
+    from pyspark.sql import functions as F
+
+    fb_cols = [f"fb_{b}" for b in BAND_NAMES if f"fb_{b}" in df.columns]
+    if not fb_cols:
+        return df
+    keep = [c for c in df.columns if c not in fb_cols]
+    return df.select(
+        *keep,
+        F.struct(*[F.col(f"fb_{b}").alias(b) for b in BAND_NAMES]).alias(
+            "frequency_bands"
+        ),
+    )

@@ -114,26 +114,29 @@ def _kernel_batch(
     """Compute requested features for a (B, F) int window batch."""
     c = _consts(frame_length, sample_rate, n_mels)
     B = wins.shape[0]
+    # float32 quantization preserved for reference parity (extractor.py:
+    # 132-134, :160-163), then ONE upcast: numpy's rfft on float32 input is
+    # 20-40x slower than float64 (it upcasts to complex128 internally
+    # anyway, so results are bit-identical).
     X = wins.astype(np.float32) / np.float32(token_scale)
-    W = X * c["hann"][None, :]
+    W64 = (X * c["hann"][None, :]).astype(np.float64)
     out: dict[str, np.ndarray] = {}
     fset = set(features)
 
-    bad_input = ~np.isfinite(W).all(axis=1)  # processors.py:149-152
+    bad_input = ~np.isfinite(W64).all(axis=1)  # processors.py:149-152
     zero_spec = np.zeros(B, dtype=bool)
 
-    W64 = W.astype(np.float64)
     rms = np.sqrt(np.mean(W64**2, axis=1))
     if "rms" in fset:
         out["rms"] = rms
     if "volume" in fset:
         out["volume"] = 20.0 * np.log10(rms + EPS)
     if "zero_crossing_rate" in fset:
-        sb = np.signbit(W)
+        sb = np.signbit(W64)
         out["zero_crossing_rate"] = np.mean(sb[:, 1:] != sb[:, :-1], axis=1)
 
     if fset & SPECTRAL_FEATURES:
-        spec = np.abs(np.fft.rfft(W, axis=1)).astype(np.float64)
+        spec = np.abs(np.fft.rfft(W64, axis=1))
         zero_spec = (spec == 0).all(axis=1)  # processors.py:198-203
         ssum = spec.sum(axis=1)
         safe = np.where(ssum == 0, 1.0, ssum)
@@ -181,6 +184,38 @@ def _kernel_batch(
     return out
 
 
+KERNEL_CHUNK = 256  # cache-resident spectral temporaries (see fused.py note)
+
+
+def _kernel_batch_chunked(
+    wins: np.ndarray,
+    frame_length: int,
+    sample_rate: int,
+    token_scale: float,
+    features: tuple[str, ...],
+    n_mels: int,
+) -> dict[str, np.ndarray]:
+    """_kernel_batch in cache-sized chunks, results concatenated."""
+    if len(wins) <= KERNEL_CHUNK:
+        return _kernel_batch(
+            wins, frame_length, sample_rate, token_scale, features, n_mels
+        )
+    parts = [
+        _kernel_batch(
+            wins[lo : lo + KERNEL_CHUNK],
+            frame_length, sample_rate, token_scale, features, n_mels,
+        )
+        for lo in range(0, len(wins), KERNEL_CHUNK)
+    ]
+    out: dict[str, object] = {}
+    for k in parts[0]:
+        if isinstance(parts[0][k], list):
+            out[k] = [v for p in parts for v in p[k]]
+        else:
+            out[k] = np.concatenate([p[k] for p in parts])
+    return out
+
+
 def kernel_output_fields(features: tuple[str, ...]) -> list[tuple[str, str]]:
     """(name, ddl_type) pairs for the UDF's struct output, in order."""
     fields: list[tuple[str, str]] = []
@@ -216,7 +251,9 @@ def make_frame_kernel(
         if len(wins) == 0:
             return pd.DataFrame({n: pd.Series(dtype=object) for n, _ in fields})
         W = np.stack(wins.to_numpy())
-        res = _kernel_batch(W, frame_length, sample_rate, token_scale, feats, nm)
+        res = _kernel_batch_chunked(
+            W, frame_length, sample_rate, token_scale, feats, nm
+        )
         bad_input = res.pop("_bad_input")
         zero_spec = res.pop("_zero_spec")
         spectral = bad_input | zero_spec  # spectral outputs nulled (:198-203)

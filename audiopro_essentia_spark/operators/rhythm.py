@@ -1,0 +1,97 @@
+"""A16 — the rhythm/beat-tracking analog as a grouped-map Arrow UDF.
+
+The reference's RhythmExtractor2013 is an inherently sequential per-file
+C++ algorithm (/root/reference/src/audiopro/utils/audio.py:16-37,79-80);
+its distributed shape is `groupBy(doc_id).applyInPandas` (SURVEY.md §2.9).
+Essentia is not in this sandbox, so the algorithm is OUR deterministic
+re-specification of multi-feature beat tracking over a token signal:
+
+  1. frame the scaled signal (F=2048, H=512) and compute per-frame energy;
+  2. onset envelope = positive energy flux (diff clipped at 0);
+  3. beats = local maxima of the envelope above mean + 0.5*std,
+     separated by >= 4 frames;
+  4. beat times in seconds; tempo = 60/median(diff(beats)) when >1 beat
+     (exactly the reference's re-estimation, utils/audio.py:82-89),
+     else 0.0 (controller.py:179-184).
+
+The same algorithm exists in the numpy oracle (oracle_rhythm) for parity
+tests. Per-doc state never crosses docs — one shuffle on doc_id, then pure
+vectorized numpy per group, Arrow both ways.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..constants import FRAME_LENGTH, HOP_LENGTH, SAMPLE_RATE, TOKEN_SCALE
+
+OUT_SCHEMA = (
+    "doc_id string, tempo double, n_beats int, beats array<double>"
+)
+
+
+def detect_beats(
+    tokens: np.ndarray,
+    sample_rate: int = SAMPLE_RATE,
+    frame_length: int = FRAME_LENGTH,
+    hop: int = HOP_LENGTH,
+    token_scale: float = TOKEN_SCALE,
+    min_sep_frames: int = 4,
+) -> tuple[float, np.ndarray]:
+    """Deterministic onset-based beat detection + median-interval tempo.
+    Shared by the Spark grouped-map UDF and the test oracle caller."""
+    x = np.asarray(tokens, dtype=np.float32) / np.float32(token_scale)
+    n = len(x) - (len(x) % 2)
+    if n < frame_length:
+        return 0.0, np.empty(0, dtype=np.float64)
+    nf = 1 + (n - frame_length) // hop
+    idx = np.arange(nf)[:, None] * hop + np.arange(frame_length)[None, :]
+    frames = x[:n][idx]
+    energy = (frames.astype(np.float64) ** 2).mean(axis=1)
+    flux = np.clip(np.diff(energy, prepend=energy[0]), 0.0, None)
+    if flux.max() <= 0:
+        return 0.0, np.empty(0, dtype=np.float64)
+    thresh = flux.mean() + 0.5 * flux.std()
+    is_peak = np.zeros(nf, dtype=bool)
+    is_peak[1:-1] = (
+        (flux[1:-1] > flux[:-2]) & (flux[1:-1] >= flux[2:]) & (flux[1:-1] > thresh)
+    )
+    peaks = np.flatnonzero(is_peak)
+    beats: list[int] = []
+    for p in peaks:
+        if not beats or p - beats[-1] >= min_sep_frames:
+            beats.append(int(p))
+    beat_times = np.array(beats, dtype=np.float64) * hop / sample_rate
+    if len(beat_times) > 1:
+        med = float(np.median(np.diff(beat_times)))
+        tempo = 60.0 / med if med > 0 else 0.0
+    else:
+        tempo = 0.0
+    return tempo, beat_times
+
+
+def extract_rhythm(
+    seqs: DataFrame,
+    sample_rate: int = SAMPLE_RATE,
+    frame_length: int = FRAME_LENGTH,
+    hop: int = HOP_LENGTH,
+    token_scale: float = TOKEN_SCALE,
+) -> DataFrame:
+    """groupBy(doc_id).applyInPandas beat/tempo extraction — the grouped-map
+    UDAF surface of SURVEY.md §2.9."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            tempo, beats = detect_beats(
+                np.asarray(row["tokens"], dtype=np.int64),
+                sample_rate, frame_length, hop, token_scale,
+            )
+            out.append((row["doc_id"], tempo, len(beats), beats.tolist()))
+        return pd.DataFrame(out, columns=["doc_id", "tempo", "n_beats", "beats"])
+
+    return seqs.select("doc_id", "tokens").groupBy("doc_id").applyInPandas(
+        per_doc, OUT_SCHEMA
+    )

@@ -28,9 +28,9 @@ from pyspark.sql import functions as F
 
 from ..constants import DEFAULT_ERROR_BUDGET_PCT, FRAME_LENGTH, HOP_LENGTH, SAMPLE_RATE
 from ..operators.framing import frame_tokens
+from ..operators.fused import fused_frame_features, nest_frequency_bands
 from ..operators.kernel import with_frame_features
-from ..operators.aggregates import with_doc_stats
-from ..sources.sequences import load_and_validate
+from ..operators.aggregates import doc_profile_fused
 from ..sources.sinks import CheckpointedWriter
 
 
@@ -47,6 +47,9 @@ def analyze_sequences(
     n_buckets: int = 16,
     error_budget_pct: float = DEFAULT_ERROR_BUDGET_PCT,
     repartition_output: bool = True,
+    fused: bool = True,
+    cache_input: bool = False,
+    min_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
     """Build (and optionally write) the full analysis over a sequences table.
 
@@ -54,26 +57,62 @@ def analyze_sequences(
     When `out_dir` is set, frame_features is committed via the resumable
     CheckpointedWriter with the error-budget gate.
     """
-    ok, quarantined, start_sample = load_and_validate(spark, path, start_sec, end_sec)
-    ok = ok.persist()
+    from ..sources.sequences import read_sequences, slice_time_range
 
-    frames = frame_tokens(
-        ok,
-        frame_length=frame_length,
-        hop=hop,
-        sample_rate=sample_rate,
-        start_sample=start_sample,
-    )
-    feats = with_frame_features(
-        frames,
-        features=features,
-        frame_length=frame_length,
-        sample_rate=sample_rate,
-    )
+    raw = read_sequences(spark, path)
+    raw, start_sample = slice_time_range(raw, start_sec, end_sec)
+    # Scan parallelism comes from spark.sql.files.maxPartitionBytes (set it
+    # to ~input_bytes/2*cores for narrow inputs), NOT from a repartition():
+    # a round-robin shuffle of the full token payload measurably ANTI-scaled
+    # here (32 concurrent shuffle writers on one local disk), and at corpus
+    # scale the input has thousands of splits anyway. `min_partitions`
+    # remains for genuinely unsplittable sources.
+    if min_partitions and raw.rdd.getNumPartitions() < min_partitions:
+        raw = raw.repartition(min_partitions)
+    if cache_input:
+        # NOT the default: caching raw token arrays cost 2x in profiling
+        # (columnar cache decode beats a pruned parquet re-scan only when
+        # the source is remote/slow). Two pushdown scans is the scale-safe
+        # default.
+        raw = raw.persist()
 
-    doc_meta = with_doc_stats(ok.select("doc_id", "n_tok", "source", "tokens")).drop(
-        "tokens"
-    )
+    # one vectorized pass: doc stats + quarantine verdict (A12-A14 + S2/S3)
+    profile = doc_profile_fused(raw)
+    quarantined = profile.filter(F.col("reject_reason").isNotNull())
+    doc_meta = profile.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+
+    if fused:
+        # performance path: framing + validation happen inside the kernel
+        # (operators/fused.py) — tokens cross to Python once, not 4x, and
+        # rejected docs are skipped without a separate filter scan
+        feats = nest_frequency_bands(
+            fused_frame_features(
+                raw,
+                features=features,
+                frame_length=frame_length,
+                hop=hop,
+                sample_rate=sample_rate,
+                start_sample=start_sample,
+                validate=True,
+            )
+        )
+    else:
+        from ..operators.aggregates import split_quarantine
+
+        ok, _bad = split_quarantine(raw)
+        frames = frame_tokens(
+            ok,
+            frame_length=frame_length,
+            hop=hop,
+            sample_rate=sample_rate,
+            start_sample=start_sample,
+        )
+        feats = with_frame_features(
+            frames,
+            features=features,
+            frame_length=frame_length,
+            sample_rate=sample_rate,
+        )
 
     # J2 enrichment: frames (big) <- doc stats (tiny) broadcast hash join
     enriched = feats.join(

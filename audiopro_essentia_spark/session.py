@@ -17,6 +17,13 @@ from pyspark.sql import SparkSession
 
 from .constants import BATCH_SIZE
 
+# One BLAS thread per Python worker: Spark supplies the task-level
+# parallelism; nested OpenBLAS/OMP threading oversubscribes (32 workers x
+# 32 BLAS threads melted the fused kernel in profiling). Must be set before
+# the JVM/worker processes spawn.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 
 def get_spark(
     app_name: str = "audiopro-essentia-spark",
@@ -43,10 +50,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(BATCH_SIZE))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # 32m (not the 128m default): scan splits are the ONLY parallelism
+        # source for the narrow fused pipeline (repartition() shuffles of the
+        # token payload anti-scale on local disk); small local inputs need
+        # more splits, and at corpus scale AQE coalesces tiny partitions.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -58,8 +58,8 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
 
     seq_path = os.path.join(tmp_dir, "sequences.parquet")
     if not os.path.exists(seq_path):
-        tbl = make_sequences(n_docs=n_docs, profile="bench", avg_n_tok=8192)
-        pq.write_table(tbl, seq_path)
+        tbl = make_sequences(n_docs=n_docs, profile="bench", avg_n_tok=32768)
+        pq.write_table(tbl, seq_path, row_group_size=32)
         ids = tbl.column("doc_id").to_pylist()
         pq.write_table(make_labels(ids, per_doc=5), os.path.join(tmp_dir, "labels.parquet"))
 
@@ -67,6 +67,9 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
     n_seq = seqs_meta.count()
     n_tok = seqs_meta.selectExpr("sum(n_tok)").collect()[0][0]
 
+    from audiopro_essentia_spark.monitor import PerformanceMonitor
+
+    mon = PerformanceMonitor().start()
     t0 = time.perf_counter()
     res = analyze_sequences(spark, seq_path, repartition_output=False)
     labels = spark.read.parquet(os.path.join(tmp_dir, "labels.parquet"))
@@ -79,9 +82,10 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
         left_ts="available_ts",
         right_ts="label_ts",
     )
-    n_frames = joined.count()
+    joined.write.format("noop").mode("overwrite").save()  # forces all columns
     elapsed = time.perf_counter() - t0
-    res["frame_features"].unpersist() if hasattr(res["frame_features"], "unpersist") else None
+    n_frames = joined.count()
+    mon.stop()
     return {
         "pipeline_sec": round(elapsed, 3),
         "n_sequences": n_seq,
@@ -89,6 +93,7 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
         "n_frames": n_frames,
         "sequences_per_sec": round(n_seq / elapsed, 2),
         "tokens_per_sec": round(n_tok / elapsed, 1),
+        "monitor": mon.summary(),
     }
 
 

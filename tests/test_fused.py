@@ -1,0 +1,80 @@
+"""Fused mapInPandas path must be semantically IDENTICAL to the
+explode+slice+kernel path and to the numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from audiopro_essentia_spark import oracle
+from audiopro_essentia_spark.operators.fused import (
+    fused_frame_features,
+    nest_frequency_bands,
+)
+
+SCALARS = (
+    "rms",
+    "volume",
+    "zero_crossing_rate",
+    "spectral_centroid",
+    "spectral_bandwidth",
+    "spectral_flatness",
+    "spectral_rolloff",
+)
+
+
+@pytest.fixture(scope="module")
+def fused_rows(spark, tiny_seqs):
+    df = nest_frequency_bands(fused_frame_features(tiny_seqs))
+    return df.orderBy("doc_id", "frame_idx").collect()
+
+
+def test_fused_full_oracle_parity(fused_rows, tiny_table):
+    exp_map = {}
+    tbl = tiny_table.to_pydict()
+    for doc_id, toks in zip(tbl["doc_id"], tbl["tokens"]):
+        wins = oracle.frame_windows(np.asarray(toks, dtype=np.int32))
+        for i, w in enumerate(wins):
+            exp_map[(doc_id, i)] = oracle.frame_features(w)
+    assert len(fused_rows) == len(exp_map) > 100
+    for row in fused_rows:
+        exp = exp_map[(row.doc_id, row.frame_idx)]
+        if exp is None:
+            assert row.ferror is not None
+            continue
+        assert row.ferror is None
+        for k in SCALARS:
+            assert np.allclose(getattr(row, k), exp[k], rtol=1e-5, atol=1e-8), (
+                k, row.doc_id, row.frame_idx,
+            )
+        assert np.allclose(row.mfcc, exp["mfcc"], rtol=1e-5, atol=1e-8)
+        assert np.allclose(row.chroma, exp["chroma"], rtol=1e-3, atol=1e-6)
+        got_fb = row.frequency_bands.asDict()
+        for b, v in exp["frequency_bands"].items():
+            assert np.allclose(got_fb[b], v, rtol=1e-5, atol=1e-8)
+        assert row.time_ms == pytest.approx(oracle.frame_time_ms(row.frame_idx))
+
+
+def test_fused_timestamps_match_framing_path(spark, tiny_seqs):
+    from audiopro_essentia_spark.operators.framing import frame_tokens
+
+    fused = {
+        (r.doc_id, r.frame_idx): (r.event_ts, r.available_ts)
+        for r in fused_frame_features(
+            tiny_seqs, features=("rms",)
+        ).collect()
+    }
+    framed = {
+        (r.doc_id, r.frame_idx): (r.event_ts, r.available_ts)
+        for r in frame_tokens(tiny_seqs, with_window=False).collect()
+    }
+    assert fused.keys() == framed.keys()
+    for k, v in framed.items():
+        assert fused[k] == v, k
+
+
+def test_fused_feature_pushdown(spark, tiny_seqs):
+    df = fused_frame_features(tiny_seqs, features=("rms", "volume"))
+    assert "rms" in df.columns and "mfcc" not in df.columns
+    n = df.count()
+    assert n > 100
