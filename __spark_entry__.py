@@ -341,8 +341,8 @@ def q_minhash_lsh(spark, sf_dir):
 def q_simhash(spark, sf_dir):
     """Dedup: 64-bit SimHash signature per doc (rows-only check — the
     bit-level SQL twin would be ~4000 terms)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+    d = D._spread(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", D.simhash64_fast(d, "text").alias("simhash"))
 
 
 def q_embed_neardup(spark, sf_dir):

@@ -30,6 +30,16 @@ from ..functions.text import portable_hash32, word_ngrams
 MERSENNE = 2_147_483_647  # 2^31 - 1
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Small doc tables often scan as ONE partition (single tiny parquet
+    file) which serializes the CPU-heavy shingle/hash stages; spread them.
+    (Unlike the token payload, shuffling a doc-text table is cheap.)"""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -124,7 +134,7 @@ def minhash_lsh_candidates(
     collide in >=1 LSH band. One shuffle on (band, signature)."""
     udf = make_minhash_band_udf(k, bands)
     banded = (
-        df.select(
+        _spread(df).select(
             F.col(id_col),
             udf(word_ngrams(F.col(text_col), ngram)).alias("bsigs"),
         )
@@ -163,7 +173,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs >= threshold. Candidates from an
     inverted shingle index (never a cross join)."""
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("shingles")
     ).filter(F.size("shingles") > 0)
     inv = sh.select(id_col, F.explode("shingles").alias("shingle"))
@@ -219,6 +229,59 @@ def simhash64(text: Column, ngram: int = 2) -> Column:
     return bits
 
 
+def make_simhash_udf(ngram: int = 2):
+    """Arrow-vectorized SimHash64 over a shingle array column — identical
+    bit semantics to simhash64 (same md5-prefix hashes, same +/-1 bit sums)
+    but numpy instead of 64 interpreted Catalyst folds (85s -> sub-second
+    for 5k docs)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(32, dtype=np.int64)
+
+    @pandas_udf("long")
+    def _sim(shingles):
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append(0)
+                continue
+            lo = np.array(
+                [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh],
+                dtype=np.int64,
+            )
+            hi = np.array(
+                [
+                    int(hashlib.md5((s + "#hi").encode()).hexdigest()[:8], 16)
+                    for s in sh
+                ],
+                dtype=np.int64,
+            )
+            # bit j sum of +/-1 across shingles; sign -> bit
+            blo = (((lo[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0) > 0
+            bhi = (((hi[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0) > 0
+            val = 0
+            for j in range(32):
+                if blo[j]:
+                    val |= 1 << j
+                if bhi[j]:
+                    val |= 1 << (j + 32)
+            if val >= 1 << 63:
+                val -= 1 << 64  # int64 two's complement
+            out.append(val)
+        return pd.Series(out, dtype="int64")
+
+    return _sim
+
+
+def simhash64_fast(df: DataFrame, text_col: str = "text", ngram: int = 2) -> Column:
+    """Column form of the vectorized simhash (apply to `text_col`)."""
+    return make_simhash_udf(ngram)(word_ngrams(F.col(text_col), ngram))
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -229,7 +292,10 @@ def simhash_neardup_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
     generation by 16-bit chunk equality (4 chunks: any pair within Hamming 3
     shares >=1 identical chunk — pigeonhole), then exact popcount verify."""
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col), ngram).alias("sig"))
+    sig = _spread(df).select(
+        F.col(id_col),
+        make_simhash_udf(ngram)(word_ngrams(F.col(text_col), ngram)).alias("sig"),
+    )
     chunks = sig.select(
         id_col,
         "sig",

@@ -134,10 +134,28 @@ def analyze_sequences(
     }
     if out_dir:
         writer = CheckpointedWriter(out_dir, n_buckets=n_buckets)
-        result["write_stats"] = writer.write(
+        stats = writer.write(
             enriched,
             error_col="ferror",
             error_budget_pct=error_budget_pct,
             input_files=[path],
         )
+        # completion check (reference extractor.py:285-289: warn < 97%):
+        # expected frames from the accepted docs' n_tok via the count formula
+        from ..constants import COMPLETION_WARN_PCT
+        from ..operators.framing import n_frames_col
+
+        expected = (
+            doc_meta.select(
+                F.sum(n_frames_col(F.col("n_tok"), frame_length, hop)).alias("e")
+            ).collect()[0].e
+            or 0
+        )
+        written = stats["total_rows"] + sum(
+            r["row_count"] for r in writer.lineage() if r["bucket"] in stats["skipped"]
+        )
+        stats["expected_frames"] = int(expected)
+        stats["completion_ratio"] = written / expected if expected else 1.0
+        stats["completion_warning"] = stats["completion_ratio"] < COMPLETION_WARN_PCT
+        result["write_stats"] = stats
     return result

@@ -65,11 +65,56 @@ def streaming_sessionize(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def stateful_running_stats(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-key running (count, sum, sum-of-squares) state emitting cumulative
+    rms per batch — the streaming form of the reference's incremental
+    per-frame accumulation (extractor.py:214-219). State survives across
+    micro-batches (GroupState), the analog of the mp.Pool worker's
+    algorithm singletons."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        ", ".join(f"{k} {dict(events.dtypes)[k]}" for k in keys)
+        + ", n_events long, running_rms double"
+    )
+    state_schema = "n long, s double, sq double"
+
+    def update(key, pdfs, state):
+        n, s, sq = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            v = pdf[value_col].astype("float64")
+            n += int(v.count())
+            s += float(v.sum())
+            sq += float((v * v).sum())
+        state.update((n, s, sq))
+        rms = (sq / n) ** 0.5 if n else 0.0
+        yield pd.DataFrame([[*key, n, rms]], columns=[*keys, "n_events", "running_rms"])
+
+    return (
+        events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> DataFrame:
     """Drive a bounded streaming query to completion synchronously and
     return the result table (test/smoke harness)."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -1,0 +1,73 @@
+"""applyInPandasWithState custom stateful operator + pipeline completion
+ratio + IVF assignment."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stateful_running_rms_matches_batch(spark):
+    from audiopro_essentia_spark.streaming.stream_ops import (
+        run_to_memory,
+        stateful_running_stats,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    d = tempfile.mkdtemp()
+    os.symlink(f"{SF}/events.parquet", os.path.join(d, "e.parquet"))
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    out = run_to_memory(
+        stateful_running_stats(stream), "stateful_rms", mode="update"
+    )
+    # final state per user (single micro-batch => one row per user)
+    got = {r.user_id: (r.n_events, r.running_rms) for r in out.collect()}
+    exp = {
+        r.user_id: (r.n, r.rms)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sqrt(F.avg(F.col("value") * F.col("value"))).alias("rms"),
+        )
+        .collect()
+    }
+    assert got.keys() == exp.keys()
+    for u in exp:
+        assert got[u][0] == exp[u][0]
+        assert got[u][1] == pytest.approx(exp[u][1])
+
+
+def test_completion_ratio_in_write_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from audiopro_essentia_spark.fixtures import make_sequences
+    from audiopro_essentia_spark.plans.pipeline import analyze_sequences
+
+    p = str(tmp_path / "seqs.parquet")
+    pq.write_table(make_sequences(profile="tiny"), p)
+    res = analyze_sequences(spark, p, out_dir=str(tmp_path / "out"), n_buckets=2)
+    st = res["write_stats"]
+    assert st["expected_frames"] > 0
+    assert st["completion_ratio"] == pytest.approx(1.0)
+    assert st["completion_warning"] is False
+
+
+def test_ivf_assign_clusters(spark):
+    from audiopro_essentia_spark.operators.similarity import cosine_expr, ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned, centroids = ivf_assign(emb, n_centroids=4)
+    rows = assigned.select("vec_id", "cluster_id", "embedding").collect()
+    assert {r.cluster_id for r in rows} <= {0, 1, 2, 3}
+    # spot-check: assigned cluster is argmin cosine-distance
+    C = np.asarray(centroids, dtype=np.float64)
+    for r in rows[:25]:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        sims = (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
+        assert int(np.argmin(1.0 - sims)) == r.cluster_id, r.vec_id
