@@ -120,6 +120,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = pipe["pipeline_sec"]
     for name in BENCH_QUERIES:
+        _noop_sink(qs[name](spark, SF_DIR))  # warmup: workers/JIT/page cache
         t0 = time.perf_counter()
         _noop_sink(qs[name](spark, SF_DIR))
         dt = time.perf_counter() - t0
