@@ -62,6 +62,12 @@ def asof_join(
         right_values = tuple(
             c for c in right.columns if c not in on and c != right_ts
         )
+    clash = (set(right_values) | {matched_ts_col}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_values/matched_ts collide with left columns: {sorted(clash)}; "
+            "rename or pass explicit right_values"
+        )
     if strategy == "cogroup" or direction != "backward":
         return _asof_cogroup(
             left, right, on, left_ts, right_ts, right_values,
@@ -99,9 +105,13 @@ def asof_join(
     )
     u = l2.unionByName(r2)
 
+    # `_rv` as the final sort key makes right-side ties on (key, ts)
+    # deterministic (struct compare): last() picks the max struct, not an
+    # arbitrary partition-order row. Left rows carry NULL _rv (sorts first
+    # within its (_ts, _side) group; ignorenulls skips it).
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_rv")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.withColumn("_rv_f", F.last("_rv", ignorenulls=True).over(w)).filter(

@@ -136,14 +136,20 @@ def fused_frame_features(
                     "time_ms": start / sample_rate * 1000.0,
                 }
                 if has_ts:
+                    # floor(x+0.5) = Spark F.round's HALF_UP for x >= 0;
+                    # np.round is banker's rounding and diverges on exact
+                    # .5 µs ties (power-of-two sample rates) from the
+                    # frame_tokens path — keep ONE rounding rule.
                     bu = base_us[lo:hi]
                     out["event_ts"] = pd.to_datetime(
-                        bu + np.round(start * 1e6 / sample_rate).astype(np.int64),
+                        bu
+                        + np.floor(start * 1e6 / sample_rate + 0.5).astype(np.int64),
                         unit="us",
                     )
                     last = start + frame_length - 1
                     out["available_ts"] = pd.to_datetime(
-                        bu + np.round(last * 1e6 / sample_rate).astype(np.int64),
+                        bu
+                        + np.floor(last * 1e6 / sample_rate + 0.5).astype(np.int64),
                         unit="us",
                     )
                 for name, _t in fields:

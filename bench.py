@@ -44,9 +44,11 @@ BENCH_QUERIES = (
 )
 
 
-def _noop_sink(df) -> int:
-    """Force full computation without driver materialization."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+def _noop_sink(df) -> None:
+    """Force full computation without driver materialization. NOTE: no
+    trailing count() — save() returns None, so `save() or count()` would
+    silently run every benchmarked plan twice."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:

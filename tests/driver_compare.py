@@ -31,22 +31,31 @@ def duck_con(sf_dir: str):
 
 
 def canon(v):
+    """Canonical sortable cell: (is_null, type_tag, value). Mixed None /
+    value (and str-"NaN" / float) cells in tie-broken rows would otherwise
+    raise TypeError inside sorted()."""
     if v is None:
-        return None
+        return (1, "", "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+            return (0, "nan", "NaN")
+        return (0, "num", round(v, 9))
+    if isinstance(v, bool):
+        return (0, "bool", v)
+    if isinstance(v, int):
+        return (0, "num", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return (0, "ts", v.isoformat())
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
+            return (0, "num", round(float(v), 9))
     except ImportError:
         pass
-    return v
+    if isinstance(v, (list, tuple)):
+        return (0, "list", tuple(canon(x) for x in v))
+    return (0, type(v).__name__, v)
 
 
 def rows_to_set(cols, rows):

@@ -78,3 +78,34 @@ def test_fused_feature_pushdown(spark, tiny_seqs):
     assert "rms" in df.columns and "mfcc" not in df.columns
     n = df.count()
     assert n > 100
+
+
+def test_fused_timestamps_half_up_on_exact_ties(spark):
+    """Power-of-two sample rate makes start*1e6/sr land on exact .5 µs
+    ties; both paths must round HALF_UP identically (np.round would
+    banker's-round and diverge by 1 µs)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from audiopro_essentia_spark.operators.framing import frame_tokens
+
+    tbl = pa.table(
+        {
+            "doc_id": ["tie"],
+            "tokens": [list(range(64))],
+            "base_ts": [pd.Timestamp("2024-01-01")],
+        }
+    )
+    df = spark.createDataFrame(tbl.to_pandas())
+    kw = dict(frame_length=8, hop=3, sample_rate=128)  # 1e6/128 = 7812.5
+    fused = {
+        r.frame_idx: (r.event_ts, r.available_ts)
+        for r in fused_frame_features(df, features=("rms",), **kw).collect()
+    }
+    framed = {
+        r.frame_idx: (r.event_ts, r.available_ts)
+        for r in frame_tokens(
+            df, with_window=False, carry_cols=(), **kw
+        ).collect()
+    }
+    assert fused == framed and len(fused) > 10
