@@ -40,8 +40,19 @@ from audiopro_essentia_spark.operators.temporal import (  # noqa: E402
     with_rolling,
 )
 
+from audiopro_essentia_spark import duck_twins as DT  # noqa: E402
+
 # driver-scale framing params (token arrays here are ~30-90 words long)
 DF_, DH_ = 8, 3
+# kernel-surface framing params (FFT features; 9 rfft bins, 7 mels)
+KF_, KH_, KSR_, KSCALE_ = 16, 4, 44100, 64.0
+KMELS_ = 7  # min(N_MELS, max(2, KF_//2 - 1)) — kernel.make_frame_kernel
+KERNEL_FEATURES = (
+    "rms", "volume", "zero_crossing_rate", "spectral_centroid",
+    "spectral_bandwidth", "spectral_flatness", "spectral_rolloff",
+    "mfcc", "frequency_bands",
+)
+FUSED_FEATURES = ("rms", "volume", "spectral_centroid", "mfcc")
 GAP = 1800.0  # sessionization gap (seconds)
 MERSENNE = D.MERSENNE
 
@@ -57,21 +68,43 @@ def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SQL twin of _docs_tokens (DuckDB)
-TOKS_CTE = (
-    "t AS (SELECT doc_id, list_transform(string_split(text, ' '), "
-    "w -> length(w)) AS toks FROM documents)"
-)
-# odd-trim + framing twin of frame_tokens(F=8, H=3)
-FRAMES_CTE = (
-    TOKS_CTE
-    + ", tt AS (SELECT doc_id, list_slice(toks, 1, len(toks) - (len(toks) % 2)) "
-    "AS toks FROM t), "
-    "f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx, "
-    f"list_slice(toks, i*{DH_}+1, i*{DH_}+{DF_}) AS w "
-    f"FROM tt, LATERAL UNNEST(generate_series(0, CAST((len(toks)-{DF_})//{DH_} AS INT))) "
-    f"AS g(i) WHERE len(toks) >= {DF_})"
-)
+# SQL twins of _docs_tokens / frame_tokens (DuckDB)
+TOKS_CTE = DT.toks_cte()
+FRAMES_CTE = DT.frames_cte(DF_, DH_)
+
+
+def _project_kernel_scalars(
+    df: DataFrame, feats: tuple[str, ...], n_mfcc: int
+) -> DataFrame:
+    """Round-6 scalar projection of a frame-feature DataFrame: array-typed
+    outputs (mfcc) become mfcc_i columns, frequency_bands struct becomes
+    fb_* columns — the driver canonicalizer cannot hash raw arrays."""
+    from audiopro_essentia_spark.operators.kernel import BAND_NAMES
+
+    cols = [
+        F.col("doc_id"),
+        F.col("frame_idx"),
+        F.round("time_ms", 6).alias("time_ms"),
+    ]
+    for f in feats:
+        if f == "mfcc":
+            cols.extend(
+                F.round(F.element_at("mfcc", i + 1), 6).alias(f"mfcc_{i}")
+                for i in range(n_mfcc)
+            )
+        elif f == "frequency_bands":
+            src = (
+                "frequency_bands.{b}"
+                if "frequency_bands" in df.columns
+                else "fb_{b}"
+            )
+            cols.extend(
+                F.round(F.col(src.format(b=b)), 6).alias(f"fb_{b}")
+                for b in BAND_NAMES
+            )
+        else:
+            cols.append(F.round(f, 6).alias(f))
+    return df.select(*cols)
 
 
 def _framed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,10 +372,16 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """Dedup: 64-bit SimHash signature per doc (rows-only check — the
-    bit-level SQL twin would be ~4000 terms)."""
-    d = D._spread(_t(spark, sf_dir, "documents"))
-    return d.select("doc_id", D.simhash64_fast(d, "text").alias("simhash"))
+    """Dedup: SimHash near-dup pairs (Hamming <= 3) via 16-bit-chunk
+    pigeonhole candidates + popcount verify — hash-checked against a
+    generated bit-exact DuckDB twin (duck_twins.simhash_pairs_sql)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.simhash_neardup_pairs(d, max_hamming=3, ngram=2)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -421,63 +460,90 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_kernel_features(spark, sf_dir):
-    """A3-A11: the fused Arrow kernel over derived tokens (F=16, H=4) —
-    FFT-based features, covered by numpy-oracle pytest goldens (rows-only
-    here)."""
+    """A1-A11: the fused Arrow kernel over derived tokens (F=16, H=4) —
+    the FULL FFT feature surface (rms/volume/zcr, centroid, bandwidth,
+    flatness, rolloff, mfcc_0..12, fb_*) hash-checked against a generated
+    DuckDB DFT twin (duck_twins.kernel_sql — same Hann/twiddle/mel/DCT
+    literals as the kernel)."""
+    from audiopro_essentia_spark.constants import N_MFCC
+
     toks = _docs_tokens(spark, sf_dir)
     framed = frame_tokens(
-        toks, frame_length=16, hop=4, tokens_col="toks",
+        toks, frame_length=KF_, hop=KH_, sample_rate=KSR_, tokens_col="toks",
         id_cols=("doc_id",), carry_cols=(), base_ts_col=None,
     )
-    return with_frame_features(
-        framed, frame_length=16, token_scale=64.0,
-        features=("rms", "volume", "zero_crossing_rate", "spectral_centroid",
-                  "spectral_flatness", "mfcc"),
+    out = with_frame_features(
+        framed, frame_length=KF_, sample_rate=KSR_, token_scale=KSCALE_,
+        features=KERNEL_FEATURES,
     )
+    return _project_kernel_scalars(out, KERNEL_FEATURES, N_MFCC)
 
 
 def q_rhythm(spark, sf_dir):
-    """A16: grouped-map (applyInPandas) beat/tempo extraction over derived
-    tokens (rows-only; numpy-oracle parity in tests/test_rhythm_sources.py)."""
+    """A16: beat/tempo extraction over derived tokens, digested to
+    (tempo, n_beats, beats_sum) and hash-checked against a generated DuckDB
+    twin of detect_beats (duck_twins.rhythm_sql)."""
     from audiopro_essentia_spark.operators.rhythm import extract_rhythm
 
     toks = _docs_tokens(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("toks").alias("tokens"),
     )
-    return extract_rhythm(
-        toks, frame_length=16, hop=4, token_scale=64.0, sample_rate=44100
+    out = extract_rhythm(
+        toks, frame_length=KF_, hop=KH_, token_scale=KSCALE_, sample_rate=KSR_
+    )
+    beats_sum = F.aggregate("beats", F.lit(0.0), lambda a, v: a + v)
+    return out.select(
+        "doc_id",
+        F.round("tempo", 6).alias("tempo"),
+        F.col("n_beats").cast("int").alias("n_beats"),
+        F.round(beats_sum, 6).alias("beats_sum"),
     )
 
 
 def q_fused_pipeline(spark, sf_dir):
     """W1+A1-A11 fused mapInPandas path (framing inside the kernel) over
-    derived tokens (rows-only; oracle parity in tests/test_fused.py)."""
+    derived tokens — hash-checked against the same generated DuckDB DFT
+    twin as q_kernel_features (both paths are semantically identical)."""
+    from audiopro_essentia_spark.constants import N_MFCC
     from audiopro_essentia_spark.operators.fused import fused_frame_features
 
     toks = _docs_tokens(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.col("toks").alias("tokens"),
     )
-    return fused_frame_features(
+    out = fused_frame_features(
         toks,
-        features=("rms", "volume", "spectral_centroid", "mfcc"),
-        frame_length=16,
-        hop=4,
-        token_scale=64.0,
+        features=FUSED_FEATURES,
+        frame_length=KF_,
+        hop=KH_,
+        sample_rate=KSR_,
+        token_scale=KSCALE_,
     )
+    return _project_kernel_scalars(out, FUSED_FEATURES, N_MFCC)
 
 
 def q_multimodal(spark, sf_dir):
     """Multimodal: binary payload -> mapInPandas feature extraction
-    (decode stubbed; plumbing real). Rows-only."""
+    (decode stubbed; plumbing real). Histogram digested to h0..h15 scalar
+    columns and hash-checked against duck_twins.multimodal_sql."""
     from audiopro_essentia_spark.operators.multimodal import (
         attach_binary_payload,
         extract_media_features,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return extract_media_features(attach_binary_payload(d))
+    out = extract_media_features(attach_binary_payload(d))
+    return out.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+        *[
+            F.round(F.element_at("byte_histogram", b + 1), 6).alias(f"h{b}")
+            for b in range(16)
+        ],
+    )
 
 
 def q_streaming_session(spark, sf_dir):
@@ -498,8 +564,19 @@ def q_streaming_session(spark, sf_dir):
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
     stream = spark.readStream.schema(ev_schema).parquet(d)
-    return run_to_memory(
-        streaming_sessionize(stream, gap="1800 seconds"), "stream_sessions"
+    # complete mode: a bounded verification stream must emit ALL sessions
+    # (append withholds those not yet past the watermark at stream end);
+    # the production path is append + foreachBatch (stream_ops).
+    out = run_to_memory(
+        streaming_sessionize(stream, gap="1800 seconds"),
+        "stream_sessions",
+        mode="complete",
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        "session_end",
     )
 
 
@@ -561,37 +638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
-
-
-def _minhash_sql() -> str:
-    """Generated DuckDB twin of q_minhash_lsh (k=16, bands=4, rows=4)."""
-    params = D._minhash_params(16)
-    h = H32.format(x="s")
-    sig_terms = [
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE}))"
-        for (a, b) in params
-    ]
-    bands = []
-    for b in range(4):
-        parts = " || ',' || ".join(
-            f"CAST(sig[{b * 4 + r + 1}] AS VARCHAR)" for r in range(4)
-        )
-        bands.append(f"SELECT doc_id, {b} AS band, {parts} AS bsig FROM sig")
-    banded = " UNION ALL ".join(bands)
-    return f"""
-WITH sh AS (
-  SELECT doc_id, array_distinct(list_transform(
-    generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)),
-    i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
-  )) AS shingles FROM documents
-),
-hs AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh),
-sig AS (SELECT doc_id, [{", ".join(sig_terms)}] AS sig FROM hs),
-banded AS ({banded})
-SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS id_a, CAST(r.doc_id AS BIGINT) AS id_b
-FROM banded l JOIN banded r
-  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
-"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -765,7 +811,17 @@ FROM cand JOIN nz a ON cand.id_a = a.doc_id JOIN nz b ON cand.id_b = b.doc_id
 WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.5
 """,
-        "minhash_lsh": _minhash_sql(),
+        "minhash_lsh": DT.minhash_sql(k=16, bands=4, ngram=3),
+        "kernel_features": DT.kernel_sql(
+            KF_, KH_, KSR_, KSCALE_, KERNEL_FEATURES, KMELS_
+        ),
+        "fused_pipeline": DT.kernel_sql(
+            KF_, KH_, KSR_, KSCALE_, FUSED_FEATURES, KMELS_, doc_id_varchar=True
+        ),
+        "rhythm": DT.rhythm_sql(KF_, KH_, KSR_, KSCALE_),
+        "multimodal": DT.multimodal_sql(hist_bins=16),
+        "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
+        "streaming_session": DT.streaming_session_sql(gap_seconds=1800),
         "embed_neardup": f"""
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, {cos} AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

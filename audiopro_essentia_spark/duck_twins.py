@@ -1,0 +1,419 @@
+"""Generated DuckDB oracle twins for the driver's correctness gate.
+
+Every generator here emits ANSI-ish DuckDB SQL that reproduces a Spark-side
+query EXACTLY (same column names, same round-6 values) over the driver's
+parquet views. The numeric kernels embed the SAME numpy-derived constants
+the Spark kernel uses (Hann window, DFT twiddle factors, mel filterbank,
+DCT matrix — see operators/kernel.py:_consts), so parity is by
+construction, not by re-derivation.
+
+Float parity notes (hard-won):
+- The kernel windows in float32 then upcasts: wd_j = f32(f32(tok/scale) *
+  hann_f32[j]) -> f64. Both operands are exactly representable in f64
+  (tok/scale is an int over a power of two; hann_f32 widens exactly), so
+  `CAST(exact_f64_product AS REAL)` reproduces numpy's f32 multiply
+  bit-for-bit. Requires |tok| < 2^24 * scale-ulp — true for the char-length
+  token derivation.
+- numpy rfft vs the unrolled literal-twiddle DFT differ by ~1e-15 relative;
+  Hz-scale outputs (centroid/bandwidth/rolloff) are rounded to 6 decimals
+  and verified stable on the fixed sf0.01 data (deterministic inputs ->
+  deterministic pass/fail; see tests/test_entry.py + driver_compare).
+- Energy/flux arithmetic in the rhythm twin is EXACT (rationals with
+  power-of-two denominators below 2^52), so peak picking cannot flip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import EPS, N_MFCC
+from .operators.dedup import MERSENNE, _minhash_params
+from .operators.kernel import BAND_NAMES, _consts
+
+H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def toks_cte() -> str:
+    """tokens := per-word char lengths of documents.text (portable)."""
+    return (
+        "t AS (SELECT doc_id, list_transform(string_split(text, ' '), "
+        "w -> length(w)) AS toks FROM documents)"
+    )
+
+
+def frames_cte(frame_length: int, hop: int) -> str:
+    """Odd-trim + framing twin of operators.framing.frame_tokens."""
+    return (
+        toks_cte()
+        + ", tt AS (SELECT doc_id, list_slice(toks, 1, len(toks) - (len(toks) % 2)) "
+        "AS toks FROM t), "
+        "f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+        f"list_slice(toks, i*{hop}+1, i*{hop}+{frame_length}) AS w "
+        f"FROM tt, LATERAL UNNEST(generate_series(0, "
+        f"CAST((len(toks)-{frame_length})//{hop} AS INT))) "
+        f"AS g(i) WHERE len(toks) >= {frame_length})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# frame-feature kernel twin (operators/kernel.py:_kernel_batch)
+# ---------------------------------------------------------------------------
+
+
+def kernel_sql(
+    frame_length: int,
+    hop: int,
+    sample_rate: int,
+    token_scale: float,
+    features: tuple[str, ...],
+    n_mels: int,
+    doc_id_varchar: bool = False,
+) -> str:
+    """DuckDB twin of frame_tokens + with_frame_features for the scalar +
+    mfcc_i + fb_* projection (chroma excluded: its peak-compare folds flip
+    on 1e-15 spectrum differences)."""
+    c = _consts(frame_length, sample_rate, n_mels)
+    hann = [repr(float(v)) for v in c["hann"]]
+    freqs = c["freqs"]
+    nb = len(freqs)
+    jj = np.arange(frame_length)
+    cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+    sin_t = np.sin(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+
+    wd = ", ".join(
+        f"CAST(CAST(CAST(w[{j + 1}] AS DOUBLE)/{token_scale!r} * {hann[j]} "
+        f"AS REAL) AS DOUBLE) AS wd{j}"
+        for j in range(frame_length)
+    )
+    sq = " + ".join(f"wd{j}*wd{j}" for j in range(frame_length))
+    rms = f"sqrt(({sq})/{frame_length}.0)"
+    zero = "(" + "+".join(f"abs(wd{j})" for j in range(frame_length)) + ") = 0"
+
+    fset = set(features)
+    spectral = fset & {
+        "spectral_centroid", "spectral_bandwidth", "spectral_flatness",
+        "spectral_rolloff", "mfcc", "frequency_bands",
+    }
+
+    did = "CAST(doc_id AS VARCHAR) AS doc_id" if doc_id_varchar else "doc_id"
+    ctes = [
+        frames_cte(frame_length, hop),
+        f"a AS (SELECT {did}, frame_idx, {wd} FROM f)",
+    ]
+    out_cols = [
+        "doc_id",
+        "frame_idx",
+        f"round((CAST(frame_idx AS DOUBLE) * {hop})/{sample_rate} * 1000.0, 6) AS time_ms",
+    ]
+    if "rms" in fset:
+        out_cols.append(f"round({rms}, 6) AS rms")
+    if "volume" in fset:
+        out_cols.append(f"round(20.0*log10({rms} + {EPS!r}), 6) AS volume")
+    if "zero_crossing_rate" in fset:
+        # signbit flips; no negative zeros can occur (nonneg inputs)
+        flips = " + ".join(
+            f"(CASE WHEN (wd{j} < 0) <> (wd{j + 1} < 0) THEN 1 ELSE 0 END)"
+            for j in range(frame_length - 1)
+        )
+        out_cols.append(
+            f"round(CAST({flips} AS DOUBLE)/{frame_length - 1}.0, 6) "
+            "AS zero_crossing_rate"
+        )
+
+    last_cte = "a"
+    if spectral:
+        spec_cols = []
+        for k in range(nb):
+            re = " + ".join(f"wd{j}*{cos_t[k, j]!r}" for j in range(frame_length))
+            im = " + ".join(f"wd{j}*{sin_t[k, j]!r}" for j in range(frame_length))
+            spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
+        ssum = " + ".join(f"s{k}" for k in range(nb))
+        ctes.append(
+            f"b AS (SELECT *, {', '.join(spec_cols)} FROM a)"
+        )
+        ctes.append(
+            f"cc AS (SELECT *, ({ssum}) AS ssum, "
+            f"(CASE WHEN ({ssum})=0 THEN 1 ELSE ({ssum}) END) AS safe, "
+            f"{zero} AS zero_spec, "
+            f"({' + '.join(f's{k}*{float(freqs[k])!r}' for k in range(nb))})"
+            "/(CASE WHEN (" + ssum + ")=0 THEN 1 ELSE (" + ssum + ") END) "
+            "AS centroid FROM b)"
+        )
+        last_cte = "cc"
+
+        def nullable(expr: str, name: str) -> str:
+            return f"CASE WHEN zero_spec THEN NULL ELSE {expr} END AS {name}"
+
+        if "spectral_centroid" in fset:
+            out_cols.append(nullable("round(centroid, 6)", "spectral_centroid"))
+        if "spectral_bandwidth" in fset:
+            var = " + ".join(
+                f"(({float(freqs[k])!r} - centroid)*({float(freqs[k])!r} - centroid))*s{k}"
+                for k in range(nb)
+            )
+            out_cols.append(
+                nullable(
+                    f"round(CASE WHEN ssum > 1e-10 THEN "
+                    f"sqrt(greatest(({var})/safe, 0.0)) ELSE 0.0 END, 6)",
+                    "spectral_bandwidth",
+                )
+            )
+        if "spectral_flatness" in fset:
+            gl = " + ".join(f"ln(s{k} + {EPS!r})" for k in range(nb))
+            out_cols.append(
+                nullable(
+                    f"round(exp(({gl})/{nb}.0) / (ssum/{nb}.0 + {EPS!r}), 6)",
+                    "spectral_flatness",
+                )
+            )
+        if "spectral_rolloff" in fset:
+            acc: list[str] = []
+            cum = []
+            for k in range(nb):
+                acc.append(f"s{k}*s{k}")
+                cum.append(" + ".join(acc))
+            kexpr = (
+                "LEAST("
+                + " + ".join(
+                    f"(CASE WHEN ({cum[k]}) < 0.85*({cum[nb - 1]}) THEN 1 ELSE 0 END)"
+                    for k in range(nb)
+                )
+                + f", {nb - 1})"
+            )
+            flist = "[" + ",".join(repr(float(f)) for f in freqs) + "]"
+            out_cols.append(
+                nullable(f"round(({flist})[{kexpr} + 1], 6)", "spectral_rolloff")
+            )
+        if "mfcc" in fset:
+            fb, dct = c["fb"], c["dct"]
+            mel_cols = []
+            for m in range(n_mels):
+                terms = [f"s{k}*{fb[m, k]!r}" for k in range(nb) if fb[m, k] != 0]
+                mel_cols.append(
+                    f"ln(({' + '.join(terms) if terms else '0.0'}) + {EPS!r}) AS lm{m}"
+                )
+            ctes.append(f"mm AS (SELECT *, {', '.join(mel_cols)} FROM cc)")
+            last_cte = "mm"
+            for i in range(N_MFCC):
+                expr = " + ".join(f"lm{m}*{dct[i, m]!r}" for m in range(n_mels))
+                out_cols.append(nullable(f"round({expr}, 6)", f"mfcc_{i}"))
+        if "frequency_bands" in fset:
+            for name in BAND_NAMES:
+                li, hi = c["band_idx"][name]
+                if hi > li:
+                    expr = (
+                        "round(("
+                        + " + ".join(f"s{k}" for k in range(li, hi))
+                        + f")/{hi - li}.0, 6)"
+                    )
+                else:
+                    expr = "0.0"
+                out_cols.append(nullable(expr, f"fb_{name}"))
+
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n ".join(out_cols)
+        + f"\nFROM {last_cte}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# rhythm twin (operators/rhythm.py:detect_beats)
+# ---------------------------------------------------------------------------
+
+
+def rhythm_sql(
+    frame_length: int,
+    hop: int,
+    sample_rate: int,
+    token_scale: float,
+    min_sep: int = 4,
+) -> str:
+    """DuckDB twin of extract_rhythm's (tempo, n_beats, beats_sum) digest.
+    Energy/flux arithmetic is exact (see module docstring); the greedy
+    min-separation peak keep is a list_reduce over singleton lists."""
+    F, H = frame_length, hop
+    return f"""
+WITH {toks_cte()},
+tt AS (SELECT doc_id, list_slice(toks, 1, len(toks) - (len(toks) % 2)) AS toks FROM t),
+e AS (SELECT doc_id, CASE WHEN len(toks) >= {F} THEN
+    list_transform(generate_series(0, CAST((len(toks)-{F})//{H} AS INT)),
+      i -> list_sum(list_transform(generate_series(1, {F}),
+             j -> (CAST(toks[i*{H}+j] AS DOUBLE)/{token_scale!r})
+                * (CAST(toks[i*{H}+j] AS DOUBLE)/{token_scale!r})))/{F}.0)
+  ELSE [] END AS energy FROM tt),
+fx AS (SELECT doc_id, len(energy) AS nf,
+    list_transform(generate_series(1, len(energy)),
+      i -> CASE WHEN i = 1 THEN 0.0 ELSE greatest(energy[i] - energy[i-1], 0.0) END) AS flux
+  FROM e),
+st AS (SELECT doc_id, nf, flux, list_sum(flux)/nf AS mu, list_max(flux) AS fmax
+  FROM fx WHERE nf > 0),
+th AS (SELECT *, mu + 0.5*sqrt(list_sum(list_transform(flux, f -> (f-mu)*(f-mu)))/nf) AS thresh
+  FROM st),
+pk AS (SELECT doc_id,
+    CASE WHEN fmax <= 0 THEN [] ELSE
+      list_filter(generate_series(2, nf-1),
+        i -> flux[i] > flux[i-1] AND flux[i] >= flux[i+1] AND flux[i] > thresh)
+    END AS peaks
+  FROM th),
+kp AS (SELECT doc_id,
+    CASE WHEN len(peaks) = 0 THEN []
+    ELSE list_reduce(list_transform(peaks, p -> [p - 1]),
+           (acc, x) -> CASE WHEN x[1] - acc[len(acc)] >= {min_sep}
+                       THEN list_append(acc, x[1]) ELSE acc END)
+    END AS kept
+  FROM pk),
+bt AS (SELECT doc_id,
+    list_transform(kept, p -> (CAST(p AS DOUBLE)*{float(H)!r})/{float(sample_rate)!r}) AS beats
+  FROM kp),
+res AS (SELECT doc_id, beats, len(beats) AS n_beats,
+    CASE WHEN len(beats) > 1 THEN
+      list_aggregate(list_transform(generate_series(2, len(beats)),
+                     i -> beats[i]-beats[i-1]), 'median')
+    ELSE NULL END AS med
+  FROM bt)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+  round(CASE WHEN r.n_beats > 1 AND r.med > 0 THEN 60.0/r.med ELSE 0.0 END, 6) AS tempo,
+  CAST(COALESCE(r.n_beats, 0) AS INT) AS n_beats,
+  round(COALESCE(list_sum(r.beats), 0.0), 6) AS beats_sum
+FROM documents d LEFT JOIN res r ON d.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup twins
+# ---------------------------------------------------------------------------
+
+
+def minhash_sql(k: int, bands: int, ngram: int = 3) -> str:
+    """DuckDB twin of minhash_lsh_candidates (portable md5-prefix hashes)."""
+    params = _minhash_params(k)
+    rows = k // bands
+    h = H32.format(x="s")
+    sig_terms = [
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE}))"
+        for (a, b) in params
+    ]
+    band_sel = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        band_sel.append(f"SELECT doc_id, {b} AS band, {parts} AS bsig FROM sig")
+    banded = " UNION ALL ".join(band_sel)
+    return f"""
+WITH sh AS (
+  SELECT doc_id, array_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),
+    i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')
+  )) AS shingles FROM documents
+),
+hs AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh),
+sig AS (SELECT doc_id, [{", ".join(sig_terms)}] AS sig FROM hs),
+banded AS ({banded})
+SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS id_a, CAST(r.doc_id AS BIGINT) AS id_b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
+"""
+
+
+def simhash_pairs_sql(ngram: int = 2, max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_neardup_pairs: 64-bit SimHash from the same
+    portable md5-prefix hashes (lo = H32(s), hi = H32(s||'#hi')), bit j set
+    iff sum over distinct shingles of (+1 if bit j else -1) > 0; pairs by
+    xor + bit_count (exact — the Spark side's 16-bit-chunk pigeonhole
+    candidates are provably complete for hamming <= 3)."""
+    bit_terms = []
+    for j in range(64):
+        src = "lo" if j < 32 else "hi"
+        jj = j if j < 32 else j - 32
+        # bit 63 = int64 sign bit: write as minvalue expression
+        lit = "(-9223372036854775807 - 1)" if j == 63 else str(1 << j)
+        bit_terms.append(
+            f"(CASE WHEN list_sum(list_transform({src}, "
+            f"h -> CASE WHEN (h >> {jj}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN CAST({lit} AS BIGINT) ELSE 0 END)"
+        )
+    sig = " + ".join(bit_terms)
+    h_lo = H32.format(x="s")
+    h_hi = H32.format(x="s || '#hi'")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, array_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),
+    i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')
+  )) AS shingles FROM documents
+),
+hs AS (SELECT doc_id,
+  list_transform(shingles, s -> {h_lo}) AS lo,
+  list_transform(shingles, s -> {h_hi}) AS hi
+  FROM sh WHERE len(shingles) > 0),
+sig AS (SELECT doc_id, ({sig}) AS sig FROM hs)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal twin (operators/multimodal.py, portable media_type)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_sql(hist_bins: int = 16) -> str:
+    """DuckDB twin of attach_binary_payload + extract_media_features over
+    ASCII document text (payload = utf-8 bytes = char codes; bin = code //
+    (256/hist_bins))."""
+    width = 256 // hist_bins
+    hist = ", ".join(
+        f"round(CAST(len(list_filter(codes, c -> c // {width} = {b})) AS DOUBLE)"
+        f" / greatest(len(codes), 1), 6) AS h{b}"
+        for b in range(hist_bins)
+    )
+    probs = ", ".join(
+        f"CAST(len(list_filter(codes, c -> c // {width} = {b})) AS DOUBLE)"
+        f" / greatest(len(codes), 1) AS p{b}"
+        for b in range(hist_bins)
+    )
+    ent = " + ".join(
+        f"(CASE WHEN p{b} > 0 THEN -p{b}*log2(p{b}) ELSE 0.0 END)"
+        for b in range(hist_bins)
+    )
+    h32 = H32.format(x="text")
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    (['image','audio','video'])[(({h32}) % 3) + 1] AS media_type,
+    CAST(length(text) AS BIGINT) AS n_bytes,
+    list_transform(generate_series(1, length(text)), i -> ascii(text[i])) AS codes
+  FROM documents
+),
+p AS (SELECT doc_id, media_type, n_bytes, codes, {probs} FROM m)
+SELECT doc_id, media_type, n_bytes,
+  round({ent}, 6) AS byte_entropy,
+  {hist}
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming sessionization twin (gap-and-island == session_window)
+# ---------------------------------------------------------------------------
+
+
+def streaming_session_sql(gap_seconds: int = 1800) -> str:
+    gap_us = gap_seconds * 1_000_000
+    return f"""
+WITH s AS (
+  SELECT user_id, ts,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {gap_us}
+          THEN 1 ELSE 0 END AS is_new FROM events)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""

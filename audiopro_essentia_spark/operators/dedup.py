@@ -292,9 +292,13 @@ def simhash_neardup_pairs(
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
     generation by 16-bit chunk equality (4 chunks: any pair within Hamming 3
     shares >=1 identical chunk — pigeonhole), then exact popcount verify."""
-    sig = _spread(df).select(
-        F.col(id_col),
-        make_simhash_udf(ngram)(word_ngrams(F.col(text_col), ngram)).alias("sig"),
+    sig = (
+        _spread(df)
+        .select(
+            F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)  # empty docs carry no near-dup signal
+        .select(F.col(id_col), make_simhash_udf(ngram)(F.col("_sh")).alias("sig"))
     )
     chunks = sig.select(
         id_col,

@@ -32,12 +32,15 @@ FEATURE_SCHEMA = (
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a media table from a text table: payload = utf-8 bytes (stands
-    in for image/audio bytes), media_type assigned deterministically."""
+    in for image/audio bytes), media_type assigned deterministically (md5
+    prefix — portable to the DuckDB oracle, unlike crc32)."""
+    from ..functions.text import portable_hash32
+
     return df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.crc32(F.col(text_col)) % 3 + 1).cast("int"),
+            (F.pmod(portable_hash32(F.col(text_col)), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
