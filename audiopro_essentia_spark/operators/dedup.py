@@ -164,20 +164,30 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return F.coalesce(F.try_divide(inter, union), F.lit(0.0))
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    ngram: int = 3,
-    threshold: float = 0.8,
+def _jaccard_candidate_pairs(
+    sh: DataFrame, id_col: str, max_df: int | None
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs >= threshold. Candidates from an
-    inverted shingle index (never a cross join)."""
-    sh = _spread(df).select(
-        F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    """Candidate (id_a, id_b) pairs sharing >=1 indexed shingle.
+
+    max_df is the document-frequency cap (standard prefix-filtering): a
+    shingle present in > max_df docs contributes df^2 candidate rows —
+    one boilerplate shingle shared by f docs makes f(f-1)/2 pairs, the
+    quadratic blow-up that kills the self-join at corpus scale. Hot
+    shingles are dropped from CANDIDATE GENERATION only (the exact Jaccard
+    verify still uses full shingle sets), so a pair is missed only if ALL
+    its shared shingles are boilerplate — near-dups at meaningful
+    thresholds always share specific shingles. The hot list is tiny by
+    construction -> broadcast anti-join, no extra shuffle of the index."""
     inv = sh.select(id_col, F.explode("shingles").alias("shingle"))
-    cand = (
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    return (
         inv.alias("l")
         .join(
             inv.alias("r"),
@@ -187,6 +197,23 @@ def ngram_jaccard_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs >= threshold. Candidates from an
+    inverted shingle index (never a cross join); pass max_df to cap
+    hot-shingle candidate blow-up (see _jaccard_candidate_pairs)."""
+    sh = _spread(df).select(
+        F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    cand = _jaccard_candidate_pairs(sh, id_col, max_df)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -344,9 +371,65 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    n_planes: int = 32,
+    band_bits: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact cosine near-dup pairs >= threshold. Block-nested join; for
-    corpus-scale, prune with similarity.lsh_bucket_candidates first."""
+    """Embedding-cosine near-dup pairs >= threshold via banded sign-LSH
+    candidates + exact cosine verify — the candidates-then-verify shape
+    MinHash uses, NOT an all-pairs join (which is O(N^2) rows: 10^16 pairs
+    at 10^8 vectors).
+
+    Recall: a qualifying pair at angle theta is missed with probability
+    (1 - (1 - theta/pi)^band_bits)^(n_planes/band_bits). Fewer bits per
+    band -> higher recall, looser candidates; band_bits=1 makes a miss
+    require disagreement on EVERY plane ((theta/pi)^n_planes — vanishing
+    for near-dups). Tune (n_planes, band_bits) to the threshold; the
+    exact all-pairs form survives as embedding_neardup_pairs_exact for
+    tiny-N test oracles."""
+    from .similarity import cosine_expr, make_lsh_band_udf
+
+    udf = make_lsh_band_udf(n_planes, band_bits, seed)
+    banded = (
+        _spread(df)
+        .select(F.col(id_col), udf(F.col(vec_col)).alias("_bands"))
+        .select(id_col, F.posexplode("_bands").alias("band", "bval"))
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact all-pairs cosine threshold join — O(N^2); a TEST ORACLE for
+    tiny N, never the corpus-scale path (use embedding_neardup_pairs)."""
     from .similarity import cosine_expr
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))

@@ -1,8 +1,10 @@
-"""A16 — the rhythm/beat-tracking analog as a grouped-map Arrow UDF.
+"""A16 — the rhythm/beat-tracking analog as a narrow Arrow map stage.
 
 The reference's RhythmExtractor2013 is an inherently sequential per-file
-C++ algorithm (/root/reference/src/audiopro/utils/audio.py:16-37,79-80);
-its distributed shape is `groupBy(doc_id).applyInPandas` (SURVEY.md §2.9).
+C++ algorithm (/root/reference/src/audiopro/utils/audio.py:16-37,79-80).
+Since one doc == one input row, the right distributed shape is
+`mapInPandas` (narrow, zero shuffle) — NOT `groupBy.applyInPandas`, which
+would shuffle the full token payload into single-row groups.
 Essentia is not in this sandbox, so the algorithm is OUR deterministic
 re-specification of multi-feature beat tracking over a token signal:
 
@@ -79,19 +81,24 @@ def extract_rhythm(
     hop: int = HOP_LENGTH,
     token_scale: float = TOKEN_SCALE,
 ) -> DataFrame:
-    """groupBy(doc_id).applyInPandas beat/tempo extraction — the grouped-map
-    UDAF surface of SURVEY.md §2.9."""
+    """mapInPandas beat/tempo extraction. Each doc is exactly ONE row of
+    the sequences table, so per-doc state never spans rows and the
+    grouped-map shape (groupBy(doc_id).applyInPandas) would hash-shuffle
+    the full token payload into single-row groups for nothing — this is a
+    NARROW stage: zero Exchange (asserted in tests), docs looped inside
+    the Arrow batch exactly like fused.py."""
 
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            tempo, beats = detect_beats(
-                np.asarray(row["tokens"], dtype=np.int64),
-                sample_rate, frame_length, hop, token_scale,
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                tempo, beats = detect_beats(
+                    np.asarray(tokens, dtype=np.int64),
+                    sample_rate, frame_length, hop, token_scale,
+                )
+                out.append((doc_id, tempo, len(beats), beats.tolist()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "tempo", "n_beats", "beats"]
             )
-            out.append((row["doc_id"], tempo, len(beats), beats.tolist()))
-        return pd.DataFrame(out, columns=["doc_id", "tempo", "n_beats", "beats"])
 
-    return seqs.select("doc_id", "tokens").groupBy("doc_id").applyInPandas(
-        per_doc, OUT_SCHEMA
-    )
+    return seqs.select("doc_id", "tokens").mapInPandas(gen, OUT_SCHEMA)

@@ -76,7 +76,10 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature string over deterministic random hyperplanes."""
+    """Sign-bit signature string over deterministic random hyperplanes.
+    (Expression form — fine for a handful of planes; the vectorized scale
+    path is make_lsh_band_udf: one Arrow pass, no k-wide expression tree
+    for Catalyst to re-inline.)"""
     bits = []
     for p in planes:
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -84,30 +87,59 @@ def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
     return F.concat(*bits)
 
 
+def make_lsh_band_udf(n_planes: int, band_bits: int, seed: int = 42):
+    """Arrow-vectorized banded sign-LSH: embedding -> array of
+    n_planes//band_bits packed band values. Hyperplanes are built lazily
+    from the first batch's dimensionality (deterministic given seed; no
+    driver-side .first() action to sniff dim). Sign of dot(v, plane) is
+    scale-invariant, so no normalization pass is needed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bands = n_planes // band_bits
+    state: dict = {}
+
+    @pandas_udf("array<long>")
+    def _bands(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        planes = state.get("planes")
+        if planes is None or planes.shape[1] != E.shape[1]:
+            planes = _hyperplanes(E.shape[1], n_planes, seed)
+            state["planes"] = planes
+        bits = (E @ planes.T) >= 0  # (B, n_planes)
+        vals = np.zeros((len(E), bands), dtype=np.int64)
+        for b in range(bands):
+            for r in range(band_bits):
+                vals[:, b] |= bits[:, b * band_bits + r].astype(np.int64) << r
+        return pd.Series(list(vals))
+
+    return _bands
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
-    dim: int | None = None,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates = corpus rows sharing the query's LSH
-    signature; exact cosine re-rank inside the bucket. Recall grows with
-    fewer planes / multi-probe; this is the scale path (equi-join instead of
-    cross join)."""
-    if dim is None:
-        dim = len(corpus.select(corpus_vec).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("_sig", lsh_signature_col(F.col(corpus_vec), planes))
+    """Approximate top-k: candidates = corpus rows sharing the query's full
+    LSH signature; exact cosine re-rank inside the bucket. Recall grows
+    with fewer planes; this is the scale path (equi-join instead of cross
+    join). Signatures via one Arrow pass (make_lsh_band_udf, single band =
+    whole signature)."""
+    udf = make_lsh_band_udf(n_planes, band_bits=n_planes, seed=seed)
+    c = corpus.withColumn("_sig", F.element_at(udf(F.col(corpus_vec)), 1))
     q = queries.select(
         F.col(query_id),
         F.col(query_vec).alias("_qv"),
-        lsh_signature_col(F.col(query_vec), planes).alias("_sig"),
+        F.element_at(udf(F.col(query_vec)), 1).alias("_sig"),
     )
     joined = c.join(F.broadcast(q), "_sig").select(
         query_id,
@@ -120,6 +152,31 @@ def lsh_topk(
     )
 
 
+def _nearest_centroids_udf(centroids: np.ndarray, n: int):
+    """embedding -> n nearest centroid ids by cosine distance, as ONE Arrow
+    pass with the centroid matrix captured in the closure (broadcast via
+    task serialization). A per-centroid CASE-WHEN expression chain blows up
+    Catalyst past ~64 centroids (projection-collapse re-inlining)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def _nearest(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(E, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (E / norms) @ C.T  # (B, n_centroids)
+        # argsort desc with centroid-id tiebreak (stable sort on -sim)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return _nearest
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -127,8 +184,9 @@ def ivf_assign(
     seed: int = 42,
 ) -> tuple[DataFrame, np.ndarray]:
     """IVF coarse quantizer: deterministic centroid sample (seeded corpus
-    rows), assign every vector to its nearest centroid (broadcast map pass,
-    no shuffle). Returns (corpus + cluster_id, centroids)."""
+    rows), assign every vector to its nearest centroid in one narrow Arrow
+    map pass (broadcast centroid matrix; no shuffle, no expression chain).
+    Returns (corpus + cluster_id, centroids)."""
     sample = np.array(
         [
             r[0]
@@ -139,15 +197,45 @@ def ivf_assign(
         ],
         dtype=np.float64,
     )
-    best = None
-    best_d = None
-    for i, cvec in enumerate(sample):
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
-        d = F.lit(1.0) - cosine_expr(F.col(corpus_vec), arr)
-        if best is None:
-            best, best_d = F.lit(i), d
-        else:
-            cond = d < best_d
-            best = F.when(cond, F.lit(i)).otherwise(best)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return corpus.withColumn("cluster_id", best), sample
+    udf = _nearest_centroids_udf(sample, 1)
+    return (
+        corpus.withColumn(
+            "cluster_id", F.element_at(udf(F.col(corpus_vec)), 1)
+        ),
+        sample,
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF search: each query probes its nprobe nearest centroid lists,
+    exact cosine re-rank inside the probed cells. The probe side
+    (queries x nprobe rows) is broadcast, so the corpus is never shuffled;
+    with nprobe == n_centroids this degenerates to exact brute force
+    (used as the driver-oracle configuration)."""
+    assigned, centroids = ivf_assign(corpus, n_centroids, corpus_vec, seed)
+    probe_udf = _nearest_centroids_udf(centroids, min(nprobe, len(centroids)))
+    q = queries.select(
+        F.col(query_id),
+        F.col(query_vec).alias("_qv"),
+        F.explode(probe_udf(F.col(query_vec))).alias("cluster_id"),
+    )
+    joined = assigned.join(F.broadcast(q), "cluster_id").select(
+        query_id,
+        F.col(corpus_id),
+        F.round(cosine_expr(F.col("_qv"), F.col(corpus_vec)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
+    return joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -155,3 +155,100 @@ def test_quality_and_langid_shape(spark, docs):
     ).collect()
     assert all(0.0 <= r.q <= 1.0 for r in out)
     assert {r.l for r in out} <= {"en", "de", "fr", "und"}
+
+
+def test_jaccard_df_cap_kills_hot_shingle_blowup(spark):
+    """One boilerplate shingle in 50% of docs must not make f^2 candidate
+    rows: with a df cap the candidate count stays linear, and planted
+    near-dups (which share specific shingles) are still found exactly."""
+    from audiopro_essentia_spark.operators.dedup import (
+        _jaccard_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from audiopro_essentia_spark.functions.text import word_ngrams
+
+    n = 200
+    rows = []
+    for i in range(n):
+        boiler = "click here to subscribe " if i % 2 == 0 else ""
+        rows.append((i, f"{boiler}unique text body number {i} alpha beta"))
+    # planted near-dup pair: same body, one word changed
+    rows.append((9001, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((9002, "the quick brown fox jumps over the lazy dog tonight"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = df.select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    uncapped = _jaccard_candidate_pairs(sh, "doc_id", None).count()
+    capped = _jaccard_candidate_pairs(sh, "doc_id", 20).count()
+    # hot shingles pair up the 100 boilerplate docs: ~100*99/2 extra pairs
+    assert uncapped > 4000
+    assert capped < 200  # linear in docs, not quadratic in df
+
+    got = ngram_jaccard_pairs(df, threshold=0.5, max_df=20).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(9001, 9002)]
+
+
+def test_embed_neardup_lsh_matches_exact_no_cartesian(spark, embeddings):
+    """Banded-LSH candidates + exact verify must equal the all-pairs oracle
+    on planted near-dups, with NO cartesian product in the plan."""
+    import contextlib
+    import io
+
+    from audiopro_essentia_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_exact,
+    )
+
+    planted = embeddings.limit(4).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )  # exact copies -> cosine 1.0 pairs
+    e2 = embeddings.unionByName(planted)
+    lsh = embedding_neardup_pairs(
+        e2, threshold=0.9, n_planes=16, band_bits=4
+    )
+    got = sorted((r.id_a, r.id_b, r.cosine) for r in lsh.collect())
+    exp = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_neardup_pairs_exact(e2, threshold=0.9).collect()
+    )
+    assert got == exp and len(got) >= 4
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lsh.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_topk_recall_and_exactness(spark, embeddings):
+    from audiopro_essentia_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in brute_force_topk(embeddings, q, k=5).collect()
+    }
+    # full probe == exact (including tie-breaks)
+    full = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(embeddings, q, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    assert full == exact
+    # partial probe: top-1 self-hit always survives (query is in corpus and
+    # probes its own cell first); overall recall must be non-trivial
+    part = ivf_topk(embeddings, q, k=5, n_centroids=8, nprobe=2).collect()
+    got_pairs = {(r.query_id, r.vec_id) for r in part}
+    exp_pairs = set()
+    for (qid, _rank), vid in exact.items():
+        exp_pairs.add((qid, vid))
+    assert all((qid, qid) in got_pairs for qid in (0, 1, 2))
+    recall = len(got_pairs & exp_pairs) / len(exp_pairs)
+    assert recall >= 0.4

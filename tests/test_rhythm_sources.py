@@ -12,6 +12,12 @@ from audiopro_essentia_spark.operators.rhythm import detect_beats, extract_rhyth
 from audiopro_essentia_spark.sources.sequences import slice_time_range
 
 
+def test_rhythm_is_narrow_zero_exchange(spark, tiny_seqs):
+    from audiopro_essentia_spark.sources.bucketed import plan_has_exchange
+
+    assert not plan_has_exchange(extract_rhythm(tiny_seqs))
+
+
 def test_rhythm_grouped_map_matches_local(spark, tiny_seqs, tiny_table):
     got = {r.doc_id: r for r in extract_rhythm(tiny_seqs).collect()}
     tbl = tiny_table.to_pydict()
