@@ -86,75 +86,150 @@ class CheckpointedWriter:
         input_files: list[str] | None = None,
         max_failures: int | None = None,
     ) -> dict:
-        """Write df bucket-at-a-time; skip buckets already committed.
+        """Write all pending (uncommitted) buckets in ONE partitionBy job,
+        then ONE read-back aggregation for per-bucket row/error/category
+        metrics. The previous design ran 2 Spark jobs PER bucket over a
+        persisted full output — 2 x n_buckets sequential jobs and a full
+        .persist(), which anti-scales (memory pressure + serial driver
+        loop at 100x). Dynamic partition overwrite keeps resume
+        granularity: committed buckets are filtered out of the write and
+        their directories are never touched.
 
-        error_col: optional column whose non-null values count as row-level
-        errors (the kernel's `ferror`); if the global error ratio exceeds
-        error_budget_pct the job aborts BEFORE committing the offending
-        bucket (reference error budget, extractor.py:184-207 — implementing
-        the comment's 2.5% intent per SURVEY.md §2.8).
+        Error budget (error_col = row-level error tag, the kernel's
+        `ferror`; reference extractor.py:184-207, comment's 2.5% intent):
+        - if the GLOBAL pending error ratio exceeds error_budget_pct the
+          job aborts before committing anything;
+        - an individual over-budget bucket is NOT committed (its data dir
+          is uncommitted and will be rewritten idempotently on resume);
+          more than max_failures such buckets aborts the job.
         """
+        done = self.committed_buckets()
         bucketed = df.withColumn(
             "bucket", F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets))
         )
-        # one pass to pin the bucket assignment; reused across bucket writes
-        bucketed = bucketed.persist()
-        try:
-            done = self.committed_buckets()
-            stats = {"committed": [], "skipped": sorted(done), "total_rows": 0,
-                     "total_errors": 0}
-            n_failed = 0
-            for b in range(self.n_buckets):
-                if b in done:
-                    continue
-                part = bucketed.filter(F.col("bucket") == b).drop("bucket")
-                bucket_dir = os.path.join(self.data_dir, f"bucket={b}")
-                if error_col is not None:
-                    agg = part.agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(F.col(error_col).isNotNull().cast("long")).alias("e"),
-                    ).collect()[0]
-                    n_rows, n_err = agg.n, int(agg.e or 0)
-                else:
-                    n_rows, n_err = part.count(), 0
-                if (
-                    error_budget_pct is not None
-                    and n_rows > 0
-                    and n_err / n_rows > error_budget_pct
-                ):
-                    n_failed += 1
-                    budget = max_failures if max_failures is not None else 0
-                    if n_failed > budget:
-                        raise RuntimeError(
-                            f"error budget exceeded in bucket {b}: "
-                            f"{n_err}/{n_rows} > {error_budget_pct:.3%}"
-                        )
-                getattr(part.write.mode("overwrite"), self.fmt)(bucket_dir)
-                lineage = {
-                    "snapshot_id": uuid.uuid4().hex,
-                    "bucket": b,
-                    "row_count": n_rows,
-                    "error_count": n_err,
-                    "committed_at": time.time(),
-                    "input_files": input_files or [],
-                    "format": self.fmt,
-                    "key_col": self.key_col,
-                }
-                tmp = self._commit_path(b) + ".tmp"
-                with open(tmp, "w") as fh:
-                    json.dump(lineage, fh)
-                os.replace(tmp, self._commit_path(b))  # atomic commit
-                stats["committed"].append(b)
-                stats["total_rows"] += n_rows
-                stats["total_errors"] += n_err
-            with open(os.path.join(self.out_dir, "_SUCCESS.json"), "w") as fh:
-                json.dump(stats, fh)
-            return stats
-        finally:
-            bucketed.unpersist()
+        pending_df = (
+            bucketed.filter(~F.col("bucket").isin(*done)) if done else bucketed
+        )
+
+        # job 1: the only pass over the input — write every pending bucket
+        (
+            pending_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .format(self.fmt)
+            .save(self.data_dir)
+        )
+
+        # job 2: per-bucket metrics from the WRITTEN output (committed
+        # parquet/json; partition-pruned scan of only pending buckets)
+        pending = sorted(set(range(self.n_buckets)) - done)
+        spark = df.sparkSession
+        metrics: dict[int, dict] = {
+            b: {"row_count": 0, "error_count": 0, "error_categories": {}}
+            for b in pending
+        }
+        back = self._read_buckets(spark, pending)
+        if back is not None:
+            err = (
+                F.col(error_col)
+                if error_col is not None
+                else F.lit(None).cast("string")
+            )
+            for r in (
+                back.groupBy(F.col("bucket"), err.alias("_cat"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                cat = r["_cat"]
+                m = metrics[int(r["bucket"])]
+                m["row_count"] += r["n"]
+                if cat is not None:
+                    m["error_count"] += r["n"]
+                    m["error_categories"][cat] = (
+                        m["error_categories"].get(cat, 0) + r["n"]
+                    )
+
+        stats = {
+            "committed": [],
+            "skipped": sorted(done),
+            "failed_buckets": [],
+            "total_rows": 0,
+            "total_errors": 0,
+        }
+        g_rows = sum(m["row_count"] for m in metrics.values())
+        g_err = sum(m["error_count"] for m in metrics.values())
+        if (
+            error_budget_pct is not None
+            and g_rows > 0
+            and g_err / g_rows > error_budget_pct
+        ):
+            raise RuntimeError(
+                f"error budget exceeded globally: {g_err}/{g_rows} "
+                f"> {error_budget_pct:.3%} (no bucket committed)"
+            )
+        budget = max_failures if max_failures is not None else 0
+        for b in pending:
+            m = metrics[b]
+            if (
+                error_budget_pct is not None
+                and m["row_count"] > 0
+                and m["error_count"] / m["row_count"] > error_budget_pct
+            ):
+                stats["failed_buckets"].append(b)
+                if len(stats["failed_buckets"]) > budget:
+                    raise RuntimeError(
+                        f"error budget exceeded in bucket {b}: "
+                        f"{m['error_count']}/{m['row_count']} "
+                        f"> {error_budget_pct:.3%}"
+                    )
+                continue  # over-budget bucket stays UNCOMMITTED
+            lineage = {
+                "snapshot_id": uuid.uuid4().hex,
+                "bucket": b,
+                "row_count": m["row_count"],
+                "error_count": m["error_count"],
+                "error_categories": m["error_categories"],
+                "committed_at": time.time(),
+                "input_files": input_files or [],
+                "format": self.fmt,
+                "key_col": self.key_col,
+            }
+            tmp = self._commit_path(b) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(lineage, fh)
+            os.replace(tmp, self._commit_path(b))  # atomic commit
+            stats["committed"].append(b)
+            stats["total_rows"] += m["row_count"]
+            stats["total_errors"] += m["error_count"]
+        with open(os.path.join(self.out_dir, "_SUCCESS.json"), "w") as fh:
+            json.dump(stats, fh)
+        return stats
+
+    def _read_buckets(self, spark, buckets) -> DataFrame | None:
+        """Read only the given buckets' directories (basePath keeps the
+        bucket partition column). Missing dirs (empty buckets) skipped."""
+        paths = [
+            os.path.join(self.data_dir, f"bucket={b}")
+            for b in buckets
+            if os.path.isdir(os.path.join(self.data_dir, f"bucket={b}"))
+        ]
+        if not paths:
+            return None
+        return (
+            spark.read.option("basePath", self.data_dir)
+            .format(self.fmt)
+            .load(paths)
+        )
 
     def read(self, spark) -> DataFrame:
-        return getattr(spark.read, self.fmt)(self.data_dir)
+        """Read the COMMITTED output only — data written for a bucket whose
+        commit marker is missing (crash, over-budget skip) is invisible."""
+        out = self._read_buckets(spark, sorted(self.committed_buckets()))
+        if out is None:
+            raise FileNotFoundError(
+                f"no committed buckets under {self.data_dir}"
+            )
+        return out
 
     def lineage(self) -> list[dict]:
         out = []
@@ -162,6 +237,26 @@ class CheckpointedWriter:
             with open(self._commit_path(b)) as fh:
                 out.append(json.load(fh))
         return out
+
+    def error_stats(self) -> dict:
+        """Aggregated per-category error metrics across committed buckets —
+        the analog of the reference's error-tracking surface
+        (/root/reference/src/audiopro/errors/tracking.py:14-101): total
+        rows/errors + per-category counts, durable across resume because
+        they live in the per-bucket lineage commits."""
+        cats: dict[str, int] = {}
+        rows = errors = 0
+        for rec in self.lineage():
+            rows += rec["row_count"]
+            errors += rec["error_count"]
+            for k, v in rec.get("error_categories", {}).items():
+                cats[k] = cats.get(k, 0) + v
+        return {
+            "total_rows": rows,
+            "total_errors": errors,
+            "error_rate": errors / rows if rows else 0.0,
+            "categories": cats,
+        }
 
 
 def validate_output_path(path: str, fmt: str) -> str:

@@ -92,3 +92,42 @@ def test_salted_broadcast_join_equals_plain(spark):
     got = salted_broadcast_join(big, small, ("k",), n_salts=4).orderBy("v").collect()
     exp = big.join(small, "k", "left").orderBy("v").collect()
     assert [(r.k, r.v, r.w) for r in got] == [(r.k, r.v, r.w) for r in exp]
+
+
+def test_error_stats_survive_resume(spark, small_df, tmp_path):
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(out, n_buckets=4)
+    w.write(small_df, error_col="ferror", error_budget_pct=0.5)
+    before = w.error_stats()
+    assert before["total_rows"] == 1000
+    assert before["total_errors"] == 10
+    assert before["categories"] == {"boom": 10}
+    # crash one bucket, resume: stats re-aggregate identically
+    os.remove(os.path.join(out, "_lineage", "commit_2.json"))
+    CheckpointedWriter(out, n_buckets=4).write(
+        small_df, error_col="ferror", error_budget_pct=0.5
+    )
+    assert CheckpointedWriter(out, n_buckets=4).error_stats() == before
+
+
+def test_over_budget_bucket_not_committed_when_tolerated(spark, tmp_path):
+    # bucket-skewed errors: key "hot" rows all error; others clean
+    df = spark.range(400).select(
+        F.when(F.col("id") % 4 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("doc"), (F.col("id") % 29).cast("string")))
+        .alias("doc_id"),
+        F.col("id").alias("v"),
+        F.when(F.col("id") % 4 == 0, F.lit("boom")).alias("ferror"),
+    )
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(out, n_buckets=4)
+    stats = w.write(df, error_col="ferror", error_budget_pct=0.3, max_failures=2)
+    assert stats["failed_buckets"], "expected an over-budget bucket"
+    # failed buckets are NOT committed and NOT readable
+    assert set(stats["failed_buckets"]) & (set(range(4)) - set(stats["committed"]))
+    back = w.read(spark)
+    assert back.filter(F.col("ferror") == "boom").count() == 0
+    # resume with a clean budget commits the remaining buckets idempotently
+    stats2 = CheckpointedWriter(out, n_buckets=4).write(df, error_col="ferror")
+    assert sorted(stats2["committed"]) == sorted(stats["failed_buckets"])
+    assert CheckpointedWriter(out, n_buckets=4).read(spark).count() == 400
