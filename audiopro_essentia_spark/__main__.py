@@ -1,0 +1,121 @@
+"""CLI entry point — `python -m audiopro_essentia_spark`.
+
+Mirrors the reference's entry point 1 + argument contract
+(/root/reference/src/audiopro/main.py:28-40,
+/root/reference/src/audiopro/arg_parser.py:15-114: positional input/output,
+feature selection, time range, output format), re-expressed for the Spark
+engine: input is a sequences parquet table, output a resumable
+CheckpointedWriter directory. Exit code 0 on success, 2 on argument /
+validation errors (argparse convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .constants import ALL_FRAME_FEATURES, DEFAULT_ERROR_BUDGET_PCT, FRAME_LENGTH, HOP_LENGTH
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m audiopro_essentia_spark",
+        description="Windowed feature engineering over a tokenized-sequence "
+        "table (framing -> Arrow kernel -> doc aggregates -> resumable "
+        "checkpointed output).",
+    )
+    p.add_argument("input", help="sequences parquet path (doc_id, tokens, ...)")
+    p.add_argument(
+        "output",
+        help="output DIRECTORY (no extension — the writer owns the format)",
+    )
+    p.add_argument(
+        "--features",
+        default=None,
+        help="comma-separated subset of: " + ",".join(ALL_FRAME_FEATURES)
+        + " (default: all) — unselected features are never computed "
+        "(feature-selection pushdown, reference arg_parser.py:60-88)",
+    )
+    p.add_argument("--start", type=float, default=None, help="start second")
+    p.add_argument("--end", type=float, default=None, help="end second")
+    p.add_argument(
+        "--format", choices=("parquet", "json"), default="parquet",
+        help="output format (reference's msgpack/json dispatch analog)",
+    )
+    p.add_argument("--frame-length", type=int, default=FRAME_LENGTH)
+    p.add_argument("--hop", type=int, default=HOP_LENGTH)
+    p.add_argument("--n-buckets", type=int, default=16)
+    p.add_argument(
+        "--error-budget-pct", type=float, default=DEFAULT_ERROR_BUDGET_PCT
+    )
+    p.add_argument("--master", default=None, help="spark master override")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    features: tuple[str, ...] | None = None
+    if args.features:
+        features = tuple(f.strip() for f in args.features.split(",") if f.strip())
+        unknown = set(features) - set(ALL_FRAME_FEATURES)
+        if unknown:
+            print(
+                f"error: unknown features {sorted(unknown)}; "
+                f"valid: {','.join(ALL_FRAME_FEATURES)}",
+                file=sys.stderr,
+            )
+            return 2
+    if args.start is not None and args.end is not None and args.end <= args.start:
+        print("error: --end must be > --start", file=sys.stderr)
+        return 2
+
+    from .plans.pipeline import analyze_sequences
+    from .session import get_spark
+    from .sources.sinks import CheckpointedWriter, validate_output_path
+
+    try:
+        out_dir = validate_output_path(args.output, args.format)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="audiopro-cli", master=args.master)
+    # the writer's format is fixed at construction inside analyze_sequences
+    # only for parquet; honor --format by writing through our own writer
+    res = analyze_sequences(
+        spark,
+        args.input,
+        features=features,
+        frame_length=args.frame_length,
+        hop=args.hop,
+        start_sec=args.start,
+        end_sec=args.end,
+        out_dir=None,  # we drive the writer below to honor --format
+    )
+    writer = CheckpointedWriter(
+        out_dir, n_buckets=args.n_buckets, fmt=args.format
+    )
+    stats = writer.write(
+        res["frame_features"],
+        error_col="ferror",
+        error_budget_pct=args.error_budget_pct,
+        input_files=[args.input],
+    )
+    summary = {
+        "output": out_dir,
+        "format": args.format,
+        "committed": stats["committed"],
+        "skipped": stats["skipped"],
+        "total_rows": stats["total_rows"],
+        "total_errors": stats["total_errors"],
+        "error_stats": writer.error_stats(),
+        "quarantined": res["quarantine"].count(),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

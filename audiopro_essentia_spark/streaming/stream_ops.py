@@ -110,6 +110,81 @@ def stateful_running_stats(
     )
 
 
+def epoch_writer(
+    out_dir: str,
+    key_col: str = "user_id",
+    n_buckets: int = 4,
+    fmt: str = "parquet",
+):
+    """foreachBatch handler factory: each micro-batch writes through a
+    CheckpointedWriter rooted at out_dir/epoch=<epochId>. Exactly-once by
+    idempotence: Spark re-delivers an epoch only when the handler did not
+    complete before the streaming checkpoint committed it, and a re-run of
+    the same (epoch, data) skips already-committed buckets / rewrites
+    uncommitted ones atomically (S7 semantics lifted into §2.8)."""
+    import os as _os
+
+    from ..sources.sinks import CheckpointedWriter
+
+    def handle(bdf: DataFrame, epoch_id: int) -> None:
+        w = CheckpointedWriter(
+            _os.path.join(out_dir, f"epoch={epoch_id}"),
+            n_buckets=n_buckets,
+            key_col=key_col,
+            fmt=fmt,
+        )
+        w.write(bdf)
+
+    return handle
+
+
+def stream_to_checkpointed(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    n_buckets: int = 4,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+) -> None:
+    """Drive a (bounded) stream through the foreachBatch checkpointed sink
+    to completion — the streaming form of the incremental batched emission
+    (reference extractor.py:214-219 callback -> output_handler write)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            epoch_writer(out_dir, key_col, n_buckets, fmt)
+        )
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_epochs(spark, out_dir: str, fmt: str = "parquet") -> DataFrame:
+    """Union of COMMITTED data across all epoch directories."""
+    import os as _os
+
+    from pyspark.sql import DataFrame as _DF
+
+    from ..sources.sinks import CheckpointedWriter
+
+    parts: list[_DF] = []
+    for d in sorted(_os.listdir(out_dir)):
+        if not d.startswith("epoch="):
+            continue
+        w = CheckpointedWriter(_os.path.join(out_dir, d), fmt=fmt)
+        if w.committed_buckets():
+            parts.append(w.read(spark).drop("bucket"))
+    if not parts:
+        raise FileNotFoundError(f"no committed epochs under {out_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append") -> DataFrame:
     """Drive a bounded streaming query to completion synchronously and
     return the result table (test/smoke harness)."""

@@ -71,3 +71,41 @@ def test_ivf_assign_clusters(spark):
         v = np.asarray(r.embedding, dtype=np.float64)
         sims = (C @ v) / (np.linalg.norm(C, axis=1) * np.linalg.norm(v))
         assert int(np.argmin(1.0 - sims)) == r.cluster_id, r.vec_id
+
+
+def test_foreachbatch_checkpointed_sink_exactly_once(spark, tmp_path):
+    """Streaming -> CheckpointedWriter via foreachBatch: complete output,
+    restart yields nothing new, and a re-delivered epoch (crash between
+    writer commit and streaming-checkpoint commit) is idempotent."""
+    from audiopro_essentia_spark.streaming.stream_ops import (
+        epoch_writer,
+        read_epochs,
+        stream_to_checkpointed,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_in = ev.count()
+    src = tempfile.mkdtemp()
+    os.symlink(f"{SF}/events.parquet", os.path.join(src, "e.parquet"))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        stream_to_checkpointed(stream, out, ckpt, key_col="user_id", n_buckets=4)
+
+    run()
+    assert read_epochs(spark, out).count() == n_in
+    # restart with the same checkpoint: no re-processing, no duplicates
+    run()
+    assert read_epochs(spark, out).count() == n_in
+    # simulate epoch re-delivery: Spark re-runs the SAME (epoch, data)
+    handler = epoch_writer(out, key_col="user_id", n_buckets=4)
+    handler(ev, 0)
+    assert read_epochs(spark, out).count() == n_in
+    # and a half-committed epoch (crashed mid-write) heals idempotently
+    epoch_dir = os.path.join(out, "epoch=0")
+    os.remove(os.path.join(epoch_dir, "_lineage", "commit_2.json"))
+    handler(ev, 0)
+    back = read_epochs(spark, out)
+    assert back.count() == n_in
+    assert back.select("event_id").distinct().count() == n_in
