@@ -102,3 +102,37 @@ def extract_rhythm(
             )
 
     return seqs.select("doc_id", "tokens").mapInPandas(gen, OUT_SCHEMA)
+
+
+def extract_rhythm_chunked(
+    chunks: DataFrame,
+    sample_rate: int = SAMPLE_RATE,
+    frame_length: int = FRAME_LENGTH,
+    hop: int = HOP_LENGTH,
+    token_scale: float = TOKEN_SCALE,
+) -> DataFrame:
+    """Grouped-map rhythm over CHUNKED ingestion: a doc's tokens arrive
+    split across rows (doc_id, chunk_idx, tokens) — the shape huge docs
+    take at corpus scale. Here groupBy(doc_id).applyInPandas is the RIGHT
+    plan (unlike one-row-per-doc input, see extract_rhythm): reassembly
+    genuinely requires co-locating a doc's chunks, so the shuffle buys the
+    grouping; concatenation order is pinned by chunk_idx, not partition
+    order. Results are identical to extract_rhythm on the unsplit doc
+    (asserted in tests)."""
+
+    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("chunk_idx")
+        toks = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
+        tempo, beats = detect_beats(
+            toks, sample_rate, frame_length, hop, token_scale
+        )
+        return pd.DataFrame(
+            [(pdf["doc_id"].iloc[0], tempo, len(beats), beats.tolist())],
+            columns=["doc_id", "tempo", "n_beats", "beats"],
+        )
+
+    return (
+        chunks.select("doc_id", "chunk_idx", "tokens")
+        .groupBy("doc_id")
+        .applyInPandas(per_doc, OUT_SCHEMA)
+    )

@@ -1,0 +1,66 @@
+"""Plan audits: the declarative contract with Catalyst — filters reach the
+parquet scan (PushedFilters), projections prune the read schema
+(ReadSchema), small dims broadcast, and the flagship pipeline stays narrow
+until its aggregation. A scan that reads all columns for a 2-column
+projection is wrong at 100 TB regardless of local timings."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(d.filter(F.col("n_chars") > 100).select("doc_id"))
+    assert "PushedFilters" in plan and "GreaterThan(n_chars,100)" in plan
+
+
+def test_projection_prunes_read_schema(spark):
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["frame_rms"](spark, SF))
+    # only doc_id + text feed the derived-token framing; the scan must not
+    # read lang/source/n_chars
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan
+    for col in ("lang", "source", "n_chars"):
+        assert col not in scan, scan
+
+
+def test_sequences_scan_prunes_tokens_when_not_needed(spark, tiny_seqs):
+    # doc-level metadata pass must not deserialize the token payload
+    plan = plan_of(tiny_seqs.select("doc_id", "n_tok"))
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "tokens" not in scan
+
+
+def test_enrichment_join_broadcasts_small_side(spark):
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["enrich_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_pipeline_single_shuffle_before_sink(spark, tiny_seqs):
+    """frame features path: narrow (scan -> mapInPandas); the only
+    Exchanges allowed in the doc-profile branch are the 1-row global agg
+    and the broadcast."""
+    from audiopro_essentia_spark.operators.fused import fused_frame_features
+    from audiopro_essentia_spark.sources.bucketed import plan_has_exchange
+
+    assert not plan_has_exchange(
+        fused_frame_features(tiny_seqs, features=("rms", "mfcc"))
+    )

@@ -123,3 +123,33 @@ def test_streaming_sliding_window(spark):
     ).collect()[0]
     assert batch.n == r.n_events
     assert batch.rms == pytest.approx(r.rms)
+
+
+def test_rhythm_chunked_ingestion_matches_whole_doc(spark, tiny_seqs):
+    """Chunk reassembly (grouped-map) == whole-doc rhythm, independent of
+    chunk boundaries and row order."""
+    from audiopro_essentia_spark.operators.rhythm import (
+        extract_rhythm,
+        extract_rhythm_chunked,
+    )
+
+    whole = {r.doc_id: (r.tempo, r.n_beats) for r in extract_rhythm(tiny_seqs).collect()}
+    # split each doc into 3 uneven chunks, shuffle row order
+    chunked = (
+        tiny_seqs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    F.slice("tokens", 1, 1000),
+                    F.slice("tokens", 1001, 2500),
+                    F.expr("slice(tokens, 3501, size(tokens))"),
+                )
+            ).alias("chunk_idx", "tokens"),
+        )
+        .orderBy(F.md5(F.concat_ws(":", "doc_id", F.col("chunk_idx").cast("string"))))
+    )
+    got = {
+        r.doc_id: (r.tempo, r.n_beats)
+        for r in extract_rhythm_chunked(chunked).collect()
+    }
+    assert got == whole
