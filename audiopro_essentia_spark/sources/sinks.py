@@ -51,7 +51,22 @@ class CheckpointedWriter:
         n_buckets: int = 16,
         key_col: str = "doc_id",
         fmt: str = "parquet",
+        spark=None,
     ):
+        if fmt == "iceberg":
+            # production target: df.writeTo(table).append() gives snapshot
+            # lineage natively; this sandbox has no Iceberg runtime on the
+            # classpath, so fail loud instead of silently degrading
+            if spark is None or not _iceberg_available(spark):
+                raise ValueError(
+                    "fmt='iceberg' requires an Iceberg runtime on the "
+                    "classpath; use the parquet facade (same commit/lineage "
+                    "contract over partitioned parquet)"
+                )
+            raise NotImplementedError(
+                "Iceberg runtime detected but the writeTo path is not "
+                "wired in this build; use fmt='parquet'"
+            )
         if fmt not in ("parquet", "json"):
             # format dispatch table analog — output_handler.py:22-25
             raise ValueError(f"unsupported format: {fmt}")

@@ -131,3 +131,8 @@ def test_over_budget_bucket_not_committed_when_tolerated(spark, tmp_path):
     stats2 = CheckpointedWriter(out, n_buckets=4).write(df, error_col="ferror")
     assert sorted(stats2["committed"]) == sorted(stats["failed_buckets"])
     assert CheckpointedWriter(out, n_buckets=4).read(spark).count() == 400
+
+
+def test_iceberg_fmt_fails_loud_without_runtime(spark, tmp_path):
+    with pytest.raises(ValueError, match="Iceberg runtime"):
+        CheckpointedWriter(str(tmp_path / "o"), fmt="iceberg", spark=spark)
