@@ -35,8 +35,11 @@ from pyspark.sql import functions as F
 
 
 def _iceberg_available(spark) -> bool:
+    # NOTE: plain `spark._jvm.org.apache.iceberg.Table` attribute access
+    # NEVER raises — py4j hands back a JavaPackage stub for missing
+    # classes; only Class.forName actually probes the classpath
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
         return True
     except Exception:
         return False
