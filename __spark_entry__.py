@@ -365,6 +365,17 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup: MinHash-LSH pairs -> connected components -> canonical
+    cluster id (min doc in component). Iterative min-label propagation;
+    hash-checked against a DuckDB recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_clusters(d, k=16, bands=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Dedup: MinHash(16) + LSH(4 bands) candidate pairs (portable hashes)."""
     d = _t(spark, sf_dir, "documents")
@@ -644,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
@@ -840,6 +852,7 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
       CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE), 6) >= 0.5
 """,
         "minhash_lsh": DT.minhash_sql(k=16, bands=4, ngram=3),
+        "dedup_clusters": DT.clusters_sql(DT.minhash_sql(k=16, bands=4, ngram=3)),
         "kernel_features": DT.kernel_sql(
             KF_, KH_, KSR_, KSCALE_, KERNEL_FEATURES, KMELS_
         ),

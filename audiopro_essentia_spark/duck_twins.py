@@ -417,3 +417,22 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
   min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY user_id, session_id
 """
+
+
+def clusters_sql(pairs_sql: str) -> str:
+    """Connected components over a pair query (transitive closure via
+    recursive CTE; min label per component) — twin of
+    dedup.connected_components."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({pairs_sql}) q),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(id, lab) AS (
+  SELECT DISTINCT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON r.id = e.a
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""

@@ -443,3 +443,79 @@ def embedding_neardup_pairs_exact(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-GROUP resolution: candidate pairs -> connected components
+    -> (id, cluster_id = min id in component). The step every dedup
+    pipeline needs after pair generation — near-dup relations are not
+    transitive-closed, so keeping one doc per PAIR over-deletes.
+
+    Iterative min-label propagation on the symmetric edge list: each round
+    every vertex takes the min label among itself and its neighbors; stops
+    at fixpoint (checked with a cheap count per round) or max_iterations.
+    Rounds needed = component diameter — tiny for dup clusters (near-
+    cliques), so typically 1-3 shuffles. localCheckpoint truncates the
+    iterative lineage so Catalyst never sees an exponentially growing
+    plan (standard iterative-DataFrame hygiene)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup grouping: MinHash-LSH candidate pairs ->
+    connected components -> (doc_id, cluster_id). Docs with no near-dup
+    candidate are singletons and omitted (callers left-join and coalesce
+    cluster_id to doc_id)."""
+    pairs = minhash_lsh_candidates(df, text_col, id_col, k, bands, ngram)
+    return connected_components(pairs).select(
+        F.col("id").alias(id_col), "cluster_id"
+    )

@@ -158,15 +158,27 @@ def session_tempo(
     """A15/A16 analog: per key, session-start boundaries ->
     tempo = 60/median(diff(boundaries_sec)), 0.0 when <=1 boundary
     (utils/audio.py:82-89; zero-beat fallback controller.py:179-184).
-    Exact median via sorted-array element_at (not percentile_approx)."""
+    Exact median via sorted-array element_at (not percentile_approx).
+
+    A session's start == its boundary event's own timestamp (the event
+    whose lag-gap exceeds the threshold), so boundaries come straight off
+    the lag pass — filter, then ONE hash agg. The previous form went
+    through session_stats (groupBy (key, session_id) min(ts)) — a whole
+    extra shuffle that re-derived what the lag already knew."""
     from .aggregates import tempo_from_boundaries_expr
 
-    stats = session_stats(df, key_cols, ts_col, gap_seconds)
-    bounds = stats.groupBy(*key_cols).agg(
+    w = _w(key_cols, ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    boundaries = df.withColumn(
+        "_is_new", prev.isNull() | (gap > F.lit(int(gap_seconds * 1e6)))
+    ).filter(F.col("_is_new"))
+    bounds = boundaries.groupBy(*key_cols).agg(
         F.sort_array(
             F.collect_list(
-                F.unix_micros(F.col("session_start").cast("timestamp")).cast("double")
-                / 1e6
+                F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6
             )
         ).alias("boundaries_sec"),
         F.count(F.lit(1)).alias("n_sessions"),

@@ -252,3 +252,17 @@ def test_ivf_topk_recall_and_exactness(spark, embeddings):
     assert all((qid, qid) in got_pairs for qid in (0, 1, 2))
     recall = len(got_pairs & exp_pairs) / len(exp_pairs)
     assert recall >= 0.4
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation must cross multi-hop chains (diameter > 1),
+    not just direct pairs."""
+    from audiopro_essentia_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
