@@ -448,13 +448,21 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_lsh_ann(spark, sf_dir):
-    """Similarity: LSH-bucketed approximate top-5 (scale path; rows-only —
-    bucket recall differs from brute force by design)."""
+    """Similarity: LSH-bucketed approximate top-5 (the scale path). Recall
+    differs from brute force by design, but the seeded hyperplanes are
+    deterministic literals, so even the approximate answer hash-checks
+    against a DuckDB twin that replicates the bucketing exactly."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.lsh_topk(e, q, k=5, n_planes=6)
+    out = SIM.lsh_topk(e, q, k=5, n_planes=6)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -877,6 +885,7 @@ SELECT * FROM (
   WHERE a.vec_id < 5
 ) WHERE rank <= 5
 """,
+        "lsh_ann": DT.lsh_ann_sql(dim=64, n_planes=6, seed=42, k=5),
         # nprobe == n_centroids covers every cell -> exact == brute force
         "ivf_ann": f"""
 SELECT * FROM (

@@ -436,3 +436,43 @@ reach(id, lab) AS (
 SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
 FROM reach GROUP BY id
 """
+
+
+def lsh_ann_sql(
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 42,
+    k: int = 5,
+    max_query_id: int = 5,
+) -> str:
+    """DuckDB twin of similarity.lsh_topk: the seeded hyperplanes are
+    deterministic, so they embed as f64 literals (same trick as the DFT
+    twiddles) — sign-bit signature, bucket equi-join, exact cosine re-rank.
+    The 'approximate' query is thus still exactly checkable."""
+    from .operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for r, p in enumerate(planes):
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*{float(x)!r}"
+            for i, x in enumerate(p)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << r} ELSE 0 END)")
+    sig = "(" + " + ".join(bits) + ")"
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
+    )
+    return f"""
+WITH s AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings)
+SELECT * FROM (
+  SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(b.vec_id AS BIGINT) AS vec_id,
+    {cos} AS cosine,
+    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id ASC) AS INT) AS rank
+  FROM s a JOIN s b ON a.sig = b.sig
+  WHERE a.vec_id < {max_query_id}
+) WHERE rank <= {k}
+"""

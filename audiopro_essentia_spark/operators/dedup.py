@@ -12,8 +12,10 @@ Scale design notes (the point of each variant at 100 TB):
   with exact Jaccard. Probability of catching sim s: 1-(1-s^R)^B.
 - SimHash: one 64-bit signature per doc; near-dup = small Hamming distance;
   banded lookup over bit-chunks for scale.
-- embedding cosine: exact threshold pairs via block join (small N) or an
-  LSH/bucketed variant in similarity.py.
+- embedding cosine: banded sign-LSH candidates + exact verify (default);
+  the all-pairs block join survives only as a tiny-N test oracle.
+- dup-group clustering: pairs -> connected components (iterative min-label
+  propagation) -> canonical min-id representative.
 
 Everything except SimHash's Hamming verify is pure Spark SQL expressions;
 the portable hash (md5-prefix) makes MinHash reproducible in DuckDB for the
