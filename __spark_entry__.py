@@ -685,7 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB twins)
 # ---------------------------------------------------------------------------
 
-H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+H32 = DT.H32  # single source of truth for the portable hash recipe
 
 
 def oracle_sql() -> dict[str, str]:

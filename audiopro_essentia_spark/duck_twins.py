@@ -361,9 +361,10 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 
 
 def multimodal_sql(hist_bins: int = 16) -> str:
-    """DuckDB twin of attach_binary_payload + extract_media_features over
-    ASCII document text (payload = utf-8 bytes = char codes; bin = code //
-    (256/hist_bins))."""
+    """DuckDB twin of attach_binary_payload + extract_media_features.
+    Byte-TRUE (not codepoint-based): the utf-8 payload's bytes come from
+    hex(encode(text)) two chars at a time, so multi-byte characters hash
+    into the same bins as the Spark side's np.frombuffer(uint8)."""
     width = 256 // hist_bins
     hist = ", ".join(
         f"round(CAST(len(list_filter(codes, c -> c // {width} = {b})) AS DOUBLE)"
@@ -384,8 +385,9 @@ def multimodal_sql(hist_bins: int = 16) -> str:
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
     (['image','audio','video'])[(({h32}) % 3) + 1] AS media_type,
-    CAST(length(text) AS BIGINT) AS n_bytes,
-    list_transform(generate_series(1, length(text)), i -> ascii(text[i])) AS codes
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    list_transform(generate_series(1, octet_length(encode(text))),
+      i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT) AS codes
   FROM documents
 ),
 p AS (SELECT doc_id, media_type, n_bytes, codes, {probs} FROM m)

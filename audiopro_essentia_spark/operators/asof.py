@@ -108,10 +108,27 @@ def asof_join(
     # `_rv` as the final sort key makes right-side ties on (key, ts)
     # deterministic (struct compare): last() picks the max struct, not an
     # arbitrary partition-order row. Left rows carry NULL _rv (sorts first
-    # within its (_ts, _side) group; ignorenulls skips it).
+    # within its (_ts, _side) group; ignorenulls skips it). MapType is not
+    # orderable in Spark — if any right_values column contains one, fall
+    # back to (_ts, _side) ordering (tie choice then partition-dependent).
+    def _orderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    rschema = {f.name: f.dataType for f in right.schema.fields}
+    tie_keys = (
+        ["_rv"] if all(_orderable(rschema[c]) for c in right_values) else []
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ts", "_side", "_rv")
+        .orderBy("_ts", "_side", *tie_keys)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.withColumn("_rv_f", F.last("_rv", ignorenulls=True).over(w)).filter(

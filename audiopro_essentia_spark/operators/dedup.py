@@ -211,11 +211,34 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs >= threshold. Candidates from an
     inverted shingle index (never a cross join); pass max_df to cap
-    hot-shingle candidate blow-up (see _jaccard_candidate_pairs)."""
+    hot-shingle candidate blow-up (see _jaccard_candidate_pairs).
+
+    max_df caveat: a group of > max_df near-identical docs shares ONLY
+    hot shingles, so its pairs would vanish from the capped index. The
+    byte-identical case (the common one) is restored exactly by unioning
+    md5-equality pairs below — quadratic only within exact-dup groups,
+    where the all-pairs OUTPUT is itself quadratic. Large groups of
+    near-but-not-byte-identical docs remain approximate under the cap:
+    collapse exact dups first (exact_dedup) or raise max_df."""
     sh = _spread(df).select(
         F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("shingles")
     ).filter(F.size("shingles") > 0)
     cand = _jaccard_candidate_pairs(sh, id_col, max_df)
+    if max_df is not None:
+        hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+        exact_pairs = (
+            hashed.alias("l")
+            .join(
+                hashed.alias("r"),
+                (F.col("l._h") == F.col("r._h"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+            )
+        )
+        cand = cand.union(exact_pairs).distinct()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -477,6 +500,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -502,6 +526,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning split components would over-count "distinct"
+        # docs downstream — fail loud; callers raise max_iterations
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing) — component "
+            "diameter exceeds max_iterations"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -129,6 +129,20 @@ class CheckpointedWriter:
             bucketed.filter(~F.col("bucket").isin(*done)) if done else bucketed
         )
 
+        # clear UNCOMMITTED bucket dirs first: dynamic overwrite only
+        # touches partitions present in the new data, so a bucket that had
+        # stale data from a crashed/over-budget run but is EMPTY in the
+        # current df would otherwise keep (and then commit) the stale rows.
+        # Safe: no commit marker == invisible, so deletion preserves
+        # exactly-once. (Object-store deployments do this at the manifest
+        # level instead of rm-ing files.)
+        import shutil
+
+        for b in sorted(set(range(self.n_buckets)) - done):
+            d = os.path.join(self.data_dir, f"bucket={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
         # job 1: the only pass over the input — write every pending bucket
         (
             pending_df.write.mode("overwrite")
@@ -148,9 +162,12 @@ class CheckpointedWriter:
         }
         back = self._read_buckets(spark, pending)
         if back is not None:
+            # JSON omits null fields (ignoreNullFields), so an all-null
+            # error column is absent from the inferred read-back schema —
+            # treat a missing column as zero errors, not a crash
             err = (
                 F.col(error_col)
-                if error_col is not None
+                if error_col is not None and error_col in back.columns
                 else F.lit(None).cast("string")
             )
             for r in (

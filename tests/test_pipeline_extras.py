@@ -266,3 +266,17 @@ def test_connected_components_chain_and_clusters(spark):
     got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_jaccard_cap_still_exact_for_large_identical_groups(spark):
+    """60 byte-identical docs (every shingle hot under the cap) must still
+    yield ALL C(60,2) pairs — md5-equality union restores the exact-dup
+    case the df cap would otherwise erase."""
+    from audiopro_essentia_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "identical boilerplate text repeated verbatim here") for i in range(60)]
+    rows += [(100 + i, f"distinct filler number {i} goes here now") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, threshold=0.9, max_df=20).collect()
+    assert len(got) == 60 * 59 // 2
+    assert all(r.jaccard == 1.0 for r in got)

@@ -136,3 +136,36 @@ def test_over_budget_bucket_not_committed_when_tolerated(spark, tmp_path):
 def test_iceberg_fmt_fails_loud_without_runtime(spark, tmp_path):
     with pytest.raises(ValueError, match="Iceberg runtime"):
         CheckpointedWriter(str(tmp_path / "o"), fmt="iceberg", spark=spark)
+
+
+def test_json_write_with_clean_error_col(spark, tmp_path):
+    """JSON omits all-null fields; a clean run with error_col must not
+    crash the metrics read-back (regression: UNRESOLVED_COLUMN)."""
+    df = spark.range(50).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("v"),
+        F.lit(None).cast("string").alias("ferror"),
+    )
+    w = CheckpointedWriter(str(tmp_path / "o"), n_buckets=2, fmt="json")
+    stats = w.write(df, error_col="ferror", error_budget_pct=0.1)
+    assert stats["total_rows"] == 50 and stats["total_errors"] == 0
+
+
+def test_stale_bucket_data_cleared_on_resume(spark, small_df, tmp_path):
+    """A bucket left uncommitted by a crash must be truncated on resume
+    even when the new df has NO rows for it — stale rows must never be
+    counted or committed."""
+    out = str(tmp_path / "out")
+    CheckpointedWriter(out, n_buckets=4).write(small_df)
+    os.remove(os.path.join(out, "_lineage", "commit_3.json"))
+    # resume with bucket 3 filtered out of the input entirely
+    from pyspark.sql.functions import pmod, hash as fhash, col
+
+    df2 = small_df.filter(pmod(fhash(col("doc_id")), 4) != 3)
+    n2 = df2.count()
+    stats = CheckpointedWriter(out, n_buckets=4).write(df2)
+    assert stats["committed"] == [3]
+    rec3 = [r for r in CheckpointedWriter(out, n_buckets=4).lineage() if r["bucket"] == 3][0]
+    assert rec3["row_count"] == 0
+    back = CheckpointedWriter(out, n_buckets=4).read(spark)
+    assert back.count() == n2
