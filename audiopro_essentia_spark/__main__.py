@@ -49,6 +49,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--error-budget-pct", type=float, default=DEFAULT_ERROR_BUDGET_PCT
     )
+    p.add_argument(
+        "--skip-monitoring", action="store_true",
+        help="disable the performance monitor (reference arg_parser.py "
+        "--skip-monitoring; A17)",
+    )
+    p.add_argument(
+        "--codec", choices=("snappy", "zstd", "gzip"), default="snappy",
+        help="parquet compression codec (the reference's --gzip analog)",
+    )
     p.add_argument("--master", default=None, help="spark master override")
     return p
 
@@ -81,7 +90,16 @@ def main(argv: list[str] | None = None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
-    spark = get_spark(app_name="audiopro-cli", master=args.master)
+    spark = get_spark(
+        app_name="audiopro-cli",
+        master=args.master,
+        extra_conf={"spark.sql.parquet.compression.codec": args.codec},
+    )
+    mon = None
+    if not args.skip_monitoring:
+        from .monitor import PerformanceMonitor
+
+        mon = PerformanceMonitor().start()
     # the writer's format is fixed at construction inside analyze_sequences
     # only for parquet; honor --format by writing through our own writer
     res = analyze_sequences(
@@ -113,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
         "error_stats": writer.error_stats(),
         "quarantined": res["quarantine"].count(),
     }
+    if mon is not None:
+        mon.stop()
+        summary["monitor"] = mon.summary()
     print(json.dumps(summary))
     return 0
 

@@ -34,19 +34,22 @@ def _run(args):
 def test_cli_end_to_end(seq_path, tmp_path):
     out = str(tmp_path / "out")
     r = _run([seq_path, out, "--features", "rms,volume,mfcc",
-              "--n-buckets", "4", "--master", "local[4]"])
+              "--n-buckets", "4", "--master", "local[4]", "--codec", "zstd"])
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["committed"] == [0, 1, 2, 3]
+    assert summary["monitor"]["samples"] >= 1  # A17 on by default
     assert summary["total_rows"] > 100
     assert summary["quarantined"] >= 1
     assert os.path.exists(os.path.join(out, "_SUCCESS.json"))
     # resume: second run skips everything
     r2 = _run([seq_path, out, "--features", "rms,volume,mfcc",
-               "--n-buckets", "4", "--master", "local[4]"])
+               "--n-buckets", "4", "--master", "local[4]",
+               "--skip-monitoring"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     s2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert s2["committed"] == [] and s2["skipped"] == [0, 1, 2, 3]
+    assert "monitor" not in s2
 
 
 def test_cli_rejects_bad_args(seq_path, tmp_path):
