@@ -148,3 +148,51 @@ def test_forward_direction_cogroup(spark):
     )
     row = asof_join(left, right, direction="forward").collect()[0]
     assert row.label == 7.0
+
+
+def test_asof_property_random_vs_merge_asof(spark):
+    """Property: for right sides with unique (key, ts), the union-window
+    strategy equals pandas merge_asof exactly — random keys, ts ties
+    across sides, sparse/dense mixes, keys with no right rows."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.data())
+    def run(data):
+        n_keys = data.draw(st.integers(1, 4))
+        lrows, rrows = [], []
+        for k in range(n_keys):
+            lts = data.draw(
+                st.lists(st.integers(0, 50), min_size=0, max_size=12)
+            )
+            rts = data.draw(
+                st.lists(st.integers(0, 50), min_size=0, max_size=8,
+                         unique=True)
+            )
+            for i, t in enumerate(lts):
+                lrows.append((f"k{k}", i, dt.datetime(2024, 1, 1)
+                              + dt.timedelta(seconds=t)))
+            for t in rts:
+                rrows.append((f"k{k}", float(t * 10),
+                              dt.datetime(2024, 1, 1)
+                              + dt.timedelta(seconds=t)))
+        if not lrows or not rrows:
+            return
+        left = spark.createDataFrame(lrows, "doc_id string, i long, lts timestamp")
+        right = spark.createDataFrame(rrows, "doc_id string, rv double, rts timestamp")
+        got = {
+            (r.doc_id, r.i): (r.matched_ts, r.rv)
+            for r in asof_join(
+                left, right, on=("doc_id",), left_ts="lts", right_ts="rts",
+                right_values=("rv",),
+            ).collect()
+        }
+        lpd = pd.DataFrame(lrows, columns=["doc_id", "i", "lts"]).sort_values("lts")
+        rpd = pd.DataFrame(rrows, columns=["doc_id", "rv", "rts"]).sort_values("rts")
+        m = pd.merge_asof(lpd, rpd, left_on="lts", right_on="rts", by="doc_id")
+        for _, row in m.iterrows():
+            exp_ts = None if pd.isna(row.rts) else row.rts.to_pydatetime()
+            exp_rv = None if pd.isna(row.rv) else row.rv
+            assert got[(row.doc_id, row.i)] == (exp_ts, exp_rv), (row.doc_id, row.i)
+
+    run()
