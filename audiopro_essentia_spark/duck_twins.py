@@ -79,6 +79,14 @@ def kernel_sql(
     jj = np.arange(frame_length)
     cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
     sin_t = np.sin(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+    # snap twiddles at symmetry points to exact 0/±1: np.sin(pi*j) is
+    # ~1.2e-16, which contaminates bins rfft computes as EXACTLY zero
+    # (Nyquist/DC by symmetry); flatness's log amplifies that into a
+    # visible mismatch. Snapped literals are CLOSER to the true twiddle.
+    for M in (cos_t, sin_t):
+        M[np.abs(M) < 1e-12] = 0.0
+        M[np.abs(M - 1.0) < 1e-12] = 1.0
+        M[np.abs(M + 1.0) < 1e-12] = -1.0
 
     wd = ", ".join(
         f"CAST(CAST(CAST(w[{j + 1}] AS DOUBLE)/{token_scale!r} * {hann[j]} "
@@ -98,7 +106,7 @@ def kernel_sql(
     did = "CAST(doc_id AS VARCHAR) AS doc_id" if doc_id_varchar else "doc_id"
     ctes = [
         frames_cte(frame_length, hop),
-        f"a AS (SELECT {did}, frame_idx, {wd} FROM f)",
+        f"a AS MATERIALIZED (SELECT {did}, frame_idx, {wd} FROM f)",
     ]
     out_cols = [
         "doc_id",
@@ -129,10 +137,10 @@ def kernel_sql(
             spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
         ssum = " + ".join(f"s{k}" for k in range(nb))
         ctes.append(
-            f"b AS (SELECT *, {', '.join(spec_cols)} FROM a)"
+            f"b AS MATERIALIZED (SELECT *, {', '.join(spec_cols)} FROM a)"
         )
         ctes.append(
-            f"cc AS (SELECT *, ({ssum}) AS ssum, "
+            f"cc AS MATERIALIZED (SELECT *, ({ssum}) AS ssum, "
             f"(CASE WHEN ({ssum})=0 THEN 1 ELSE ({ssum}) END) AS safe, "
             f"{zero} AS zero_spec, "
             f"({' + '.join(f's{k}*{float(freqs[k])!r}' for k in range(nb))})"
@@ -159,12 +167,22 @@ def kernel_sql(
                 )
             )
         if "spectral_flatness" in fset:
-            gl = " + ".join(f"ln(s{k} + {EPS!r})" for k in range(nb))
+            # scale-relative EPS floor — must mirror kernel.py exactly
+            smax = "greatest(" + ", ".join(f"s{k}" for k in range(nb)) + ")"
+            eps_r = (
+                f"({EPS!r} * (CASE WHEN {smax} > 0 THEN {smax} ELSE 1.0 END))"
+            )
+            gl = " + ".join(f"ln(s{k} + eps_r)" for k in range(nb))
             out_cols.append(
                 nullable(
                     f"round(exp(({gl})/{nb}.0) / (ssum/{nb}.0 + {EPS!r}), 6)",
                     "spectral_flatness",
                 )
+            )
+            # eps_r lives on the cc level so ln() terms reference one value
+            assert ctes[-1].endswith("AS centroid FROM b)")
+            ctes[-1] = ctes[-1].replace(
+                " FROM b)", f", {eps_r} AS eps_r FROM b)"
             )
         if "spectral_rolloff" in fset:
             acc: list[str] = []
@@ -192,7 +210,7 @@ def kernel_sql(
                 mel_cols.append(
                     f"ln(({' + '.join(terms) if terms else '0.0'}) + {EPS!r}) AS lm{m}"
                 )
-            ctes.append(f"mm AS (SELECT *, {', '.join(mel_cols)} FROM cc)")
+            ctes.append(f"mm AS MATERIALIZED (SELECT *, {', '.join(mel_cols)} FROM cc)")
             last_cte = "mm"
             for i in range(N_MFCC):
                 expr = " + ".join(f"lm{m}*{dct[i, m]!r}" for m in range(n_mels))

@@ -151,7 +151,15 @@ def _kernel_batch(
             bw = np.sqrt(np.clip(var, 0.0, None))
             out["spectral_bandwidth"] = np.where(ssum > 1e-10, bw, 0.0)
         if "spectral_flatness" in fset:
-            gm = np.exp(np.mean(np.log(spec + EPS), axis=1))
+            # scale-RELATIVE floor (EPS * max bin), not absolute EPS: bins
+            # at exact DFT zeros carry ~1e-17 algorithm-dependent noise,
+            # and ln(noise + absolute_EPS) swings by ln(2) per bin — a
+            # relative floor dominates the noise identically everywhere
+            # (deviation from reference processors.py:167 documented; the
+            # numpy golden + DuckDB twin use the same floor)
+            mx = spec.max(axis=1, keepdims=True)
+            eps_r = EPS * np.where(mx > 0, mx, 1.0)
+            gm = np.exp(np.mean(np.log(spec + eps_r), axis=1))
             out["spectral_flatness"] = gm / (np.mean(spec, axis=1) + EPS)
         if "spectral_rolloff" in fset:
             energy = spec**2

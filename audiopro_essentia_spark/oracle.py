@@ -189,8 +189,12 @@ def frame_features(
     else:
         bandwidth = 0.0
 
-    # flatness = geometric mean / arithmetic mean (es.Flatness, :234-238)
-    flatness = float(np.exp(np.mean(np.log(spec + EPS))) / (np.mean(spec) + EPS))
+    # flatness = geometric mean / arithmetic mean (es.Flatness, :234-238);
+    # scale-relative floor EPS*max(spec) — see kernel.py rationale
+    _eps_r = EPS * (spec.max() if spec.max() > 0 else 1.0)
+    flatness = float(
+        np.exp(np.mean(np.log(spec + _eps_r))) / (np.mean(spec) + EPS)
+    )
 
     # rolloff: frequency below which 85% of spectral ENERGY lies
     # (es.RollOff default cutoff 0.85, :240-244)
