@@ -592,6 +592,19 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Multimodal: frame sampling over binary payloads — n evenly-strided
+    byte windows per payload, md5-fingerprinted. Pure JVM expressions (no
+    Python); hash-checked against a byte-true DuckDB twin."""
+    from audiopro_essentia_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_media_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return sample_media_frames(attach_binary_payload(d), n_frames=4, frame_bytes=64)
+
+
 def q_streaming_session(spark, sf_dir):
     """Structured Streaming: session_window sessionization driven to
     completion on a bounded file stream (rows-only)."""
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhythm": q_rhythm,
         "fused_pipeline": q_fused_pipeline,
         "multimodal": q_multimodal,
+        "media_frames": q_media_frames,
         "streaming_session": q_streaming_session,
     }
 
@@ -869,6 +883,7 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         ),
         "rhythm": DT.rhythm_sql(KF_, KH_, KSR_, KSCALE_),
         "multimodal": DT.multimodal_sql(hist_bins=16),
+        "media_frames": DT.media_frames_sql(n_frames=4, frame_bytes=64),
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "streaming_session": DT.streaming_session_sql(gap_seconds=1800),
         "embed_neardup": f"""

@@ -496,3 +496,30 @@ SELECT * FROM (
   WHERE a.vec_id < {max_query_id}
 ) WHERE rank <= {k}
 """
+
+
+def media_frames_sql(n_frames: int = 4, frame_bytes: int = 64) -> str:
+    """DuckDB twin of multimodal.sample_media_frames: byte-true slices via
+    hex(encode(text)) surgery (DuckDB md5 takes VARCHAR only; decode of a
+    from_hex slice reproduces the exact payload bytes for UTF-8-aligned
+    offsets — the fixture corpus is ASCII, so every offset aligns)."""
+    h32 = H32.format(x="text")
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+    (['image','audio','video'])[(({h32}) % 3) + 1] AS media_type,
+    octet_length(encode(text)) AS n_bytes,
+    hex(encode(text)) AS hx
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, media_type, n_bytes, hx,
+    CAST(i AS INT) AS frame_no,
+    i * greatest(n_bytes // {n_frames}, 1) + 1 AS byte_offset
+  FROM m, LATERAL UNNEST(generate_series(0, {n_frames - 1})) AS g(i)
+)
+SELECT doc_id, media_type, frame_no,
+  CAST(byte_offset AS BIGINT) AS byte_offset,
+  md5(decode(from_hex(substr(hx, 2*byte_offset - 1, 2*{frame_bytes})))) AS frame_md5
+FROM fr WHERE byte_offset + {frame_bytes} - 1 <= n_bytes
+"""

@@ -96,3 +96,38 @@ def extract_media_features(
             )
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def sample_media_frames(
+    media: DataFrame, n_frames: int = 4, frame_bytes: int = 64
+) -> DataFrame:
+    """Frame-sampling over opaque binary payloads — the video
+    frame-extraction analog: n_frames evenly-strided byte windows per
+    payload, each fingerprinted. Pure JVM expressions (sequence/explode/
+    substring/md5 on binary) — NO Python in this path; a real decoder
+    would replace the slice with a keyframe extractor, everything else
+    (stride plan, schema, checksums) is the production shape."""
+    stride = F.greatest(
+        F.floor(F.col("n_bytes") / F.lit(n_frames)).cast("long"), F.lit(1).cast("long")
+    )
+    frames = media.select(
+        "doc_id",
+        "media_type",
+        "payload",
+        "n_bytes",
+        stride.alias("_stride"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.lit(n_frames - 1))
+        ).alias("frame_no", "_i"),
+    ).withColumn("_off", F.col("_i") * F.col("_stride") + 1)
+    # only frames fully inside the payload (tail truncation, same rule as
+    # the token framing)
+    inside = F.col("_off") + frame_bytes - 1 <= F.col("n_bytes")
+    sliced = F.expr(f"substring(payload, _off, {frame_bytes})")
+    return frames.filter(inside).select(
+        "doc_id",
+        "media_type",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.col("_off").cast("long").alias("byte_offset"),
+        F.md5(sliced).alias("frame_md5"),
+    )
