@@ -74,7 +74,14 @@ def make_sequences(
     # ListArray.from_arrays: zero-copy-ish token column build (tolist() on
     # hundreds of millions of ints took minutes)
     lengths = np.array([len(t) for t in tokens], dtype=np.int64)
-    offsets = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+    offsets64 = np.concatenate([[0], np.cumsum(lengths, dtype=np.int64)])
+    if offsets64[-1] > np.iinfo(np.int32).max:
+        # pa.ListArray offsets are int32; silent wrap would corrupt tokens
+        raise ValueError(
+            f"fixture too large for int32 list offsets "
+            f"({offsets64[-1]} total tokens > 2^31-1); build in chunks"
+        )
+    offsets = offsets64.astype(np.int32)
     values = (
         np.concatenate(tokens) if len(tokens) else np.empty(0, dtype=np.int32)
     )

@@ -105,9 +105,13 @@ def fused_frame_features(
                 frame_idx_parts.append(np.arange(nf, dtype=np.int32))
                 win_parts.append(wins)
                 if has_ts:
-                    base = np.int64(
-                        pd.Timestamp(pdf["base_ts"].iloc[i]).value // 1000
-                    )
+                    ts_val = pdf["base_ts"].iloc[i]
+                    if pd.isna(ts_val):
+                        # NULL base_ts must yield NULL timestamps, not the
+                        # NaT int64 sentinel turned into a 1677-era instant
+                        base = np.int64(np.iinfo(np.int64).min)
+                    else:
+                        base = np.int64(pd.Timestamp(ts_val).value // 1000)
                     base_us_parts.append(np.full(nf, base, dtype=np.int64))
 
             if not doc_ids:
@@ -141,17 +145,31 @@ def fused_frame_features(
                     # .5 µs ties (power-of-two sample rates) from the
                     # frame_tokens path — keep ONE rounding rule.
                     bu = base_us[lo:hi]
-                    out["event_ts"] = pd.to_datetime(
-                        bu
-                        + np.floor(start * 1e6 / sample_rate + 0.5).astype(np.int64),
-                        unit="us",
+                    null_ts = bu == np.iinfo(np.int64).min
+                    ev = pd.Series(
+                        pd.to_datetime(
+                            np.where(null_ts, 0, bu)
+                            + np.floor(start * 1e6 / sample_rate + 0.5).astype(
+                                np.int64
+                            ),
+                            unit="us",
+                        )
                     )
                     last = start + frame_length - 1
-                    out["available_ts"] = pd.to_datetime(
-                        bu
-                        + np.floor(last * 1e6 / sample_rate + 0.5).astype(np.int64),
-                        unit="us",
+                    av = pd.Series(
+                        pd.to_datetime(
+                            np.where(null_ts, 0, bu)
+                            + np.floor(last * 1e6 / sample_rate + 0.5).astype(
+                                np.int64
+                            ),
+                            unit="us",
+                        )
                     )
+                    if null_ts.any():
+                        ev[null_ts] = pd.NaT
+                        av[null_ts] = pd.NaT
+                    out["event_ts"] = ev
+                    out["available_ts"] = av
                 for name, _t in fields:
                     if name == "ferror":
                         out[name] = pd.Series(

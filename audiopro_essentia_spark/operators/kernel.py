@@ -255,7 +255,9 @@ def make_frame_kernel(
     ddl = ", ".join(f"{n}: {t}" for n, t in fields)
 
     @pandas_udf(ddl)
-    def _udf(wins: pd.Series) -> pd.DataFrame:
+    # params unannotated: `from __future__ import annotations` turns
+    # annotations into strings, which pandas_udf inspection may reject
+    def _udf(wins):
         if len(wins) == 0:
             return pd.DataFrame({n: pd.Series(dtype=object) for n, _ in fields})
         W = np.stack(wins.to_numpy())
@@ -333,14 +335,11 @@ def rms_volume_exprs(
     window_col: str = "window",
     frame_length: int = FRAME_LENGTH,
     token_scale: float = TOKEN_SCALE,
-    windowed: bool = False,
 ) -> dict[str, Column]:
     """rms = sqrt(mean(x^2)), volume = 20*log10(rms+eps)
-    (processors.py:168,177) as native Spark expressions.
-
-    `windowed=False` computes on the raw scaled tokens (no Hann) — used for
-    the SQL-oracle-checkable queries where the oracle must express the same
-    thing in DuckDB."""
+    (processors.py:168,177) as native Spark expressions, computed on the
+    RAW scaled tokens (no Hann) — the SQL-oracle-checkable slice; the
+    Hann-windowed values come from the kernel itself."""
     x = F.transform(
         F.col(window_col), lambda v: v.cast("double") / F.lit(token_scale)
     )

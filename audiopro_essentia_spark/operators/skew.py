@@ -74,8 +74,13 @@ def salted_broadcast_join(
     """Skew-proof equi-join: salt the big side, replicate the small side
     across all salts, equi-join on (key, salt). With broadcast(small) this
     is shuffle-free; without, the salt spreads any hot key over n_salts
-    reducers."""
-    big_s = with_salt(big, n_salts, on)
+    reducers.
+
+    The salt hashes the FULL row, never the join key alone — a key-derived
+    salt is one constant per key, which would put every row of the hot key
+    back on a single (key, salt) reducer (byte-identical duplicate rows
+    still collide; that is the only residual skew)."""
+    big_s = with_salt(big, n_salts, None)
     salts = small.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )

@@ -84,7 +84,11 @@ def frame_available_offset_us(
     """Leakage-free availability time offset in µs: the frame END
     (SURVEY.md §1.3 — a frame reads F-1 samples past its start time)."""
     last = start_sample + frame_idx * hop + frame_length - 1
-    return int(round(last / sample_rate * 1e6))
+    # floor(x+0.5) == the engine's HALF_UP (F.round / fused floor+0.5);
+    # Python round() is banker's and diverges on exact .5 µs ties
+    import math
+
+    return int(math.floor(last / sample_rate * 1e6 + 0.5))
 
 
 # --------------------------------------------------------------------------

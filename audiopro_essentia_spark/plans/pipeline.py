@@ -77,7 +77,7 @@ def analyze_sequences(
         raw = raw.persist()
 
     # one vectorized pass: doc stats + quarantine verdict (A12-A14 + S2/S3)
-    profile = doc_profile_fused(raw)
+    profile = doc_profile_fused(raw, frame_length=frame_length)
     quarantined = profile.filter(F.col("reject_reason").isNotNull())
     doc_meta = profile.filter(F.col("reject_reason").isNull()).drop("reject_reason")
 
@@ -99,13 +99,14 @@ def analyze_sequences(
     else:
         from ..operators.aggregates import split_quarantine
 
-        ok, _bad = split_quarantine(raw)
+        ok, _bad = split_quarantine(raw, frame_length=frame_length)
         frames = frame_tokens(
             ok,
             frame_length=frame_length,
             hop=hop,
             sample_rate=sample_rate,
             start_sample=start_sample,
+            base_ts_col="base_ts" if "base_ts" in ok.columns else None,
         )
         feats = with_frame_features(
             frames,

@@ -236,8 +236,12 @@ class CheckpointedWriter:
             stats["committed"].append(b)
             stats["total_rows"] += m["row_count"]
             stats["total_errors"] += m["error_count"]
-        with open(os.path.join(self.out_dir, "_SUCCESS.json"), "w") as fh:
-            json.dump(stats, fh)
+        success = os.path.join(self.out_dir, "_SUCCESS.json")
+        if len(self.committed_buckets()) == self.n_buckets:
+            with open(success, "w") as fh:
+                json.dump(stats, fh)
+        elif os.path.exists(success):
+            os.remove(success)  # partial dataset must not look complete
         return stats
 
     def _read_buckets(self, spark, buckets) -> DataFrame | None:

@@ -109,3 +109,25 @@ def test_fused_timestamps_half_up_on_exact_ties(spark):
         ).collect()
     }
     assert fused == framed and len(fused) > 10
+
+
+def test_fused_null_base_ts_yields_null_timestamps(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "tokens": [list(range(32)), list(range(32))],
+            "base_ts": [pd.Timestamp("2024-01-01"), None],
+        }
+    )
+    df = spark.createDataFrame(tbl.to_pandas())
+    rows = fused_frame_features(
+        df, features=("rms",), frame_length=8, hop=4
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.event_ts, r.available_ts))
+    assert all(e is not None and a is not None for e, a in by_doc["a"])
+    assert all(e is None and a is None for e, a in by_doc["b"])

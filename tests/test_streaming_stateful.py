@@ -109,3 +109,39 @@ def test_foreachbatch_checkpointed_sink_exactly_once(spark, tmp_path):
     back = read_epochs(spark, out)
     assert back.count() == n_in
     assert back.select("event_id").distinct().count() == n_in
+
+
+def test_pipeline_respects_custom_frame_length(spark, tmp_path):
+    """--frame-length must flow into quarantine/doc_meta/expected_frames,
+    not just the framing: a 1000-token doc is valid at F=512 (regression:
+    it was quarantined by the default F=2048 while frames were emitted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from audiopro_essentia_spark.plans.pipeline import analyze_sequences
+
+    tbl = pa.table(
+        {
+            "doc_id": ["short", "long"],
+            "tokens": pa.array(
+                [list(range(1, 1001)), list(range(1, 5001))],
+                type=pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([1000, 5000], type=pa.int32()),
+            "source": ["wiki", "wiki"],
+            "base_ts": pa.array([pd.Timestamp("2026-01-01")] * 2),
+        }
+    )
+    p = str(tmp_path / "seqs.parquet")
+    pq.write_table(tbl, p)
+    for fused in (True, False):
+        res = analyze_sequences(
+            spark, p, frame_length=512, hop=128,
+            out_dir=str(tmp_path / f"out_{fused}"), n_buckets=2, fused=fused,
+        )
+        assert res["quarantine"].count() == 0, fused
+        st = res["write_stats"]
+        # both docs frame at F=512: (1000-512)//128+1 + (5000-512)//128+1
+        assert st["total_rows"] == 4 + 36, (fused, st)
+        assert st["completion_ratio"] == 1.0, (fused, st)

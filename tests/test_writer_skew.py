@@ -169,3 +169,21 @@ def test_stale_bucket_data_cleared_on_resume(spark, small_df, tmp_path):
     assert rec3["row_count"] == 0
     back = CheckpointedWriter(out, n_buckets=4).read(spark)
     assert back.count() == n2
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The big side's salt must derive from row CONTENT: a key-derived salt
+    is constant per key and the hot key stays on one reducer."""
+    from audiopro_essentia_spark.operators.skew import with_salt
+
+    big = spark.range(1000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    n = (
+        with_salt(big, 8)
+        .filter(F.col("k") == "hot")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n == 8
