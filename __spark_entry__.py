@@ -592,6 +592,16 @@ def q_multimodal(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Sampling: deterministic content-hash train/val/test split (80/10/10)
+    — reproducible across engines/reruns, exact DuckDB twin."""
+    from audiopro_essentia_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
 def q_media_frames(spark, sf_dir):
     """Multimodal: frame sampling over binary payloads — n evenly-strided
     byte windows per payload, md5-fingerprinted. Pure JVM expressions (no
@@ -691,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_pipeline": q_fused_pipeline,
         "multimodal": q_multimodal,
         "media_frames": q_media_frames,
+        "hash_split": q_hash_split,
         "streaming_session": q_streaming_session,
     }
 
@@ -884,6 +895,13 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         "rhythm": DT.rhythm_sql(KF_, KH_, KSR_, KSCALE_),
         "multimodal": DT.multimodal_sql(hist_bins=16),
         "media_frames": DT.media_frames_sql(n_frames=4, frame_bytes=64),
+        "hash_split": """
+SELECT doc_id,
+  CASE WHEN ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1000 < 800 THEN 'train'
+       WHEN ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1000 < 900 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "streaming_session": DT.streaming_session_sql(gap_seconds=1800),
         "embed_neardup": f"""

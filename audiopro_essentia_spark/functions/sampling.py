@@ -1,0 +1,65 @@
+"""Deterministic, portable sampling / split assignment for training-data
+pipelines.
+
+Random sampling (df.sample / sampleBy) is seed-reproducible only within one
+Spark version+partitioning; corpus pipelines instead derive sampling
+decisions from a CONTENT hash so that (a) reruns, backfills, and different
+engines agree row-by-row, and (b) a doc's split never changes as the corpus
+grows. Both helpers use the engine's portable md5-prefix hash, so every
+decision has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash32
+
+# hash space is 32 bits; bucket to per-mille for split arithmetic
+_BUCKETS = 1000
+
+
+def hash_bucket(key: Column, salt: str = "") -> Column:
+    """Stable per-mille bucket in [0, 1000) from the portable hash of
+    (key || salt). Different salts give independent bucketings."""
+    return F.pmod(
+        portable_hash32(F.concat(key.cast("string"), F.lit(salt))),
+        F.lit(_BUCKETS),
+    )
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Deterministic ~fraction sample: keep rows whose hash bucket falls
+    below fraction*1000. Same rows selected on every engine and every
+    rerun; sampling error is the usual binomial, selection bias is none
+    (md5 is uniform over the key space)."""
+    return df.filter(
+        hash_bucket(F.col(key_col), salt) < F.lit(int(round(fraction * _BUCKETS)))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: contiguous per-mille bucket
+    ranges in the given order. Exhaustive and disjoint by construction;
+    a key's split never changes when other rows come or go."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0 (got {total})")
+    b = hash_bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        hi = int(round(cum * _BUCKETS))
+        cond = b < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(split_col, expr)

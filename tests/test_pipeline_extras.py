@@ -280,3 +280,26 @@ def test_jaccard_cap_still_exact_for_large_identical_groups(spark):
     got = ngram_jaccard_pairs(df, threshold=0.9, max_df=20).collect()
     assert len(got) == 60 * 59 // 2
     assert all(r.jaccard == 1.0 for r in got)
+
+
+def test_hash_split_and_sample_determinism(spark, docs):
+    from audiopro_essentia_spark.functions.sampling import hash_sample, hash_split
+
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n  # exhaustive + disjoint
+    assert counts["train"] > 0.6 * n  # ~80% within binomial noise
+    # assignment is a pure function of doc_id: rerun identical
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    # sample: fraction honored approximately, subset deterministic
+    s1 = {r.doc_id for r in hash_sample(docs, 0.25).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, 0.25).select("doc_id").collect()}
+    assert s1 == s2
+    assert 0.1 * n < len(s1) < 0.4 * n
+    # different salt -> different (independent) selection
+    s3 = {r.doc_id for r in hash_sample(docs, 0.25, salt="v2").select("doc_id").collect()}
+    assert s3 != s1
