@@ -50,7 +50,7 @@ KMELS_ = 7  # min(N_MELS, max(2, KF_//2 - 1)) — kernel.make_frame_kernel
 KERNEL_FEATURES = (
     "rms", "volume", "zero_crossing_rate", "spectral_centroid",
     "spectral_bandwidth", "spectral_flatness", "spectral_rolloff",
-    "mfcc", "frequency_bands",
+    "mfcc", "chroma", "frequency_bands",
 )
 FUSED_FEATURES = ("rms", "volume", "spectral_centroid", "mfcc")
 GAP = 1800.0  # sessionization gap (seconds)
@@ -86,11 +86,18 @@ def _project_kernel_scalars(
         F.col("frame_idx"),
         F.round("time_ms", 6).alias("time_ms"),
     ]
+    from audiopro_essentia_spark.constants import N_CHROMA
+
     for f in feats:
         if f == "mfcc":
             cols.extend(
                 F.round(F.element_at("mfcc", i + 1), 6).alias(f"mfcc_{i}")
                 for i in range(n_mfcc)
+            )
+        elif f == "chroma":
+            cols.extend(
+                F.round(F.element_at("chroma", i + 1), 6).alias(f"chroma_{i}")
+                for i in range(N_CHROMA)
             )
         elif f == "frequency_bands":
             src = (

@@ -215,6 +215,49 @@ def kernel_sql(
             for i in range(N_MFCC):
                 expr = " + ".join(f"lm{m}*{dct[i, m]!r}" for m in range(n_mels))
                 out_cols.append(nullable(f"round({expr}, 6)", f"mfcc_{i}"))
+        if "chroma" in fset:
+            # peak-fold: interior local maxima folded onto pitch classes;
+            # stable vs rfft only because the snapped twiddles make the
+            # spectra agree to ~1e-15 (verified 0 flips over 56k frames)
+            pc_onehot = c["pc_onehot"]
+            peak = {
+                k: (
+                    f"(s{k} > s{k - 1} AND s{k} >= s{k + 1} AND s{k} > 1e-10)"
+                )
+                for k in range(1, nb - 1)
+            }
+            raw_cols = []
+            for p in range(pc_onehot.shape[1]):
+                terms = [
+                    f"(CASE WHEN {peak[k]} THEN s{k} ELSE 0.0 END)"
+                    for k in range(1, nb - 1)
+                    if pc_onehot[k - 1, p] != 0
+                ]
+                raw_cols.append(
+                    f"({' + '.join(terms) if terms else '0.0'}) AS cr{p}"
+                )
+            ctes.append(
+                f"ch AS MATERIALIZED (SELECT *, {', '.join(raw_cols)} "
+                f"FROM {last_cte})"
+            )
+            last_cte = "ch"
+            cmax = (
+                "greatest("
+                + ", ".join(f"cr{p}" for p in range(pc_onehot.shape[1]))
+                + ")"
+            )
+            ctes.append(
+                f"chm AS MATERIALIZED (SELECT *, {cmax} AS cmax FROM ch)"
+            )
+            last_cte = "chm"
+            for p in range(pc_onehot.shape[1]):
+                out_cols.append(
+                    nullable(
+                        f"round(CASE WHEN cmax > 0 THEN cr{p}/cmax "
+                        f"ELSE 0.0 END, 6)",
+                        f"chroma_{p}",
+                    )
+                )
         if "frequency_bands" in fset:
             for name in BAND_NAMES:
                 li, hi = c["band_idx"][name]
