@@ -609,6 +609,20 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def q_curate(spark, sf_dir):
+    """End-to-end corpus curation plan (quality gate -> lang filter ->
+    exact-dup collapse -> near-dup cluster collapse -> hash split) —
+    value-checked against a composed DuckDB twin."""
+    from audiopro_essentia_spark.plans.curate import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate_corpus(d, min_quality=0.3, langs=("en",))
+    return out.select(
+        "doc_id", F.round("quality_score", 6).alias("quality_score"),
+        "lang_pred", "split",
+    )
+
+
 def q_media_frames(spark, sf_dir):
     """Multimodal: frame sampling over binary payloads — n evenly-strided
     byte windows per payload, md5-fingerprinted. Pure JVM expressions (no
@@ -709,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal": q_multimodal,
         "media_frames": q_media_frames,
         "hash_split": q_hash_split,
+        "curate": q_curate,
         "streaming_session": q_streaming_session,
     }
 
@@ -902,6 +917,7 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         "rhythm": DT.rhythm_sql(KF_, KH_, KSR_, KSCALE_),
         "multimodal": DT.multimodal_sql(hist_bins=16),
         "media_frames": DT.media_frames_sql(n_frames=4, frame_bytes=64),
+        "curate": DT.curate_sql(min_quality=0.3, langs=("en",), k=16, bands=4),
         "hash_split": """
 SELECT doc_id,
   CASE WHEN ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1000 < 800 THEN 'train'

@@ -345,7 +345,7 @@ FROM documents d LEFT JOIN res r ON d.doc_id = r.doc_id
 # ---------------------------------------------------------------------------
 
 
-def minhash_sql(k: int, bands: int, ngram: int = 3) -> str:
+def minhash_sql(k: int, bands: int, ngram: int = 3, table: str = "documents") -> str:
     """DuckDB twin of minhash_lsh_candidates (portable md5-prefix hashes)."""
     params = _minhash_params(k)
     rows = k // bands
@@ -366,7 +366,7 @@ WITH sh AS (
   SELECT doc_id, array_distinct(list_transform(
     generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),
     i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')
-  )) AS shingles FROM documents
+  )) AS shingles FROM {table}
 ),
 hs AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh),
 sig AS (SELECT doc_id, [{", ".join(sig_terms)}] AS sig FROM hs),
@@ -565,4 +565,78 @@ SELECT doc_id, media_type, frame_no,
   CAST(byte_offset AS BIGINT) AS byte_offset,
   md5(decode(from_hex(substr(hx, 2*byte_offset - 1, 2*{frame_bytes})))) AS frame_md5
 FROM fr WHERE byte_offset + {frame_bytes} - 1 <= n_bytes
+"""
+
+
+def curate_sql(
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    k: int = 16,
+    bands: int = 4,
+    weights: tuple[tuple[str, float], ...] = (
+        ("train", 0.8), ("val", 0.1), ("test", 0.1),
+    ),
+) -> str:
+    """Twin of plans.curate.curate_corpus: quality gate -> language filter
+    -> exact-dup min-id collapse -> near-dup cluster collapse (recursive
+    closure over MinHash pairs of the SURVIVING set) -> hash split."""
+    sw = {
+        "en": "['the','a','and','of','to','in','is','that','it','for']",
+        "de": "['der','die','das','und','zu','ist','nicht','ein','mit','von']",
+        "fr": "['le','la','et','de','un','est','pas','une','pour','que']",
+    }
+    score = (
+        lambda lst: "round(CAST(len(list_filter(string_split(text,' '), "
+        f"w -> list_contains({lst}, w))) AS DOUBLE)"
+        " / CAST(len(string_split(text,' ')) AS DOUBLE), 9)"
+    )
+    lang_case = f"""CASE WHEN greatest({score(sw['en'])}, {score(sw['de'])}, {score(sw['fr'])}) = 0 THEN 'und'
+        WHEN {score(sw['fr'])} >= {score(sw['en'])} AND {score(sw['fr'])} >= {score(sw['de'])} THEN 'fr'
+        WHEN {score(sw['en'])} >= {score(sw['de'])} THEN 'en'
+        ELSE 'de' END"""
+    quality = f"""round(0.4 * least((CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw['en']}, w))) AS DOUBLE)
+        / CAST(len(string_split(text,' ')) AS DOUBLE)) * 4.0, 1.0)
+      + 0.3 * (1.0 - least(abs(list_sum(list_transform(string_split(text,' '), w -> CAST(length(w) AS DOUBLE)))
+        / CAST(len(string_split(text,' ')) AS DOUBLE) - 5.0) / 10.0, 1.0))
+      + 0.15 * (1.0 - least(((CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE))
+        / CAST(length(text) AS DOUBLE)) * 5.0, 1.0))
+      + 0.15 * (1.0 - least(((CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE))
+        / CAST(length(text) AS DOUBLE)) * 5.0, 1.0)), 6)"""
+    langs_in = ", ".join(f"'{l}'" for l in langs)
+    pairs = minhash_sql(k=k, bands=bands, table="surv")
+    h32d = H32.format(x="CAST(s.doc_id AS VARCHAR) || ''")
+    split_case = []
+    cum = 0.0
+    for name, w in weights:
+        cum += w
+        split_case.append(
+            f"WHEN ({h32d}) % 1000 < {int(round(cum * 1000))} THEN '{name}'"
+        )
+    split = "CASE " + " ".join(split_case) + " END"
+    return f"""
+WITH RECURSIVE
+g AS MATERIALIZED (
+  SELECT doc_id, text, {quality} AS quality_score, {lang_case} AS lang_pred
+  FROM documents
+),
+gated AS (SELECT * FROM g
+  WHERE quality_score >= {min_quality!r} AND lang_pred IN ({langs_in})),
+hh AS (SELECT doc_id, md5(text) AS _h FROM gated),
+canon AS (SELECT _h, min(doc_id) AS _keep FROM hh GROUP BY _h),
+surv AS (SELECT gated.* FROM gated
+  JOIN hh USING (doc_id) JOIN canon USING (_h)
+  WHERE doc_id = _keep),
+prs AS (SELECT * FROM ({pairs}) q),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b AS a, id_a AS b FROM prs),
+reach(id, lab) AS (
+  SELECT DISTINCT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON r.id = e.a
+),
+losers AS (SELECT id AS doc_id FROM reach GROUP BY id
+           HAVING CAST(id AS BIGINT) <> min(lab))
+SELECT s.doc_id AS doc_id, s.quality_score, s.lang_pred, {split} AS split
+FROM surv s LEFT JOIN losers l ON s.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
 """

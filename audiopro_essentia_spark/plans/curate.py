@@ -1,0 +1,82 @@
+"""End-to-end corpus curation — the training-data user story in one
+composable plan: quality gate -> language filter -> exact-dup collapse ->
+near-dup cluster collapse -> deterministic split assignment.
+
+Every stage is an existing engine operator (functions/text.py,
+operators/dedup.py, functions/sampling.py) composed declaratively, so
+Catalyst fuses the scalar gates into ONE scan pass; only the dedup stages
+shuffle (hash-agg on the md5 digest + the MinHash band join). The whole
+plan is SQL-expressible, so the driver checks it value-exactly against a
+DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.sampling import hash_split
+from ..operators import dedup as D
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    langs: tuple[str, ...] = ("en",),
+    near_dup: bool = True,
+    minhash_k: int = 16,
+    minhash_bands: int = 4,
+    split_weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surviving docs with their curation verdicts.
+
+    A doc survives iff: quality_score >= min_quality, predicted language in
+    `langs`, it is the canonical (min-id) member of its exact-dup group,
+    and (when near_dup) the canonical member of its MinHash near-dup
+    cluster. Output: id_col, quality_score, lang_pred, split.
+
+    Scale shape: the gates are narrow scan expressions; exact dedup is one
+    hash-agg on a 16-byte digest; near-dup is the banded MinHash join +
+    connected components over candidate pairs only (already-filtered
+    corpus). Survivor selection uses broadcast anti-joins of the tiny
+    non-canonical id lists where possible — at 10^12 docs the reject lists
+    are data-dependent, so they flow through ordinary shuffled anti-joins
+    that AQE sizes at runtime.
+    """
+    gated = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        T.quality_score(F.col(text_col)).alias("quality_score"),
+        T.lang_id(F.col(text_col)).alias("lang_pred"),
+    ).filter(
+        (F.col("quality_score") >= F.lit(min_quality))
+        & F.col("lang_pred").isin(*langs)
+    )
+
+    # exact-dup collapse: keep min id per md5 group
+    h = gated.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    canon = h.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+    exact_kept = h.join(canon, "_h").filter(
+        F.col(id_col) == F.col("_keep")
+    ).select(id_col)
+    survivors = gated.join(exact_kept, id_col)
+
+    if near_dup:
+        # near-dup clusters over the surviving set; drop non-canonical
+        clusters = D.dedup_clusters(
+            survivors, text_col=text_col, id_col=id_col,
+            k=minhash_k, bands=minhash_bands,
+        )
+        losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(
+            id_col
+        )
+        survivors = survivors.join(losers, id_col, "left_anti")
+
+    out = hash_split(
+        survivors, split_weights or {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col=id_col,
+    )
+    return out.select(id_col, "quality_score", "lang_pred", "split")

@@ -303,3 +303,28 @@ def test_hash_split_and_sample_determinism(spark, docs):
     # different salt -> different (independent) selection
     s3 = {r.doc_id for r in hash_sample(docs, 0.25, salt="v2").select("doc_id").collect()}
     assert s3 != s1
+
+
+def test_curate_corpus_end_to_end(spark, docs):
+    """Quality gate + lang filter + exact/near-dup collapse + split: planted
+    exact dup and near-dup lose to their canonical doc; split exhaustive."""
+    from audiopro_essentia_spark.plans.curate import curate_corpus
+
+    base = docs.limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            (900001, base.text),                      # exact dup of base
+            (900002, base.text + " tail"),            # near dup of base
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text")) \
+     .withColumn("lang", F.lit(base.lang)) \
+     .withColumn("source", F.lit(base.source))
+    d2 = docs.unionByName(extra.select(*docs.columns))
+    out = curate_corpus(d2, min_quality=0.0, langs=("en", "de", "fr", "und"))
+    ids = {r.doc_id for r in out.collect()}
+    assert base.doc_id in ids
+    assert 900001 not in ids  # exact dup collapsed
+    assert 900002 not in ids  # near-dup cluster collapsed
+    splits = {r.split for r in out.collect()}
+    assert splits <= {"train", "val", "test"}
