@@ -70,8 +70,9 @@ def kernel_sql(
     doc_id_varchar: bool = False,
 ) -> str:
     """DuckDB twin of frame_tokens + with_frame_features for the scalar +
-    mfcc_i + fb_* projection (chroma excluded: its peak-compare folds flip
-    on 1e-15 spectrum differences)."""
+    mfcc_i + chroma_i + fb_* projection. The chroma peak-fold is stable
+    only because the snapped symmetry twiddles keep both spectra within
+    ~1e-15 (see below)."""
     c = _consts(frame_length, sample_rate, n_mels)
     hann = [repr(float(v)) for v in c["hann"]]
     freqs = c["freqs"]
