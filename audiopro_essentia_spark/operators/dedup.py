@@ -124,6 +124,30 @@ def make_minhash_band_udf(k: int, bands: int):
     return _bands
 
 
+def _bucket_pairs(ids: Column, max_bucket: int) -> Column:
+    """All (a < b) pairs from a SORTED id array — or, past `max_bucket`,
+    the linear star pattern (min-id representative paired with every other
+    member). The star keeps the bucket CONNECTED for downstream
+    connected-components clustering while emitting O(n) instead of O(n^2)
+    rows; a pathological bucket therefore cannot blow up the pair count.
+    (In the curate pipeline exact-dedup runs first, so identical-text
+    degenerate buckets never reach this stage.)"""
+    all_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    star = F.transform(
+        F.slice(ids, 2, F.size(ids) - 1),
+        lambda b: F.struct(F.element_at(ids, 1).alias("id_a"), b.alias("id_b")),
+    )
+    return F.when(F.size(ids) <= max_bucket, all_pairs).otherwise(star)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -131,30 +155,33 @@ def minhash_lsh_candidates(
     k: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) whose MinHash signatures
-    collide in >=1 LSH band. One shuffle on (band, signature)."""
-    udf = make_minhash_band_udf(k, bands)
-    banded = (
-        _spread(df).select(
-            F.col(id_col),
-            udf(word_ngrams(F.col(text_col), ngram)).alias("bsigs"),
-        )
-        .filter(F.col("bsigs").isNotNull())
-        .select(id_col, F.posexplode("bsigs").alias("band", "bsig"))
+    collide in >=1 LSH band.
+
+    Scale shape: ONE Arrow UDF pass over the corpus (the UDF is marked
+    nondeterministic so Catalyst neither duplicates it below the spread
+    exchange via inferred-filter pushdown nor re-evaluates it on a
+    self-join build side — measured 4 ArrowEvalPython nodes collapsing to
+    1), then ONE shuffle into (band, signature) buckets, then in-bucket
+    pair generation (star-capped past `max_bucket`, see _bucket_pairs).
+    Equivalent output to the textbook banded self-join."""
+    udf = make_minhash_band_udf(k, bands).asNondeterministic()
+    banded = _spread(df).select(
+        F.col(id_col),
+        udf(word_ngrams(F.col(text_col), ngram)).alias("bsigs"),
+    ).select(id_col, F.posexplode("bsigs").alias("band", "bsig"))
+    buckets = (
+        banded.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bsig") == F.col("r.bsig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        buckets.select(
+            F.explode(_bucket_pairs(F.col("ids"), max_bucket)).alias("p")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -343,18 +370,28 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
     generation by 16-bit chunk equality (4 chunks: any pair within Hamming 3
-    shares >=1 identical chunk — pigeonhole), then exact popcount verify."""
+    shares >=1 identical chunk — pigeonhole), then exact popcount verify.
+
+    Same single-eval bucket shape as minhash_lsh_candidates: ONE
+    nondeterministic-marked Arrow UDF pass computes the signatures, ONE
+    shuffle into (chunk, chunk-value) buckets, in-bucket pair generation
+    carrying both signatures for the Hamming verify (star-capped past
+    `max_bucket` — star pairs still Hamming-verified, so an oversized
+    bucket degrades recall linearly, never correctness)."""
+    max_bucket = 1024
     sig = (
         _spread(df)
         .select(
             F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("_sh")
         )
         .filter(F.size("_sh") > 0)  # empty docs carry no near-dup signal
-        .select(F.col(id_col), make_simhash_udf(ngram)(F.col("_sh")).alias("sig"))
+        .select(
+            F.col(id_col),
+            make_simhash_udf(ngram).asNondeterministic()(F.col("_sh")).alias("sig"),
+        )
     )
     chunks = sig.select(
-        id_col,
-        "sig",
+        F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -368,20 +405,20 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("cs"),
-    ).select(id_col, "sig", "cs.chunk", "cs.cval")
+    ).select("m", "cs.chunk", "cs.cval")
+    # sort_array on struct(id, sig) orders by id first -> deterministic
+    buckets = (
+        chunks.groupBy("chunk", "cval")
+        .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
     cand = (
-        chunks.alias("l")
-        .join(
-            chunks.alias("r"),
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.cval") == F.col("r.cval"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        buckets.select(F.explode(_bucket_pairs(F.col("ms"), max_bucket)).alias("p"))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.col("p.id_a.id").alias("id_a"),
+            F.col("p.id_b.id").alias("id_b"),
+            F.col("p.id_a.sig").alias("sig_a"),
+            F.col("p.id_b.sig").alias("sig_b"),
         )
         .distinct()
     )
@@ -414,23 +451,20 @@ def embedding_neardup_pairs(
     tiny-N test oracles."""
     from .similarity import cosine_expr, make_lsh_band_udf
 
-    udf = make_lsh_band_udf(n_planes, band_bits, seed)
+    udf = make_lsh_band_udf(n_planes, band_bits, seed).asNondeterministic()
     banded = (
         _spread(df)
         .select(F.col(id_col), udf(F.col(vec_col)).alias("_bands"))
         .select(id_col, F.posexplode("_bands").alias("band", "bval"))
     )
+    # single-eval bucket shape (see minhash_lsh_candidates): one UDF pass,
+    # one shuffle to (band, bval) buckets, in-bucket pairs (star-capped)
     cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bval") == F.col("r.bval"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        banded.groupBy("band", "bval")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"), 1024)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
@@ -544,12 +578,15 @@ def dedup_clusters(
     k: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """End-to-end near-dup grouping: MinHash-LSH candidate pairs ->
     connected components -> (doc_id, cluster_id). Docs with no near-dup
     candidate are singletons and omitted (callers left-join and coalesce
     cluster_id to doc_id)."""
-    pairs = minhash_lsh_candidates(df, text_col, id_col, k, bands, ngram)
+    pairs = minhash_lsh_candidates(
+        df, text_col, id_col, k, bands, ngram, max_bucket
+    )
     return connected_components(pairs).select(
         F.col("id").alias(id_col), "cluster_id"
     )

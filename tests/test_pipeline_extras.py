@@ -328,3 +328,33 @@ def test_curate_corpus_end_to_end(spark, docs):
     assert 900002 not in ids  # near-dup cluster collapsed
     splits = {r.split for r in out.collect()}
     assert splits <= {"train", "val", "test"}
+
+
+def test_lsh_bucket_star_cap_stays_linear_and_connected(spark):
+    """A bucket past max_bucket emits the linear star pattern (min-id x
+    rest), not the quadratic all-pairs set — and the star keeps the group
+    connected for clustering."""
+    from audiopro_essentia_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" tail{i % 2}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(df, k=16, bands=4, max_bucket=4).collect()
+    full = minhash_lsh_candidates(df, k=16, bands=4, max_bucket=1024).collect()
+    # All 8 docs share every band signature bucket in at least one band ->
+    # full is all 28 pairs; capped collapses oversized buckets to stars.
+    assert len(full) == 28
+    assert len(capped) < len(full)
+    assert all(r.id_a == 0 or (r.id_a, r.id_b) in {(c.id_a, c.id_b) for c in full}
+               for r in capped)
+    # connectivity survives the cap: one cluster, canonical min-id 0
+    from audiopro_essentia_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_candidates(df, k=16, bands=4, max_bucket=4)
+    clusters = connected_components(pairs).collect()
+    assert {r.cluster_id for r in clusters} == {0}
+    assert {r.id for r in clusters} == set(range(8))
