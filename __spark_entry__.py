@@ -486,6 +486,17 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Text: Gopher-style intra-doc repetition signals (dup-word /
+    dup-bigram fractions + top-bigram character coverage) — the quality
+    gate corpora run before dedup. Linear explode->count->max-struct plan,
+    never a per-doc O(w^2) expression scan."""
+    from audiopro_essentia_spark.operators.repetition import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_profile(d, ngram=2)
+
+
 def q_lang_id(spark, sf_dir):
     """Text: stopword-hit-rate language ID, counts per language."""
     d = _t(spark, sf_dir, "documents")
@@ -714,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
         "text_quality": q_text_quality,
+        "repetition": q_repetition,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -976,6 +988,33 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_words AS BIGINT) AS n_
       + 0.15 * (1.0 - least(punct_ratio * 5.0, 1.0))
       + 0.15 * (1.0 - least(digit_ratio * 5.0, 1.0)), 6) AS quality_score
 FROM m
+""",
+        "repetition": """
+WITH g AS (
+  SELECT doc_id, text,
+    CASE WHEN len(string_split(text,' ')) - 1 < 1 THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+         i -> array_to_string(list_slice(string_split(text,' '), i, i+1), ' ')) END AS grams
+  FROM documents),
+base AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS nc,
+    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS ndw,
+    CAST(len(grams) AS DOUBLE) AS ng,
+    CAST(len(list_distinct(grams)) AS DOUBLE) AS ndg
+  FROM g),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM ex GROUP BY doc_id, gram),
+top AS (SELECT doc_id, c AS topc, CAST(length(gram) AS DOUBLE) AS topl FROM
+        (SELECT doc_id, gram, c,
+                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+         FROM cnt) WHERE rn = 1)
+SELECT b.doc_id, b.n_words,
+  round(coalesce((CAST(b.n_words AS DOUBLE) - b.ndw) / nullif(CAST(b.n_words AS DOUBLE), 0), 0.0), 6) AS dup_word_frac,
+  round(coalesce((b.ng - b.ndg) / nullif(b.ng, 0), 0.0), 6) AS dup_ngram_frac,
+  round(coalesce(CAST(t.topc AS DOUBLE) * t.topl / nullif(b.nc, 0), 0.0), 6) AS top_ngram_char_frac
+FROM base b LEFT JOIN top t USING (doc_id)
 """,
         "lang_id": f"""
 WITH s AS (

@@ -146,3 +146,16 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
         )
     )
     return F.array_distinct(grams)
+
+
+def raw_word_ngrams(text: Column, n: int = 2) -> Column:
+    """NON-distinct word n-grams, occurrence-preserving — repetition
+    profiling needs the multiset (word_ngrams dedups for shingling)."""
+    ws = words(text)
+    cnt = F.size(ws) - (n - 1)
+    return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+    )

@@ -205,25 +205,26 @@ def _jaccard_candidate_pairs(
     shingles are dropped from CANDIDATE GENERATION only (the exact Jaccard
     verify still uses full shingle sets), so a pair is missed only if ALL
     its shared shingles are boilerplate — near-dups at meaningful
-    thresholds always share specific shingles. The hot list is tiny by
-    construction -> broadcast anti-join, no extra shuffle of the index."""
+    thresholds always share specific shingles.
+
+    Bucket shape (not a self-join): ONE shuffle groups the inverted index
+    by shingle, the df-cap becomes a filter on that same aggregate (no
+    separate hot-list job + anti-join), and pairs are generated in-bucket
+    — the index is built and shuffled once instead of twice."""
     inv = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    buckets = inv.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ids")
+    )
     if max_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select("shingle")
-        )
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        buckets = buckets.filter(F.size("ids") <= max_df)
     return (
-        inv.alias("l")
-        .join(
-            inv.alias("r"),
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        buckets.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                _bucket_pairs(F.col("ids"), max_df or 2_147_483_647)
+            ).alias("p")
         )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

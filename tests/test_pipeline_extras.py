@@ -358,3 +358,20 @@ def test_lsh_bucket_star_cap_stays_linear_and_connected(spark):
     clusters = connected_components(pairs).collect()
     assert {r.cluster_id for r in clusters} == {0}
     assert {r.id for r in clusters} == set(range(8))
+
+
+def test_repetition_profile_flags_repetitive_doc(spark):
+    from audiopro_essentia_spark.operators.repetition import repetition_profile
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "each word here is fully unique today"),
+        (3, "x"),  # single word: no bigram -> zeroed gram signals
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_profile(df, ngram=2).collect()}
+    assert out[1].dup_word_frac > 0.8 and out[2].dup_word_frac == 0.0
+    assert out[1].dup_ngram_frac == 0.8  # 5 bigrams, 1 distinct
+    # "spam spam" (9 chars) * 5 occurrences / 29 chars
+    assert abs(out[1].top_ngram_char_frac - 45 / 29) < 1e-6
+    assert out[3].dup_ngram_frac == 0.0 and out[3].top_ngram_char_frac == 0.0
