@@ -497,6 +497,15 @@ def q_repetition(spark, sf_dir):
     return repetition_profile(d, ngram=2)
 
 
+def q_tfidf(spark, sf_dir):
+    """Text: top-5 TF-IDF terms per doc (smooth-idf; rank ties broken on
+    the round-6 score then term so Spark and DuckDB agree bit-for-bit)."""
+    from audiopro_essentia_spark.operators.tfidf import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5)
+
+
 def q_lang_id(spark, sf_dir):
     """Text: stopword-hit-rate language ID, counts per language."""
     d = _t(spark, sf_dir, "documents")
@@ -726,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
+        "tfidf": q_tfidf,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -1015,6 +1025,21 @@ SELECT b.doc_id, b.n_words,
   round(coalesce((b.ng - b.ndg) / nullif(b.ng, 0), 0.0), 6) AS dup_ngram_frac,
   round(coalesce(CAST(t.topc AS DOUBLE) * t.topl / nullif(b.nc, 0), 0.0), 6) AS top_ngram_char_frac
 FROM base b LEFT JOIN top t USING (doc_id)
+""",
+        "tfidf": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 6) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
 """,
         "lang_id": f"""
 WITH s AS (

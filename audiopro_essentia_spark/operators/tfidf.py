@@ -1,0 +1,53 @@
+"""TF-IDF top-terms per document — the keyword/feature-extraction step of
+a text pipeline (smooth-idf formula as published in scikit-learn docs:
+idf = ln((N+1)/(df+1)) + 1; independent re-implementation).
+
+Scale design: every stage is a linear shuffle —
+  tokens -> (doc, term) count        [shuffle on (doc, term)]
+  -> per-term document frequency     [shuffle on term; map-side combine]
+  -> score join back on term         [same key, AQE-planned]
+  -> top-k per doc via row_number    [shuffle on doc]
+The corpus size N is a one-row aggregate broadcast into the plan (never a
+driver-side collect in the query path). Ranking orders by the ROUND-6
+score (then term) so the tie-break is reproducible across engines — the
+DuckDB twin ranks on the identically rounded value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(id, term, rank, score): the k highest-tf-idf terms per document."""
+    tokens = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("_tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("rank").cast("int").alias("rank"), "score")
+    )

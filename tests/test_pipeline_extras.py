@@ -375,3 +375,21 @@ def test_repetition_profile_flags_repetitive_doc(spark):
     # "spam spam" (9 chars) * 5 occurrences / 29 chars
     assert abs(out[1].top_ngram_char_frac - 45 / 29) < 1e-6
     assert out[3].dup_ngram_frac == 0.0 and out[3].top_ngram_char_frac == 0.0
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    from audiopro_essentia_spark.operators.tfidf import tfidf_top_terms
+
+    rows = [
+        (1, "common zebra"),
+        (2, "common words appear everywhere common"),
+        (3, "common text common here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).collect()
+    top1 = {r.doc_id: r.term for r in out if r.rank == 1}
+    # 'common' is in every doc (df=3 -> idf 1.0); at equal tf the rare
+    # 'zebra' (idf = ln(2)+1) outranks it
+    assert top1[1] == "zebra"
+    ranks = [(r.doc_id, r.rank) for r in out]
+    assert sorted(ranks) == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)]
