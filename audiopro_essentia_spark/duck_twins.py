@@ -31,6 +31,7 @@ from .operators.dedup import MERSENNE, _minhash_params
 from .operators.kernel import BAND_NAMES, _consts
 
 H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+H32HI = "(('0x' || substr(md5({x}), 9, 8))::BIGINT)"
 
 
 def toks_cte() -> str:
@@ -380,7 +381,7 @@ FROM banded l JOIN banded r
 
 def simhash_pairs_sql(ngram: int = 2, max_hamming: int = 3) -> str:
     """DuckDB twin of simhash_neardup_pairs: 64-bit SimHash from the same
-    portable md5-prefix hashes (lo = H32(s), hi = H32(s||'#hi')), bit j set
+    portable md5 halves (lo = hex 1-8, hi = hex 9-16 of ONE digest), bit j set
     iff sum over distinct shingles of (+1 if bit j else -1) > 0; pairs by
     xor + bit_count (exact — the Spark side's 16-bit-chunk pigeonhole
     candidates are provably complete for hamming <= 3)."""
@@ -397,7 +398,7 @@ def simhash_pairs_sql(ngram: int = 2, max_hamming: int = 3) -> str:
         )
     sig = " + ".join(bit_terms)
     h_lo = H32.format(x="s")
-    h_hi = H32.format(x="s || '#hi'")
+    h_hi = H32HI.format(x="s")
     return f"""
 WITH sh AS (
   SELECT doc_id, array_distinct(list_transform(

@@ -52,6 +52,12 @@ def portable_hash32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
+def portable_hash32_hi(s: Column) -> Column:
+    """Hex chars 9-16 of the SAME md5 as a BIGINT — a second independent
+    32-bit hash for free (one digest, two halves; SimHash needs 64 bits)."""
+    return F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+
+
 def quality_metrics(text: Column) -> dict[str, Column]:
     """Document quality scoring: length, word stats, punctuation / stopword /
     digit ratios. The doc-quality analog of the reference's per-file quality

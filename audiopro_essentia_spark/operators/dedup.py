@@ -5,11 +5,11 @@ Scale design notes (the point of each variant at 100 TB):
 - exact: one hash-agg shuffle on a 16-byte digest; min(doc_id) keeps a
   deterministic canonical row.
 - ngram-Jaccard: candidate generation via an inverted shingle index
-  (explode -> self-join on shingle) so the cross product never materializes;
-  exact Jaccard only on candidates sharing >=1 shingle.
+  grouped into per-shingle buckets (one shuffle, in-bucket pairs) so the
+  cross product never materializes; exact Jaccard only on candidates.
 - MinHash+LSH: K portable permutation-hashes, banded into B bands of R rows;
-  one equi-join shuffle on (band_id, band_signature); collisions verified
-  with exact Jaccard. Probability of catching sim s: 1-(1-s^R)^B.
+  ONE signature pass + ONE shuffle into (band_id, band_signature) buckets;
+  collisions verified with exact Jaccard. P(catch sim s) = 1-(1-s^R)^B.
 - SimHash: one 64-bit signature per doc; near-dup = small Hamming distance;
   banded lookup over bit-chunks for scale.
 - embedding cosine: banded sign-LSH candidates + exact verify (default);
@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import portable_hash32, word_ngrams
+from ..functions.text import portable_hash32, portable_hash32_hi, word_ngrams
 
 MERSENNE = 2_147_483_647  # 2^31 - 1
 
@@ -283,11 +283,12 @@ def ngram_jaccard_pairs(
 
 def simhash64(text: Column, ngram: int = 2) -> Column:
     """64-bit SimHash over word n-grams: bit j = sign of sum over shingles of
-    (+1 if bit j of H(s||j-salt) else -1). Built from two portable 32-bit
-    hashes (md5 prefix of s and of reverse(s)) -> 64 bits."""
+    (+1 if bit j of H(s) else -1). The 64 bits come from the TWO halves of
+    one md5 digest (hex 1-8 and 9-16) — one hash pass per shingle, both
+    halves portable to DuckDB."""
     sh = word_ngrams(text, ngram)
     h_lo = F.transform(sh, portable_hash32)
-    h_hi = F.transform(sh, lambda s: portable_hash32(F.concat(s, F.lit("#hi"))))
+    h_hi = F.transform(sh, portable_hash32_hi)
 
     def bit_sum(hashes: Column, j: int) -> Column:
         return F.aggregate(
@@ -311,9 +312,9 @@ def simhash64(text: Column, ngram: int = 2) -> Column:
 
 def make_simhash_udf(ngram: int = 2):
     """Arrow-vectorized SimHash64 over a shingle array column — identical
-    bit semantics to simhash64 (same md5-prefix hashes, same +/-1 bit sums)
-    but numpy instead of 64 interpreted Catalyst folds (85s -> sub-second
-    for 5k docs)."""
+    bit semantics to simhash64 (the two halves of one md5 digest, same
+    +/-1 bit sums) but numpy instead of 64 interpreted Catalyst folds
+    (85s -> sub-second for 5k docs), and ONE hash pass per shingle."""
     import hashlib
 
     import numpy as np
@@ -322,6 +323,8 @@ def make_simhash_udf(ngram: int = 2):
 
     shifts = np.arange(32, dtype=np.int64)
 
+    ushifts = np.arange(32, dtype=np.uint64)
+
     @pandas_udf("long")
     def _sim(shingles):
         out = []
@@ -329,26 +332,20 @@ def make_simhash_udf(ngram: int = 2):
             if sh is None or len(sh) == 0:
                 out.append(0)
                 continue
-            lo = np.array(
-                [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh],
-                dtype=np.int64,
-            )
-            hi = np.array(
-                [
-                    int(hashlib.md5((s + "#hi").encode()).hexdigest()[:8], 16)
-                    for s in sh
-                ],
-                dtype=np.int64,
-            )
+            # ONE md5 per shingle; its two hex halves are the two 32-bit
+            # hashes (matches portable_hash32 / portable_hash32_hi)
+            digs = [hashlib.md5(s.encode()).hexdigest()[:16] for s in sh]
+            # 16 hex chars can exceed int64 — parse unsigned, split halves
+            both = np.array([int(d, 16) for d in digs], dtype=np.uint64)
+            lo = (both >> np.uint64(32)).astype(np.int64)
+            hi = (both & np.uint64(0xFFFFFFFF)).astype(np.int64)
             # bit j sum of +/-1 across shingles; sign -> bit
             blo = (((lo[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0) > 0
             bhi = (((hi[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0) > 0
-            val = 0
-            for j in range(32):
-                if blo[j]:
-                    val |= 1 << j
-                if bhi[j]:
-                    val |= 1 << (j + 32)
+            v = (blo.astype(np.uint64) << ushifts).sum() | (
+                (bhi.astype(np.uint64) << ushifts).sum() << np.uint64(32)
+            )
+            val = int(v)
             if val >= 1 << 63:
                 val -= 1 << 64  # int64 two's complement
             out.append(val)

@@ -393,3 +393,19 @@ def test_tfidf_prefers_rare_terms(spark):
     assert top1[1] == "zebra"
     ranks = [(r.doc_id, r.rank) for r in out]
     assert sorted(ranks) == [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)]
+
+
+def test_simhash_udf_matches_expression_form(spark, docs):
+    """The Arrow UDF and the pure-expression simhash64 must agree bit-for-
+    bit (both build the 64 bits from the two halves of one md5 digest)."""
+    from audiopro_essentia_spark.operators.dedup import simhash64, simhash64_fast
+
+    d = docs.limit(25)
+    got = d.select(
+        "doc_id",
+        simhash64(F.col("text"), ngram=2).alias("expr"),
+        simhash64_fast(d, "text", ngram=2).alias("udf"),
+    ).collect()
+    assert len(got) == 25
+    for r in got:
+        assert r.expr == r.udf, r.doc_id
