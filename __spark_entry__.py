@@ -552,6 +552,21 @@ def q_kernel_features(spark, sf_dir):
     return _project_kernel_scalars(out, KERNEL_FEATURES, N_MFCC)
 
 
+def q_spectral_flux(spark, sf_dir):
+    """Onset strength: per-frame spectral flux + sigma-threshold onset
+    flags over derived tokens (F=16, H=4) — stateless Arrow spectrum UDF,
+    cross-frame diff as a declarative window lag; hash-checked against a
+    generated DuckDB DFT twin (duck_twins.flux_sql)."""
+    from audiopro_essentia_spark.operators.flux import spectral_flux
+
+    toks = _docs_tokens(spark, sf_dir)
+    framed = frame_tokens(
+        toks, frame_length=KF_, hop=KH_, sample_rate=KSR_, tokens_col="toks",
+        id_cols=("doc_id",), carry_cols=(), base_ts_col=None,
+    )
+    return spectral_flux(framed, frame_length=KF_, token_scale=KSCALE_)
+
+
 def q_rhythm(spark, sf_dir):
     """A16: beat/tempo extraction over derived tokens, digested to
     (tempo, n_beats, beats_sum) and hash-checked against a generated DuckDB
@@ -740,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
         "kernel_features": q_kernel_features,
+        "spectral_flux": q_spectral_flux,
         "rhythm": q_rhythm,
         "fused_pipeline": q_fused_pipeline,
         "multimodal": q_multimodal,
@@ -936,6 +952,7 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         "fused_pipeline": DT.kernel_sql(
             KF_, KH_, KSR_, KSCALE_, FUSED_FEATURES, KMELS_, doc_id_varchar=True
         ),
+        "spectral_flux": DT.flux_sql(KF_, KH_, KSR_, KSCALE_),
         "rhythm": DT.rhythm_sql(KF_, KH_, KSR_, KSCALE_),
         "multimodal": DT.multimodal_sql(hist_bins=16),
         "media_frames": DT.media_frames_sql(n_frames=4, frame_bytes=64),

@@ -281,6 +281,54 @@ def kernel_sql(
 
 # ---------------------------------------------------------------------------
 # rhythm twin (operators/rhythm.py:detect_beats)
+def flux_sql(
+    frame_length: int,
+    hop: int,
+    sample_rate: int,
+    token_scale: float,
+    onset_sigma: float = 1.5,
+) -> str:
+    """DuckDB twin of operators.flux.spectral_flux: same wd (f32-rounded
+    Hann windowing) and snapped-twiddle DFT recipe as kernel_sql, then a
+    per-bin lag window for the half-wave-rectified frame difference and a
+    per-doc window for the onset threshold (round-6 on both sides)."""
+    c = _consts(frame_length, sample_rate, 1)
+    hann = [repr(float(v)) for v in c["hann"]]
+    nb = len(c["freqs"])
+    jj = np.arange(frame_length)
+    cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+    sin_t = np.sin(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+    for M in (cos_t, sin_t):
+        M[np.abs(M) < 1e-12] = 0.0
+        M[np.abs(M - 1.0) < 1e-12] = 1.0
+        M[np.abs(M + 1.0) < 1e-12] = -1.0
+    wd = ", ".join(
+        f"CAST(CAST(CAST(w[{j + 1}] AS DOUBLE)/{token_scale!r} * {hann[j]} "
+        f"AS REAL) AS DOUBLE) AS wd{j}"
+        for j in range(frame_length)
+    )
+    spec_cols = []
+    for k in range(nb):
+        re = " + ".join(f"wd{j}*{cos_t[k, j]!r}" for j in range(frame_length))
+        im = " + ".join(f"wd{j}*{sin_t[k, j]!r}" for j in range(frame_length))
+        spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
+    lags = ", ".join(f"lag(s{k}) OVER fw AS p{k}" for k in range(nb))
+    diff = " + ".join(f"greatest(s{k} - p{k}, 0.0)" for k in range(nb))
+    return f"""
+WITH {frames_cte(frame_length, hop)},
+a AS MATERIALIZED (SELECT doc_id, frame_idx, {wd} FROM f),
+b AS MATERIALIZED (SELECT doc_id, frame_idx, {", ".join(spec_cols)} FROM a),
+l AS MATERIALIZED (SELECT doc_id, frame_idx, {", ".join(f"s{k}" for k in range(nb))}, {lags}
+  FROM b WINDOW fw AS (PARTITION BY doc_id ORDER BY frame_idx)),
+fl AS MATERIALIZED (SELECT doc_id, frame_idx,
+  round(CASE WHEN p0 IS NULL THEN 0.0 ELSE {diff} END, 6) AS flux FROM l)
+SELECT doc_id, frame_idx, flux,
+  CAST(flux > round(avg(flux) OVER dw + {onset_sigma!r} * stddev_pop(flux) OVER dw, 6) AS INT) AS is_onset
+FROM fl WINDOW dw AS (PARTITION BY doc_id)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 
 

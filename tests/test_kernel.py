@@ -94,3 +94,51 @@ def test_all_features_present_by_default(features_df):
     row = features_df[0]
     for f in ALL_FRAME_FEATURES:
         assert hasattr(row, f)
+
+
+def test_spectral_flux_matches_numpy_golden(spark, tiny_seqs):
+    """flux[t] = sum(max(0, |S_t| - |S_{t-1}|)) with the kernel's exact
+    f32-quantize/Hann recipe; first frame of each doc is 0.0."""
+    import numpy as np
+
+    from audiopro_essentia_spark.constants import (
+        FRAME_LENGTH,
+        HOP_LENGTH,
+        SAMPLE_RATE,
+        TOKEN_SCALE,
+    )
+    from audiopro_essentia_spark.operators.flux import spectral_flux
+    from audiopro_essentia_spark.operators.kernel import _consts
+
+    frames = frame_tokens(tiny_seqs, carry_cols=(), base_ts_col=None)
+    got = {
+        (r.doc_id, r.frame_idx): (r.flux, r.is_onset)
+        for r in spectral_flux(frames).collect()
+    }
+    assert len(got) > 100
+
+    hann = _consts(FRAME_LENGTH, SAMPLE_RATE, 1)["hann"]
+    pdf = tiny_seqs.select("doc_id", "tokens").toPandas()
+    n_checked = 0
+    for _, row in pdf.iterrows():
+        toks = np.asarray(row.tokens)
+        t_len = len(toks) - (len(toks) % 2)
+        toks = toks[:t_len]
+        if t_len < FRAME_LENGTH:
+            continue
+        nf = (t_len - FRAME_LENGTH) // HOP_LENGTH + 1
+        prev = None
+        for i in range(min(nf, 4)):
+            w = toks[i * HOP_LENGTH : i * HOP_LENGTH + FRAME_LENGTH]
+            x = w.astype(np.float32) / np.float32(TOKEN_SCALE)
+            spec = np.abs(np.fft.rfft((x * hann).astype(np.float64)))
+            exp = 0.0 if prev is None else float(
+                np.maximum(spec - prev, 0.0).sum()
+            )
+            assert abs(got[(row.doc_id, i)][0] - round(exp, 6)) <= 1e-6
+            prev = spec
+            n_checked += 1
+    assert n_checked > 20
+    # onset flags: some onsets exist, never on a doc's first frame
+    onsets = [k for k, v in got.items() if v[1] == 1]
+    assert onsets and all(fi != 0 for _, fi in onsets)
