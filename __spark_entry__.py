@@ -497,6 +497,18 @@ def q_repetition(spark, sf_dir):
     return repetition_profile(d, ngram=2)
 
 
+def q_pack_shards(spark, sf_dir):
+    """Sequence packing: docs -> fixed-capacity training shards by
+    cumulative token count (distributed two-phase prefix sum — never a
+    single-partition global window). Capacity 4096 tokens/shard."""
+    from audiopro_essentia_spark.operators.packing import pack_shards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_shards(d, "n_tok", shard_tokens=4096)
+
+
 def q_tfidf(spark, sf_dir):
     """Text: top-5 TF-IDF terms per doc (smooth-idf; rank ties broken on
     the round-6 score then term so Spark and DuckDB agree bit-for-bit)."""
@@ -751,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
+        "pack_shards": q_pack_shards,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -1042,6 +1055,24 @@ SELECT b.doc_id, b.n_words,
   round(coalesce((b.ng - b.ndg) / nullif(b.ng, 0), 0.0), 6) AS dup_ngram_frac,
   round(coalesce(CAST(t.topc AS DOUBLE) * t.topl / nullif(b.nc, 0), 0.0), 6) AS top_ngram_char_frac
 FROM base b LEFT JOIN top t USING (doc_id)
+""",
+        "pack_shards": """
+WITH c AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(string_split(text, ' '),
+         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens,
+    doc_id % 64 AS b
+  FROM documents),
+g AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY b, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS global_offset
+  FROM c)
+SELECT doc_id, n_tokens, global_offset,
+  CAST(global_offset // 4096 AS BIGINT) AS shard_id,
+  global_offset % 4096 AS shard_offset
+FROM g
 """,
         "tfidf": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -1,0 +1,67 @@
+"""Sequence packing — assign documents to fixed-capacity training shards
+by cumulative token count (the concat-and-chunk packing step of an LLM
+pretraining pipeline; documents may straddle a shard boundary, exactly as
+token streams do).
+
+Scale design: a naive `sum() OVER (ORDER BY doc_id)` is a SINGLE-
+PARTITION global window — the classic driver-shaped bottleneck. This
+operator runs the distributed two-phase prefix sum instead:
+  1. bucket rows by a deterministic key range (pmod of the id),
+  2. intra-bucket running sum (window per bucket — parallel),
+  3. per-bucket totals -> tiny B-row cumulative offset table
+     (single-partition is fine for B rows) -> broadcast join back.
+Global order is (bucket, id) on BOTH sides, so the DuckDB twin is the
+plain one-window form and the integer arithmetic matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_shards(
+    df: DataFrame,
+    count_col: str,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, n_tokens, global_offset, shard_id, shard_offset): the position
+    of each doc in the packed token stream ordered by (pmod(id, B), id).
+
+    shard_id = global_offset // shard_tokens; shard_offset is the doc's
+    start position within its shard."""
+    cnt = F.col(count_col).cast("long")
+    b = df.select(
+        F.col(id_col),
+        cnt.alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("_b"),
+    )
+    w_intra = (
+        Window.partitionBy("_b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    intra = b.withColumn("_cum_in", F.sum("n_tokens").over(w_intra))
+    totals = b.groupBy("_b").agg(F.sum("n_tokens").alias("_tot"))
+    w_b = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )  # B rows only — single partition is intentional and tiny
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_tot").over(w_b), F.lit(0)).alias("_off")
+    )
+    out = intra.join(F.broadcast(offsets), "_b").select(
+        id_col,
+        "n_tokens",
+        (F.col("_off") + F.col("_cum_in") - F.col("n_tokens")).alias(
+            "global_offset"
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "global_offset",
+        (F.col("global_offset") / shard_tokens).cast("long").alias("shard_id"),
+        (F.col("global_offset") % shard_tokens).alias("shard_offset"),
+    )

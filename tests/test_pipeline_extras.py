@@ -409,3 +409,23 @@ def test_simhash_udf_matches_expression_form(spark, docs):
     assert len(got) == 25
     for r in got:
         assert r.expr == r.udf, r.doc_id
+
+
+def test_pack_shards_contiguous_prefix_sum(spark):
+    from audiopro_essentia_spark.operators.packing import pack_shards
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sorted(
+        pack_shards(df, "n", shard_tokens=256, n_buckets=8).collect(),
+        key=lambda r: r.global_offset,
+    )
+    # offsets form one contiguous token stream: each doc starts where the
+    # previous ended, and every doc appears exactly once
+    pos = 0
+    for r in out:
+        assert r.global_offset == pos
+        assert r.shard_id == pos // 256 and r.shard_offset == pos % 256
+        pos += r.n_tokens
+    assert pos == sum(n for _, n in rows)
+    assert len(out) == 300
