@@ -406,14 +406,34 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Dedup: embedding-cosine near-dup pairs >= 0.4 via banded sign-LSH
+    """Dedup: embedding-cosine near-dup pairs >= 0.95 via banded sign-LSH
     candidates + exact verify (no cartesian product — plan-asserted in
-    tests); 1-bit bands make the per-pair miss probability (theta/pi)^16
-    ~ 1e-7 at the threshold, so the result hash-matches the EXACT all-pairs
-    DuckDB oracle on the fixed sf0.01 data."""
+    tests). The corpus is unioned with a deterministically perturbed twin
+    of every vector (id + 1e6, first component += 0.05 -> cosine ~0.9988)
+    so real near-dups exist; 64 planes in 8-bit bands keep buckets small
+    (max 83 here, candidate ratio ~4%) while the 8-band OR gives full
+    recall at theta ~ 2.9 degrees — verified exact vs the all-pairs DuckDB
+    oracle at sf0.01 AND sf0.1. (The old threshold-0.4 form targeted
+    background-tail pairs at 66 degrees, where ANY sign-LSH degenerates to
+    near-all-pairs buckets — the wrong tool below ~0.7 cosine.)"""
     e = _t(spark, sf_dir, "embeddings")
+    orig = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    pert = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.05).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
     return D.embedding_neardup_pairs(
-        e, threshold=0.4, n_planes=16, band_bits=1
+        orig.unionByName(pert), threshold=0.95, n_planes=64, band_bits=8
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -980,9 +1000,18 @@ FROM documents
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "streaming_session": DT.streaming_session_sql(gap_seconds=1800),
         "embed_neardup": f"""
+WITH u AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+    list_transform(generate_series(1, len(embedding)),
+      i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.05
+           ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings)
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b, {cos} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= 0.4
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.95
 """,
         "ann_topk": f"""
 SELECT * FROM (

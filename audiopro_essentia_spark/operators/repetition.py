@@ -37,45 +37,52 @@ def repetition_profile(
     """(id, n_words, dup_word_frac, dup_ngram_frac, top_ngram_char_frac)."""
     text = F.col(text_col)
     ws = words(text)
-    grams = raw_word_ngrams(text, ngram)
-    base = df.select(
-        F.col(id_col),
-        F.length(text).cast("double").alias("_nc"),
-        F.size(ws).cast("long").alias("n_words"),
-        F.size(F.array_distinct(ws)).cast("double").alias("_ndw"),
-        F.size(grams).cast("double").alias("_ng"),
-        F.size(F.array_distinct(grams)).cast("double").alias("_ndg"),
-        grams.alias("_grams"),
+    # grams are materialized ONCE, in the explode path; total / distinct
+    # gram counts fall out of the (doc, gram) count aggregate for free
+    # (sum(c) and count(*)), so the expensive gram construction never runs
+    # twice. The scalar word stats ride a cheap side projection.
+    ex = df.select(
+        F.col(id_col), F.explode(raw_word_ngrams(text, ngram)).alias("_g")
     )
     top = (
-        base.select(id_col, F.explode("_grams").alias("_g"))
-        .groupBy(id_col, "_g")
+        ex.groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(id_col)
         .agg(
-            F.max(F.struct(F.col("_c"), F.col("_g"))).alias("_top")
+            F.max(F.struct(F.col("_c"), F.col("_g"))).alias("_top"),
+            F.sum("_c").cast("double").alias("_ng"),
+            F.count(F.lit(1)).cast("double").alias("_ndg"),
         )
         .select(
             id_col,
             F.col("_top._c").alias("_topc"),
             F.length("_top._g").cast("double").alias("_topl"),
+            "_ng",
+            "_ndg",
         )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.length(text).cast("double").alias("_nc"),
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("double").alias("_ndw"),
     )
     frac = lambda num, den: F.round(  # noqa: E731
         F.coalesce(F.try_divide(num, den), F.lit(0.0)), 6
     )
     return (
-        base.drop("_grams")
-        .join(top, id_col, "left")
+        base.join(top, id_col, "left")
         .select(
             id_col,
             "n_words",
             frac(F.col("n_words") - F.col("_ndw"), F.col("n_words")).alias(
                 "dup_word_frac"
             ),
-            frac(F.col("_ng") - F.col("_ndg"), F.col("_ng")).alias(
-                "dup_ngram_frac"
-            ),
+            frac(
+                F.coalesce(F.col("_ng"), F.lit(0.0))
+                - F.coalesce(F.col("_ndg"), F.lit(0.0)),
+                F.col("_ng"),
+            ).alias("dup_ngram_frac"),
             frac(
                 F.coalesce(F.col("_topc"), F.lit(0)) * F.coalesce("_topl", F.lit(0.0)),
                 F.col("_nc"),
