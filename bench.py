@@ -39,11 +39,17 @@ BENCH_QUERIES = (
     "rolling",
     "minhash_lsh",
     "simhash",
+    "embed_neardup",
     "ann_topk",
     "ivf_ann",
     "kernel_features",
+    "spectral_flux",
     "rhythm",
     "text_quality",
+    "repetition",
+    "tfidf",
+    "pack_shards",
+    "curate",
     "tpch_q1",
 )
 
