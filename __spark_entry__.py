@@ -517,6 +517,16 @@ def q_repetition(spark, sf_dir):
     return repetition_profile(d, ngram=2)
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-source corpus distribution profile: doc count + exact p50/p90/
+    p99 of doc length (sort-based percentile == DuckDB quantile_cont; the
+    operator's approx_percentile form is the bounded-memory scale path)."""
+    from audiopro_essentia_spark.operators.aggregates import corpus_percentiles
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_percentiles(d, "source", "n_chars")
+
+
 def q_pack_shards(spark, sf_dir):
     """Sequence packing: docs -> fixed-capacity training shards by
     cumulative token count (distributed two-phase prefix sum — never a
@@ -784,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "tfidf": q_tfidf,
         "pack_shards": q_pack_shards,
+        "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
@@ -1084,6 +1095,13 @@ SELECT b.doc_id, b.n_words,
   round(coalesce((b.ng - b.ndg) / nullif(b.ng, 0), 0.0), 6) AS dup_ngram_frac,
   round(coalesce(CAST(t.topc AS DOUBLE) * t.topl / nullif(b.nc, 0), 0.0), 6) AS top_ngram_char_frac
 FROM base b LEFT JOIN top t USING (doc_id)
+""",
+        "corpus_profile": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
+  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.99), 6) AS p99
+FROM documents GROUP BY source
 """,
         "pack_shards": """
 WITH c AS (

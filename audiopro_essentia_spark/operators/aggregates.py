@@ -229,3 +229,33 @@ def tempo_from_boundaries_expr(boundaries_sec: Column) -> Column:
     return F.when(
         (n > 1) & (med > 0), F.lit(60.0) / med
     ).otherwise(F.lit(0.0))
+
+
+def corpus_percentiles(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group value-distribution profile: count + quantiles.
+
+    exact=True uses the sort-based `percentile` aggregate (linear
+    interpolation, identical to DuckDB quantile_cont) — it buffers each
+    group's values, so it is the SMALL-SCALE / oracle form. At corpus
+    scale pass exact=False for `approx_percentile` (t-digest sketch,
+    mergeable map-side, bounded memory) — the only shape that holds when
+    one group spans billions of rows; accuracy 1/10000 relative rank."""
+    v = F.col(value_col).cast("double")
+    if exact:
+        pct = F.percentile(v, F.lit(list(qs)))
+    else:
+        pct = F.approx_percentile(v, F.lit(list(qs)), F.lit(10000))
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), pct.alias("_p")
+    )
+    cols = [F.col(group_col), F.col("n_docs")]
+    for i, q in enumerate(qs):
+        name = f"p{str(q)[2:].ljust(2, '0')}"
+        cols.append(F.round(F.element_at("_p", i + 1), 6).alias(name))
+    return agg.select(*cols)

@@ -65,6 +65,28 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact content dedup ON INGEST — the streaming twin of
+    operators.dedup.exact_dedup: the first arrival of each md5(text) wins,
+    later copies are dropped. dropDuplicatesWithinWatermark bounds the
+    dedup state to the watermark horizon, so state size is
+    O(arrival rate x watermark), not O(corpus) — the only shape that
+    survives an unbounded stream. (Exact-once cross-restart delivery comes
+    from the checkpointed foreachBatch sink, stream_to_checkpointed.)"""
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        docs.withColumn("_h", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
 def stateful_running_stats(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id",),

@@ -92,3 +92,20 @@ def test_tempo_expr_matches_oracle(spark):
         )
         got = df.select(tempo_from_boundaries_expr(F.col("b")).alias("t")).collect()[0].t
         assert got == pytest.approx(oracle.tempo_from_boundaries(np.array(b))), b
+
+
+def test_corpus_percentiles_exact_vs_approx(spark):
+    from audiopro_essentia_spark.operators.aggregates import corpus_percentiles
+
+    rows = [(f"s{i % 3}", float(i)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "source string, n_chars double")
+    exact = {r.source: r for r in corpus_percentiles(df).collect()}
+    approx = {
+        r.source: r for r in corpus_percentiles(df, exact=False).collect()
+    }
+    assert set(exact) == {"s0", "s1", "s2"} and set(approx) == set(exact)
+    for s in exact:
+        assert exact[s].n_docs == 1000
+        # t-digest at accuracy 10000 on 1000 values: near-exact ranks
+        for p in ("p50", "p90", "p99"):
+            assert abs(getattr(exact[s], p) - getattr(approx[s], p)) <= 30.0

@@ -145,3 +145,35 @@ def test_pipeline_respects_custom_frame_length(spark, tmp_path):
         # both docs frame at F=512: (1000-512)//128+1 + (5000-512)//128+1
         assert st["total_rows"] == 4 + 36, (fused, st)
         assert st["completion_ratio"] == 1.0, (fused, st)
+
+
+def test_streaming_dedup_drops_content_duplicates(spark, tmp_path):
+    """Streaming exact-dedup == batch exact-dedup on a bounded stream with
+    planted duplicate texts; state bounded by the watermark horizon."""
+    import datetime as dt
+
+    from audiopro_essentia_spark.streaming.stream_ops import (
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append((i, f"text body {i % 10}", base + dt.timedelta(seconds=i)))
+    src = tmp_path / "docs_stream"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        str(src)
+    )
+    out = run_to_memory(
+        streaming_dedup(stream, watermark="10 minutes"), "dedup_stream"
+    ).collect()
+    # 10 distinct texts survive, each exactly once
+    assert len(out) == 10
+    assert sorted({r.text for r in out}) == sorted(
+        f"text body {i}" for i in range(10)
+    )
