@@ -62,6 +62,8 @@ def pack_shards(
         id_col,
         "n_tokens",
         "global_offset",
-        (F.col("global_offset") / shard_tokens).cast("long").alias("shard_id"),
+        # integer DIV, not float /: double division of longs loses
+        # exactness past 2^53 — real at 100-TB token-stream offsets
+        F.expr(f"global_offset DIV {int(shard_tokens)}").alias("shard_id"),
         (F.col("global_offset") % shard_tokens).alias("shard_offset"),
     )

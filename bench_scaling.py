@@ -56,6 +56,60 @@ print("RESULT " + json.dumps({"sec": dt, "frames": n}))
 """
 
 
+JOB_DEDUP = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+from audiopro_essentia_spark.operators.dedup import (
+    minhash_lsh_candidates, simhash_neardup_pairs)
+
+docs_path = sys.argv[1]
+
+def build():
+    d = spark.read.parquet(docs_path)
+    mh = minhash_lsh_candidates(d, k=16, bands=4)
+    sh = simhash_neardup_pairs(d, max_hamming=3, ngram=2)
+    return mh, sh
+
+# warmup (python workers, JIT, page cache)
+for df in build():
+    df.write.format("noop").mode("overwrite").save()
+t0 = time.perf_counter()
+mh, sh = build()
+mh.write.format("noop").mode("overwrite").save()
+sh.write.format("noop").mode("overwrite").save()
+dt = time.perf_counter() - t0
+n = mh.count() + sh.count()
+print("RESULT " + json.dumps({"sec": dt, "frames": n}))
+"""
+
+
+def build_docs(tmp: str, n_docs: int) -> tuple[str, int, int]:
+    """Deterministic word-salad corpus with 5% planted near-dups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i:04d}" for i in range(5000)])
+    n_base = int(n_docs * 0.95)
+    lens = rng.integers(60, 180, size=n_base)
+    texts = [" ".join(vocab[rng.integers(0, len(vocab), size=ln)]) for ln in lens]
+    # planted near-dups: copy of a base doc plus one extra word
+    dup_src = rng.integers(0, n_base, size=n_docs - n_base)
+    texts += [texts[i] + " zzz" for i in dup_src]
+    n_words = sum(len(t.split()) for t in texts)
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    path = os.path.join(tmp, "documents.parquet")
+    pq.write_table(tbl, path, row_group_size=1024)
+    return path, len(texts), n_words
+
+
 def build_inputs(tmp: str, n_docs: int) -> tuple[str, str, int, int]:
     import pyarrow.parquet as pq
 
@@ -118,14 +172,19 @@ def main() -> None:
                     help="comma-sep core counts for a 1-run saturation profile")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--docs", type=int, default=16384)
+    ap.add_argument("--job", choices=("flagship", "dedup"), default="flagship")
     args = ap.parse_args()
 
     tmp = tempfile.mkdtemp(prefix="scaling_")
-    seq, lab, n_seq, n_tok = build_inputs(tmp, args.docs)
+    if args.job == "dedup":
+        seq, n_seq, n_tok = build_docs(tmp, args.docs)
+        lab = seq  # unused second arg
+    else:
+        seq, lab, n_seq, n_tok = build_inputs(tmp, args.docs)
     zpath = zip_pkg(tmp)
     jobfile = os.path.join(tmp, "job.py")
     with open(jobfile, "w") as f:
-        f.write(JOB)
+        f.write(JOB_DEDUP if args.job == "dedup" else JOB)
 
     probe_results = {}
     for cores in [int(c) for c in args.probe.split(",") if c]:
@@ -161,7 +220,7 @@ def main() -> None:
     efficiency = speedup / core_ratio
 
     summary = {
-        "metric": "scaling efficiency (N -> 4N cores, identical input)",
+        "metric": f"scaling efficiency ({args.job} job, N -> 4N cores, identical input)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "n_cores": args.n,
@@ -179,6 +238,31 @@ def main() -> None:
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     import platform
+
+    if args.job == "dedup":
+        # append a dedup-suite section, keeping the flagship evidence
+        body = (
+            "\n## Dedup-suite scaling (same protocol)\n\n"
+            "Job: MinHash-LSH candidate pairs (k=16, 4 bands) + SimHash "
+            "pairs (Hamming<=3) over a deterministic word-salad corpus "
+            "with 5% planted near-dups.\n\n"
+            f"- input: {n_seq} docs, {n_tok:,} words (seed 42)\n"
+            f"- local[{args.n}]: min {t_n:.2f}s "
+            f"(runs: {results[args.n]['times']})\n"
+            f"- local[{args.xn}]: min {t_4n:.2f}s "
+            f"(runs: {results[args.xn]['times']})\n"
+            f"- speedup {speedup:.3f}x over {core_ratio:.0f}x cores -> "
+            f"**scaling efficiency {efficiency:.3f}** "
+            f"(gate >= 0.8: {'PASS' if efficiency >= 0.8 else 'FAIL'})\n"
+        )
+        prev = open(md).read() if os.path.exists(md) else ""
+        marker = "\n## Dedup-suite scaling"
+        if marker in prev:
+            prev = prev[: prev.index(marker)]
+        with open(md, "w") as f:
+            f.write(prev.rstrip() + "\n" + body)
+        print(f"wrote {md}", file=sys.stderr)
+        return
 
     with open(md, "w") as f:
         f.write(
