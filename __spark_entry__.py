@@ -405,6 +405,21 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Production incremental dedup: flag each doc of a NEW batch
+    (doc_id %% 5 == 0) as exact-dup / near-dup of the CORPUS (the rest)
+    via md5 semi-join + MinHash signature-index semi-join — increments
+    never re-pair the whole corpus."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_dedup_flags(new, corpus, k=16, bands=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("dup_exact").cast("int").alias("dup_exact"),
+        F.col("dup_near").cast("int").alias("dup_near"),
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Dedup: embedding-cosine near-dup pairs >= 0.95 via banded sign-LSH
     candidates + exact verify (no cartesian product — plan-asserted in
@@ -786,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "incremental_dedup": q_incremental_dedup,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
         "ivf_ann": q_ivf_ann,
@@ -1009,6 +1025,7 @@ SELECT doc_id,
 FROM documents
 """,
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
+        "incremental_dedup": DT.incremental_sql(k=16, bands=4),
         "streaming_session": DT.streaming_session_sql(gap_seconds=1800),
         "embed_neardup": f"""
 WITH u AS (

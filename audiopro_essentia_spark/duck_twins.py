@@ -427,6 +427,49 @@ FROM banded l JOIN banded r
 """
 
 
+def incremental_sql(k: int, bands: int, ngram: int = 3, mod: int = 5) -> str:
+    """DuckDB twin of incremental_dedup_flags with new = doc_id %% mod == 0,
+    corpus = the rest (same portable hashes / banding as minhash_sql)."""
+    params = _minhash_params(k)
+    rows = k // bands
+    h = H32.format(x="s")
+    sig_terms = [
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE}))"
+        for (a, b) in params
+    ]
+    def banded(src: str) -> str:
+        sel = []
+        for b in range(bands):
+            parts = " || ',' || ".join(
+                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            )
+            sel.append(f"SELECT doc_id, {b} AS band, {parts} AS bsig FROM {src}")
+        return " UNION ALL ".join(sel)
+    def chain(tag: str, where: str) -> str:
+        return f"""
+sh_{tag} AS (
+  SELECT doc_id, array_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),
+    i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')
+  )) AS shingles FROM documents WHERE {where}
+),
+hs_{tag} AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh_{tag}),
+sig_{tag} AS (SELECT doc_id, [{", ".join(sig_terms)}] AS sig FROM hs_{tag}),
+banded_{tag} AS ({banded(f"sig_{tag}")})"""
+    return f"""
+WITH {chain("n", f"doc_id % {mod} = 0")},
+{chain("c", f"doc_id % {mod} <> 0")},
+near AS (SELECT DISTINCT bn.doc_id
+         FROM banded_n bn JOIN (SELECT DISTINCT band, bsig FROM banded_c) bc
+         USING (band, bsig)),
+ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % {mod} <> 0)
+SELECT n.doc_id,
+  CASE WHEN md5(n.text) IN (SELECT h FROM ch) THEN 1 ELSE 0 END AS dup_exact,
+  CASE WHEN n.doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END AS dup_near
+FROM documents n WHERE n.doc_id % {mod} = 0
+"""
+
+
 def simhash_pairs_sql(ngram: int = 2, max_hamming: int = 3) -> str:
     """DuckDB twin of simhash_neardup_pairs: 64-bit SimHash from the same
     portable md5 halves (lo = hex 1-8, hi = hex 9-16 of ONE digest), bit j set

@@ -148,6 +148,69 @@ def _bucket_pairs(ids: Column, max_bucket: int) -> Column:
     return F.when(F.size(ids) <= max_bucket, all_pairs).otherwise(star)
 
 
+def minhash_band_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """(id, band, bsig) — the persistable LSH index table. In production
+    this is MATERIALIZED once per corpus (bucketed by (band, bsig)), so an
+    incremental batch joins against the index exchange-free instead of
+    re-signing 100 TB per increment. One nondeterministic-marked Arrow UDF
+    pass (see minhash_lsh_candidates for why)."""
+    udf = make_minhash_band_udf(k, bands).asNondeterministic()
+    return _spread(df).select(
+        F.col(id_col),
+        udf(word_ngrams(F.col(text_col), ngram)).alias("bsigs"),
+    ).select(id_col, F.posexplode("bsigs").alias("band", "bsig"))
+
+
+def incremental_dedup_flags(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing corpus — the production
+    incremental pattern (daily increments never re-pair the whole corpus).
+
+    Output: one row per new doc — (id, dup_exact, dup_near) with 0/1
+    flags. dup_exact = md5(text) already in the corpus (left-semi join on
+    the 16-byte digest); dup_near = >=1 MinHash band collision with the
+    corpus signature index (left-semi equi-join on (band, bsig) — in
+    production the right side is the materialized minhash_band_signatures
+    table, so the increment-side cost is O(|new|), not O(|corpus|))."""
+    nh = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    ch = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    exact_ids = nh.join(ch, "_h", "left_semi").select(id_col)
+    ns = minhash_band_signatures(new, text_col, id_col, k, bands, ngram)
+    cs = minhash_band_signatures(corpus, text_col, id_col, k, bands, ngram)
+    near_ids = (
+        ns.join(
+            cs.select("band", "bsig").distinct(), ["band", "bsig"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    flag = lambda ids, name: ids.withColumn(name, F.lit(1))  # noqa: E731
+    return (
+        new.select(id_col)
+        .join(flag(exact_ids, "_e"), id_col, "left")
+        .join(flag(near_ids, "_n"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_e", F.lit(0)).alias("dup_exact"),
+            F.coalesce("_n", F.lit(0)).alias("dup_near"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -167,11 +230,7 @@ def minhash_lsh_candidates(
     1), then ONE shuffle into (band, signature) buckets, then in-bucket
     pair generation (star-capped past `max_bucket`, see _bucket_pairs).
     Equivalent output to the textbook banded self-join."""
-    udf = make_minhash_band_udf(k, bands).asNondeterministic()
-    banded = _spread(df).select(
-        F.col(id_col),
-        udf(word_ngrams(F.col(text_col), ngram)).alias("bsigs"),
-    ).select(id_col, F.posexplode("bsigs").alias("band", "bsig"))
+    banded = minhash_band_signatures(df, text_col, id_col, k, bands, ngram)
     buckets = (
         banded.groupBy("band", "bsig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))

@@ -429,3 +429,33 @@ def test_pack_shards_contiguous_prefix_sum(spark):
         pos += r.n_tokens
     assert pos == sum(n for _, n in rows)
     assert len(out) == 300
+
+
+def test_incremental_dedup_flags_planted(spark, docs):
+    from audiopro_essentia_spark.operators.dedup import incremental_dedup_flags
+
+    corpus = docs.filter(F.col("n_chars") > 300).limit(5)
+    ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    # new batch: one exact copy, one near-dup (word appended), one fresh doc
+    exact = corpus.limit(1).withColumn("doc_id", F.lit(900001).cast("long"))
+    near = (
+        corpus.filter(F.col("doc_id") == ids[1])
+        .withColumn("doc_id", F.lit(900002).cast("long"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzz")))
+    )
+    fresh = (
+        corpus.limit(1)
+        .withColumn("doc_id", F.lit(900003).cast("long"))
+        .withColumn(
+            "text",
+            F.lit("entirely novel content never seen before in any corpus xyz abc"),
+        )
+    )
+    new = exact.unionByName(near).unionByName(fresh)
+    got = {
+        r.doc_id: (r.dup_exact, r.dup_near)
+        for r in incremental_dedup_flags(new, corpus, k=16, bands=4).collect()
+    }
+    assert got[900001] == (1, 1)   # exact copy: both flags
+    assert got[900002] == (0, 1)   # near-dup: minhash only
+    assert got[900003] == (0, 0)   # fresh doc: clean
