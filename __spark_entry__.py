@@ -708,7 +708,7 @@ def q_curate(spark, sf_dir):
     from audiopro_essentia_spark.plans.curate import curate_corpus
 
     d = _t(spark, sf_dir, "documents")
-    out = curate_corpus(d, min_quality=0.3, langs=("en",))
+    out = curate_corpus(d, min_quality=0.3, langs=("en",), persist_intermediate=True)
     return out.select(
         "doc_id", F.round("quality_score", 6).alias("quality_score"),
         "lang_pred", "split",

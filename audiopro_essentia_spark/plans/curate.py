@@ -30,6 +30,7 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Surviving docs with their curation verdicts.
 
@@ -63,6 +64,14 @@ def curate_corpus(
         F.col(id_col) == F.col("_keep")
     ).select(id_col)
     survivors = gated.join(exact_kept, id_col)
+    if persist_intermediate:
+        # the near-dup stage references `survivors` on BOTH sides of a
+        # self-join-shaped DAG (cluster derivation + anti-join), and Spark
+        # has no CTE materialization — without a persist the scan + gate
+        # expressions re-run per reference. In a production pipeline this
+        # boundary is a staged table write (CheckpointedWriter); for a
+        # single-session query, MEMORY_AND_DISK persist is the analog.
+        survivors = survivors.persist()
 
     if near_dup:
         # near-dup clusters over the surviving set; drop non-canonical
