@@ -405,6 +405,25 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_normalized_dedup(spark, sf_dir):
+    """Canonical-form dedup: C4-style normalization (lower / strip punct /
+    collapse whitespace) before the exact md5 hash-agg, so case and
+    punctuation variants collapse. The corpus is unioned with an
+    upper-cased twin of every doc (id + 1e6) — raw exact dedup would keep
+    both, normalized dedup collapses each pair to its min-id canonical."""
+    d = _t(spark, sf_dir, "documents")
+    up = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper(F.col("text")).alias("text"),
+    )
+    u = d.select("doc_id", "text").unionByName(up)
+    n = u.select("doc_id", T.normalize_text(F.col("text")).alias("ntext"))
+    return D.exact_dedup(n, text_col="ntext").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_dups").cast("long").alias("n_dups"),
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Production incremental dedup: flag each doc of a NEW batch
     (doc_id %% 5 == 0) as exact-dup / near-dup of the CORPUS (the rest)
@@ -801,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "normalized_dedup": q_normalized_dedup,
         "incremental_dedup": q_incremental_dedup,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
@@ -1026,6 +1046,20 @@ FROM documents
 """,
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "incremental_dedup": DT.incremental_sql(k=16, bands=4),
+        "normalized_dedup": r"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(text) FROM documents),
+n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text),
+         '[.,;:!?''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g')) AS ntext
+  FROM u)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM n GROUP BY md5(ntext)
+""",
         "streaming_session": DT.streaming_session_sql(gap_seconds=1800),
         "embed_neardup": f"""
 WITH u AS (

@@ -165,3 +165,14 @@ def raw_word_ngrams(text: Column, n: int = 2) -> Column:
             lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
         )
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup: lowercase, strip punctuation, collapse
+    whitespace runs, trim — the C4-style normalization that lets exact
+    dedup catch case/punctuation variants. Pure JVM expressions; the exact
+    same regex steps exist in DuckDB for the oracle."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)

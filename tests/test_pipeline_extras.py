@@ -459,3 +459,18 @@ def test_incremental_dedup_flags_planted(spark, docs):
     assert got[900001] == (1, 1)   # exact copy: both flags
     assert got[900002] == (0, 1)   # near-dup: minhash only
     assert got[900003] == (0, 0)   # fresh doc: clean
+
+
+def test_normalize_text_collapses_variants(spark):
+    from audiopro_essentia_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "Hello, World!  How are   you?"),
+        (2, "hello world how are you"),
+        (3, "different entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n for r in df.select(
+        "doc_id", normalize_text(F.col("text")).alias("n")).collect()}
+    assert out[1] == out[2] == "hello world how are you"
+    assert out[3] == "different entirely"
