@@ -526,6 +526,25 @@ def q_lsh_ann(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Similarity evaluation: per-query recall of the LSH top-5 vs the
+    exact brute-force top-5 (same seeded hyperplanes as lsh_ann, so even
+    the recall REPORT is exactly oracle-checkable)."""
+    from audiopro_essentia_spark.operators.similarity import ann_recall
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_recall(e, q, k=5, n_planes=6)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        "recall",
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Text: quality metrics + composite score per doc."""
     d = _t(spark, sf_dir, "documents")
@@ -826,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
+        "ann_recall": q_ann_recall,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
@@ -1085,6 +1105,24 @@ SELECT * FROM (
 ) WHERE rank <= 5
 """,
         "lsh_ann": DT.lsh_ann_sql(dim=64, n_planes=6, seed=42, k=5),
+        "ann_recall": f"""
+WITH ex AS (
+SELECT * FROM (
+  SELECT CAST(a.vec_id AS BIGINT) AS query_id, CAST(b.vec_id AS BIGINT) AS vec_id,
+    {cos} AS cosine,
+    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, b.vec_id ASC) AS INT) AS rank
+  FROM embeddings a JOIN embeddings b ON true
+  WHERE a.vec_id < 5
+) WHERE rank <= 5),
+ap AS ({DT.lsh_ann_sql(dim=64, n_planes=6, seed=42, k=5)}),
+hit AS (SELECT ex.query_id, COUNT(*) AS n_hit
+        FROM ex JOIN ap ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id
+        GROUP BY ex.query_id)
+SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+  CAST(coalesce(any_value(hit.n_hit), 0) AS BIGINT) AS n_hit,
+  round(CAST(coalesce(any_value(hit.n_hit), 0) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM ex LEFT JOIN hit USING (query_id) GROUP BY ex.query_id
+""",
         # nprobe == n_centroids covers every cell -> exact == brute force
         "ivf_ann": f"""
 SELECT * FROM (

@@ -239,3 +239,34 @@ def ivf_topk(
     return joined.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Measure, don't guess: per-query recall of the LSH approximate top-k
+    against the exact brute-force top-k — the evaluation every ANN
+    deployment needs before trading exactness for the equi-join scale
+    path. Output: (query_id, n_exact, n_hit, recall)."""
+    exact = brute_force_topk(corpus, queries, k=k, corpus_id=corpus_id)
+    approx = lsh_topk(corpus, queries, k=k, n_planes=n_planes, seed=seed,
+                      corpus_id=corpus_id)
+    hits = exact.select("query_id", corpus_id).join(
+        approx.select("query_id", corpus_id), ["query_id", corpus_id],
+        "left_semi",
+    )
+    n_exact = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return n_exact.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact"), 6
+        ).alias("recall"),
+    )

@@ -64,3 +64,34 @@ def test_flagship_pipeline_single_shuffle_before_sink(spark, tiny_seqs):
     assert not plan_has_exchange(
         fused_frame_features(tiny_seqs, features=("rms", "mfcc"))
     )
+
+
+def test_lsh_candidate_stages_are_single_eval(spark):
+    """Regression guard for the single-eval restructure: each LSH
+    candidate generator must evaluate its signature UDF EXACTLY once in
+    the plan (Catalyst used to duplicate it below the spread exchange via
+    inferred-filter pushdown, and again on the self-join build side —
+    4 ArrowEvalPython nodes where 1 suffices)."""
+    from audiopro_essentia_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        minhash_lsh_candidates,
+        simhash_neardup_pairs,
+    )
+
+    def simple_plan(df) -> str:
+        # "formatted" prints every node twice (tree + detail block) —
+        # count on the simple plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert simple_plan(minhash_lsh_candidates(d, k=16, bands=4)).count(
+        "ArrowEvalPython"
+    ) == 1
+    assert simple_plan(simhash_neardup_pairs(d)).count("ArrowEvalPython") == 1
+    # embed: ONE signature eval for candidates; the exact-cosine verify
+    # joins back to the raw vectors (pure JVM), adding no Arrow node
+    assert simple_plan(embedding_neardup_pairs(e)).count("ArrowEvalPython") == 1
