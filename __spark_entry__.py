@@ -545,6 +545,24 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_hashed_embedding(spark, sf_dir):
+    """Featurization: hashing-trick bag-of-words doc embeddings (dim 64,
+    L2-normalized, portable hash) — fully relational, no ML lib; digested
+    to (nnz, component sum) scalars for the canonicalizer."""
+    from audiopro_essentia_spark.operators.featurize import hashed_doc_embedding
+
+    d = _t(spark, sf_dir, "documents")
+    out = hashed_doc_embedding(d, dim=64)
+    emb = F.col("embedding")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("nnz"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("e_sum"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Text: quality metrics + composite score per doc."""
     d = _t(spark, sf_dir, "documents")
@@ -846,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
         "ann_recall": q_ann_recall,
+        "hashed_embedding": q_hashed_embedding,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
@@ -1066,6 +1085,23 @@ FROM documents
 """,
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "incremental_dedup": DT.incremental_sql(k=16, bands=4),
+        "hashed_embedding": f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+slot AS (SELECT doc_id, (({h32w.replace("w", "w")}) % 64 + 64) % 64 AS i FROM tok),
+cnt AS (SELECT doc_id, i, COUNT(*) AS c FROM slot GROUP BY doc_id, i),
+m AS (SELECT doc_id, list(i ORDER BY i) AS idxs, list(c ORDER BY i) AS cs
+      FROM cnt GROUP BY doc_id),
+arr AS (SELECT doc_id, list_transform(generate_series(0, 63),
+    j -> CASE WHEN coalesce(list_position(idxs, j), 0) > 0
+         THEN CAST(cs[list_position(idxs, j)] AS DOUBLE) ELSE 0.0 END) AS a
+  FROM m),
+nrm AS (SELECT doc_id, a,
+    sqrt(list_sum(list_transform(a, x -> x * x))) AS norm FROM arr)
+SELECT doc_id,
+  CAST(len(list_filter(a, x -> x > 0)) AS INT) AS nnz,
+  round(list_sum(list_transform(a, x -> x / norm)), 6) AS e_sum
+FROM nrm
+""",
         "normalized_dedup": r"""
 WITH u AS (
   SELECT doc_id, text FROM documents

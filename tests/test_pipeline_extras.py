@@ -474,3 +474,21 @@ def test_normalize_text_collapses_variants(spark):
         "doc_id", normalize_text(F.col("text")).alias("n")).collect()}
     assert out[1] == out[2] == "hello world how are you"
     assert out[3] == "different entirely"
+
+
+def test_hashed_embedding_feeds_ann(spark, docs):
+    """The hashing-trick vectors are unit-norm and plug straight into the
+    ANN operators: every doc retrieves itself at cosine 1."""
+    from audiopro_essentia_spark.operators.featurize import hashed_doc_embedding
+    from audiopro_essentia_spark.operators.similarity import brute_force_topk
+
+    emb = hashed_doc_embedding(docs.limit(20)).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(emb, q, k=1).collect()
+    assert {(r.query_id, r.vec_id, r.cosine) for r in got} == {
+        (0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0)
+    }
