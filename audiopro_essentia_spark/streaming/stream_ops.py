@@ -184,6 +184,52 @@ def stream_to_checkpointed(
     q.awaitTermination()
 
 
+def streaming_token_pipeline(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    features: tuple | None = None,
+    frame_length: int | None = None,
+    hop: int | None = None,
+    n_buckets: int = 4,
+) -> None:
+    """The reference's real-time analog end-to-end: a STREAM of token
+    sequences -> fused Arrow feature kernel -> resumable checkpointed
+    sink, one epoch per micro-batch. Inside foreachBatch the micro-batch
+    is an ordinary DataFrame, so the exact batch operators run unchanged
+    — no second implementation to drift; exactly-once comes from the
+    idempotent epoch dirs (see epoch_writer)."""
+    import os as _os
+
+    from ..constants import FRAME_LENGTH, HOP_LENGTH
+    from ..operators.fused import fused_frame_features, nest_frequency_bands
+    from ..sources.sinks import CheckpointedWriter
+
+    fl = frame_length or FRAME_LENGTH
+    hp = hop or HOP_LENGTH
+
+    def handle(bdf: DataFrame, epoch_id: int) -> None:
+        feats = nest_frequency_bands(
+            fused_frame_features(
+                bdf, features=features, frame_length=fl, hop=hp, validate=True
+            )
+        )
+        CheckpointedWriter(
+            _os.path.join(out_dir, f"epoch={epoch_id}"),
+            n_buckets=n_buckets,
+            key_col="doc_id",
+        ).write(feats, error_col="ferror")
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_epochs(spark, out_dir: str, fmt: str = "parquet") -> DataFrame:
     """Union of COMMITTED data across all epoch directories."""
     import os as _os

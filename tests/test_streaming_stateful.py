@@ -177,3 +177,51 @@ def test_streaming_dedup_drops_content_duplicates(spark, tmp_path):
     assert sorted({r.text for r in out}) == sorted(
         f"text body {i}" for i in range(10)
     )
+
+
+def test_streaming_token_pipeline_matches_batch(spark, tmp_path):
+    """Streamed micro-batches through the fused kernel + checkpointed sink
+    must equal the batch pipeline's frame features exactly."""
+    import pyarrow.parquet as pq
+
+    from audiopro_essentia_spark.fixtures import make_sequences
+    from audiopro_essentia_spark.operators.fused import (
+        fused_frame_features,
+        nest_frequency_bands,
+    )
+    from audiopro_essentia_spark.streaming.stream_ops import (
+        read_epochs,
+        streaming_token_pipeline,
+    )
+
+    tbl = make_sequences(profile="tiny")
+    src = tmp_path / "seq_stream"
+    src.mkdir()
+    n = tbl.num_rows
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    pq.write_table(tbl.slice(0, n // 2), str(src / "part0.parquet"))
+    pq.write_table(tbl.slice(n // 2), str(src / "part1.parquet"))
+
+    batch_df = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "out"
+    streaming_token_pipeline(
+        stream, str(out), str(tmp_path / "ckpt"), n_buckets=2
+    )
+
+    got = read_epochs(spark, str(out))
+    exp = nest_frequency_bands(fused_frame_features(batch_df, validate=True))
+    assert got.count() == exp.count() > 0
+    g = {
+        (r.doc_id, r.frame_idx): round(r.rms, 9)
+        for r in got.select("doc_id", "frame_idx", "rms").collect()
+    }
+    e = {
+        (r.doc_id, r.frame_idx): round(r.rms, 9)
+        for r in exp.select("doc_id", "frame_idx", "rms").collect()
+    }
+    assert g == e
