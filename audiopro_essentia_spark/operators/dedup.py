@@ -424,6 +424,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     ngram: int = 2,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming. Candidate
     generation by 16-bit chunk equality (4 chunks: any pair within Hamming 3
@@ -435,7 +436,6 @@ def simhash_neardup_pairs(
     carrying both signatures for the Hamming verify (star-capped past
     `max_bucket` — star pairs still Hamming-verified, so an oversized
     bucket degrades recall linearly, never correctness)."""
-    max_bucket = 1024
     sig = (
         _spread(df)
         .select(
@@ -493,6 +493,7 @@ def embedding_neardup_pairs(
     n_planes: int = 32,
     band_bits: int = 8,
     seed: int = 42,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs >= threshold via banded sign-LSH
     candidates + exact cosine verify — the candidates-then-verify shape
@@ -520,7 +521,7 @@ def embedding_neardup_pairs(
         banded.groupBy("band", "bval")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(_bucket_pairs(F.col("ids"), 1024)).alias("p"))
+        .select(F.explode(_bucket_pairs(F.col("ids"), max_bucket)).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )

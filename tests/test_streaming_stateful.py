@@ -225,3 +225,48 @@ def test_streaming_token_pipeline_matches_batch(spark, tmp_path):
         for r in exp.select("doc_id", "frame_idx", "rms").collect()
     }
     assert g == e
+
+
+def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch (within the watermark)
+    must be dropped — the dedup state carries across batches."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from audiopro_essentia_spark.streaming.stream_ops import (
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    src = tmp_path / "docs_stream2"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }),
+            str(src / name),
+        )
+
+    write_batch("b0.parquet", [(1, "alpha", base), (2, "beta", base)])
+    write_batch("b1.parquet", [
+        (3, "alpha", base + dt.timedelta(seconds=30)),  # cross-batch dup
+        (4, "gamma", base + dt.timedelta(seconds=30)),
+    ])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_to_memory(
+        streaming_dedup(stream, watermark="10 minutes"), "dedup_stream2"
+    ).collect()
+    assert sorted(r.text for r in out) == ["alpha", "beta", "gamma"]
+    assert {r.doc_id for r in out if r.text == "alpha"} == {1}  # first wins
