@@ -394,33 +394,46 @@ FROM documents d LEFT JOIN res r ON d.doc_id = r.doc_id
 # dedup twins
 # ---------------------------------------------------------------------------
 
-
-def minhash_sql(k: int, bands: int, ngram: int = 3, table: str = "documents") -> str:
-    """DuckDB twin of minhash_lsh_candidates (portable md5-prefix hashes)."""
-    params = _minhash_params(k)
-    rows = k // bands
-    h = H32.format(x="s")
-    sig_terms = [
+def _minhash_sig_terms(k: int) -> list[str]:
+    """The k permutation-hash min terms — single source for every twin."""
+    return [
         f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE}))"
-        for (a, b) in params
+        for (a, b) in _minhash_params(k)
     ]
-    band_sel = []
+
+
+def _minhash_banded_selects(src: str, k: int, bands: int) -> str:
+    """UNION ALL of per-band (doc_id, band, bsig) selects over `src`."""
+    rows = k // bands
+    sel = []
     for b in range(bands):
         parts = " || ',' || ".join(
             f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
         )
-        band_sel.append(f"SELECT doc_id, {b} AS band, {parts} AS bsig FROM sig")
-    banded = " UNION ALL ".join(band_sel)
+        sel.append(f"SELECT doc_id, {b} AS band, {parts} AS bsig FROM {src}")
+    return " UNION ALL ".join(sel)
+
+
+def _shingle_select_sql(ngram: int, table: str, where: str = "TRUE") -> str:
+    """Distinct word-ngram shingle projection (twin of word_ngrams)."""
+    return (
+        "SELECT doc_id, array_distinct(list_transform(\n"
+        f"    generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),\n"
+        f"    i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')\n"
+        f"  )) AS shingles FROM {table} WHERE {where}"
+    )
+
+
+def minhash_sql(k: int, bands: int, ngram: int = 3, table: str = "documents") -> str:
+    """DuckDB twin of minhash_lsh_candidates (portable md5-prefix hashes)."""
+    h = H32.format(x="s")
     return f"""
 WITH sh AS (
-  SELECT doc_id, array_distinct(list_transform(
-    generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),
-    i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')
-  )) AS shingles FROM {table}
+  {_shingle_select_sql(ngram, table)}
 ),
 hs AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh),
-sig AS (SELECT doc_id, [{", ".join(sig_terms)}] AS sig FROM hs),
-banded AS ({banded})
+sig AS (SELECT doc_id, [{", ".join(_minhash_sig_terms(k))}] AS sig FROM hs),
+banded AS ({_minhash_banded_selects("sig", k, bands)})
 SELECT DISTINCT CAST(l.doc_id AS BIGINT) AS id_a, CAST(r.doc_id AS BIGINT) AS id_b
 FROM banded l JOIN banded r
   ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id
@@ -430,32 +443,16 @@ FROM banded l JOIN banded r
 def incremental_sql(k: int, bands: int, ngram: int = 3, mod: int = 5) -> str:
     """DuckDB twin of incremental_dedup_flags with new = doc_id %% mod == 0,
     corpus = the rest (same portable hashes / banding as minhash_sql)."""
-    params = _minhash_params(k)
-    rows = k // bands
     h = H32.format(x="s")
-    sig_terms = [
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MERSENNE}))"
-        for (a, b) in params
-    ]
-    def banded(src: str) -> str:
-        sel = []
-        for b in range(bands):
-            parts = " || ',' || ".join(
-                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
-            )
-            sel.append(f"SELECT doc_id, {b} AS band, {parts} AS bsig FROM {src}")
-        return " UNION ALL ".join(sel)
+
     def chain(tag: str, where: str) -> str:
         return f"""
 sh_{tag} AS (
-  SELECT doc_id, array_distinct(list_transform(
-    generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),
-    i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')
-  )) AS shingles FROM documents WHERE {where}
+  {_shingle_select_sql(ngram, "documents", where)}
 ),
 hs_{tag} AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh_{tag}),
-sig_{tag} AS (SELECT doc_id, [{", ".join(sig_terms)}] AS sig FROM hs_{tag}),
-banded_{tag} AS ({banded(f"sig_{tag}")})"""
+sig_{tag} AS (SELECT doc_id, [{", ".join(_minhash_sig_terms(k))}] AS sig FROM hs_{tag}),
+banded_{tag} AS ({_minhash_banded_selects(f"sig_{tag}", k, bands)})"""
     return f"""
 WITH {chain("n", f"doc_id % {mod} = 0")},
 {chain("c", f"doc_id % {mod} <> 0")},

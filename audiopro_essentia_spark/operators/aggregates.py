@@ -256,6 +256,11 @@ def corpus_percentiles(
     )
     cols = [F.col(group_col), F.col("n_docs")]
     for i, q in enumerate(qs):
-        name = f"p{str(q)[2:].ljust(2, '0')}"
+        pct = q * 100.0
+        # p50 / p99 / p100; non-integer percents like 0.999 -> p99_9
+        name = (
+            f"p{int(pct)}" if float(pct).is_integer()
+            else "p" + repr(round(pct, 4)).replace(".", "_")
+        )
         cols.append(F.round(F.element_at("_p", i + 1), 6).alias(name))
     return agg.select(*cols)

@@ -229,7 +229,11 @@ def minhash_lsh_candidates(
     self-join build side — measured 4 ArrowEvalPython nodes collapsing to
     1), then ONE shuffle into (band, signature) buckets, then in-bucket
     pair generation (star-capped past `max_bucket`, see _bucket_pairs).
-    Equivalent output to the textbook banded self-join."""
+    Output equals the textbook banded self-join EXACTLY while every
+    bucket fits max_bucket; an oversized bucket degrades to the linear
+    star pattern (connectivity preserved, pair set reduced) — raise
+    max_bucket for textbook-exact output at the cost of O(n^2) pairs in
+    that bucket."""
     banded = minhash_band_signatures(df, text_col, id_col, k, bands, ngram)
     buckets = (
         banded.groupBy("band", "bsig")

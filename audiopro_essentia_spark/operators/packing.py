@@ -32,6 +32,14 @@ def pack_shards(
 
     shard_id = global_offset // shard_tokens; shard_offset is the doc's
     start position within its shard."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # pmod of a non-numeric id silently NULLs every bucket -> the
+        # whole table collapses into ONE window partition (the exact
+        # bottleneck this operator exists to avoid). Fail loud instead.
+        raise ValueError(
+            f"pack_shards needs an integral id column; {id_col} is {id_type}"
+        )
     cnt = F.col(count_col).cast("long")
     b = df.select(
         F.col(id_col),

@@ -73,15 +73,17 @@ def build():
     sh = simhash_neardup_pairs(d, max_hamming=3, ngram=2)
     return mh, sh
 
-# warmup (python workers, JIT, page cache)
-for df in build():
-    df.write.format("noop").mode("overwrite").save()
+# warmup (python workers, JIT, page cache) — sanity counts taken HERE so
+# the timed section below is noop-writes only (no double execution)
+mh0, sh0 = build()
+mh0.write.format("noop").mode("overwrite").save()
+sh0.write.format("noop").mode("overwrite").save()
+n = mh0.count() + sh0.count()
 t0 = time.perf_counter()
 mh, sh = build()
 mh.write.format("noop").mode("overwrite").save()
 sh.write.format("noop").mode("overwrite").save()
 dt = time.perf_counter() - t0
-n = mh.count() + sh.count()
 print("RESULT " + json.dumps({"sec": dt, "frames": n}))
 """
 

@@ -340,17 +340,17 @@ def test_lsh_bucket_star_cap_stays_linear_and_connected(spark):
     )
 
     base = "the quick brown fox jumps over the lazy dog again and again"
-    rows = [(i, base + f" tail{i % 2}") for i in range(8)]
+    rows = [(i, base) for i in range(8)]  # identical -> one bucket per band
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     capped = minhash_lsh_candidates(df, k=16, bands=4, max_bucket=4).collect()
     full = minhash_lsh_candidates(df, k=16, bands=4, max_bucket=1024).collect()
-    # All 8 docs share every band signature bucket in at least one band ->
-    # full is all 28 pairs; capped collapses oversized buckets to stars.
-    assert len(full) == 28
-    assert len(capped) < len(full)
-    assert all(r.id_a == 0 or (r.id_a, r.id_b) in {(c.id_a, c.id_b) for c in full}
-               for r in capped)
+    assert {(r.id_a, r.id_b) for r in full} == {
+        (a, b) for a in range(8) for b in range(a + 1, 8)
+    }
+    # every bucket holds all 8 docs (min id 0), so the capped output must
+    # be EXACTLY the min-id star — not merely fewer arbitrary pairs
+    assert {(r.id_a, r.id_b) for r in capped} == {(0, j) for j in range(1, 8)}
     # connectivity survives the cap: one cluster, canonical min-id 0
     from audiopro_essentia_spark.operators.dedup import connected_components
 
