@@ -492,3 +492,43 @@ def test_hashed_embedding_feeds_ann(spark, docs):
     assert {(r.query_id, r.vec_id, r.cosine) for r in got} == {
         (0, 0, 1.0), (1, 1, 1.0), (2, 2, 1.0)
     }
+
+
+def test_bucket_pairs_semantics_parametrized(spark):
+    """_bucket_pairs == all (a<b) pairs at/below the cap, min-id star
+    above it — checked for several sizes around the boundary in one job."""
+    from itertools import combinations
+
+    from audiopro_essentia_spark.operators.dedup import _bucket_pairs
+
+    rows = [(n, list(range(100, 100 + n))) for n in (2, 3, 4, 5, 8)]
+    df = spark.createDataFrame(rows, "n int, ids array<bigint>")
+    out = df.select(
+        "n", F.explode(_bucket_pairs(F.col("ids"), 4)).alias("p")
+    ).select("n", "p.id_a", "p.id_b").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.n, set()).add((r.id_a, r.id_b))
+    for n, ids in rows:
+        if n <= 4:
+            exp = set(combinations(ids, 2))
+        else:
+            exp = {(ids[0], j) for j in ids[1:]}
+        assert got[n] == exp, n
+
+
+def test_normalize_text_idempotent(spark):
+    from audiopro_essentia_spark.functions.text import normalize_text
+
+    rows = [(i, t) for i, t in enumerate([
+        "Hello, World!", "  spaces   everywhere  ", "MIXED case; punct?",
+        "already normalized text", "", "...", "a",
+    ])]
+    df = spark.createDataFrame(rows, "i long, text string")
+    out = df.select(
+        normalize_text(F.col("text")).alias("once"),
+    ).select(
+        "once", normalize_text(F.col("once")).alias("twice")
+    ).collect()
+    for r in out:
+        assert r.once == r.twice
