@@ -139,7 +139,10 @@ def analyze_sequences(
             enriched,
             error_col="ferror",
             error_budget_pct=error_budget_pct,
-            input_files=[path],
+            # concrete source files (north rule: per-partition lineage
+            # carries source file + snapshot id + row counts), not just
+            # the root path; capped so one commit JSON stays small
+            input_files=sorted(raw.inputFiles())[:1000],
         )
         # completion check (reference extractor.py:285-289: warn < 97%):
         # expected frames from the accepted docs' n_tok via the count formula
