@@ -187,3 +187,38 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n == 8
+
+
+def test_compact_merges_small_files_identical_rows(spark, tmp_path):
+    """compact() reduces per-bucket file counts, keeps every row, stays
+    committed throughout, and records compaction provenance in lineage."""
+    from audiopro_essentia_spark.sources.sinks import CheckpointedWriter
+
+    out = str(tmp_path / "cp")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    ).repartition(16)  # many tiny files per bucket
+    w = CheckpointedWriter(out, n_buckets=2, key_col="doc_id")
+    w.write(df)
+    before = {
+        (r.doc_id, r.v) for r in w.read(spark).select("doc_id", "v").collect()
+    }
+    import os as _os
+
+    bdir = _os.path.join(out, "data", "bucket=0")
+    n_before = len([f for f in _os.listdir(bdir) if f.endswith(".parquet")])
+    assert n_before > 1
+
+    stats = w.compact(spark, target_file_mb=128)
+    assert sorted(stats["compacted"]) == [0, 1]
+    n_after = len([f for f in _os.listdir(bdir) if f.endswith(".parquet")])
+    assert n_after == 1
+    after = {
+        (r.doc_id, r.v) for r in w.read(spark).select("doc_id", "v").collect()
+    }
+    assert after == before
+    rec = w.lineage()[0]
+    assert "compacted_from" in rec and rec["snapshot_id"] != rec["compacted_from"]
+    # still fully committed: resume skips everything
+    again = w.write(df)
+    assert again["committed"] == []
