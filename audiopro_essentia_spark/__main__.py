@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .constants import ALL_FRAME_FEATURES, DEFAULT_ERROR_BUDGET_PCT, FRAME_LENGTH, HOP_LENGTH
@@ -40,8 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start", type=float, default=None, help="start second")
     p.add_argument("--end", type=float, default=None, help="end second")
     p.add_argument(
-        "--format", choices=("parquet", "json"), default="parquet",
-        help="output format (reference's msgpack/json dispatch analog)",
+        "--format", choices=("parquet", "json", "msgpack"), default="parquet",
+        help="output format (reference output_handler dispatch): parquet/"
+        "json write the frame table in that format; msgpack writes frames "
+        "as parquet plus doc metadata as gzipped MessagePack blobs "
+        "(self-implemented codec, functions/msgpack.py)",
     )
     p.add_argument("--frame-length", type=int, default=FRAME_LENGTH)
     p.add_argument("--hop", type=int, default=HOP_LENGTH)
@@ -112,8 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         end_sec=args.end,
         out_dir=None,  # we drive the writer below to honor --format
     )
+    frame_fmt = "parquet" if args.format == "msgpack" else args.format
     writer = CheckpointedWriter(
-        out_dir, n_buckets=args.n_buckets, fmt=args.format
+        out_dir, n_buckets=args.n_buckets, fmt=frame_fmt
     )
     stats = writer.write(
         res["frame_features"],
@@ -121,6 +126,12 @@ def main(argv: list[str] | None = None) -> int:
         error_budget_pct=args.error_budget_pct,
         input_files=[args.input],
     )
+    if args.format == "msgpack":
+        from audiopro_essentia_spark.sources.sinks import write_msgpack_dir
+
+        write_msgpack_dir(
+            res["doc_metadata"], os.path.join(out_dir, "doc_meta_msgpack")
+        )
     summary = {
         "output": out_dir,
         "format": args.format,

@@ -366,3 +366,58 @@ def validate_output_path(path: str, fmt: str) -> str:
             f"the writer appends format={fmt}"
         )
     return path
+
+
+def write_msgpack_dir(
+    df: DataFrame, out_dir: str, gzip_output: bool = True
+) -> None:
+    """S5 proper: write rows as MessagePack (one .msgpack[.gz] file per
+    partition, maps keyed by column name) — the reference's msgpack+gzip
+    output format (/root/reference/src/audiopro/output/output_handler.py
+    dispatch, arg_parser --format/--gzip), self-implemented from the
+    public spec since no msgpack wheel ships here.
+
+    Executor-side foreachPartition: each task streams its split straight
+    to its own file (named by partition id -> task retries overwrite
+    idempotently, no duplicates). Row-at-a-time conversion is inherent to
+    the format and confined to this sink — use it for DOC-LEVEL outputs
+    (one row per doc), keep frame tables in parquet."""
+    import gzip as _gzip
+
+    os.makedirs(out_dir, exist_ok=True)
+    cols = df.columns
+    ext = ".msgpack.gz" if gzip_output else ".msgpack"
+
+    def _write(rows) -> None:
+        from pyspark import TaskContext
+
+        from ..functions.msgpack import packb
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        opener = _gzip.open if gzip_output else open
+        with opener(path, "wb") as fh:
+            for r in rows:
+                d = r.asDict(recursive=True)
+                for k, v in d.items():
+                    if hasattr(v, "isoformat"):  # datetime -> ISO string
+                        d[k] = v.isoformat()
+                fh.write(packb({c: d[c] for c in cols}))
+
+    df.foreachPartition(_write)
+
+
+def read_msgpack_dir(out_dir: str) -> list[dict]:
+    """Decode every row written by write_msgpack_dir (verification/tests)."""
+    import gzip as _gzip
+
+    from ..functions.msgpack import unpack_stream
+
+    out: list[dict] = []
+    for f in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, f)
+        if f.endswith(".msgpack.gz"):
+            out.extend(unpack_stream(_gzip.open(p, "rb").read()))
+        elif f.endswith(".msgpack"):
+            out.extend(unpack_stream(open(p, "rb").read()))
+    return out

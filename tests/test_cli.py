@@ -59,3 +59,52 @@ def test_cli_rejects_bad_args(seq_path, tmp_path):
     assert r.returncode == 2 and "extension" in r.stderr
     r = _run([seq_path, str(tmp_path / "o3"), "--start", "5", "--end", "2"])
     assert r.returncode == 2 and "--end" in r.stderr
+
+
+def test_msgpack_codec_roundtrip_spec():
+    from audiopro_essentia_spark.functions.msgpack import packb, unpackb
+
+    cases = [None, True, 127, -33, 2**40, 1.5, "héllo", b"\x00\xff",
+             list(range(20)), {"nested": {"a": [1, None, "s"]}}]
+    for c in cases:
+        assert unpackb(packb(c)) == c
+    # spec-pinned encodings (msgpack.org format spec)
+    assert packb(None) == b"\xc0"
+    assert packb("abc") == b"\xa3abc"
+    assert packb([1, 2]) == b"\x92\x01\x02"
+    assert packb({"a": 1}) == b"\x81\xa1a\x01"
+
+
+def test_msgpack_sink_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from audiopro_essentia_spark.sources.sinks import (
+        read_msgpack_dir,
+        write_msgpack_dir,
+    )
+
+    df = spark.range(0, 50).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 0.5).alias("score"),
+        F.array(F.col("id"), F.col("id") + 1).alias("pair"),
+    )
+    out = tmp_path / "mp"
+    write_msgpack_dir(df, str(out))
+    rows = read_msgpack_dir(str(out))
+    assert len(rows) == 50
+    byid = {r["doc_id"]: r for r in rows}
+    assert byid["doc7"]["score"] == 3.5 and byid["doc7"]["pair"] == [7, 8]
+
+
+def test_cli_msgpack_format(seq_path, tmp_path):
+    from audiopro_essentia_spark.sources.sinks import read_msgpack_dir
+
+    out = str(tmp_path / "outmp")
+    r = _run([seq_path, out, "--features", "rms", "--n-buckets", "2",
+              "--master", "local[4]", "--format", "msgpack",
+              "--skip-monitoring"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["format"] == "msgpack" and summary["committed"] == [0, 1]
+    rows = read_msgpack_dir(os.path.join(out, "doc_meta_msgpack"))
+    assert rows and all("doc_id" in d and "rms_amplitude" in d for d in rows)
