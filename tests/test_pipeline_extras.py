@@ -532,3 +532,37 @@ def test_normalize_text_idempotent(spark):
     ).collect()
     for r in out:
         assert r.once == r.twice
+
+
+def test_incremental_dedup_from_materialized_index(spark, docs, tmp_path):
+    """The production path: corpus signatures WRITTEN once, the increment
+    joins against the on-disk index — flags identical to the inline
+    computation."""
+    from audiopro_essentia_spark.operators.dedup import (
+        incremental_dedup_flags,
+        minhash_band_signatures,
+    )
+
+    corpus = docs.filter(F.col("n_chars") > 300).limit(10)
+    new = (
+        corpus.limit(2)
+        .withColumn("doc_id", F.col("doc_id") + 700000)  # exact dups
+    )
+    inline = {
+        r.doc_id: (r.dup_exact, r.dup_near)
+        for r in incremental_dedup_flags(new, corpus, k=16, bands=4).collect()
+    }
+
+    idx_path = str(tmp_path / "sig_index")
+    minhash_band_signatures(corpus, k=16, bands=4).write.parquet(idx_path)
+    cs = spark.read.parquet(idx_path)
+    ns = minhash_band_signatures(new, k=16, bands=4)
+    near_ids = {
+        r.doc_id
+        for r in ns.join(
+            cs.select("band", "bsig").distinct(), ["band", "bsig"], "left_semi"
+        ).select("doc_id").distinct().collect()
+    }
+    for doc_id, (_, dup_near) in inline.items():
+        assert (doc_id in near_ids) == bool(dup_near)
+    assert all(v == (1, 1) for v in inline.values())  # exact copies
