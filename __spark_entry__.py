@@ -545,6 +545,20 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG-prep chunking: 32-word windows, 8-word overlap — narrow
+    explode+slice plan (the text form of token framing); chunk text
+    digested to the portable 32-bit hash for the canonicalizer."""
+    d = _t(spark, sf_dir, "documents")
+    out = T.chunk_documents(d, chunk_words=32, overlap=8)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        T.portable_hash32(F.col("chunk_text")).alias("chunk_h32"),
+        F.col("n_chunk_words").cast("int").alias("n_chunk_words"),
+    )
+
+
 def q_hashed_embedding(spark, sf_dir):
     """Featurization: hashing-trick bag-of-words doc embeddings (dim 64,
     L2-normalized, portable hash) — fully relational, no ML lib; digested
@@ -865,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "ann_recall": q_ann_recall,
         "hashed_embedding": q_hashed_embedding,
+        "chunk_documents": q_chunk_documents,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
@@ -1085,6 +1100,21 @@ FROM documents
 """,
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "incremental_dedup": DT.incremental_sql(k=16, bands=4),
+        "chunk_documents": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws,
+  CASE WHEN len(ws) <= 32 THEN 1
+       ELSE CAST((len(ws) - 32) // 24 + 1 AS INT) END AS n_chunks FROM w),
+e AS (SELECT doc_id, ws, CAST(i AS INT) AS chunk_idx
+      FROM n, LATERAL UNNEST(generate_series(0, n_chunks - 1)) AS g(i)),
+c AS (SELECT doc_id, chunk_idx,
+      array_to_string(list_slice(ws, chunk_idx*24 + 1, chunk_idx*24 + 32), ' ') AS t,
+      len(list_slice(ws, chunk_idx*24 + 1, chunk_idx*24 + 32)) AS nw
+      FROM e)
+SELECT doc_id, chunk_idx, {H32.format(x='t')} AS chunk_h32,
+       CAST(nw AS INT) AS n_chunk_words
+FROM c
+""",
         "hashed_embedding": f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
 slot AS (SELECT doc_id, (({h32w.replace("w", "w")}) % 64 + 64) % 64 AS i FROM tok),

@@ -176,3 +176,40 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", "")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)
+
+
+def chunk_documents(
+    df,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RAG-prep chunking: sliding word windows of `chunk_words` with
+    `overlap` words shared between neighbors — the TEXT form of the
+    engine's token framing (same explode+slice narrow plan, zero
+    shuffle). Docs shorter than one chunk yield a single whole-doc chunk;
+    a partial tail shorter than the overlap step is dropped (standard
+    sliding-window semantics, mirrors frame_tokens).
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_words)."""
+    if not 0 <= overlap < chunk_words:
+        raise ValueError("need 0 <= overlap < chunk_words")
+    hop = chunk_words - overlap
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+    n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(
+        (n - chunk_words) / hop + 1
+    ).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_ws"), F.col("chunk_idx") * hop + 1, chunk_words)
+    return exploded.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_words"),
+    )

@@ -566,3 +566,22 @@ def test_incremental_dedup_from_materialized_index(spark, docs, tmp_path):
     for doc_id, (_, dup_near) in inline.items():
         assert (doc_id in near_ids) == bool(dup_near)
     assert all(v == (1, 1) for v in inline.values())  # exact copies
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from audiopro_essentia_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # 10 words, 2 chunks
+        (2, "tiny doc"),                              # < chunk -> whole doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.chunk_idx): r for r in
+           chunk_documents(df, chunk_words=6, overlap=2).collect()}
+    # hop = 4: chunks at words [0:6] and [4:10]
+    assert out[(1, 0)].chunk_text == "w0 w1 w2 w3 w4 w5"
+    assert out[(1, 1)].chunk_text == "w4 w5 w6 w7 w8 w9"
+    # overlap: last 2 words of chunk 0 == first 2 of chunk 1
+    assert out[(1, 0)].chunk_text.split()[-2:] == out[(1, 1)].chunk_text.split()[:2]
+    assert out[(2, 0)].chunk_text == "tiny doc" and out[(2, 0)].n_chunk_words == 2
+    assert (2, 1) not in out
