@@ -136,10 +136,25 @@ def _unpack(mv: memoryview, i: int):
         return True, i
     if b == 0xCB:
         return struct.unpack_from(">d", mv, i)[0], i + 8
+    if b == 0xCA:
+        return struct.unpack_from(">f", mv, i)[0], i + 4
     if b == 0xD3:
         return struct.unpack_from(">q", mv, i)[0], i + 8
     if b == 0xCF:
         return struct.unpack_from(">Q", mv, i)[0], i + 8
+    # full unsigned/signed int family — other writers emit minimal widths
+    if b == 0xCC:
+        return mv[i], i + 1
+    if b == 0xCD:
+        return struct.unpack_from(">H", mv, i)[0], i + 2
+    if b == 0xCE:
+        return struct.unpack_from(">I", mv, i)[0], i + 4
+    if b == 0xD0:
+        return struct.unpack_from(">b", mv, i)[0], i + 1
+    if b == 0xD1:
+        return struct.unpack_from(">h", mv, i)[0], i + 2
+    if b == 0xD2:
+        return struct.unpack_from(">i", mv, i)[0], i + 4
     if b == 0xD9:
         n = mv[i]
         return bytes(mv[i + 1 : i + 1 + n]).decode("utf-8"), i + 1 + n
