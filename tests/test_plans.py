@@ -95,3 +95,47 @@ def test_lsh_candidate_stages_are_single_eval(spark):
     # embed: ONE signature eval for candidates; the exact-cosine verify
     # joins back to the raw vectors (pure JVM), adding no Arrow node
     assert simple_plan(embedding_neardup_pairs(e)).count("ArrowEvalPython") == 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's join-skew answer is AQE (salting is reserved for
+    aggregations): with one hot key dominating the left side, AQE must
+    mark the sort-merge join skew-handled at runtime and still produce
+    exact results."""
+    conf = spark.conf
+    olds = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS v"
+        )
+        right = spark.range(0, 50).selectExpr("id AS k", "id * 100 AS w")
+        j = left.join(right, "k")
+        # collect() drives THIS DataFrame's QueryExecution, so its
+        # AdaptiveSparkPlan is finalized (count() would plan separately)
+        n = len(j.collect())
+        # hot key 0 (~180k rows) matches right k=0; the rest match k=id
+        assert n == 180_000 + left.filter("k > 0 AND k < 50").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in olds.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
