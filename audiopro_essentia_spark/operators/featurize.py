@@ -34,18 +34,23 @@ def hashed_doc_embedding(
         id_col, F.pmod(portable_hash32(F.col("_w")), F.lit(dim)).alias("_i")
     )
     cnt = slot.groupBy(id_col, "_i").agg(F.count(F.lit(1)).alias("_c"))
+    # the L2 norm comes out of the SAME aggregate as a scalar (sum of
+    # squared counts == ||dense vector||^2): expressing it as
+    # aggregate(arr, ...) instead lets Catalyst's projection collapse
+    # re-inline the whole 64-lookup array build into EVERY element's
+    # division — measured 64x expression blow-up (the CLAUDE.md trap)
     m = cnt.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("_i"), F.col("_c")))
-        ).alias("_m")
+        ).alias("_m"),
+        F.sum(F.col("_c") * F.col("_c")).cast("double").alias("_sq"),
     )
     arr = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: F.coalesce(F.element_at("_m", j), F.lit(0)).cast("double"),
     )
     if normalize:
-        norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x))
-        vec = F.transform(arr, lambda x: x / norm)  # >=1 word -> norm > 0
+        vec = F.transform(arr, lambda x: x / F.sqrt("_sq"))  # >=1 word
     else:
         vec = arr
     return m.select(F.col(id_col), vec.alias("embedding"))

@@ -40,6 +40,8 @@ BENCH_QUERIES = (
     "minhash_lsh",
     "simhash",
     "embed_neardup",
+    "normalized_dedup",
+    "incremental_dedup",
     "ann_topk",
     "ivf_ann",
     "kernel_features",
@@ -49,6 +51,10 @@ BENCH_QUERIES = (
     "repetition",
     "tfidf",
     "pack_shards",
+    "chunk_documents",
+    "hashed_embedding",
+    "corpus_profile",
+    "ann_recall",
     "curate",
     "tpch_q1",
 )
