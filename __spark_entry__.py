@@ -405,6 +405,20 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs (doc_id %% 97 != 0) sharing
+    >= 1 word 5-gram with the synthetic benchmark set (doc_id %% 97 == 0)
+    — broadcast benchmark shingles, no corpus shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_flags(train, bench, ngram=5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def q_normalized_dedup(spark, sf_dir):
     """Canonical-form dedup: C4-style normalization (lower / strip punct /
     collapse whitespace) before the exact md5 hash-agg, so case and
@@ -871,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "decontaminate": q_decontaminate,
         "normalized_dedup": q_normalized_dedup,
         "incremental_dedup": q_incremental_dedup,
         "embed_neardup": q_embed_neardup,
@@ -1131,6 +1146,22 @@ SELECT doc_id,
   CAST(len(list_filter(a, x -> x > 0)) AS INT) AS nnz,
   round(list_sum(list_transform(a, x -> x / norm)), 6) AS e_sum
 FROM nrm
+""",
+        "decontaminate": """
+WITH sh AS (
+  SELECT doc_id, array_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
+    i -> array_to_string(list_slice(string_split(text,' '), i, i+4), ' ')
+  )) AS shingles FROM documents),
+bset AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+tsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+shared AS (SELECT t.doc_id, COUNT(*) AS n_shared
+           FROM tsh t JOIN bset USING (shingle) GROUP BY t.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+  CAST(CASE WHEN coalesce(s.n_shared, 0) >= 1 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents d LEFT JOIN shared s USING (doc_id)
+WHERE d.doc_id % 97 <> 0
 """,
         "normalized_dedup": r"""
 WITH u AS (

@@ -652,3 +652,49 @@ def dedup_clusters(
     return connected_components(pairs).select(
         F.col("id").alias(id_col), "cluster_id"
     )
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag TRAIN docs sharing >= min_shared
+    word n-grams with ANY benchmark doc — the eval-set hygiene pass every
+    pretraining corpus runs (n-gram-overlap decontamination as described
+    in public LM reports; independent implementation).
+
+    Scale shape: the benchmark set is small by nature (eval suites), so
+    its distinct shingles BROADCAST; the train side streams through a
+    broadcast hash join — no shuffle of the corpus, one narrow pass plus
+    the per-doc count aggregate.
+
+    Output: (id, n_shared, contaminated 0/1) for every train doc."""
+    bsh = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle")
+        )
+        .distinct()
+    )
+    tsh = train.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle")
+    )
+    shared = (
+        tsh.join(F.broadcast(bsh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

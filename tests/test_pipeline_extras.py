@@ -585,3 +585,25 @@ def test_chunk_documents_overlap_and_short_docs(spark):
     assert out[(1, 0)].chunk_text.split()[-2:] == out[(1, 1)].chunk_text.split()[:2]
     assert out[(2, 0)].chunk_text == "tiny doc" and out[(2, 0)].n_chunk_words == 2
     assert (2, 1) not in out
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from audiopro_essentia_spark.operators.dedup import contamination_flags
+
+    bench = spark.createDataFrame(
+        [(900, "what is the capital city of france paris obviously")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "what is the capital city of france asked the student"),
+            (2, "completely unrelated training document about cooking pasta well"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in contamination_flags(train, bench, ngram=5).collect()
+    }
+    assert got[1][0] >= 2 and got[1][1] == 1  # shares 5-gram prefix run
+    assert got[2] == (0, 0)
