@@ -638,6 +638,19 @@ def q_pack_shards(spark, sf_dir):
     return pack_shards(d, "n_tok", shard_tokens=4096)
 
 
+def q_surprisal(spark, sf_dir):
+    """Quality: self-trained unigram LM surprisal per doc (no external
+    model — the corpus scores itself; perplexity-filter analog)."""
+    from audiopro_essentia_spark.operators.tfidf import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_logloss",
+    )
+
+
 def q_tfidf(spark, sf_dir):
     """Text: top-5 TF-IDF terms per doc (smooth-idf; rank ties broken on
     the round-6 score then term so Spark and DuckDB agree bit-for-bit)."""
@@ -898,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
+        "surprisal": q_surprisal,
         "pack_shards": q_pack_shards,
         "corpus_profile": q_corpus_profile,
         "lang_id": q_lang_id,
@@ -1306,6 +1320,15 @@ SELECT doc_id, n_tokens, global_offset,
   CAST(global_offset // 4096 AS BIGINT) AS shard_id,
   global_offset % 4096 AS shard_offset
 FROM g
+""",
+        "surprisal": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  round(-avg(ln(wc.c / total.n)), 6) AS avg_logloss
+FROM tok t JOIN wc USING (w) CROSS JOIN total
+GROUP BY t.doc_id
 """,
         "tfidf": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -51,3 +51,33 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", F.col("rank").cast("int").alias("rank"), "score")
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained unigram LM score per doc: avg_logloss = -mean over
+    tokens of ln P(w), with P(w) = corpus count(w) / corpus tokens — the
+    relational approximation of perplexity-based quality filtering (LM
+    scoring as in public corpus reports, reduced to the unigram case so
+    it needs NO external model: the corpus scores itself).
+
+    High surprisal = rare-token soup (noise, boilerplate hashes); low =
+    repetitive/common text. Scale shape: one (word) count aggregate with
+    map-side combine, a broadcast one-row total, then a shuffle join of
+    the token stream back on word and a per-doc mean — all linear."""
+    tok = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
+    wc = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = tok.join(wc, "_w").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(-F.avg(F.log(F.col("_c") / F.col("_n"))), 6).alias(
+                "avg_logloss"
+            ),
+        )
+    )

@@ -607,3 +607,18 @@ def test_contamination_flags_planted_overlap(spark):
     }
     assert got[1][0] >= 2 and got[1][1] == 1  # shares 5-gram prefix run
     assert got[2] == (0, 0)
+
+
+def test_unigram_surprisal_rare_words_score_higher(spark):
+    from audiopro_essentia_spark.operators.tfidf import unigram_surprisal
+
+    rows = [
+        (1, "common common common common"),
+        (2, "common rareword common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logloss for r in unigram_surprisal(df).collect()}
+    # P(common)=7/8, P(rareword)=1/8: doc 2 contains the rare token
+    assert got[2] > got[1]
+    import math
+    assert abs(got[1] - (-math.log(7 / 8))) < 1e-6
