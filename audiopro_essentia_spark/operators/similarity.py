@@ -75,17 +75,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature string over deterministic random hyperplanes.
-    (Expression form — fine for a handful of planes; the vectorized scale
-    path is make_lsh_band_udf: one Arrow pass, no k-wide expression tree
-    for Catalyst to re-inline.)"""
-    bits = []
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot_expr(vec, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
 
 def make_lsh_band_udf(n_planes: int, band_bits: int, seed: int = 42):
     """Arrow-vectorized banded sign-LSH: embedding -> array of

@@ -622,3 +622,30 @@ def test_unigram_surprisal_rare_words_score_higher(spark):
     assert got[2] > got[1]
     import math
     assert abs(got[1] - (-math.log(7 / 8))) < 1e-6
+
+
+def test_minhash_udf_matches_expression_form(spark, docs):
+    """The banded Arrow UDF and the pure-expression minhash_signature use
+    identical arithmetic — pin it (same contract the DuckDB twin relies
+    on)."""
+    from audiopro_essentia_spark.functions.text import word_ngrams
+    from audiopro_essentia_spark.operators.dedup import (
+        make_minhash_band_udf,
+        minhash_signature,
+    )
+
+    d = docs.limit(10).select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    got = d.select(
+        "doc_id",
+        minhash_signature(F.col("sh"), k=16).alias("expr"),
+        make_minhash_band_udf(16, 4)(F.col("sh")).alias("udf_bands"),
+    ).collect()
+    assert len(got) == 10
+    for r in got:
+        expr_bands = [
+            ",".join(str(v) for v in r.expr[b * 4 : (b + 1) * 4])
+            for b in range(4)
+        ]
+        assert expr_bands == list(r.udf_bands), r.doc_id
