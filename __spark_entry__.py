@@ -721,6 +721,20 @@ def q_spectral_flux(spark, sf_dir):
     return spectral_flux(framed, frame_length=KF_, token_scale=KSCALE_)
 
 
+def q_spectral_contrast(spark, sf_dir):
+    """Per-frame spectral contrast (3 bands, ln peak/valley of sorted bin
+    magnitudes) — spectrum UDF + pure JVM array expressions; twin
+    generated from the same DFT literals (duck_twins.contrast_sql)."""
+    from audiopro_essentia_spark.operators.flux import spectral_contrast
+
+    toks = _docs_tokens(spark, sf_dir)
+    framed = frame_tokens(
+        toks, frame_length=KF_, hop=KH_, sample_rate=KSR_, tokens_col="toks",
+        id_cols=("doc_id",), carry_cols=(), base_ts_col=None,
+    )
+    return spectral_contrast(framed, frame_length=KF_, token_scale=KSCALE_)
+
+
 def q_rhythm(spark, sf_dir):
     """A16: beat/tempo extraction over derived tokens, digested to
     (tempo, n_beats, beats_sum) and hash-checked against a generated DuckDB
@@ -919,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "kernel_features": q_kernel_features,
         "spectral_flux": q_spectral_flux,
+        "spectral_contrast": q_spectral_contrast,
         "rhythm": q_rhythm,
         "fused_pipeline": q_fused_pipeline,
         "multimodal": q_multimodal,
@@ -1116,6 +1131,7 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
             KF_, KH_, KSR_, KSCALE_, FUSED_FEATURES, KMELS_, doc_id_varchar=True
         ),
         "spectral_flux": DT.flux_sql(KF_, KH_, KSR_, KSCALE_),
+        "spectral_contrast": DT.contrast_sql(KF_, KH_, KSR_, KSCALE_),
         "rhythm": DT.rhythm_sql(KF_, KH_, KSR_, KSCALE_),
         "multimodal": DT.multimodal_sql(hist_bins=16),
         "media_frames": DT.media_frames_sql(n_frames=4, frame_bytes=64),

@@ -329,6 +329,59 @@ FROM fl WINDOW dw AS (PARTITION BY doc_id)
 
 
 
+def contrast_sql(
+    frame_length: int,
+    hop: int,
+    sample_rate: int,
+    token_scale: float,
+    n_bands: int = 3,
+    alpha: float = 0.2,
+) -> str:
+    """DuckDB twin of operators.flux.spectral_contrast — same wd/DFT
+    recipe as flux_sql, then per-band list_sort + top/bottom-alpha means."""
+    c = _consts(frame_length, sample_rate, 1)
+    hann = [repr(float(v)) for v in c["hann"]]
+    nb = len(c["freqs"])
+    jj = np.arange(frame_length)
+    cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+    sin_t = np.sin(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+    for M in (cos_t, sin_t):
+        M[np.abs(M) < 1e-12] = 0.0
+        M[np.abs(M - 1.0) < 1e-12] = 1.0
+        M[np.abs(M + 1.0) < 1e-12] = -1.0
+    wd = ", ".join(
+        f"CAST(CAST(CAST(w[{j + 1}] AS DOUBLE)/{token_scale!r} * {hann[j]} "
+        f"AS REAL) AS DOUBLE) AS wd{j}"
+        for j in range(frame_length)
+    )
+    spec_cols = []
+    for k in range(nb):
+        re = " + ".join(f"wd{j}*{cos_t[k, j]!r}" for j in range(frame_length))
+        im = " + ".join(f"wd{j}*{sin_t[k, j]!r}" for j in range(frame_length))
+        spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
+    edges = [round(i * nb / n_bands) for i in range(n_bands + 1)]
+    out_cols = []
+    for b in range(n_bands):
+        lo, hi = edges[b], edges[b + 1]
+        band = "list_sort([" + ", ".join(f"s{k}" for k in range(lo, hi)) + "])"
+        kk = max(1, int((hi - lo) * alpha))
+        valley = f"(list_sum(list_slice({band}, 1, {kk})) / {float(kk)!r})"
+        peak = (
+            f"(list_sum(list_slice({band}, {hi - lo - kk + 1}, {hi - lo})) "
+            f"/ {float(kk)!r})"
+        )
+        out_cols.append(
+            f"round(ln(({peak} + 1e-10) / ({valley} + 1e-10)), 6) "
+            f"AS contrast_{b}"
+        )
+    return f"""
+WITH {frames_cte(frame_length, hop)},
+a AS MATERIALIZED (SELECT doc_id, frame_idx, {wd} FROM f),
+b AS MATERIALIZED (SELECT doc_id, frame_idx, {", ".join(spec_cols)} FROM a)
+SELECT doc_id, frame_idx, {", ".join(out_cols)} FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -88,3 +88,46 @@ def spectral_flux(
     return out.withColumn(
         "is_onset", (F.col("flux") > thresh).cast("int")
     )
+
+
+def spectral_contrast(
+    frames: DataFrame,
+    frame_length: int = FRAME_LENGTH,
+    token_scale: float = TOKEN_SCALE,
+    window_col: str = "window",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    n_bands: int = 3,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Per-frame spectral contrast: ln(peak/valley) per frequency band,
+    where peak/valley are the means of the top/bottom alpha-fraction of
+    sorted bin magnitudes in the band (the librosa-family feature,
+    public formulation; independent implementation).
+
+    Same stateless spectrum UDF as spectral_flux; the band split /
+    sort / quantile means are pure JVM array expressions after it —
+    no extra Python, no shuffle (narrow over the framed rows)."""
+    udf = make_spectrum_udf(frame_length, token_scale).asNondeterministic()
+    nb = frame_length // 2 + 1
+    edges = [round(i * nb / n_bands) for i in range(n_bands + 1)]
+    spec = frames.select(
+        *id_cols, "frame_idx", udf(F.col(window_col)).alias("_spec")
+    )
+    eps = F.lit(1e-10)
+    cols = [F.col(c) for c in (*id_cols, "frame_idx")]
+    for b in range(n_bands):
+        lo, hi = edges[b], edges[b + 1]
+        band = F.array_sort(F.slice("_spec", lo + 1, hi - lo))
+        k = max(1, int((hi - lo) * alpha))
+        valley = F.aggregate(
+            F.slice(band, 1, k), F.lit(0.0), lambda a, x: a + x
+        ) / F.lit(float(k))
+        peak = F.aggregate(
+            F.slice(band, hi - lo - k + 1, k), F.lit(0.0), lambda a, x: a + x
+        ) / F.lit(float(k))
+        cols.append(
+            F.round(F.log((peak + eps) / (valley + eps)), 6).alias(
+                f"contrast_{b}"
+            )
+        )
+    return spec.select(*cols)

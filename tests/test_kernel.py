@@ -142,3 +142,55 @@ def test_spectral_flux_matches_numpy_golden(spark, tiny_seqs):
     # onset flags: some onsets exist, never on a doc's first frame
     onsets = [k for k, v in got.items() if v[1] == 1]
     assert onsets and all(fi != 0 for _, fi in onsets)
+
+
+def test_spectral_contrast_numpy_golden(spark, tiny_seqs):
+    """contrast_b = ln(mean(top-k)/mean(bottom-k)) of sorted band bins."""
+    import numpy as np
+
+    from audiopro_essentia_spark.constants import (
+        FRAME_LENGTH,
+        HOP_LENGTH,
+        SAMPLE_RATE,
+        TOKEN_SCALE,
+    )
+    from audiopro_essentia_spark.operators.flux import spectral_contrast
+    from audiopro_essentia_spark.operators.kernel import _consts
+
+    frames = frame_tokens(tiny_seqs, carry_cols=(), base_ts_col=None)
+    got = {
+        (r.doc_id, r.frame_idx): (r.contrast_0, r.contrast_1, r.contrast_2)
+        for r in spectral_contrast(frames).collect()
+    }
+    assert len(got) > 100
+
+    hann = _consts(FRAME_LENGTH, SAMPLE_RATE, 1)["hann"]
+    nb = FRAME_LENGTH // 2 + 1
+    edges = [round(i * nb / 3) for i in range(4)]
+    pdf = tiny_seqs.select("doc_id", "tokens").toPandas()
+    checked = 0
+    for _, row in pdf.iterrows():
+        toks = np.asarray(row.tokens)
+        t_len = len(toks) - (len(toks) % 2)
+        if t_len < FRAME_LENGTH:
+            continue
+        for i in range(2):
+            w = toks[i * HOP_LENGTH : i * HOP_LENGTH + FRAME_LENGTH]
+            if len(w) < FRAME_LENGTH:
+                break
+            x = w.astype(np.float32) / np.float32(TOKEN_SCALE)
+            spec = np.abs(np.fft.rfft((x * hann).astype(np.float64)))
+            exp = []
+            for b in range(3):
+                band = np.sort(spec[edges[b]:edges[b + 1]])
+                k = max(1, int(len(band) * 0.2))
+                exp.append(
+                    np.log((band[-k:].mean() + 1e-10) / (band[:k].mean() + 1e-10))
+                )
+            g = got[(row.doc_id, i)]
+            for b in range(3):
+                assert abs(g[b] - round(exp[b], 6)) <= 1e-6, (row.doc_id, i, b)
+            checked += 1
+        if checked >= 8:
+            break
+    assert checked >= 4
