@@ -81,6 +81,26 @@ class CheckpointedWriter:
         self.lineage_dir = os.path.join(out_dir, "_lineage")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.lineage_dir, exist_ok=True)
+        self._recover_interrupted_compaction()
+
+    def _recover_interrupted_compaction(self) -> None:
+        """POSIX has no atomic directory exchange, so compact()'s swap
+        (bucket -> .compact_old, tmp -> bucket) has a tiny window where a
+        committed bucket has no data dir. Heal any leftover on open:
+        missing bucket + surviving .compact_old -> roll the old data
+        back; bucket present -> drop stale .compact_old/.compact_tmp."""
+        import shutil as _shutil
+
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if d.endswith(".compact_old"):
+                target = full[: -len(".compact_old")]
+                if os.path.isdir(target):
+                    _shutil.rmtree(full)  # swap completed; old is garbage
+                else:
+                    os.rename(full, target)  # crashed mid-swap: roll back
+            elif d.endswith(".compact_tmp"):
+                _shutil.rmtree(full)  # never swapped in; rewrite next time
 
     # -- checkpoint state ---------------------------------------------------
 

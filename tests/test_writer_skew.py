@@ -222,3 +222,36 @@ def test_compact_merges_small_files_identical_rows(spark, tmp_path):
     # still fully committed: resume skips everything
     again = w.write(df)
     assert again["committed"] == []
+
+
+def test_compact_crash_mid_swap_recovers_on_open(spark, tmp_path):
+    """A crash between compact()'s two renames leaves bucket=K missing and
+    bucket=K.compact_old present; re-opening the writer heals it."""
+    import os as _os
+    import shutil
+
+    from audiopro_essentia_spark.sources.sinks import CheckpointedWriter
+
+    out = str(tmp_path / "cp2")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("v")
+    )
+    w = CheckpointedWriter(out, n_buckets=2, key_col="doc_id")
+    w.write(df)
+    n0 = w.read(spark).count()
+
+    bdir = _os.path.join(out, "data", "bucket=0")
+    _os.rename(bdir, bdir + ".compact_old")  # simulate crash mid-swap
+    assert not _os.path.isdir(bdir)
+
+    w2 = CheckpointedWriter(out, n_buckets=2, key_col="doc_id")  # heals
+    assert _os.path.isdir(bdir)
+    assert w2.read(spark).count() == n0
+
+    # completed-swap leftovers are garbage-collected too
+    shutil.copytree(bdir, bdir + ".compact_old")
+    (tmp := _os.path.join(out, "data", "bucket=1.compact_tmp")) and None
+    shutil.copytree(bdir, tmp)
+    CheckpointedWriter(out, n_buckets=2, key_col="doc_id")
+    assert not _os.path.exists(bdir + ".compact_old")
+    assert not _os.path.exists(tmp)
