@@ -31,6 +31,9 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     persist_intermediate: bool = False,
+    max_dup_word_frac: float | None = None,
+    max_surprisal: float | None = None,
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Surviving docs with their curation verdicts.
 
@@ -38,6 +41,14 @@ def curate_corpus(
     `langs`, it is the canonical (min-id) member of its exact-dup group,
     and (when near_dup) the canonical member of its MinHash near-dup
     cluster. Output: id_col, quality_score, lang_pred, split.
+
+    Optional extra gates (None/absent = off, plan unchanged):
+    - max_dup_word_frac: drop docs above this Gopher-style repetition
+      fraction (repetition_profile join);
+    - max_surprisal: drop docs whose unigram avg_logloss exceeds it
+      (rare-token soup; unigram_surprisal join);
+    - benchmark: drop docs sharing >=1 word 5-gram with this eval set
+      (contamination_flags broadcast pass).
 
     Scale shape: the gates are narrow scan expressions; exact dedup is one
     hash-agg on a 16-byte digest; near-dup is the banded MinHash join +
@@ -56,6 +67,28 @@ def curate_corpus(
         (F.col("quality_score") >= F.lit(min_quality))
         & F.col("lang_pred").isin(*langs)
     )
+
+    if max_dup_word_frac is not None:
+        from ..operators.repetition import repetition_profile
+
+        ok = repetition_profile(docs, text_col, id_col).filter(
+            F.col("dup_word_frac") <= max_dup_word_frac
+        ).select(id_col)
+        gated = gated.join(ok, id_col, "left_semi")
+    if max_surprisal is not None:
+        from ..operators.tfidf import unigram_surprisal
+
+        ok = unigram_surprisal(docs, text_col, id_col).filter(
+            F.col("avg_logloss") <= max_surprisal
+        ).select(id_col)
+        gated = gated.join(ok, id_col, "left_semi")
+    if benchmark is not None:
+        from ..operators.dedup import contamination_flags
+
+        clean = contamination_flags(docs, benchmark, text_col, id_col).filter(
+            F.col("contaminated") == 0
+        ).select(id_col)
+        gated = gated.join(clean, id_col, "left_semi")
 
     # exact-dup collapse: keep min id per md5 group
     h = gated.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))

@@ -649,3 +649,20 @@ def test_minhash_udf_matches_expression_form(spark, docs):
             for b in range(4)
         ]
         assert expr_bands == list(r.udf_bands), r.doc_id
+
+
+def test_curate_optional_gates_tighten_survivors(spark, docs):
+    from audiopro_essentia_spark.plans.curate import curate_corpus
+
+    base = curate_corpus(docs, min_quality=0.0, langs=("en", "de", "fr", "und"),
+                         near_dup=False).count()
+    bench = docs.limit(3)
+    gated = curate_corpus(
+        docs, min_quality=0.0, langs=("en", "de", "fr", "und"),
+        near_dup=False,
+        max_dup_word_frac=0.5,
+        max_surprisal=8.0,
+        benchmark=bench,
+    ).count()
+    # every benchmark doc contaminates at least itself -> strictly fewer
+    assert 0 < gated < base
