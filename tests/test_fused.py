@@ -131,3 +131,33 @@ def test_fused_null_base_ts_yields_null_timestamps(spark):
         by_doc.setdefault(r.doc_id, []).append((r.event_ts, r.available_ts))
     assert all(e is not None and a is not None for e, a in by_doc["a"])
     assert all(e is None and a is None for e, a in by_doc["b"])
+
+
+def test_analyze_sequences_unfused_path_matches_fused(spark, tmp_path):
+    """The oracle-form composition (fused=False: split_quarantine ->
+    frame_tokens -> with_frame_features) must equal the fused kernel
+    pipeline row-for-row on the shared scalar features."""
+    import pyarrow.parquet as pq
+
+    from audiopro_essentia_spark.fixtures import make_sequences
+    from audiopro_essentia_spark.plans.pipeline import analyze_sequences
+
+    p = str(tmp_path / "seqs.parquet")
+    pq.write_table(make_sequences(profile="tiny"), p)
+
+    res_f = analyze_sequences(spark, p, repartition_output=False, fused=True)
+    res_u = analyze_sequences(spark, p, repartition_output=False, fused=False)
+    cols = ["doc_id", "frame_idx", "rms", "volume", "spectral_centroid"]
+
+    def snap(df):
+        return {
+            (r.doc_id, r.frame_idx): (
+                round(r.rms, 9), round(r.volume, 9),
+                round(r.spectral_centroid, 9),
+            )
+            for r in df.select(*cols).collect()
+        }
+
+    a, b = snap(res_f["frame_features"]), snap(res_u["frame_features"])
+    assert len(a) == len(b) > 100
+    assert a == b
