@@ -35,7 +35,7 @@ def _pack(o: Any, out: bytearray) -> None:
         elif -(1 << 63) <= o < (1 << 63):
             out.append(0xD3)
             out += struct.pack(">q", o)
-        elif o < (1 << 64):
+        elif 0 <= o < (1 << 64):
             out.append(0xCF)
             out += struct.pack(">Q", o)
         else:
@@ -114,6 +114,14 @@ def unpack_stream(data: bytes) -> list[Any]:
     return out
 
 
+def _need(mv: memoryview, i: int, n: int) -> None:
+    if i + n > len(mv):
+        raise ValueError(
+            f"truncated msgpack data: need {n} bytes at offset {i}, "
+            f"have {len(mv) - i}"
+        )
+
+
 def _unpack(mv: memoryview, i: int):
     b = mv[i]
     i += 1
@@ -123,6 +131,7 @@ def _unpack(mv: memoryview, i: int):
         return b - 0x100, i
     if 0xA0 <= b <= 0xBF:
         n = b & 0x1F
+        _need(mv, i, n)
         return bytes(mv[i : i + n]).decode("utf-8"), i + n
     if 0x90 <= b <= 0x9F:
         return _unpack_array(mv, i, b & 0x0F)
@@ -157,21 +166,27 @@ def _unpack(mv: memoryview, i: int):
         return struct.unpack_from(">i", mv, i)[0], i + 4
     if b == 0xD9:
         n = mv[i]
+        _need(mv, i + 1, n)
         return bytes(mv[i + 1 : i + 1 + n]).decode("utf-8"), i + 1 + n
     if b == 0xDA:
         n = struct.unpack_from(">H", mv, i)[0]
+        _need(mv, i + 2, n)
         return bytes(mv[i + 2 : i + 2 + n]).decode("utf-8"), i + 2 + n
     if b == 0xDB:
         n = struct.unpack_from(">I", mv, i)[0]
+        _need(mv, i + 4, n)
         return bytes(mv[i + 4 : i + 4 + n]).decode("utf-8"), i + 4 + n
     if b == 0xC4:
         n = mv[i]
+        _need(mv, i + 1, n)
         return bytes(mv[i + 1 : i + 1 + n]), i + 1 + n
     if b == 0xC5:
         n = struct.unpack_from(">H", mv, i)[0]
+        _need(mv, i + 2, n)
         return bytes(mv[i + 2 : i + 2 + n]), i + 2 + n
     if b == 0xC6:
         n = struct.unpack_from(">I", mv, i)[0]
+        _need(mv, i + 4, n)
         return bytes(mv[i + 4 : i + 4 + n]), i + 4 + n
     if b == 0xDC:
         n = struct.unpack_from(">H", mv, i)[0]

@@ -68,10 +68,14 @@ def curate_corpus(
         & F.col("lang_pred").isin(*langs)
     )
 
+    # per-doc-independent gates run over the ALREADY-gated set (no point
+    # exploding bigrams/shingles for docs the quality gate rejected);
+    # surprisal deliberately stays corpus-wide — P(w) is a corpus
+    # statistic and must not drift with the survivor subset
     if max_dup_word_frac is not None:
         from ..operators.repetition import repetition_profile
 
-        ok = repetition_profile(docs, text_col, id_col).filter(
+        ok = repetition_profile(gated, text_col, id_col).filter(
             F.col("dup_word_frac") <= max_dup_word_frac
         ).select(id_col)
         gated = gated.join(ok, id_col, "left_semi")
@@ -85,7 +89,7 @@ def curate_corpus(
     if benchmark is not None:
         from ..operators.dedup import contamination_flags
 
-        clean = contamination_flags(docs, benchmark, text_col, id_col).filter(
+        clean = contamination_flags(gated, benchmark, text_col, id_col).filter(
             F.col("contaminated") == 0
         ).select(id_col)
         gated = gated.join(clean, id_col, "left_semi")

@@ -299,6 +299,15 @@ class CheckpointedWriter:
                 continue
             df = spark.read.format(self.fmt).load(bdir)
             n_rows = df.count()
+            with open(self._commit_path(b)) as fh:
+                rec = json.load(fh)
+            if rec["row_count"] != n_rows:
+                # verify BEFORE any destructive step: data touched out of
+                # band must abort the compaction, not be re-blessed
+                raise RuntimeError(
+                    f"bucket {b}: data dir has {n_rows} rows but lineage "
+                    f"commit says {rec['row_count']} — refusing to compact"
+                )
             tmp = bdir + ".compact_tmp"
             shutil.rmtree(tmp, ignore_errors=True)
             df.coalesce(n_target).write.format(self.fmt).mode("overwrite").save(tmp)
@@ -307,9 +316,6 @@ class CheckpointedWriter:
             os.rename(bdir, old)
             os.rename(tmp, bdir)
             shutil.rmtree(old)
-            with open(self._commit_path(b)) as fh:
-                rec = json.load(fh)
-            assert rec["row_count"] == n_rows, (b, rec["row_count"], n_rows)
             rec["compacted_from"] = rec["snapshot_id"]
             rec["snapshot_id"] = _uuid.uuid4().hex
             rec["files"] = n_target
@@ -405,6 +411,12 @@ def write_msgpack_dir(
     import gzip as _gzip
 
     os.makedirs(out_dir, exist_ok=True)
+    # a re-run with fewer partitions must not leave stale part files for
+    # read_msgpack_dir to merge back in — clear previous output first
+    # (also drops any _SUCCESS marker until this write completes)
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") or f == "_SUCCESS.json":
+            os.remove(os.path.join(out_dir, f))
     cols = df.columns
     ext = ".msgpack.gz" if gzip_output else ".msgpack"
 
@@ -425,14 +437,26 @@ def write_msgpack_dir(
                 fh.write(packb({c: d[c] for c in cols}))
 
     df.foreachPartition(_write)
+    # completeness marker: consumers must treat a dir without it as a
+    # partial (killed) write — mirrors the frame data's commit contract
+    with open(os.path.join(out_dir, "_SUCCESS.json"), "w") as fh:
+        json.dump({"files": sorted(
+            f for f in os.listdir(out_dir) if f.startswith("part-")
+        )}, fh)
 
 
-def read_msgpack_dir(out_dir: str) -> list[dict]:
+def read_msgpack_dir(out_dir: str, require_success: bool = True) -> list[dict]:
     """Decode every row written by write_msgpack_dir (verification/tests)."""
     import gzip as _gzip
 
     from ..functions.msgpack import unpack_stream
 
+    if require_success and not os.path.exists(
+        os.path.join(out_dir, "_SUCCESS.json")
+    ):
+        raise FileNotFoundError(
+            f"no _SUCCESS.json under {out_dir} — partial msgpack write"
+        )
     out: list[dict] = []
     for f in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, f)
