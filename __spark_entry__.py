@@ -812,6 +812,21 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Pretraining mixture weights: keep 100%% of wiki, 30%% of
+    common_crawl, 50%% of everything else — deterministic content-hash
+    thresholds, one narrow filter."""
+    from audiopro_essentia_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, {"wiki": 1.0, "common_crawl": 0.3}, default_rate=0.5
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
 def q_curate(spark, sf_dir):
     """End-to-end corpus curation plan (quality gate -> lang filter ->
     exact-dup collapse -> near-dup cluster collapse -> hash split) —
@@ -939,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal": q_multimodal,
         "media_frames": q_media_frames,
         "hash_split": q_hash_split,
+        "mixture_sample": q_mixture_sample,
         "curate": q_curate,
         "streaming_session": q_streaming_session,
     }
@@ -1142,6 +1158,13 @@ SELECT doc_id,
        WHEN ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1000 < 900 THEN 'val'
        ELSE 'test' END AS split
 FROM documents
+""",
+        "mixture_sample": """
+SELECT doc_id, source FROM documents
+WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1000
+  < CASE WHEN source = 'wiki' THEN 1000
+         WHEN source = 'common_crawl' THEN 300
+         ELSE 500 END
 """,
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "incremental_dedup": DT.incremental_sql(k=16, bands=4),

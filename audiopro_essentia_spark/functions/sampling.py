@@ -63,3 +63,29 @@ def hash_split(
         cond = b < F.lit(hi)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(split_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Pretraining mixture weights: per-source deterministic sampling
+    rates (e.g. upweight wiki by keeping 100%, downsample common_crawl to
+    30%). Rates are keep-fractions in [0, 1]; sources absent from `rates`
+    use `default_rate`. Same content-hash mechanics as hash_sample, so a
+    doc's keep decision is stable under corpus growth and engine changes
+    — and exactly DuckDB-twinnable. One narrow filter, no shuffle."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    b = hash_bucket(F.col(key_col), salt)
+    thresh = F.lit(int(round(default_rate * _BUCKETS)))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(source_col) == s, F.lit(int(round(r * _BUCKETS)))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)

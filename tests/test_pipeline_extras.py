@@ -666,3 +666,23 @@ def test_curate_optional_gates_tighten_survivors(spark, docs):
     ).count()
     # every benchmark doc contaminates at least itself -> strictly fewer
     assert 0 < gated < base
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from audiopro_essentia_spark.functions.sampling import mixture_sample
+
+    rows = [(i, "wiki" if i % 2 == 0 else "cc") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mixture_sample(df, {"wiki": 1.0, "cc": 0.25}).collect()
+    wiki = [r for r in kept if r.source == "wiki"]
+    cc = [r for r in kept if r.source == "cc"]
+    assert len(wiki) == 1000                      # 100% kept
+    assert 180 <= len(cc) <= 320                  # ~25% (binomial)
+    # stability: a doc's decision never changes when the corpus grows
+    bigger = df.union(
+        spark.createDataFrame(
+            [(i, "cc") for i in range(2000, 3000)], "doc_id long, source string"
+        )
+    )
+    kept2 = {r.doc_id for r in mixture_sample(bigger, {"wiki": 1.0, "cc": 0.25}).collect()}
+    assert {r.doc_id for r in kept} <= kept2
