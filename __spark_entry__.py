@@ -813,14 +813,16 @@ def q_hash_split(spark, sf_dir):
 
 
 def q_mixture_sample(spark, sf_dir):
-    """Pretraining mixture weights: keep 100%% of wiki, 30%% of
-    common_crawl, 50%% of everything else — deterministic content-hash
-    thresholds, one narrow filter."""
+    """Pretraining mixture weights: keep 100%% of src0, 30%% of src1,
+    50%% of everything else (src0..src19 are the documents fixture's
+    actual sources, so every branch of the per-source threshold chain is
+    oracle-exercised) — deterministic content-hash thresholds, one
+    narrow filter."""
     from audiopro_essentia_spark.functions.sampling import mixture_sample
 
     d = _t(spark, sf_dir, "documents")
     out = mixture_sample(
-        d, {"wiki": 1.0, "common_crawl": 0.3}, default_rate=0.5
+        d, {"src0": 1.0, "src1": 0.3}, default_rate=0.5
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"), "source"
@@ -1162,8 +1164,8 @@ FROM documents
         "mixture_sample": """
 SELECT doc_id, source FROM documents
 WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1000
-  < CASE WHEN source = 'wiki' THEN 1000
-         WHEN source = 'common_crawl' THEN 300
+  < CASE WHEN source = 'src0' THEN 1000
+         WHEN source = 'src1' THEN 300
          ELSE 500 END
 """,
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),

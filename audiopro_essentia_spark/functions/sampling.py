@@ -79,7 +79,7 @@ def mixture_sample(
     use `default_rate`. Same content-hash mechanics as hash_sample, so a
     doc's keep decision is stable under corpus growth and engine changes
     — and exactly DuckDB-twinnable. One narrow filter, no shuffle."""
-    for s, r in rates.items():
+    for s, r in {**rates, "<default>": default_rate}.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
     b = hash_bucket(F.col(key_col), salt)
