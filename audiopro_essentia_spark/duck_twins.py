@@ -75,26 +75,10 @@ def kernel_sql(
     only because the snapped symmetry twiddles keep both spectra within
     ~1e-15 (see below)."""
     c = _consts(frame_length, sample_rate, n_mels)
-    hann = [repr(float(v)) for v in c["hann"]]
     freqs = c["freqs"]
-    nb = len(freqs)
-    jj = np.arange(frame_length)
-    cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
-    sin_t = np.sin(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
-    # snap twiddles at symmetry points to exact 0/±1: np.sin(pi*j) is
-    # ~1.2e-16, which contaminates bins rfft computes as EXACTLY zero
-    # (Nyquist/DC by symmetry); flatness's log amplifies that into a
-    # visible mismatch. Snapped literals are CLOSER to the true twiddle.
-    for M in (cos_t, sin_t):
-        M[np.abs(M) < 1e-12] = 0.0
-        M[np.abs(M - 1.0) < 1e-12] = 1.0
-        M[np.abs(M + 1.0) < 1e-12] = -1.0
-
-    wd = ", ".join(
-        f"CAST(CAST(CAST(w[{j + 1}] AS DOUBLE)/{token_scale!r} * {hann[j]} "
-        f"AS REAL) AS DOUBLE) AS wd{j}"
-        for j in range(frame_length)
-    )
+    # wd/spec literals come from the ONE shared builder (_dft_parts):
+    # snapping rule + f32-windowing cast stay identical across every twin
+    wd, _spec_cols, nb = _dft_parts(frame_length, sample_rate, token_scale)
     sq = " + ".join(f"wd{j}*wd{j}" for j in range(frame_length))
     rms = f"sqrt(({sq})/{frame_length}.0)"
     zero = "(" + "+".join(f"abs(wd{j})" for j in range(frame_length)) + ") = 0"
@@ -132,11 +116,7 @@ def kernel_sql(
 
     last_cte = "a"
     if spectral:
-        spec_cols = []
-        for k in range(nb):
-            re = " + ".join(f"wd{j}*{cos_t[k, j]!r}" for j in range(frame_length))
-            im = " + ".join(f"wd{j}*{sin_t[k, j]!r}" for j in range(frame_length))
-            spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
+        spec_cols = _spec_cols
         ssum = " + ".join(f"s{k}" for k in range(nb))
         ctes.append(
             f"b AS MATERIALIZED (SELECT *, {', '.join(spec_cols)} FROM a)"
@@ -281,23 +261,20 @@ def kernel_sql(
 
 # ---------------------------------------------------------------------------
 # rhythm twin (operators/rhythm.py:detect_beats)
-def flux_sql(
-    frame_length: int,
-    hop: int,
-    sample_rate: int,
-    token_scale: float,
-    onset_sigma: float = 1.5,
-) -> str:
-    """DuckDB twin of operators.flux.spectral_flux: same wd (f32-rounded
-    Hann windowing) and snapped-twiddle DFT recipe as kernel_sql, then a
-    per-bin lag window for the half-wave-rectified frame difference and a
-    per-doc window for the onset threshold (round-6 on both sides)."""
+def _dft_parts(
+    frame_length: int, sample_rate: int, token_scale: float
+) -> tuple[str, list[str], int]:
+    """Shared wd/spec SQL literal builder for every DFT twin (kernel,
+    flux, contrast): f32-rounded Hann windowing (`CAST ... AS REAL`, see
+    CLAUDE.md) and symmetry-snapped twiddles. ONE copy — the snapping
+    rule and windowing cast must stay bit-identical across all twins."""
     c = _consts(frame_length, sample_rate, 1)
     hann = [repr(float(v)) for v in c["hann"]]
     nb = len(c["freqs"])
     jj = np.arange(frame_length)
     cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
     sin_t = np.sin(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
+    # snap twiddles at symmetry points to exact 0/+-1 (see kernel_sql note)
     for M in (cos_t, sin_t):
         M[np.abs(M) < 1e-12] = 0.0
         M[np.abs(M - 1.0) < 1e-12] = 1.0
@@ -312,6 +289,21 @@ def flux_sql(
         re = " + ".join(f"wd{j}*{cos_t[k, j]!r}" for j in range(frame_length))
         im = " + ".join(f"wd{j}*{sin_t[k, j]!r}" for j in range(frame_length))
         spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
+    return wd, spec_cols, nb
+
+
+def flux_sql(
+    frame_length: int,
+    hop: int,
+    sample_rate: int,
+    token_scale: float,
+    onset_sigma: float = 1.5,
+) -> str:
+    """DuckDB twin of operators.flux.spectral_flux: same wd (f32-rounded
+    Hann windowing) and snapped-twiddle DFT recipe as kernel_sql, then a
+    per-bin lag window for the half-wave-rectified frame difference and a
+    per-doc window for the onset threshold (round-6 on both sides)."""
+    wd, spec_cols, nb = _dft_parts(frame_length, sample_rate, token_scale)
     lags = ", ".join(f"lag(s{k}) OVER fw AS p{k}" for k in range(nb))
     diff = " + ".join(f"greatest(s{k} - p{k}, 0.0)" for k in range(nb))
     return f"""
@@ -339,26 +331,7 @@ def contrast_sql(
 ) -> str:
     """DuckDB twin of operators.flux.spectral_contrast — same wd/DFT
     recipe as flux_sql, then per-band list_sort + top/bottom-alpha means."""
-    c = _consts(frame_length, sample_rate, 1)
-    hann = [repr(float(v)) for v in c["hann"]]
-    nb = len(c["freqs"])
-    jj = np.arange(frame_length)
-    cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
-    sin_t = np.sin(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
-    for M in (cos_t, sin_t):
-        M[np.abs(M) < 1e-12] = 0.0
-        M[np.abs(M - 1.0) < 1e-12] = 1.0
-        M[np.abs(M + 1.0) < 1e-12] = -1.0
-    wd = ", ".join(
-        f"CAST(CAST(CAST(w[{j + 1}] AS DOUBLE)/{token_scale!r} * {hann[j]} "
-        f"AS REAL) AS DOUBLE) AS wd{j}"
-        for j in range(frame_length)
-    )
-    spec_cols = []
-    for k in range(nb):
-        re = " + ".join(f"wd{j}*{cos_t[k, j]!r}" for j in range(frame_length))
-        im = " + ".join(f"wd{j}*{sin_t[k, j]!r}" for j in range(frame_length))
-        spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
+    wd, spec_cols, nb = _dft_parts(frame_length, sample_rate, token_scale)
     edges = [round(i * nb / n_bands) for i in range(n_bands + 1)]
     out_cols = []
     for b in range(n_bands):

@@ -98,7 +98,12 @@ def _pack(o: Any, out: bytearray) -> None:
 
 
 def unpackb(data: bytes) -> Any:
-    v, i = _unpack(memoryview(data), 0)
+    try:
+        v, i = _unpack(memoryview(data), 0)
+    except (struct.error, IndexError) as e:
+        # fixed-width/header reads past end-of-buffer surface as
+        # struct.error/IndexError — normalize to the truncation contract
+        raise ValueError(f"truncated msgpack data: {e}") from e
     if i != len(data):
         raise ValueError(f"trailing bytes after msgpack object: {len(data) - i}")
     return v
@@ -109,7 +114,10 @@ def unpack_stream(data: bytes) -> list[Any]:
     mv = memoryview(data)
     out, i = [], 0
     while i < len(mv):
-        v, i = _unpack(mv, i)
+        try:
+            v, i = _unpack(mv, i)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"truncated msgpack data: {e}") from e
         out.append(v)
     return out
 

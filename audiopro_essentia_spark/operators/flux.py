@@ -36,16 +36,26 @@ def make_spectrum_udf(
 
     @pandas_udf("array<double>")
     def _spec(windows):
-        out = []
-        for w in windows:
-            if w is None:
-                out.append(None)
-                continue
+        # BATCHED: stack the whole Arrow batch and run ONE rfft per
+        # <=KERNEL_CHUNK rows (kernel discipline: per-row np.fft calls
+        # pay Python dispatch per frame; the batched transform is the
+        # same pocketfft per-row algorithm, bit-identical output)
+        from .kernel import KERNEL_CHUNK
+
+        vals = [None if w is None else w for w in windows]
+        idx = [i for i, w in enumerate(vals) if w is not None]
+        out = [None] * len(vals)
+        for c0 in range(0, len(idx), KERNEL_CHUNK):
+            chunk = idx[c0 : c0 + KERNEL_CHUNK]
+            W = np.stack([np.asarray(vals[i], dtype=np.float32) for i in chunk])
             # identical to kernel.py:120-122 (f32 quantize, f32 Hann
             # multiply, ONE upcast before the FFT)
-            x = np.asarray(w, dtype=np.float32) / np.float32(token_scale)
-            w64 = (x * hann).astype(np.float64)
-            out.append(np.abs(np.fft.rfft(w64)).tolist())
+            w64 = ((W / np.float32(token_scale)) * hann[None, :]).astype(
+                np.float64
+            )
+            spec = np.abs(np.fft.rfft(w64, axis=1))
+            for j, i in enumerate(chunk):
+                out[i] = spec[j].tolist()
         return pd.Series(out, dtype=object)
 
     return _spec
@@ -107,9 +117,19 @@ def spectral_contrast(
     Same stateless spectrum UDF as spectral_flux; the band split /
     sort / quantile means are pure JVM array expressions after it —
     no extra Python, no shuffle (narrow over the framed rows)."""
-    udf = make_spectrum_udf(frame_length, token_scale).asNondeterministic()
     nb = frame_length // 2 + 1
+    if n_bands > nb:
+        raise ValueError(
+            f"n_bands={n_bands} exceeds the {nb} spectrum bins of "
+            f"frame_length={frame_length}"
+        )
     edges = [round(i * nb / n_bands) for i in range(n_bands + 1)]
+    if len(set(edges)) != len(edges):
+        raise ValueError(
+            f"n_bands={n_bands} yields an empty band for {nb} bins "
+            f"(edges {edges}) — use fewer bands"
+        )
+    udf = make_spectrum_udf(frame_length, token_scale).asNondeterministic()
     spec = frames.select(
         *id_cols, "frame_idx", udf(F.col(window_col)).alias("_spec")
     )

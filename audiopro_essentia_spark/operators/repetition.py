@@ -5,9 +5,12 @@ repetition filters; public method, independent re-implementation).
 Per document:
 - dup_word_frac:      1 - distinct_words / words
 - dup_ngram_frac:     1 - distinct_ngrams / ngrams (occurrence multiset)
-- top_ngram_char_frac: chars covered by the single most frequent word
-  n-gram (count * len(gram) / n_chars), tie-broken by gram text (max) so
-  the result is deterministic.
+- top_ngram_char_frac: occurrence-weighted character mass of the single
+  most frequent word n-gram — count * len(gram) / n_chars, tie-broken by
+  gram text (max) so the result is deterministic. NOTE: occurrences
+  overlap, so this EXCEEDS 1.0 on highly repetitive docs ("spam" x6 ->
+  ~1.55); threshold it as an open-ended repetition score, not a bounded
+  coverage fraction.
 
 Scale design: the two duplicate fractions are pure per-row expressions
 (whole-stage codegen, zero shuffle). The top-n-gram signal needs a

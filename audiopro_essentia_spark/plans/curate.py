@@ -108,6 +108,11 @@ def curate_corpus(
         # expressions re-run per reference. In a production pipeline this
         # boundary is a staged table write (CheckpointedWriter); for a
         # single-session query, MEMORY_AND_DISK persist is the analog.
+        # Lifetime note: the cache entry lives until session end (the
+        # plan is lazy, so there is no safe unpersist point here), but
+        # REPEATED calls with the same input re-use the same entry —
+        # Spark's cache manager matches by canonicalized plan — so it
+        # does not accumulate per call.
         survivors = survivors.persist()
 
     if near_dup:

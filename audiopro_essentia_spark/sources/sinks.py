@@ -318,14 +318,18 @@ class CheckpointedWriter:
             shutil.rmtree(old)
             rec["compacted_from"] = rec["snapshot_id"]
             rec["snapshot_id"] = _uuid.uuid4().hex
-            rec["files"] = n_target
+            # record the ACTUAL file count (coalesce(n) may produce fewer
+            # when the source had fewer partitions), not the target
+            rec["files"] = len([
+                f for f in os.listdir(bdir) if not f.startswith((".", "_"))
+            ])
             tmp_commit = self._commit_path(b) + ".tmp"
             with open(tmp_commit, "w") as fh:
                 json.dump(rec, fh)
             os.replace(tmp_commit, self._commit_path(b))
             stats["compacted"].append(b)
             stats["files_before"] += len(files)
-            stats["files_after"] += n_target
+            stats["files_after"] += rec["files"]
         return stats
 
     def _read_buckets(self, spark, buckets) -> DataFrame | None:
@@ -428,13 +432,20 @@ def write_msgpack_dir(
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
         opener = _gzip.open if gzip_output else open
+        def conv(v):
+            # datetime/date (any nesting depth) -> ISO string
+            if hasattr(v, "isoformat"):
+                return v.isoformat()
+            if isinstance(v, dict):
+                return {k: conv(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [conv(x) for x in v]
+            return v
+
         with opener(path, "wb") as fh:
             for r in rows:
                 d = r.asDict(recursive=True)
-                for k, v in d.items():
-                    if hasattr(v, "isoformat"):  # datetime -> ISO string
-                        d[k] = v.isoformat()
-                fh.write(packb({c: d[c] for c in cols}))
+                fh.write(packb({c: conv(d[c]) for c in cols}))
 
     df.foreachPartition(_write)
     # completeness marker: consumers must treat a dir without it as a
