@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "ivf_ann",
     "kernel_features",
     "spectral_flux",
+    "spectral_contrast",
     "rhythm",
     "text_quality",
     "repetition",
