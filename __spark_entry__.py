@@ -686,6 +686,61 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_pii_redact(spark, sf_dir):
+    """Text: PII scrub — redact emails / IPv4s / phone numbers (typed
+    placeholders) + per-category counts. The fixture corpus contains no
+    PII, so a deterministic per-doc PII suffix is appended first
+    (doc_id %% 4 branches) — otherwise every count is 0 and the oracle
+    check is vacuous. Narrow JVM regexp map, zero shuffle."""
+    from audiopro_essentia_spark.functions import pii as P
+
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 up"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit(" call +1 555-123-4567"))
+        .otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", injected.alias("t2"))
+    c = P.pii_counts(F.col("t2"))
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        c["n_email"].cast("long").alias("n_email"),
+        c["n_ipv4"].cast("long").alias("n_ipv4"),
+        c["n_phone"].cast("long").alias("n_phone"),
+        T.portable_hash32(P.redact_pii(F.col("t2"))).alias("red_h32"),
+    )
+
+
+def q_span_dedup(spark, sf_dir):
+    """Dedup: span-level duplicate profiling (substring-dedup curation
+    signal, Lee et al.) — fraction of each doc's consecutive 3-word spans
+    that also occur in OTHER docs. The fixture's small vocabulary makes
+    cross-doc span collisions naturally non-vacuous."""
+    d = _t(spark, sf_dir, "documents")
+    return D.duplicate_span_stats(d, span_words=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_spans",
+        "n_dup_spans",
+        "dup_ratio",
+    )
+
+
 def q_kernel_features(spark, sf_dir):
     """A1-A11: the fused Arrow kernel over derived tokens (F=16, H=4) —
     the FULL FFT feature surface (rms/volume/zcr, centroid, bandwidth,
@@ -948,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        "pii_redact": q_pii_redact,
+        "span_dedup": q_span_dedup,
         "kernel_features": q_kernel_features,
         "spectral_flux": q_spectral_flux,
         "spectral_contrast": q_spectral_contrast,
@@ -967,6 +1024,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 H32 = DT.H32  # single source of truth for the portable hash recipe
+
+
+def _pii_redact_sql() -> str:
+    """DuckDB twin of q_pii_redact: identical deterministic PII injection,
+    then the SAME ordered regex pipeline (functions/pii.py is the single
+    source of truth for patterns on both sides)."""
+    from audiopro_essentia_spark.functions import pii as P
+
+    counts = P.pii_count_sql("t2")
+    red = P.pii_sql_steps("t2")
+    return f"""
+WITH t AS (SELECT doc_id, text ||
+  CASE doc_id % 4
+    WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+    WHEN 1 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 up'
+    WHEN 2 THEN ' call +1 555-123-4567'
+    ELSE '' END AS t2 FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST({counts['n_email']} AS BIGINT) AS n_email,
+  CAST({counts['n_ipv4']} AS BIGINT) AS n_ipv4,
+  CAST({counts['n_phone']} AS BIGINT) AS n_phone,
+  {H32.format(x=red)} AS red_h32
+FROM t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1418,5 +1499,24 @@ SELECT doc_id,
        (a, b) -> (a * 31 + b) % {MERSENNE}) % {MERSENNE}
   END AS fp
 FROM documents
+""",
+        "pii_redact": _pii_redact_sql(),
+        "span_dedup": f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id,
+        array_to_string(list_slice(ws, i*3 + 1, i*3 + 3), ' ') AS sp
+      FROM w, LATERAL UNNEST(generate_series(0,
+           CAST(len(ws) // 3 AS INT) - 1)) AS g(i)
+      WHERE len(ws) >= 3),
+h AS (SELECT doc_id, {H32.format(x='sp')} AS h FROM s),
+d AS (SELECT h, COUNT(*) AS docfreq
+      FROM (SELECT DISTINCT doc_id, h FROM h) GROUP BY h)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN d.docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_spans,
+  round(CAST(SUM(CASE WHEN d.docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS dup_ratio
+FROM h JOIN d USING (h) GROUP BY h.doc_id
 """,
     }

@@ -566,6 +566,71 @@ def embedding_neardup_pairs_exact(
     )
 
 
+def duplicate_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+) -> DataFrame:
+    """Span-level exact-duplicate profiling — the curation signal behind
+    substring deduplication (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): how much of each document is made of
+    word-spans that ALSO occur in other documents.
+
+    Documents are cut into consecutive non-overlapping `span_words`-word
+    spans (a partial tail span is dropped); a span is "duplicated" when
+    its text occurs in >=2 DISTINCT documents. Output per doc:
+    (doc_id, n_spans, n_dup_spans, dup_ratio round-6).
+
+    Scale design: one explode (narrow) + hash-agg on the 32-bit span hash
+    to get per-span document frequency + an equi-join back on the span
+    hash (co-partitioned with the agg output — Catalyst reuses the
+    exchange) + final hash-agg on doc_id. No self-join, no cross product;
+    the span-frequency table is bounded by the distinct-span count, not
+    the corpus size. Pure JVM expressions (portable md5-prefix hash), so
+    DuckDB runs the identical computation as the oracle.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_spans = (F.size(ws) / span_words).cast("int")
+    # guard BEFORE the explode: sequence(0, -1) would generate a DESCENDING
+    # range, not an empty one — docs shorter than one span yield no rows
+    spans = (
+        df.select(F.col(id_col), ws.alias("_ws"), n_spans.alias("_n"))
+        .where(F.col("_n") >= 1)
+        .select(
+            F.col(id_col),
+            F.col("_ws"),
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_i"),
+        )
+    ).select(
+        id_col,
+        portable_hash32(
+            F.concat_ws(" ", F.slice("_ws", F.col("_i") * span_words + 1, span_words))
+        ).alias("_h"),
+    )
+    # per-span document frequency on DISTINCT (doc, span) first so a span
+    # repeated inside one doc does not count as cross-doc duplication
+    span_df = (
+        spans.distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_docfreq"))
+    )
+    return (
+        spans.join(span_df, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_docfreq") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

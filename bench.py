@@ -49,6 +49,8 @@ BENCH_QUERIES = (
     "spectral_contrast",
     "rhythm",
     "text_quality",
+    "pii_redact",
+    "span_dedup",
     "repetition",
     "tfidf",
     "pack_shards",

@@ -1,0 +1,164 @@
+"""PII redaction, span-level dup profiling, and quarantined ingestion.
+
+Deterministic hand-built fixtures with hand-computed expectations (same
+strategy as test_aggregates.py: the test IS the oracle; the driver's
+DuckDB twin re-verifies pii_redact/span_dedup at sf0.01).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from audiopro_essentia_spark.functions.pii import pii_counts, redact_pii  # noqa: E402
+from audiopro_essentia_spark.operators.dedup import duplicate_span_stats  # noqa: E402
+from audiopro_essentia_spark.sources.ingest import (  # noqa: E402
+    ingest_stats,
+    read_csv_quarantine,
+    read_json_quarantine,
+)
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_all_categories(spark):
+    rows = [
+        (1, "write to alice.smith+x@corp.example.org today"),
+        (2, "server 192.168.1.200 rebooted"),
+        (3, "call +1 555-123-4567 or 555 987 6543"),
+        (4, "no pii here at all"),
+        (5, "mixed bob@x.io from 10.0.0.1 dial 555-123-9999"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            *(c.alias(k) for k, c in pii_counts(F.col("t")).items()),
+        ).collect()
+    }
+    assert out[1]["red"] == "write to <EMAIL> today"
+    assert out[2]["red"] == "server <IP> rebooted"
+    assert out[3]["red"] == "call <PHONE> or <PHONE>"
+    assert out[4]["red"] == "no pii here at all"
+    assert out[5]["red"] == "mixed <EMAIL> from <IP> dial <PHONE>"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 0, 0)
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 2)
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1, 1)
+
+
+def test_pii_ip_not_counted_as_phone(spark):
+    # dotted quads must be redacted as IPs, never half-eaten as phones;
+    # counts run on progressively-redacted text so nothing double-counts
+    df = spark.createDataFrame([(1, "node 255.255.255.255 up")], ["id", "t"])
+    r = df.select(
+        *(c.alias(k) for k, c in pii_counts(F.col("t")).items())
+    ).first()
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (0, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# span-level dup stats
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_span_stats_hand_computed(spark):
+    # spans of 2 words; "a b" and "c d" occur in BOTH doc 1 and doc 2;
+    # doc 3 shares nothing; doc 4 is too short for one span (no output row)
+    rows = [
+        (1, "a b c d x y"),   # spans: [a b][c d][x y]
+        (2, "a b c d"),       # spans: [a b][c d]
+        (3, "p q r s"),       # spans: [p q][r s]
+        (4, "z"),             # no full span
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_stats(df, span_words=2).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (3, 2)
+    assert abs(out[1]["dup_ratio"] - round(2 / 3, 6)) < 1e-9
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (2, 2)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (2, 0)
+
+
+def test_duplicate_span_stats_intra_doc_repeat_not_cross_doc(spark):
+    # a span repeated WITHIN one doc is not "duplicated" (needs >=2 docs),
+    # but every occurrence of a genuinely cross-doc span counts toward
+    # the doc's dup-span tally
+    rows = [(1, "a b a b"), (2, "c d c d"), (3, "a b e f")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, span_words=2).collect()}
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (2, 2)  # both "a b"
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (2, 0)  # intra only
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (2, 1)
+
+
+def test_duplicate_span_stats_plan_no_cartesian(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b x y")], ["doc_id", "text"])
+    plan = duplicate_span_stats(df, span_words=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# quarantined ingestion
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_read_json_quarantine_splits_exactly(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "ok one"}),
+        '{"doc_id": 2, "text": "broken',          # truncated JSON
+        json.dumps({"doc_id": 3, "text": "ok three"}),
+        "not json at all",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, bad = read_json_quarantine(spark, str(p), DOC_SCHEMA)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    assert all(r["reject_reason"] == "malformed_json" for r in bad_rows)
+    assert {r["raw"] for r in bad_rows} == {'{"doc_id": 2, "text": "broken', "not json at all"}
+    stats = ingest_stats(good, bad)
+    assert stats == {"n_good": 2, "n_quarantined": 2, "quarantine_ratio": 0.5}
+
+
+def test_read_csv_quarantine_type_mismatch(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("doc_id,text\n1,hello\nnot_a_number,world\n3,fine\n")
+    good, bad = read_csv_quarantine(spark, str(p), DOC_SCHEMA)
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 3]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["reject_reason"] == "malformed_csv"
+    assert "not_a_number" in bad_rows[0]["raw"]
+
+
+def test_ingest_requires_clean_schema(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_json_quarantine(
+            spark,
+            "/nonexistent",
+            T.StructType([T.StructField("_corrupt_record", T.StringType())]),
+        )
