@@ -582,13 +582,16 @@ def duplicate_span_stats(
     its text occurs in >=2 DISTINCT documents. Output per doc:
     (doc_id, n_spans, n_dup_spans, dup_ratio round-6).
 
-    Scale design: one explode (narrow) + hash-agg on the 32-bit span hash
-    to get per-span document frequency + an equi-join back on the span
-    hash (co-partitioned with the agg output — Catalyst reuses the
-    exchange) + final hash-agg on doc_id. No self-join, no cross product;
-    the span-frequency table is bounded by the distinct-span count, not
-    the corpus size. Pure JVM expressions (portable md5-prefix hash), so
-    DuckDB runs the identical computation as the oracle.
+    Scale design: explode (narrow) + hash-agg on the 32-bit span hash for
+    per-span document frequency + an equi-join back on the span hash +
+    final hash-agg on doc_id. No self-join, no cross product, and the
+    docfreq side carries COUNTS only (never collect_list), so a span
+    occurring in millions of docs is just a hot hash-agg key with
+    map-side partial aggregation — it cannot straggle or OOM. The join
+    broadcasts while the distinct-span table is small and degrades to a
+    sort-merge join at scale; the span text itself never shuffles. Pure
+    JVM expressions (portable md5-prefix hash), so DuckDB runs the
+    identical computation as the oracle.
     """
     ws = F.split(F.col(text_col), " ")
     n_spans = (F.size(ws) / span_words).cast("int")

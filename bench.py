@@ -90,21 +90,30 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
 
     from audiopro_essentia_spark.monitor import PerformanceMonitor
 
+    def one_pass():
+        res = analyze_sequences(spark, seq_path, repartition_output=False)
+        labels = spark.read.parquet(os.path.join(tmp_dir, "labels.parquet"))
+        joined = asof_join(
+            res["frame_features"].select(
+                "doc_id", "frame_idx", "available_ts", "rms", "volume",
+                "spectral_centroid", "mfcc",
+            ),
+            labels,
+            left_ts="available_ts",
+            right_ts="label_ts",
+        )
+        joined.write.format("noop").mode("overwrite").save()  # all columns
+        return joined
+
+    # min-of-2 like the per-query loop: run 1 is ALSO the warmup (Python
+    # UDF workers, Arrow buffers, page cache) — this shared VM throws
+    # CPU-steal outliers that would otherwise land on the headline metric
     mon = PerformanceMonitor().start()
-    t0 = time.perf_counter()
-    res = analyze_sequences(spark, seq_path, repartition_output=False)
-    labels = spark.read.parquet(os.path.join(tmp_dir, "labels.parquet"))
-    joined = asof_join(
-        res["frame_features"].select(
-            "doc_id", "frame_idx", "available_ts", "rms", "volume",
-            "spectral_centroid", "mfcc",
-        ),
-        labels,
-        left_ts="available_ts",
-        right_ts="label_ts",
-    )
-    joined.write.format("noop").mode("overwrite").save()  # forces all columns
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        joined = one_pass()
+        elapsed = min(elapsed, time.perf_counter() - t0)
     n_frames = joined.count()
     mon.stop()
     return {
