@@ -741,6 +741,37 @@ def q_span_dedup(spark, sf_dir):
     )
 
 
+def q_vocab(spark, sf_dir):
+    """Tokenizer stage 1: frequency-ranked vocabulary (top 100; id 1..V by
+    count desc, word asc — deterministic tie-break). The ranking window
+    runs on the AGGREGATED vocab table, never on corpus rows."""
+    from audiopro_essentia_spark.operators.vocab import build_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    return build_vocab(d, max_vocab=100).select(
+        "word", F.col("id").cast("int").alias("id"), F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_encode_tokens(spark, sf_dir):
+    """Tokenizer stage 2: encode every doc to its id array with a SMALL
+    vocab cap (20) so OOV->UNK is exercised; digest = hash of the
+    comma-joined id sequence (order-sensitive)."""
+    from audiopro_essentia_spark.operators.vocab import UNK_ID, build_vocab, encode_documents
+
+    d = _t(spark, sf_dir, "documents")
+    v = build_vocab(d, max_vocab=20)
+    enc = encode_documents(d, v)
+    return enc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("ids").cast("long").alias("n_ids"),
+        F.size(F.filter("ids", lambda x: x == UNK_ID)).cast("long").alias("n_unk"),
+        T.portable_hash32(
+            F.concat_ws(",", F.transform("ids", lambda x: x.cast("string")))
+        ).alias("ids_h32"),
+    )
+
+
 def q_kernel_features(spark, sf_dir):
     """A1-A11: the fused Arrow kernel over derived tokens (F=16, H=4) —
     the FULL FFT feature surface (rms/volume/zcr, centroid, bandwidth,
@@ -1005,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_redact": q_pii_redact,
         "span_dedup": q_span_dedup,
+        "vocab": q_vocab,
+        "encode_tokens": q_encode_tokens,
         "kernel_features": q_kernel_features,
         "spectral_flux": q_spectral_flux,
         "spectral_contrast": q_spectral_contrast,
@@ -1501,6 +1534,40 @@ SELECT doc_id,
 FROM documents
 """,
         "pii_redact": _pii_redact_sql(),
+        "vocab": """
+WITH c AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+r AS (SELECT word, cnt,
+      row_number() OVER (ORDER BY cnt DESC, word ASC) AS id FROM c)
+SELECT word, CAST(id AS INT) AS id, CAST(cnt AS BIGINT) AS cnt
+FROM r WHERE id <= 100
+""",
+        "encode_tokens": f"""
+WITH c AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w),
+v AS (SELECT word, id FROM (
+  SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) AS id FROM c)
+  WHERE id <= 20),
+w AS (SELECT doc_id, CAST(i AS INT) AS pos, ws[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      LATERAL UNNEST(generate_series(1, len(ws))) AS g(i)),
+j AS (SELECT w.doc_id, w.pos, coalesce(v.id, 0) AS id
+      FROM w LEFT JOIN v USING (word)),
+e AS (SELECT doc_id,
+        string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_s,
+        COUNT(*) AS n_ids,
+        SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_unk
+      FROM j GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_ids AS BIGINT) AS n_ids,
+  CAST(n_unk AS BIGINT) AS n_unk,
+  {H32.format(x='ids_s')} AS ids_h32
+FROM e
+""",
         "span_dedup": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 s AS (SELECT doc_id,

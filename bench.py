@@ -54,6 +54,7 @@ BENCH_QUERIES = (
     "repetition",
     "tfidf",
     "pack_shards",
+    "encode_tokens",
     "chunk_documents",
     "hashed_embedding",
     "corpus_profile",
