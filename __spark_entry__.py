@@ -772,6 +772,34 @@ def q_encode_tokens(spark, sf_dir):
     )
 
 
+def q_quantize_embed(spark, sf_dir):
+    """Storage path: symmetric int8 quantization of the embeddings table
+    (scale = max|v|/127, q = floor(v/scale + 0.5) — floor(x+0.5) because
+    Spark round (HALF_UP) and DuckDB round agree on it bit-for-bit).
+    Digest = hash of the comma-joined int codes."""
+    from audiopro_essentia_spark.operators.featurize import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    return q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("scale", 6).alias("scale"),
+        T.portable_hash32(
+            F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string")))
+        ).alias("q_h32"),
+    )
+
+
+def q_vocab_by_source(spark, sf_dir):
+    """Monitoring: per-source vocabulary cardinality (exact oracle form;
+    the approx_count_distinct HLL++ sketch is the corpus-scale form,
+    pytest-pinned within a few %% of exact)."""
+    from audiopro_essentia_spark.operators.aggregates import distinct_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return distinct_profile(d, exact=True)
+
+
 def q_kernel_features(spark, sf_dir):
     """A1-A11: the fused Arrow kernel over derived tokens (F=16, H=4) —
     the FULL FFT feature surface (rms/volume/zcr, centroid, bandwidth,
@@ -1038,6 +1066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "vocab": q_vocab,
         "encode_tokens": q_encode_tokens,
+        "quantize_embed": q_quantize_embed,
+        "vocab_by_source": q_vocab_by_source,
         "kernel_features": q_kernel_features,
         "spectral_flux": q_spectral_flux,
         "spectral_contrast": q_spectral_contrast,
@@ -1543,6 +1573,28 @@ r AS (SELECT word, cnt,
       row_number() OVER (ORDER BY cnt DESC, word ASC) AS id FROM c)
 SELECT word, CAST(id AS INT) AS id, CAST(cnt AS BIGINT) AS cnt
 FROM r WHERE id <= 100
+""",
+        "quantize_embed": f"""
+WITH v AS (SELECT vec_id,
+  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+m AS (SELECT vec_id, v,
+  list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+q AS (SELECT vec_id, mx / 127.0 AS scale,
+  CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+  ELSE list_transform(v, x -> CAST(floor(x / (mx / 127.0) + 0.5) AS INT))
+  END AS qv FROM m)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, round(scale, 6) AS scale,
+  {H32.format(x="array_to_string(qv, ',')")} AS q_h32
+FROM q
+""",
+        "vocab_by_source": """
+WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+d AS (SELECT source, COUNT(DISTINCT w) AS n_distinct_words
+      FROM w WHERE w <> '' GROUP BY source),
+n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT n.source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_distinct_words AS BIGINT) AS n_distinct_words
+FROM n JOIN d USING (source)
 """,
         "encode_tokens": f"""
 WITH c AS (

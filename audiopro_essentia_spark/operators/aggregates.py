@@ -264,3 +264,40 @@ def corpus_percentiles(
         )
         cols.append(F.round(F.element_at("_p", i + 1), 6).alias(name))
     return agg.select(*cols)
+
+
+def distinct_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    exact: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group vocabulary-cardinality profile: doc count + distinct
+    word count — the per-source diversity signal corpus curation uses to
+    spot low-entropy / templated sources.
+
+    exact=True is the oracle form (COUNT(DISTINCT ...) — one shuffle on
+    (group, word), fine while per-group vocab fits the agg hash map).
+    exact=False is the CORPUS-SCALE form: approx_count_distinct's
+    HyperLogLog++ sketch is fixed-size and merges map-side, so a source
+    spanning billions of rows costs O(1) memory per partition; `rsd` is
+    the standard-error knob (pytest pins approx within a few % of
+    exact)."""
+    w = df.select(
+        F.col(group_col), F.explode(F.split(F.col(text_col), " ")).alias("_w")
+    ).where(F.col("_w") != "")
+    n_docs = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    if exact:
+        dv = w.groupBy(group_col).agg(
+            F.countDistinct("_w").alias("n_distinct_words")
+        )
+    else:
+        dv = w.groupBy(group_col).agg(
+            F.approx_count_distinct("_w", rsd=rsd).alias("n_distinct_words")
+        )
+    return n_docs.join(dv, group_col).select(
+        group_col,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+    )

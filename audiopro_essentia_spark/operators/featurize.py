@@ -54,3 +54,49 @@ def hashed_doc_embedding(
     else:
         vec = arr
     return m.select(F.col(id_col), vec.alias("embedding"))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: scale = max|v| / 127,
+    q_i = floor(v_i/scale + 0.5) — 4x storage reduction for ANN corpora
+    (the standard serving-side compression; dequant error <= scale/2 per
+    component). floor(x+0.5) is used instead of round() because BOTH
+    engines (Spark HALF_UP BigDecimal vs DuckDB half-away-from-zero)
+    agree on it bit-for-bit in the DuckDB oracle.
+
+    Narrow per-row map, zero shuffle. The scale enters the per-element
+    lambda via zip_with against an array_repeat(scale) column — NOT by
+    referencing the array_max expression inside the lambda, where
+    projection collapse would re-inline the O(d) max scan into every
+    element (the O(d^2)-per-row CLAUDE.md trap). All-zero vectors get
+    scale=0 and an all-zero q (guarded division).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    rep = F.array_repeat(mx / F.lit(127.0), F.size(F.col(vec_col)))
+    q = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.zip_with(
+            v, rep, lambda x, s: F.floor(x / s + F.lit(0.5)).cast("int")
+        )
+    )
+    return df.select(F.col(id_col), scale, q.alias("qvec"))
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """q * scale -> approximate float vector (error <= scale/2/comp)."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(qvec_col), lambda x: x.cast("double") * F.col(scale_col)
+        ).alias("embedding"),
+    )

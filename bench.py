@@ -57,6 +57,7 @@ BENCH_QUERIES = (
     "encode_tokens",
     "chunk_documents",
     "hashed_embedding",
+    "quantize_embed",
     "corpus_profile",
     "ann_recall",
     "curate",

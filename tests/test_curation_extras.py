@@ -162,3 +162,64 @@ def test_ingest_requires_clean_schema(spark):
             "/nonexistent",
             T.StructType([T.StructField("_corrupt_record", T.StringType())]),
         )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization + distinct profile
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from audiopro_essentia_spark.operators.featurize import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [3.0, 2.0, -3.0, 1.5]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # all-zero: scale 0, q all-zero
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = quantize_embeddings(df)
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[1]["qvec"] == [64, -127, 32, 0]  # scale = 1/127
+    assert got[2]["qvec"] == [127, 85, -127, 64]  # scale = 3/127
+    assert got[3]["scale"] == 0.0 and got[3]["qvec"] == [0, 0, 0, 0]
+    back = {
+        r["vec_id"]: r["embedding"]
+        for r in dequantize_embeddings(q).collect()
+    }
+    for vid, orig in ((1, rows[0][1]), (2, rows[1][1])):
+        scale = got[vid]["scale"]
+        for o, d in zip(orig, back[vid]):
+            assert abs(o - d) <= scale / 2 + 1e-12
+
+
+def test_quantize_plan_narrow(spark):
+    from audiopro_essentia_spark.operators.featurize import quantize_embeddings
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row projection
+
+
+def test_distinct_profile_approx_close_to_exact(spark):
+    from audiopro_essentia_spark.operators.aggregates import distinct_profile
+
+    rows = [
+        (i, f"src{i % 3}", " ".join(f"w{(i * 7 + j) % 200}" for j in range(30)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    exact = {
+        r["source"]: r["n_distinct_words"]
+        for r in distinct_profile(df, exact=True).collect()
+    }
+    approx = {
+        r["source"]: r["n_distinct_words"]
+        for r in distinct_profile(df, exact=False, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx) == {"src0", "src1", "src2"}
+    for s in exact:
+        assert abs(approx[s] - exact[s]) / exact[s] < 0.1
