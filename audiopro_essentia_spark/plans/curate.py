@@ -34,6 +34,9 @@ def curate_corpus(
     max_dup_word_frac: float | None = None,
     max_surprisal: float | None = None,
     benchmark: DataFrame | None = None,
+    scrub_pii: bool = False,
+    max_dup_span_frac: float | None = None,
+    span_words: int = 3,
 ) -> DataFrame:
     """Surviving docs with their curation verdicts.
 
@@ -48,7 +51,13 @@ def curate_corpus(
     - max_surprisal: drop docs whose unigram avg_logloss exceeds it
       (rare-token soup; unigram_surprisal join);
     - benchmark: drop docs sharing >=1 word 5-gram with this eval set
-      (contamination_flags broadcast pass).
+      (contamination_flags broadcast pass);
+    - scrub_pii: redact emails/IPs/phones BEFORE everything (the scrub
+      must precede dedup so redacted twins collapse; functions/pii.py) —
+      folds into the same scan projection as the quality gate;
+    - max_dup_span_frac: drop docs above this cross-doc duplicated-span
+      ratio (duplicate_span_stats; anti-join on violators so short docs
+      with no spans are KEPT, not silently dropped).
 
     Scale shape: the gates are narrow scan expressions; exact dedup is one
     hash-agg on a 16-byte digest; near-dup is the banded MinHash join +
@@ -58,6 +67,11 @@ def curate_corpus(
     are data-dependent, so they flow through ordinary shuffled anti-joins
     that AQE sizes at runtime.
     """
+    if scrub_pii:
+        from ..functions.pii import redact_pii
+
+        docs = docs.withColumn(text_col, redact_pii(F.col(text_col)))
+
     gated = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -79,6 +93,11 @@ def curate_corpus(
             F.col("dup_word_frac") <= max_dup_word_frac
         ).select(id_col)
         gated = gated.join(ok, id_col, "left_semi")
+    if max_dup_span_frac is not None:
+        bad = D.duplicate_span_stats(gated, text_col, id_col, span_words).filter(
+            F.col("dup_ratio") > max_dup_span_frac
+        ).select(id_col)
+        gated = gated.join(bad, id_col, "left_anti")
     if max_surprisal is not None:
         from ..operators.tfidf import unigram_surprisal
 

@@ -686,3 +686,41 @@ def test_mixture_sample_rates_and_stability(spark):
     )
     kept2 = {r.doc_id for r in mixture_sample(bigger, {"wiki": 1.0, "cc": 0.25}).collect()}
     assert {r.doc_id for r in kept} <= kept2
+
+
+def test_curate_scrub_pii_collapses_redacted_twins(spark):
+    from audiopro_essentia_spark.plans.curate import curate_corpus
+
+    base = "the data the table the row the scan the value the line"
+    rows = [
+        (1, base + " mail a@b.io"),
+        (2, base + " mail c@d.io"),   # differs ONLY in the email
+        (3, "the query the join the group the sort the batch the frame"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = curate_corpus(df, min_quality=0.0, langs=("en", "de", "fr", "und"),
+                          near_dup=False)
+    assert plain.count() == 3  # raw texts differ -> no collapse
+    scrubbed = curate_corpus(df, min_quality=0.0,
+                             langs=("en", "de", "fr", "und"),
+                             near_dup=False, scrub_pii=True)
+    kept = sorted(r["doc_id"] for r in scrubbed.collect())
+    assert kept == [1, 3]  # 2 became an exact dup of 1 after redaction
+
+
+def test_curate_span_gate_keeps_short_docs(spark):
+    from audiopro_essentia_spark.plans.curate import curate_corpus
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, shared + " one extra words here now"),
+        (2, shared + " two other filler words go"),  # shares both spans w/ 1
+        (3, "unique tokens nothing shared anywhere at all"),
+        (4, "tiny doc"),  # < span_words: no span stats row -> must survive
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate_corpus(df, min_quality=0.0, langs=("en", "de", "fr", "und"),
+                        near_dup=False, max_dup_span_frac=0.4, span_words=3)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # docs 1+2 share 2 of their 3 three-word spans (ratio 2/3 > 0.4): gone
+    assert kept == [3, 4]
