@@ -800,6 +800,22 @@ def q_vocab_by_source(spark, sf_dir):
     return distinct_profile(d, exact=True)
 
 
+def q_kmeans(spark, sf_dir):
+    """Embedding clustering: distributed spherical k-means (Lloyd's over
+    broadcast centroids + O(k*d) per-iteration aggregates). ITERATIVE —
+    deliberately no SQL twin (the genuinely-non-SQL-expressible class);
+    the driver records the rows-only check. Output: k cluster sizes."""
+    from audiopro_essentia_spark.operators.similarity import kmeans_lite
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lite(e, k=8, iters=3)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("cluster_id").cast("int").alias("cluster_id"), "n")
+    )
+
+
 def q_kernel_features(spark, sf_dir):
     """A1-A11: the fused Arrow kernel over derived tokens (F=16, H=4) —
     the FULL FFT feature surface (rms/volume/zcr, centroid, bandwidth,
@@ -1068,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_tokens": q_encode_tokens,
         "quantize_embed": q_quantize_embed,
         "vocab_by_source": q_vocab_by_source,
+        "kmeans": q_kmeans,
         "kernel_features": q_kernel_features,
         "spectral_flux": q_spectral_flux,
         "spectral_contrast": q_spectral_contrast,

@@ -259,3 +259,72 @@ def ann_recall(
             F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact"), 6
         ).alias("recall"),
     )
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+) -> tuple[DataFrame, np.ndarray]:
+    """Distributed spherical k-means (Lloyd's) — the topic-clustering /
+    IVF-training stage of an embedding pipeline, with no ML library.
+
+    Init: deterministic md5-ordered corpus rows (same recipe as
+    ivf_assign, so runs are reproducible). Each iteration is ONE narrow
+    Arrow assignment pass (centroid matrix broadcast in the UDF closure)
+    + ONE map-side-combinable hash-agg of per-(cluster, dim) sums via
+    posexplode. The driver holds only k x d aggregates per iteration —
+    never vectors — so the reduce is O(k*d), independent of corpus size;
+    this driver-loop-over-tiny-aggregates is the canonical Spark shape
+    for Lloyd's (an iterative algorithm, deliberately NOT expressible as
+    one SQL query). Empty clusters keep their previous centroid.
+
+    Returns (corpus + cluster_id, final centroids ndarray)."""
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .orderBy(F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>"))))
+            .limit(k)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = sample
+    dim = C.shape[1]
+    assigned = None
+    for _ in range(max(iters, 1)):
+        udf = _nearest_centroids_udf(C, 1)
+        assigned = corpus.withColumn(
+            "cluster_id", F.element_at(udf(F.col(vec_col)), 1)
+        )
+        stats = (
+            assigned.select(
+                "cluster_id", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, tuple[float, int]]] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = (r["s"], r["c"])
+        new_c = C.copy()
+        for cid, dims in by_cluster.items():
+            if len(dims) != dim:
+                continue  # defensive: ragged vector slipped through
+            cnt = dims[0][1]
+            mean = np.array([dims[p][0] for p in range(dim)]) / cnt
+            if np.linalg.norm(mean) > 0:
+                new_c[cid] = mean
+        C = new_c
+    # final assignment under the FINAL centroids (the loop's `assigned`
+    # used the pre-update matrix)
+    assigned = corpus.withColumn(
+        "cluster_id", F.element_at(_nearest_centroids_udf(C, 1)(F.col(vec_col)), 1)
+    )
+    return assigned, C

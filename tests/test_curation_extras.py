@@ -223,3 +223,43 @@ def test_distinct_profile_approx_close_to_exact(spark):
     assert set(exact) == set(approx) == {"src0", "src1", "src2"}
     for s in exact:
         assert abs(approx[s] - exact[s]) / exact[s] < 0.1
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    from audiopro_essentia_spark.operators.similarity import kmeans_lite
+
+    # three tight blobs around orthogonal axes; spherical k-means with
+    # k=3 must put each blob in its own cluster after a few iterations
+    rows = []
+    vid = 0
+    for axis in range(3):
+        for j in range(8):
+            v = [0.02 * ((j + d) % 5) for d in range(6)]
+            v[axis * 2] = 1.0 + 0.01 * j
+            rows.append((vid, axis, v))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "blob", "embedding"])
+    assigned, centroids = kmeans_lite(df, k=3, iters=4)
+    got = assigned.select("blob", "cluster_id").collect()
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["blob"], set()).add(r["cluster_id"])
+    # each blob maps to exactly one cluster, and the three are distinct
+    assert all(len(cids) == 1 for cids in by_blob.values())
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+    assert centroids.shape == (3, 6)
+
+
+def test_kmeans_deterministic_init(spark):
+    from audiopro_essentia_spark.operators.similarity import kmeans_lite
+
+    rows = [(i, [float((i * 3 + d) % 7) for d in range(4)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    _, c1 = kmeans_lite(df, k=4, iters=2)
+    _, c2 = kmeans_lite(df, k=4, iters=2)
+    assert (c1 == c2).all()
