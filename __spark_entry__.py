@@ -1610,8 +1610,8 @@ d AS (SELECT source, COUNT(DISTINCT w) AS n_distinct_words
       FROM w WHERE w <> '' GROUP BY source),
 n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
 SELECT n.source, CAST(n_docs AS BIGINT) AS n_docs,
-  CAST(n_distinct_words AS BIGINT) AS n_distinct_words
-FROM n JOIN d USING (source)
+  CAST(coalesce(n_distinct_words, 0) AS BIGINT) AS n_distinct_words
+FROM n LEFT JOIN d USING (source)
 """,
         "encode_tokens": f"""
 WITH c AS (

@@ -28,9 +28,17 @@ from pyspark.sql import functions as F
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    # +1 555-123-4567 / 555 987 6543 / 5551234567 — optional country code,
-    # then 3-3-4; non-capturing group is in the Java∩RE2 common subset
-    ("phone", r"(?:\+?\d{1,3}[- ])?\d{3}[- ]?\d{3}[- ]?\d{4}\b", "<PHONE>"),
+    # +1 555-123-4567 / 555 987 6543 / (555) 123-4567 / 555.123.4567 /
+    # 5551234567 — optional country code, then 3-3-4 with -, space, or
+    # dot separators, area code optionally parenthesized; non-capturing
+    # groups are in the Java∩RE2 common subset. Dots cannot collide with
+    # IPv4 (redacted in the prior step) and 3-3-4 never matches a dotted
+    # quad's 1-3 digit octets.
+    (
+        "phone",
+        r"(?:\+?\d{1,3}[- ])?(?:\(\d{3}\)[- ]?|\d{3}[-. ]?)\d{3}[-. ]?\d{4}\b",
+        "<PHONE>",
+    ),
 )
 
 

@@ -296,8 +296,14 @@ def distinct_profile(
         dv = w.groupBy(group_col).agg(
             F.approx_count_distinct("_w", rsd=rsd).alias("n_distinct_words")
         )
-    return n_docs.join(dv, group_col).select(
+    # LEFT join + coalesce(0): a group whose docs are all empty/whitespace
+    # is the WORST low-entropy source and must appear as n_distinct=0,
+    # not vanish from the report (an inner join would hide exactly the
+    # degenerate case this profile exists to surface)
+    return n_docs.join(dv, group_col, "left").select(
         group_col,
         F.col("n_docs").cast("long").alias("n_docs"),
-        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.coalesce(F.col("n_distinct_words"), F.lit(0))
+        .cast("long")
+        .alias("n_distinct_words"),
     )

@@ -166,6 +166,30 @@ def _nearest_centroids_udf(centroids: np.ndarray, n: int):
     return _nearest
 
 
+def _md5_sample(
+    corpus: DataFrame, vec_col: str, n: int, distinct: bool
+) -> np.ndarray:
+    """Deterministic pseudo-random vector sample: order by md5 of the
+    rendered vector, take n. `distinct=True` dedups vectors first so
+    exact-duplicate rows (the norm in web corpora) cannot yield duplicate
+    seeds. Returns (m, d) with m <= n; callers decide whether m < n is an
+    error."""
+    src = corpus.select(vec_col)
+    if distinct:
+        src = src.distinct()
+    return np.array(
+        [
+            r[0]
+            for r in src.orderBy(
+                F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
+            )
+            .limit(n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -175,17 +199,11 @@ def ivf_assign(
     """IVF coarse quantizer: deterministic centroid sample (seeded corpus
     rows), assign every vector to its nearest centroid in one narrow Arrow
     map pass (broadcast centroid matrix; no shuffle, no expression chain).
-    Returns (corpus + cluster_id, centroids)."""
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(corpus_vec)
-            .orderBy(F.md5(F.concat_ws(",", F.col(corpus_vec).cast("array<string>"))))
-            .limit(n_centroids)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
+    Returns (corpus + cluster_id, centroids).
+
+    distinct=False in the sample keeps the original recipe (and its
+    DuckDB oracle twin) bit-stable; kmeans_lite uses the distinct form."""
+    sample = _md5_sample(corpus, corpus_vec, n_centroids, distinct=False)
     udf = _nearest_centroids_udf(sample, 1)
     return (
         corpus.withColumn(
@@ -280,18 +298,18 @@ def kmeans_lite(
     for Lloyd's (an iterative algorithm, deliberately NOT expressible as
     one SQL query). Empty clusters keep their previous centroid.
 
+    Init sampling is over DISTINCT vectors — exact-duplicate rows are the
+    norm in web corpora, and duplicate initial centroids can never
+    separate (k_effective < k with no warning). Fails loudly when the
+    corpus has fewer than k distinct vectors.
+
     Returns (corpus + cluster_id, final centroids ndarray)."""
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(vec_col)
-            .orderBy(F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>"))))
-            .limit(k)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    C = sample
+    C = _md5_sample(corpus, vec_col, k, distinct=True)
+    if C.ndim != 2 or C.shape[0] < k:
+        found = 0 if C.ndim != 2 else C.shape[0]
+        raise ValueError(
+            f"kmeans_lite needs >= {k} distinct vectors, found {found}"
+        )
     dim = C.shape[1]
     assigned = None
     for _ in range(max(iters, 1)):

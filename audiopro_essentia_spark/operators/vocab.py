@@ -55,22 +55,34 @@ def build_vocab(
     return ranked.select("word", "id", "cnt")
 
 
+def _maybe_broadcast(vocab: DataFrame, broadcast: bool) -> DataFrame:
+    return F.broadcast(vocab) if broadcast else vocab
+
+
 def encode_documents(
     df: DataFrame,
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """text -> array<int> of vocab ids in word order (OOV -> UNK_ID).
 
-    posexplode keeps the position; the vocab join is broadcast (vocab is
-    capped); array_sort on (pos, id) structs reassembles order after the
-    doc_id shuffle without a per-group sort-within-window."""
+    posexplode keeps the position; array_sort on (pos, id) structs
+    reassembles order after the doc_id shuffle without a per-group
+    sort-within-window.
+
+    broadcast=True assumes a CAPPED vocab (build_vocab max_vocab set) —
+    the hint forces driver collection, so an UNBOUNDED web-scale vocab
+    (hundreds of millions of distinct tokens) must pass broadcast=False
+    to degrade to an ordinary shuffled join instead of a driver OOM."""
     words = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
     )
-    tagged = words.join(F.broadcast(vocab.select("word", "id")), "word", "left").select(
+    tagged = words.join(
+        _maybe_broadcast(vocab.select("word", "id"), broadcast), "word", "left"
+    ).select(
         id_col,
         F.struct(
             F.col("pos"), F.coalesce(F.col("id"), F.lit(UNK_ID)).alias("id")
@@ -91,13 +103,17 @@ def decode_documents(
     vocab: DataFrame,
     ids_col: str = "ids",
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
     """ids -> text (UNK_ID renders as '<unk>'). Round-trip identity holds
-    for fully in-vocab corpora — the encode/decode contract test."""
+    for fully in-vocab corpora — the encode/decode contract test.
+    Same broadcast caveat as encode_documents."""
     toks = encoded.select(
         F.col(id_col), F.posexplode(F.col(ids_col)).alias("pos", "id")
     )
-    back = toks.join(F.broadcast(vocab.select("word", "id")), "id", "left").select(
+    back = toks.join(
+        _maybe_broadcast(vocab.select("word", "id"), broadcast), "id", "left"
+    ).select(
         id_col,
         F.struct(
             F.col("pos"), F.coalesce(F.col("word"), F.lit("<unk>")).alias("w")

@@ -38,26 +38,62 @@ def _with_corrupt(schema: T.StructType) -> T.StructType:
     return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
 
 
-def read_json_quarantine(
-    spark: SparkSession, path: str, schema: T.StructType
-) -> tuple[DataFrame, DataFrame]:
-    """Read JSON-lines with an explicit contract schema; return
-    (good, quarantine) where quarantine rows carry the raw malformed line
-    in `raw` plus a constant `reject_reason`. Exactly-one-of: every input
-    line lands in good XOR quarantine."""
-    full = (
-        spark.read.schema(_with_corrupt(schema))
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
-    )
-    # Spark cannot plan a query whose ONLY referenced column is the
-    # corrupt-record column; caching the full projection is the supported
-    # pattern and also avoids re-parsing for the second branch.
+def _split(full: DataFrame, reason: str) -> tuple[DataFrame, DataFrame]:
+    """Split a cached PERMISSIVE parse into (good, quarantine).
+
+    The cache is load-bearing twice: Spark refuses to plan reader queries
+    whose referenced columns are ONLY the corrupt-record column
+    (SPARK-38523), and it makes the two branches share one parse. The
+    entry lives until session end — the same documented lifetime
+    trade-off as plans/curate.py persist_intermediate; Spark's cache
+    manager dedups repeated identical reads by canonicalized plan, so
+    re-ingesting the same path does not accumulate entries."""
     full = full.cache()
     good = full.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = full.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw"),
+        F.lit(reason).alias("reject_reason"),
+    )
+    return good, bad
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    cache: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines with an explicit contract schema; return
+    (good, quarantine) where quarantine rows carry the raw malformed line
+    in `raw` plus a constant `reject_reason`. Exactly-one-of: every input
+    line lands in good XOR quarantine.
+
+    cache=True (default, interactive): one cached parse feeds both
+    branches — see _split for the lifetime trade-off. cache=False (huge
+    one-shot drops): NO cache pressure — the file is read as text and
+    parsed per branch with from_json carrying the same corrupt-record
+    column (identical quarantine semantics, incl. type-mismatch rows);
+    two pushdown text scans, the right shape when each branch is written
+    out exactly once."""
+    if cache:
+        full = (
+            spark.read.schema(_with_corrupt(schema))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+        return _split(full, "malformed_json")
+    lines = spark.read.text(path)
+    parsed = F.from_json(
+        F.col("value"),
+        _with_corrupt(schema),
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+    ).alias("_p")
+    both = lines.select(F.col("value"), parsed)
+    bad_pred = F.col("_p").isNull() | F.col("_p")[CORRUPT_COL].isNotNull()
+    good = both.where(~bad_pred).select("_p.*").drop(CORRUPT_COL)
+    bad = both.where(bad_pred).select(
+        F.col("value").alias("raw"),
         F.lit("malformed_json").alias("reject_reason"),
     )
     return good, bad
@@ -71,7 +107,9 @@ def read_csv_quarantine(
     sep: str = ",",
 ) -> tuple[DataFrame, DataFrame]:
     """CSV analog of read_json_quarantine (PERMISSIVE + corrupt-record
-    capture; type-mismatched or wrong-arity lines quarantine)."""
+    capture; type-mismatched or wrong-arity lines quarantine). Always the
+    cached one-parse path: the text-scan alternative cannot reproduce the
+    reader's header handling."""
     full = (
         spark.read.schema(_with_corrupt(schema))
         .option("mode", "PERMISSIVE")
@@ -80,13 +118,7 @@ def read_csv_quarantine(
         .option("sep", sep)
         .csv(path)
     )
-    full = full.cache()
-    good = full.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = full.where(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw"),
-        F.lit("malformed_csv").alias("reject_reason"),
-    )
-    return good, bad
+    return _split(full, "malformed_csv")
 
 
 def ingest_stats(good: DataFrame, bad: DataFrame) -> dict:

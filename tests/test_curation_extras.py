@@ -37,6 +37,7 @@ def test_redact_pii_all_categories(spark):
         (3, "call +1 555-123-4567 or 555 987 6543"),
         (4, "no pii here at all"),
         (5, "mixed bob@x.io from 10.0.0.1 dial 555-123-9999"),
+        (6, "paren (555) 123-4567 and dotted 555.123.4567"),
     ]
     df = spark.createDataFrame(rows, ["id", "t"])
     out = {
@@ -52,9 +53,11 @@ def test_redact_pii_all_categories(spark):
     assert out[3]["red"] == "call <PHONE> or <PHONE>"
     assert out[4]["red"] == "no pii here at all"
     assert out[5]["red"] == "mixed <EMAIL> from <IP> dial <PHONE>"
+    assert out[6]["red"] == "paren <PHONE> and dotted <PHONE>"
     assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 0, 0)
     assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 2)
     assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1, 1)
+    assert (out[6]["n_email"], out[6]["n_ipv4"], out[6]["n_phone"]) == (0, 0, 2)
 
 
 def test_pii_ip_not_counted_as_phone(spark):
@@ -263,3 +266,54 @@ def test_kmeans_deterministic_init(spark):
     _, c1 = kmeans_lite(df, k=4, iters=2)
     _, c2 = kmeans_lite(df, k=4, iters=2)
     assert (c1 == c2).all()
+
+
+def test_kmeans_duplicate_vectors_still_k_distinct_centroids(spark):
+    from audiopro_essentia_spark.operators.similarity import kmeans_lite
+
+    # 10 copies of one vector + 3 distinct directions: the distinct-init
+    # must still find 3 separate seeds (a raw sample would pick the
+    # duplicated vector multiple times and never separate)
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(10)]
+    rows += [(10, [0.0, 1.0, 0.0]), (11, [0.0, 0.0, 1.0]), (12, [1.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, centroids = kmeans_lite(df, k=3, iters=3)
+    assert centroids.shape == (3, 3)
+    # no two initial->final centroids collapsed onto the same point
+    import numpy as np
+
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert not np.allclose(centroids[i], centroids[j])
+
+
+def test_kmeans_fails_loudly_below_k(spark):
+    import pytest
+
+    from audiopro_essentia_spark.operators.similarity import kmeans_lite
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"]
+    )  # only ONE distinct vector
+    with pytest.raises(ValueError, match="distinct vectors"):
+        kmeans_lite(df, k=3, iters=1)
+    with pytest.raises(ValueError):
+        kmeans_lite(df.limit(0), k=2, iters=1)
+
+
+def test_ingest_cache_false_matches_cached(spark, tmp_path):
+    p = tmp_path / "nc.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nbroken line\n')
+    good, bad = read_json_quarantine(spark, str(p), DOC_SCHEMA, cache=False)
+    assert good.count() == 1 and bad.count() == 1
+
+
+def test_distinct_profile_reports_empty_source_as_zero(spark):
+    from audiopro_essentia_spark.operators.aggregates import distinct_profile
+
+    rows = [(1, "a", "x y z"), (2, "b", ""), (3, "b", " ")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {r["source"]: r for r in distinct_profile(df).collect()}
+    assert got["a"]["n_distinct_words"] == 3
+    # the all-empty source must APPEAR with 0, not vanish from the report
+    assert got["b"]["n_docs"] == 2 and got["b"]["n_distinct_words"] == 0
