@@ -68,6 +68,11 @@ def asof_join(
             f"right_values/matched_ts collide with left columns: {sorted(clash)}; "
             "rename or pass explicit right_values"
         )
+    # a right row with NULL ts can never be a valid as-of match — without
+    # this filter the union path's NULLS-FIRST sort would forward-fill it
+    # into every left row before the first real right row (silent wrong
+    # data), and pandas merge_asof refuses NULL right keys outright
+    right = right.where(F.col(right_ts).isNotNull())
     if strategy == "cogroup" or direction != "backward":
         return _asof_cogroup(
             left, right, on, left_ts, right_ts, right_values,
@@ -164,6 +169,13 @@ def _asof_cogroup(
     """Arrow cogroup variant: pd.merge_asof per key group."""
     import pandas as pd
 
+    # normalize ts dtypes BEFORE the cogroup: merge_asof needs real
+    # datetimes on both sides (string ts columns sort lexicographically
+    # into an object-dtype MergeError; the union path gets this cast via
+    # _ts_us, this path must match)
+    left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+    right = right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+
     lcols = list(left.columns)
     out_schema = left.schema.simpleString()[7:-1]  # strip struct<...>
     rv_fields = []
@@ -183,9 +195,14 @@ def _asof_cogroup(
             return pd.DataFrame(
                 columns=lcols + [matched_ts_col] + list(right_values)
             )
-        lpdf = lpdf.sort_values(left_ts)
+        # NULL-ts LEFT rows pass through unmatched (merge_asof refuses
+        # NaT keys; the union path gives them no-match too). NULL-ts
+        # right rows were filtered before dispatch.
+        null_l = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()].sort_values(left_ts)
         rpdf = rpdf.sort_values(right_ts).rename(columns={right_ts: matched_ts_col})
         rpdf = rpdf[[matched_ts_col, *right_values]]
+        no_match = {matched_ts_col: pd.NaT, **{c: None for c in right_values}}
         merged = pd.merge_asof(
             lpdf,
             rpdf,
@@ -193,7 +210,11 @@ def _asof_cogroup(
             right_on=matched_ts_col,
             direction=direction,
             tolerance=tol,
-        )
+        ) if len(lpdf) else lpdf.assign(**no_match)
+        if len(null_l):
+            merged = pd.concat(
+                [merged, null_l.assign(**no_match)], ignore_index=True
+            )
         return merged[lcols + [matched_ts_col] + list(right_values)]
 
     return (

@@ -81,7 +81,56 @@ class CheckpointedWriter:
         self.lineage_dir = os.path.join(out_dir, "_lineage")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.lineage_dir, exist_ok=True)
+        self._check_writer_meta()
         self._recover_interrupted_compaction()
+
+    def _check_writer_meta(self) -> None:
+        """Pin (n_buckets, key_col, fmt) on first open and validate on
+        every reopen. Without this, resuming a half-committed dir with a
+        different n_buckets can make committed_buckets() == range(new
+        n_buckets) — write() then sees nothing pending and stamps
+        _SUCCESS over a dataset missing half its rows. Config drift must
+        be a loud error, never silent data loss."""
+        meta_path = os.path.join(self.lineage_dir, "writer_meta.json")
+        mine = {
+            "n_buckets": self.n_buckets,
+            "key_col": self.key_col,
+            "fmt": self.fmt,
+        }
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                prev = json.load(fh)
+            diff = {k: (prev.get(k), v) for k, v in mine.items() if prev.get(k) != v}
+            if diff:
+                raise ValueError(
+                    f"checkpoint dir {self.out_dir} was created with "
+                    f"different writer config: {diff} (stored, requested); "
+                    "reopen with the original config or use a new out_dir"
+                )
+        else:
+            with open(meta_path, "w") as fh:
+                json.dump(mine, fh)
+
+    @classmethod
+    def from_meta(cls, out_dir: str, spark=None) -> "CheckpointedWriter":
+        """Reopen an existing checkpoint dir with its STORED config —
+        the safe constructor for read-side consumers that do not know
+        (and must not guess) the writer's n_buckets/key_col/fmt."""
+        meta_path = os.path.join(out_dir, "_lineage", "writer_meta.json")
+        if not os.path.exists(meta_path):
+            raise FileNotFoundError(
+                f"no writer_meta.json under {out_dir} — not a checkpoint "
+                "dir created by this writer"
+            )
+        with open(meta_path) as fh:
+            m = json.load(fh)
+        return cls(
+            out_dir,
+            n_buckets=m["n_buckets"],
+            key_col=m["key_col"],
+            fmt=m["fmt"],
+            spark=spark,
+        )
 
     def _recover_interrupted_compaction(self) -> None:
         """POSIX has no atomic directory exchange, so compact()'s swap
@@ -141,6 +190,14 @@ class CheckpointedWriter:
           is uncommitted and will be rewritten idempotently on resume);
           more than max_failures such buckets aborts the job.
         """
+        if "bucket" in df.columns:
+            # silently overwriting a user column named 'bucket' would
+            # persist engine bucket ids where data used to be (e.g. a
+            # read() round-trip feeds its partition column back in)
+            raise ValueError(
+                "input already has a 'bucket' column (the writer's "
+                "reserved partition column) — drop or rename it first"
+            )
         done = self.committed_buckets()
         bucketed = df.withColumn(
             "bucket", F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets))
@@ -429,8 +486,15 @@ def write_msgpack_dir(
 
         from ..functions.msgpack import packb
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        # write to an attempt-unique temp then atomically rename: with
+        # speculative execution (or a zombie task racing its retry) two
+        # attempts of the SAME partition would otherwise interleave into
+        # one open file -> corrupt gzip stream. os.replace makes last
+        # completed attempt win wholesale.
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
         opener = _gzip.open if gzip_output else open
         def conv(v):
             # datetime/date (any nesting depth) -> ISO string
@@ -442,10 +506,11 @@ def write_msgpack_dir(
                 return [conv(x) for x in v]
             return v
 
-        with opener(path, "wb") as fh:
+        with opener(tmp, "wb") as fh:
             for r in rows:
                 d = r.asDict(recursive=True)
                 fh.write(packb({c: conv(d[c]) for c in cols}))
+        os.replace(tmp, path)
 
     df.foreachPartition(_write)
     # completeness marker: consumers must treat a dir without it as a

@@ -137,25 +137,34 @@ def epoch_writer(
     key_col: str = "user_id",
     n_buckets: int = 4,
     fmt: str = "parquet",
+    transform=None,
+    error_col: str | None = None,
+    error_budget_pct: float | None = None,
 ):
-    """foreachBatch handler factory: each micro-batch writes through a
-    CheckpointedWriter rooted at out_dir/epoch=<epochId>. Exactly-once by
-    idempotence: Spark re-delivers an epoch only when the handler did not
-    complete before the streaming checkpoint committed it, and a re-run of
-    the same (epoch, data) skips already-committed buckets / rewrites
-    uncommitted ones atomically (S7 semantics lifted into §2.8)."""
+    """foreachBatch handler factory: each micro-batch (optionally passed
+    through `transform`, an ordinary DataFrame -> DataFrame function)
+    writes through a CheckpointedWriter rooted at out_dir/epoch=<epochId>.
+    Exactly-once by idempotence: Spark re-delivers an epoch only when the
+    handler did not complete before the streaming checkpoint committed
+    it, and a re-run of the same (epoch, data) skips already-committed
+    buckets / rewrites uncommitted ones atomically (S7 semantics lifted
+    into §2.8). This factory is the ONE owner of the epoch-dir layout —
+    streaming_token_pipeline parameterizes it rather than re-implementing
+    it."""
     import os as _os
 
     from ..sources.sinks import CheckpointedWriter
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            bdf = transform(bdf)
         w = CheckpointedWriter(
             _os.path.join(out_dir, f"epoch={epoch_id}"),
             n_buckets=n_buckets,
             key_col=key_col,
             fmt=fmt,
         )
-        w.write(bdf)
+        w.write(bdf, error_col=error_col, error_budget_pct=error_budget_pct)
 
     return handle
 
@@ -199,26 +208,23 @@ def streaming_token_pipeline(
     is an ordinary DataFrame, so the exact batch operators run unchanged
     — no second implementation to drift; exactly-once comes from the
     idempotent epoch dirs (see epoch_writer)."""
-    import os as _os
-
     from ..constants import FRAME_LENGTH, HOP_LENGTH
     from ..operators.fused import fused_frame_features, nest_frequency_bands
-    from ..sources.sinks import CheckpointedWriter
 
     fl = frame_length or FRAME_LENGTH
     hp = hop or HOP_LENGTH
 
-    def handle(bdf: DataFrame, epoch_id: int) -> None:
-        feats = nest_frequency_bands(
+    handle = epoch_writer(
+        out_dir,
+        key_col="doc_id",
+        n_buckets=n_buckets,
+        transform=lambda bdf: nest_frequency_bands(
             fused_frame_features(
                 bdf, features=features, frame_length=fl, hop=hp, validate=True
             )
-        )
-        CheckpointedWriter(
-            _os.path.join(out_dir, f"epoch={epoch_id}"),
-            n_buckets=n_buckets,
-            key_col="doc_id",
-        ).write(feats, error_col="ferror")
+        ),
+        error_col="ferror",
+    )
 
     q = (
         stream_df.writeStream.foreachBatch(handle)
@@ -230,8 +236,9 @@ def streaming_token_pipeline(
     q.awaitTermination()
 
 
-def read_epochs(spark, out_dir: str, fmt: str = "parquet") -> DataFrame:
-    """Union of COMMITTED data across all epoch directories."""
+def read_epochs(spark, out_dir: str) -> DataFrame:
+    """Union of COMMITTED data across all epoch directories (each epoch's
+    format/config comes from its stored writer_meta)."""
     import os as _os
 
     from pyspark.sql import DataFrame as _DF
@@ -242,7 +249,9 @@ def read_epochs(spark, out_dir: str, fmt: str = "parquet") -> DataFrame:
     for d in sorted(_os.listdir(out_dir)):
         if not d.startswith("epoch="):
             continue
-        w = CheckpointedWriter(_os.path.join(out_dir, d), fmt=fmt)
+        # from_meta: reopen with the STORED writer config — guessing
+        # n_buckets/key_col here would trip the config-drift guard
+        w = CheckpointedWriter.from_meta(_os.path.join(out_dir, d))
         if w.committed_buckets():
             parts.append(w.read(spark).drop("bucket"))
     if not parts:

@@ -196,3 +196,50 @@ def test_asof_property_random_vs_merge_asof(spark):
             assert got[(row.doc_id, row.i)] == (exp_ts, exp_rv), (row.doc_id, row.i)
 
     run()
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:00:05")), (1, ts("2024-01-01 00:02:00"))],
+        ["doc_id", "available_ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, None, "leak"), (1, ts("2024-01-01 00:01:00"), "real")],
+        "doc_id long, label_ts timestamp, label string",
+    )
+    for kwargs in ({}, {"strategy": "cogroup"}, {"direction": "forward"}):
+        got = {
+            r["available_ts"]: r["label"]
+            for r in asof_join(left, right, **kwargs).collect()
+        }
+        # the NULL-ts right row must never forward-fill into early rows
+        assert got[ts("2024-01-01 00:00:05")] in (None, "real")
+        assert got[ts("2024-01-01 00:00:05")] != "leak"
+    # backward: early row has NO match at all
+    got_b = {
+        r["available_ts"]: r["label"] for r in asof_join(left, right).collect()
+    }
+    assert got_b[ts("2024-01-01 00:00:05")] is None
+    assert got_b[ts("2024-01-01 00:02:00")] == "real"
+
+
+def test_asof_cogroup_string_ts_and_null_left(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30"), (1, None)],
+        "doc_id long, available_ts string",
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10", "x")],
+        "doc_id long, label_ts string, label string",
+    )
+    rows = asof_join(
+        left, right, strategy="cogroup"
+    ).collect()
+    by_null = {r["available_ts"] is None: r for r in rows}
+    assert by_null[False]["label"] == "x"      # string ts parsed, matched
+    assert by_null[True]["label"] is None      # NULL left ts passes through

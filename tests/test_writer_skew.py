@@ -255,3 +255,29 @@ def test_compact_crash_mid_swap_recovers_on_open(spark, tmp_path):
     CheckpointedWriter(out, n_buckets=2, key_col="doc_id")
     assert not _os.path.exists(bdir + ".compact_old")
     assert not _os.path.exists(tmp)
+
+
+def test_writer_config_drift_fails_loudly(spark, tmp_path):
+    out = str(tmp_path / "drift")
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("v")
+    )
+    CheckpointedWriter(out, n_buckets=4).write(df)
+    # reopening with a different n_buckets would make committed_buckets()
+    # cover the new range and stamp _SUCCESS over missing data — must raise
+    with pytest.raises(ValueError, match="different writer config"):
+        CheckpointedWriter(out, n_buckets=8)
+    with pytest.raises(ValueError, match="different writer config"):
+        CheckpointedWriter(out, n_buckets=4, key_col="other")
+    # same config reopens fine, and from_meta never guesses
+    assert CheckpointedWriter.from_meta(out).n_buckets == 4
+
+
+def test_writer_rejects_reserved_bucket_column(spark, tmp_path):
+    out = str(tmp_path / "clash")
+    w = CheckpointedWriter(out, n_buckets=2)
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(7).alias("bucket")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        w.write(df)
