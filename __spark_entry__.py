@@ -1524,16 +1524,20 @@ SELECT doc_id, n_tokens, global_offset,
 FROM g
 """,
         "surprisal": """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+WITH tok AS (SELECT doc_id, w FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
 wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
-total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok)
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM wc)
 SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
   round(-avg(ln(wc.c / total.n)), 6) AS avg_logloss
 FROM tok t JOIN wc USING (w) CROSS JOIN total
 GROUP BY t.doc_id
 """,
         "tfidf": """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+WITH tok AS (SELECT doc_id, term FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term <> ''),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),

@@ -83,6 +83,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.start is not None and args.end is not None and args.end <= args.start:
         print("error: --end must be > --start", file=sys.stderr)
         return 2
+    for name, v, lo in (
+        ("--frame-length", args.frame_length, 1),
+        ("--hop", args.hop, 1),
+        ("--n-buckets", args.n_buckets, 1),
+    ):
+        if v < lo:
+            print(f"error: {name} must be >= {lo} (got {v})", file=sys.stderr)
+            return 2
+    if not 0.0 <= args.error_budget_pct <= 1.0:
+        print(
+            f"error: --error-budget-pct must be in [0,1] "
+            f"(got {args.error_budget_pct})",
+            file=sys.stderr,
+        )
+        return 2
 
     from .plans.pipeline import analyze_sequences
     from .session import get_spark
@@ -104,8 +119,10 @@ def main(argv: list[str] | None = None) -> int:
         from .monitor import PerformanceMonitor
 
         mon = PerformanceMonitor().start()
-    # the writer's format is fixed at construction inside analyze_sequences
-    # only for parquet; honor --format by writing through our own writer
+    # one call drives the whole pipeline INCLUDING the writer (fmt is
+    # plumbed through), so the CLI inherits concrete per-file lineage and
+    # the completion check instead of re-implementing the write block
+    frame_fmt = "parquet" if args.format == "msgpack" else args.format
     res = analyze_sequences(
         spark,
         args.input,
@@ -114,18 +131,13 @@ def main(argv: list[str] | None = None) -> int:
         hop=args.hop,
         start_sec=args.start,
         end_sec=args.end,
-        out_dir=None,  # we drive the writer below to honor --format
-    )
-    frame_fmt = "parquet" if args.format == "msgpack" else args.format
-    writer = CheckpointedWriter(
-        out_dir, n_buckets=args.n_buckets, fmt=frame_fmt
-    )
-    stats = writer.write(
-        res["frame_features"],
-        error_col="ferror",
+        out_dir=out_dir,
+        n_buckets=args.n_buckets,
+        fmt=frame_fmt,
         error_budget_pct=args.error_budget_pct,
-        input_files=[args.input],
     )
+    stats = res["write_stats"]
+    writer = CheckpointedWriter.from_meta(out_dir)
     if args.format == "msgpack":
         from audiopro_essentia_spark.sources.sinks import write_msgpack_dir
 
@@ -140,7 +152,13 @@ def main(argv: list[str] | None = None) -> int:
         "total_rows": stats["total_rows"],
         "total_errors": stats["total_errors"],
         "error_stats": writer.error_stats(),
-        "quarantined": res["quarantine"].count(),
+        # counted inside the pipeline's completion aggregate — a
+        # .count() here would re-run the whole profile pass as a second
+        # full Spark job just for one integer
+        "quarantined": stats["quarantined_docs"],
+        "expected_frames": stats["expected_frames"],
+        "completion_ratio": stats["completion_ratio"],
+        "completion_warning": stats["completion_warning"],
     }
     if mon is not None:
         mon.stop()

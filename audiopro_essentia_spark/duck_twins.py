@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 from .constants import EPS, N_MFCC
+from .functions.sampling import per_mille as _per_mille
 from .operators.dedup import MERSENNE, _minhash_params
 from .operators.kernel import BAND_NAMES, _consts
 
@@ -726,7 +727,7 @@ def curate_sql(
     for name, w in weights:
         cum += w
         split_case.append(
-            f"WHEN ({h32d}) % 1000 < {int(round(cum * 1000))} THEN '{name}'"
+            f"WHEN ({h32d}) % 1000 < {_per_mille(cum)} THEN '{name}'"
         )
     split = "CASE " + " ".join(split_case) + " END"
     return f"""

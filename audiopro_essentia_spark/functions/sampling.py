@@ -20,11 +20,29 @@ from .text import portable_hash32
 _BUCKETS = 1000
 
 
+def per_mille(frac: float) -> int:
+    """frac -> integer threshold in [0, 1000], HALF-UP — int(round(x))
+    is banker's rounding, which silently zeroes a requested 0.0005
+    (round(0.5) == 0) and makes x.5 boundaries rate-dependent. Shared by
+    the operators AND the generated DuckDB twins (duck_twins.curate_sql)
+    so both engines use the identical literal."""
+    import math
+
+    return int(math.floor(frac * _BUCKETS + 0.5))
+
+
 def hash_bucket(key: Column, salt: str = "") -> Column:
     """Stable per-mille bucket in [0, 1000) from the portable hash of
-    (key || salt). Different salts give independent bucketings."""
+    (key || salt). Different salts give independent bucketings.
+
+    NULL keys hash as the empty string (coalesce) so they land in a
+    deterministic bucket instead of propagating NULL through the hash —
+    which would silently drop them from every sample and give them no
+    split at all (breaking 'exhaustive and disjoint')."""
     return F.pmod(
-        portable_hash32(F.concat(key.cast("string"), F.lit(salt))),
+        portable_hash32(
+            F.concat(F.coalesce(key.cast("string"), F.lit("")), F.lit(salt))
+        ),
         F.lit(_BUCKETS),
     )
 
@@ -36,8 +54,10 @@ def hash_sample(
     below fraction*1000. Same rows selected on every engine and every
     rerun; sampling error is the usual binomial, selection bias is none
     (md5 is uniform over the key space)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
     return df.filter(
-        hash_bucket(F.col(key_col), salt) < F.lit(int(round(fraction * _BUCKETS)))
+        hash_bucket(F.col(key_col), salt) < F.lit(per_mille(fraction))
     )
 
 
@@ -59,7 +79,7 @@ def hash_split(
     cum = 0.0
     for name, w in weights.items():
         cum += w
-        hi = int(round(cum * _BUCKETS))
+        hi = per_mille(cum)
         cond = b < F.lit(hi)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return df.withColumn(split_col, expr)
@@ -83,9 +103,9 @@ def mixture_sample(
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
     b = hash_bucket(F.col(key_col), salt)
-    thresh = F.lit(int(round(default_rate * _BUCKETS)))
+    thresh = F.lit(per_mille(default_rate))
     for s, r in sorted(rates.items()):
         thresh = F.when(
-            F.col(source_col) == s, F.lit(int(round(r * _BUCKETS)))
+            F.col(source_col) == s, F.lit(per_mille(r))
         ).otherwise(thresh)
     return df.filter(b < thresh)

@@ -216,10 +216,17 @@ def exact_median_expr(sorted_array: Column) -> Column:
     )
 
 
-def tempo_from_boundaries_expr(boundaries_sec: Column) -> Column:
+def tempo_from_boundaries_expr(
+    boundaries_sec: Column, assume_sorted: bool = False
+) -> Column:
     """tempo = 60/median(diff(boundaries)); 0.0 when <=1 boundary or
-    non-positive median (utils/audio.py:82-89; controller.py:158-184)."""
-    b = F.array_sort(boundaries_sec)
+    non-positive median (utils/audio.py:82-89; controller.py:158-184).
+
+    assume_sorted=True when the input column is ALREADY sorted (e.g. by
+    sort_array in the producing aggregate): the array_sort here is then
+    not just redundant — its subtree is re-inlined at every element_at
+    reference inside the transform lambda (projection collapse)."""
+    b = boundaries_sec if assume_sorted else F.array_sort(boundaries_sec)
     n = F.size(b)
     diffs = F.transform(
         F.slice(b, 2, F.greatest(n - 1, F.lit(0))),

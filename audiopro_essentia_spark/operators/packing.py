@@ -40,7 +40,22 @@ def pack_shards(
         raise ValueError(
             f"pack_shards needs an integral id column; {id_col} is {id_type}"
         )
+    if shard_tokens <= 0:
+        # DIV 0 under non-ANSI Spark silently NULLs every shard_id
+        raise ValueError(f"shard_tokens must be positive (got {shard_tokens})")
     cnt = F.col(count_col).cast("long")
+    # a NULL/negative count would silently corrupt every later offset in
+    # its bucket (NULL propagates through the running sum) — fail loud at
+    # execution with the offending id, same rationale as the id-type check
+    cnt = F.when(
+        cnt.isNull() | (cnt < 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"pack_shards: NULL or negative {count_col} for {id_col}="),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(cnt)
     b = df.select(
         F.col(id_col),
         cnt.alias("n_tokens"),

@@ -101,6 +101,15 @@ def with_bfill(
     return out
 
 
+def _gap_us(gap_seconds: float) -> int:
+    """Gap threshold in integer microseconds, HALF-UP — int() truncation
+    makes non-exactly-representable thresholds (e.g. 1.001 s ->
+    1000999 us) split sessions whose gap EQUALS the threshold."""
+    import math
+
+    return int(math.floor(gap_seconds * 1e6 + 0.5))
+
+
 def sessionize(
     df: DataFrame,
     key_cols: tuple[str, ...],
@@ -120,7 +129,7 @@ def sessionize(
         prev.cast("timestamp")
     )
     is_new = F.when(
-        prev.isNull() | (gap > F.lit(int(gap_seconds * 1e6))), F.lit(1)
+        prev.isNull() | (gap > F.lit(_gap_us(gap_seconds))), F.lit(1)
     ).otherwise(F.lit(0))
     run = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, 0
@@ -173,7 +182,7 @@ def session_tempo(
         prev.cast("timestamp")
     )
     boundaries = df.withColumn(
-        "_is_new", prev.isNull() | (gap > F.lit(int(gap_seconds * 1e6)))
+        "_is_new", prev.isNull() | (gap > F.lit(_gap_us(gap_seconds)))
     ).filter(F.col("_is_new"))
     bounds = boundaries.groupBy(*key_cols).agg(
         F.sort_array(
@@ -184,5 +193,9 @@ def session_tempo(
         F.count(F.lit(1)).alias("n_sessions"),
     )
     return bounds.withColumn(
-        "tempo_analog", tempo_from_boundaries_expr(F.col("boundaries_sec"))
+        "tempo_analog",
+        # boundaries_sec is already sorted by the aggregate's sort_array;
+        # assume_sorted skips the expr's own array_sort, whose subtree
+        # would otherwise be re-inlined per element (CLAUDE.md trap)
+        tempo_from_boundaries_expr(F.col("boundaries_sec"), assume_sorted=True),
     )

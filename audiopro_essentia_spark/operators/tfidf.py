@@ -28,7 +28,12 @@ def tfidf_top_terms(
     k: int = 5,
 ) -> DataFrame:
     """(id, term, rank, score): the k highest-tf-idf terms per document."""
-    tokens = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    # drop empty-string tokens (consecutive/leading/trailing spaces):
+    # '' would otherwise get a df count and — sorting before every real
+    # term — could claim a top-k slot on ties
+    tokens = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -68,9 +73,14 @@ def unigram_surprisal(
     repetitive/common text. Scale shape: one (word) count aggregate with
     map-side combine, a broadcast one-row total, then a shuffle join of
     the token stream back on word and a per-doc mean — all linear."""
-    tok = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
+    tok = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
+    ).where(F.col("_w") != "")
     wc = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
-    total = tok.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    # total token count from the ALREADY-aggregated (tiny) word-count
+    # table — summing tok again would be a third full pass over the
+    # heaviest intermediate
+    total = wc.agg(F.sum("_c").cast("double").alias("_n"))
     scored = tok.join(wc, "_w").crossJoin(F.broadcast(total))
     return (
         scored.groupBy(id_col)

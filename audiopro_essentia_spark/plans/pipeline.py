@@ -45,6 +45,7 @@ def analyze_sequences(
     end_sec: float | None = None,
     out_dir: str | None = None,
     n_buckets: int = 16,
+    fmt: str = "parquet",
     error_budget_pct: float = DEFAULT_ERROR_BUDGET_PCT,
     repartition_output: bool = True,
     fused: bool = True,
@@ -134,7 +135,7 @@ def analyze_sequences(
         "quarantine": quarantined,
     }
     if out_dir:
-        writer = CheckpointedWriter(out_dir, n_buckets=n_buckets)
+        writer = CheckpointedWriter(out_dir, n_buckets=n_buckets, fmt=fmt)
         stats = writer.write(
             enriched,
             error_col="ferror",
@@ -149,12 +150,20 @@ def analyze_sequences(
         from ..constants import COMPLETION_WARN_PCT
         from ..operators.framing import n_frames_col
 
-        expected = (
-            doc_meta.select(
-                F.sum(n_frames_col(F.col("n_tok"), frame_length, hop)).alias("e")
-            ).collect()[0].e
-            or 0
-        )
+        # ONE aggregate over the profile yields expected frames (accepted
+        # docs) AND the quarantined-doc count — callers (CLI summary) must
+        # not re-run the profile pass just to count rejects
+        agg = profile.select(
+            F.sum(
+                F.when(
+                    F.col("reject_reason").isNull(),
+                    n_frames_col(F.col("n_tok"), frame_length, hop),
+                ).otherwise(F.lit(0))
+            ).alias("e"),
+            F.sum(F.col("reject_reason").isNotNull().cast("long")).alias("q"),
+        ).collect()[0]
+        expected = agg.e or 0
+        stats["quarantined_docs"] = int(agg.q or 0)
         written = stats["total_rows"] + sum(
             r["row_count"] for r in writer.lineage() if r["bucket"] in stats["skipped"]
         )

@@ -724,3 +724,58 @@ def test_curate_span_gate_keeps_short_docs(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # docs 1+2 share 2 of their 3 three-word spans (ratio 2/3 > 0.4): gone
     assert kept == [3, 4]
+
+
+def test_sampling_null_keys_and_fraction_validation(spark):
+    import pytest
+
+    from audiopro_essentia_spark.functions.sampling import (
+        hash_sample,
+        hash_split,
+        per_mille,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c")], "doc_id long, text string"
+    )
+    # NULL keys land in a deterministic bucket: full-rate sample keeps
+    # them, and every row gets a non-NULL split (exhaustive + disjoint)
+    assert hash_sample(df, 1.0).count() == 3
+    splits = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    assert all(r["split"] is not None for r in splits)
+    null_splits = {r["split"] for r in splits if r["doc_id"] is None}
+    assert len(null_splits) == 1  # same key -> same deterministic split
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, 1.5)
+    # HALF-UP per-mille: a sub-per-mille fraction must not silently zero
+    assert per_mille(0.0005) == 1
+    assert per_mille(0.8) == 800 and per_mille(0.9) == 900
+
+
+def test_pack_shards_validation(spark):
+    import pytest
+
+    from audiopro_essentia_spark.operators.packing import pack_shards
+
+    df = spark.createDataFrame([(1, 10), (2, None)], "doc_id long, n_tok int")
+    with pytest.raises(ValueError, match="shard_tokens"):
+        pack_shards(df, "n_tok", shard_tokens=0)
+    with pytest.raises(Exception, match="NULL or negative"):
+        pack_shards(df, "n_tok", shard_tokens=16).collect()
+
+
+def test_sessionize_gap_threshold_not_truncated(spark):
+    import datetime as dt
+
+    from audiopro_essentia_spark.operators.temporal import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    # two events exactly 1.001s apart with gap_seconds=1.001: the gap
+    # EQUALS the threshold -> same session (int() truncation to 1000999us
+    # would have split them)
+    df = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(microseconds=1_001_000))],
+        ["user_id", "ts"],
+    )
+    out = sessionize(df, ("user_id",), "ts", gap_seconds=1.001).collect()
+    assert {r["session_id"] for r in out} == {0}
