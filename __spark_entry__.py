@@ -1648,15 +1648,16 @@ s AS (SELECT doc_id,
       FROM w, LATERAL UNNEST(generate_series(0,
            CAST(len(ws) // 3 AS INT) - 1)) AS g(i)
       WHERE len(ws) >= 3),
-h AS (SELECT doc_id, {H32.format(x='sp')} AS h FROM s),
-d AS (SELECT h, COUNT(*) AS docfreq
-      FROM (SELECT DISTINCT doc_id, h FROM h) GROUP BY h)
+h AS (SELECT doc_id, {H32.format(x='sp')} AS h,
+             {DT.H32HI.format(x='sp')} AS h2 FROM s),
+d AS (SELECT h, h2, COUNT(*) AS docfreq
+      FROM (SELECT DISTINCT doc_id, h, h2 FROM h) GROUP BY h, h2)
 SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_spans,
   CAST(SUM(CASE WHEN d.docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
     AS n_dup_spans,
   round(CAST(SUM(CASE WHEN d.docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*), 6) AS dup_ratio
-FROM h JOIN d USING (h) GROUP BY h.doc_id
+FROM h JOIN d USING (h, h2) GROUP BY h.doc_id
 """,
     }

@@ -130,7 +130,14 @@ def _need(mv: memoryview, i: int, n: int) -> None:
         )
 
 
-def _unpack(mv: memoryview, i: int):
+_MAX_DEPTH = 128  # nesting cap: recursion past this is corrupt/adversarial
+# input, and uncapped recursion surfaces as RecursionError — outside the
+# ValueError contract callers quarantine on
+
+
+def _unpack(mv: memoryview, i: int, depth: int = 0):
+    if depth > _MAX_DEPTH:
+        raise ValueError(f"msgpack nesting deeper than {_MAX_DEPTH}")
     b = mv[i]
     i += 1
     if b <= 0x7F:
@@ -142,9 +149,9 @@ def _unpack(mv: memoryview, i: int):
         _need(mv, i, n)
         return bytes(mv[i : i + n]).decode("utf-8"), i + n
     if 0x90 <= b <= 0x9F:
-        return _unpack_array(mv, i, b & 0x0F)
+        return _unpack_array(mv, i, b & 0x0F, depth)
     if 0x80 <= b <= 0x8F:
-        return _unpack_map(mv, i, b & 0x0F)
+        return _unpack_map(mv, i, b & 0x0F, depth)
     if b == 0xC0:
         return None, i
     if b == 0xC2:
@@ -198,31 +205,37 @@ def _unpack(mv: memoryview, i: int):
         return bytes(mv[i + 4 : i + 4 + n]), i + 4 + n
     if b == 0xDC:
         n = struct.unpack_from(">H", mv, i)[0]
-        return _unpack_array(mv, i + 2, n)
+        return _unpack_array(mv, i + 2, n, depth)
     if b == 0xDD:
         n = struct.unpack_from(">I", mv, i)[0]
-        return _unpack_array(mv, i + 4, n)
+        return _unpack_array(mv, i + 4, n, depth)
     if b == 0xDE:
         n = struct.unpack_from(">H", mv, i)[0]
-        return _unpack_map(mv, i + 2, n)
+        return _unpack_map(mv, i + 2, n, depth)
     if b == 0xDF:
         n = struct.unpack_from(">I", mv, i)[0]
-        return _unpack_map(mv, i + 4, n)
+        return _unpack_map(mv, i + 4, n, depth)
     raise ValueError(f"unsupported msgpack byte: 0x{b:02x}")
 
 
-def _unpack_array(mv, i, n):
+def _unpack_array(mv, i, n, depth=0):
     out = []
     for _ in range(n):
-        v, i = _unpack(mv, i)
+        v, i = _unpack(mv, i, depth + 1)
         out.append(v)
     return out, i
 
 
-def _unpack_map(mv, i, n):
+def _unpack_map(mv, i, n, depth=0):
     out = {}
     for _ in range(n):
-        k, i = _unpack(mv, i)
-        v, i = _unpack(mv, i)
+        k, i = _unpack(mv, i, depth + 1)
+        if not isinstance(k, (str, int, float, bool, bytes, type(None))):
+            # spec-legal but unusable: an array/map key is unhashable in
+            # Python and would escape as TypeError — fail the contract way
+            raise ValueError(
+                f"unsupported msgpack map key type: {type(k).__name__}"
+            )
+        v, i = _unpack(mv, i, depth + 1)
         out[k] = v
     return out, i

@@ -95,6 +95,11 @@ def make_minhash_band_udf(k: int, bands: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if bands < 1 or k % bands != 0:
+        # a remainder would silently leave the trailing k %% bands hashes
+        # out of every band, weakening P(catch s) = 1-(1-s^R)^B with no
+        # error and desynchronizing from the generated oracle
+        raise ValueError(f"bands must divide k ({k} % {bands} != 0)")
     rows = k // bands
     params = np.array(_minhash_params(k), dtype=np.int64)  # (k, 2)
     A, B = params[:, 0][:, None], params[:, 1][:, None]
@@ -373,7 +378,7 @@ def simhash64(text: Column, ngram: int = 2) -> Column:
     return bits
 
 
-def make_simhash_udf(ngram: int = 2):
+def make_simhash_udf():
     """Arrow-vectorized SimHash64 over a shingle array column — identical
     bit semantics to simhash64 (the two halves of one md5 digest, same
     +/-1 bit sums) but numpy instead of 64 interpreted Catalyst folds
@@ -419,7 +424,7 @@ def make_simhash_udf(ngram: int = 2):
 
 def simhash64_fast(df: DataFrame, text_col: str = "text", ngram: int = 2) -> Column:
     """Column form of the vectorized simhash (apply to `text_col`)."""
-    return make_simhash_udf(ngram)(word_ngrams(F.col(text_col), ngram))
+    return make_simhash_udf()(word_ngrams(F.col(text_col), ngram))
 
 
 def simhash_neardup_pairs(
@@ -448,7 +453,7 @@ def simhash_neardup_pairs(
         .filter(F.size("_sh") > 0)  # empty docs carry no near-dup signal
         .select(
             F.col(id_col),
-            make_simhash_udf(ngram).asNondeterministic()(F.col("_sh")).alias("sig"),
+            make_simhash_udf().asNondeterministic()(F.col("_sh")).alias("sig"),
         )
     )
     chunks = sig.select(
@@ -582,7 +587,7 @@ def duplicate_span_stats(
     its text occurs in >=2 DISTINCT documents. Output per doc:
     (doc_id, n_spans, n_dup_spans, dup_ratio round-6).
 
-    Scale design: explode (narrow) + hash-agg on the 32-bit span hash for
+    Scale design: explode (narrow) + hash-agg on the span hash for
     per-span document frequency + an equi-join back on the span hash +
     final hash-agg on doc_id. No self-join, no cross product, and the
     docfreq side carries COUNTS only (never collect_list), so a span
@@ -592,6 +597,10 @@ def duplicate_span_stats(
     sort-merge join at scale; the span text itself never shuffles. Pure
     JVM expressions (portable md5-prefix hash), so DuckDB runs the
     identical computation as the oracle.
+
+    The span key is BOTH 32-bit halves of one md5 (64 effective bits,
+    the simhash64 trick): at ~10^9 distinct spans a single 32-bit key
+    collides for ~20% of spans, systematically inflating dup_ratio.
     """
     ws = F.split(F.col(text_col), " ")
     n_spans = (F.size(ws) / span_words).cast("int")
@@ -610,16 +619,19 @@ def duplicate_span_stats(
         portable_hash32(
             F.concat_ws(" ", F.slice("_ws", F.col("_i") * span_words + 1, span_words))
         ).alias("_h"),
+        portable_hash32_hi(
+            F.concat_ws(" ", F.slice("_ws", F.col("_i") * span_words + 1, span_words))
+        ).alias("_h2"),
     )
     # per-span document frequency on DISTINCT (doc, span) first so a span
     # repeated inside one doc does not count as cross-doc duplication
     span_df = (
         spans.distinct()
-        .groupBy("_h")
+        .groupBy("_h", "_h2")
         .agg(F.count(F.lit(1)).alias("_docfreq"))
     )
     return (
-        spans.join(span_df, "_h")
+        spans.join(span_df, ["_h", "_h2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans"),

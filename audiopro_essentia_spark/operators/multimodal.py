@@ -71,16 +71,28 @@ def extract_media_features(
             for doc_id, mt, payload, nb in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["n_bytes"]
             ):
+                # NULL payload/size rows become error-status rows like any
+                # other malformed input — bytes(None)/int(NaN) would raise
+                # TypeError past the NotImplementedError handler and kill
+                # the whole mapInPandas job
+                if payload is None or nb is None or pd.isna(nb):
+                    rows.append(
+                        (doc_id, mt, None, None, None, "error:null_payload")
+                    )
+                    continue
                 try:
                     arr = _decode_stub(bytes(payload), mt)
                     hist = np.histogram(
                         arr, bins=hist_bins, range=(0, 256), density=False
                     )[0].astype(np.float64)
                     total = hist.sum()
+                    # ONE normalization reused by entropy AND the stored
+                    # histogram — two hand-written variants of the same
+                    # expression is a silent-divergence trap
                     p = hist / total if total else hist
                     nz = p[p > 0]
                     ent = float(-(nz * np.log2(nz)).sum()) if len(nz) else 0.0
-                    rows.append((doc_id, mt, int(nb), ent, (hist / max(total, 1)).tolist(), "ok"))
+                    rows.append((doc_id, mt, int(nb), ent, p.tolist(), "ok"))
                 except NotImplementedError as e:
                     rows.append((doc_id, mt, int(nb), None, None, f"stub:{e}"))
             yield pd.DataFrame(
@@ -107,6 +119,10 @@ def sample_media_frames(
     substring/md5 on binary) — NO Python in this path; a real decoder
     would replace the slice with a keyframe extractor, everything else
     (stride plan, schema, checksums) is the production shape."""
+    if n_frames < 1 or frame_bytes < 1:
+        # sequence(0, n_frames-1) DESCENDS for n_frames=0 (the Spark
+        # footgun dedup/text already guard) — bogus negative offsets
+        raise ValueError("n_frames and frame_bytes must be >= 1")
     stride = F.greatest(
         F.floor(F.col("n_bytes") / F.lit(n_frames)).cast("long"), F.lit(1).cast("long")
     )

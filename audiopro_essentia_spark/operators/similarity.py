@@ -81,10 +81,18 @@ def make_lsh_band_udf(n_planes: int, band_bits: int, seed: int = 42):
     n_planes//band_bits packed band values. Hyperplanes are built lazily
     from the first batch's dimensionality (deterministic given seed; no
     driver-side .first() action to sniff dim). Sign of dot(v, plane) is
-    scale-invariant, so no normalization pass is needed."""
+    scale-invariant, so no normalization pass is needed. NULL embeddings
+    yield NULL signatures (downstream candidate joins drop them), same
+    contract as the minhash/simhash UDFs."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if band_bits < 1 or n_planes % band_bits != 0:
+        # a remainder would silently drop the trailing planes, changing
+        # the advertised recall without any error
+        raise ValueError(
+            f"band_bits must divide n_planes ({n_planes} % {band_bits} != 0)"
+        )
     bands = n_planes // band_bits
     state: dict = {}
 
@@ -92,17 +100,23 @@ def make_lsh_band_udf(n_planes: int, band_bits: int, seed: int = 42):
     def _bands(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        planes = state.get("planes")
-        if planes is None or planes.shape[1] != E.shape[1]:
-            planes = _hyperplanes(E.shape[1], n_planes, seed)
-            state["planes"] = planes
-        bits = (E @ planes.T) >= 0  # (B, n_planes)
-        vals = np.zeros((len(E), bands), dtype=np.int64)
-        for b in range(bands):
-            for r in range(band_bits):
-                vals[:, b] |= bits[:, b * band_bits + r].astype(np.int64) << r
-        return pd.Series(list(vals))
+        mask = np.array([v is not None for v in vecs])
+        dense = [np.asarray(v, dtype=np.float64) for v in vecs if v is not None]
+        out = [None] * len(vecs)
+        if dense:
+            E = np.stack(dense)
+            planes = state.get("planes")
+            if planes is None or planes.shape[1] != E.shape[1]:
+                planes = _hyperplanes(E.shape[1], n_planes, seed)
+                state["planes"] = planes
+            bits = (E @ planes.T) >= 0  # (B, n_planes)
+            vals = np.zeros((len(E), bands), dtype=np.int64)
+            for b in range(bands):
+                for r in range(band_bits):
+                    vals[:, b] |= bits[:, b * band_bits + r].astype(np.int64) << r
+            it = iter(list(vals))
+            out = [next(it) if ok else None for ok in mask]
+        return pd.Series(out, dtype=object)
 
     return _bands
 

@@ -108,3 +108,16 @@ def test_cli_msgpack_format(seq_path, tmp_path):
     assert summary["format"] == "msgpack" and summary["committed"] == [0, 1]
     rows = read_msgpack_dir(os.path.join(out, "doc_meta_msgpack"))
     assert rows and all("doc_id" in d and "rms_amplitude" in d for d in rows)
+
+
+def test_msgpack_rejects_deep_nesting_and_bad_map_keys():
+    import pytest
+
+    from audiopro_essentia_spark.functions.msgpack import unpackb
+
+    # ~2000 nested 1-element arrays: must be ValueError, not RecursionError
+    with pytest.raises(ValueError, match="nesting"):
+        unpackb(b"\x91" * 2000 + b"\xc0")
+    # spec-legal map with an (unhashable) array key -> contract ValueError
+    with pytest.raises(ValueError, match="map key"):
+        unpackb(b"\x81\x90\xc0")

@@ -779,3 +779,49 @@ def test_sessionize_gap_threshold_not_truncated(spark):
     )
     out = sessionize(df, ("user_id",), "ts", gap_seconds=1.001).collect()
     assert {r["session_id"] for r in out} == {0}
+
+
+def test_multimodal_null_payload_quarantines_not_crashes(spark):
+    from audiopro_essentia_spark.operators.multimodal import (
+        extract_media_features,
+        sample_media_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "image", b"\x01\x02\x03", 3), ("d2", "image", None, None)],
+        "doc_id string, media_type string, payload binary, n_bytes long",
+    )
+    out = {r["doc_id"]: r for r in extract_media_features(df).collect()}
+    assert out["d1"]["decode_status"] == "ok"
+    assert out["d2"]["decode_status"] == "error:null_payload"
+    assert out["d2"]["byte_entropy"] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="n_frames"):
+        sample_media_frames(df, n_frames=0)
+
+
+def test_lsh_band_udf_null_embedding_yields_null(spark):
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from audiopro_essentia_spark.operators.similarity import make_lsh_band_udf
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, None), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    udf = make_lsh_band_udf(8, 4)
+    got = {r["vec_id"]: r["b"] for r in df.select("vec_id", udf(F2.col("embedding")).alias("b")).collect()}
+    assert got[2] is None and got[1] is not None and got[3] is not None
+    with pytest.raises(ValueError, match="divide"):
+        make_lsh_band_udf(10, 4)
+
+
+def test_minhash_bands_must_divide_k():
+    import pytest
+
+    from audiopro_essentia_spark.operators.dedup import make_minhash_band_udf
+
+    with pytest.raises(ValueError, match="divide"):
+        make_minhash_band_udf(32, 5)
