@@ -1268,7 +1268,8 @@ GROUP BY n_name
         "salted_agg": """
 SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
-  round(CAST(sum(n_chars) AS BIGINT) / CAST(count(*) AS BIGINT), 6) AS avg_n_chars
+  round(CAST(sum(n_chars) AS BIGINT) / CAST(count(n_chars) AS BIGINT), 6)
+    AS avg_n_chars
 FROM documents GROUP BY source
 """,
         "topk_per_group": """

@@ -24,7 +24,13 @@ SAMPLE_RATE: int = 44_100
 # int32 tokens in [-32768, 32767] map onto [-1, 1) float "amplitude".
 TOKEN_SCALE: float = 32_768.0
 
-# reference constants.py:26-33 — fixed [low, high) Hz bands.
+# reference constants.py:26-33 — fixed Hz bands. Bin membership follows
+# the reference's searchsorted(lo, 'left')/searchsorted(hi, 'right')
+# (processors.py:60-71): a bin exactly at `hi` belongs to BOTH adjacent
+# bands — [low, high] inclusive on the upper edge, NOT [low, high).
+# Unreachable at 44100/2048 (no bin lands on an edge); kept bug-compatible
+# with the reference for parity (kernel._consts, oracle.py, duck_twins
+# all share this convention).
 FREQUENCY_BANDS: dict[str, tuple[int, int]] = {
     "sub_bass": (20, 60),
     "bass": (60, 250),

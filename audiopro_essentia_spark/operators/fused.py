@@ -32,17 +32,23 @@ from ..constants import (
     ALL_FRAME_FEATURES,
     FRAME_LENGTH,
     HOP_LENGTH,
+    MIN_SIGNAL_ENERGY,
     N_MELS,
     SAMPLE_RATE,
     TOKEN_SCALE,
 )
-from .kernel import BAND_NAMES, _kernel_batch, kernel_output_fields
+from .kernel import (
+    BAND_NAMES,
+    KERNEL_CHUNK,
+    _kernel_batch,
+    kernel_output_fields,
+    mask_kernel_outputs,
+)
 
-# Small chunks keep the spectral temporaries (chunk x 1025 float64) inside
-# the cache hierarchy: measured 17x throughput and 0.95 scaling efficiency
-# 8->32 procs at chunk<=512 vs DRAM-thrashing at 8192 (this host saturates
-# memory bandwidth long before 32 cores).
-MAX_FRAMES_PER_CHUNK = 256
+# Chunk size is kernel.KERNEL_CHUNK — the ONE cache-residency knob
+# (CLAUDE.md: spectral batches in <=256-frame chunks; bigger thrashes
+# DRAM and kills scaling). A second local constant here silently split
+# that rule in two.
 
 
 def fused_frame_features(
@@ -85,16 +91,34 @@ def fused_frame_features(
             n_frames_per_doc: list[int] = []
 
             for i in range(len(pdf)):
-                toks = np.asarray(pdf["tokens"].iloc[i])
+                raw = pdf["tokens"].iloc[i]
+                if raw is None:
+                    # NULL tokens (the row the profile branch tags 'empty')
+                    # must be skipped, not crash the task: len(asarray(None))
+                    # raises on a 0-d object array. The non-fused path drops
+                    # the same row via framing's F.size filter.
+                    continue
+                toks = np.asarray(raw)
+                if toks.dtype == object:
+                    # a null ELEMENT inside the array surfaces as an
+                    # object-dtype array; astype would throw an opaque
+                    # TypeError deep in the kernel — name the contract
+                    raise ValueError(
+                        "tokens array with NULL elements for doc_id="
+                        f"{pdf['doc_id'].iloc[i]!r} (contract: array<int> "
+                        "values must be non-null)"
+                    )
                 n = len(toks) - (len(toks) % 2)  # odd-trim
                 if n < frame_length:
                     continue
                 if validate:
                     # in-kernel quarantine (validator.py:80-123 semantics):
                     # numpy sum beats an interpreted Catalyst fold ~10x, and
-                    # needs no extra scan or join
+                    # needs no extra scan or join. SAME threshold constant
+                    # as reject_reason_col — a literal here would let the
+                    # quarantine table and the fused output disagree.
                     x = toks.astype(np.float64) / token_scale
-                    if float(np.dot(x, x)) <= 1e-6:
+                    if float(np.dot(x, x)) <= MIN_SIGNAL_ENERGY:
                         continue
                 wins = np.lib.stride_tricks.sliding_window_view(
                     toks[:n], frame_length
@@ -117,19 +141,37 @@ def fused_frame_features(
             if not doc_ids:
                 continue
 
-            W = np.vstack(win_parts)
+            # NO vstack of all windows: that materializes ~4x the token
+            # bytes (75% overlap) per Arrow batch BEFORE chunking — the
+            # chunk cap then bounds only the float64 temporaries, not peak
+            # memory. Windows stay zero-copy stride views per doc; each
+            # <=KERNEL_CHUNK chunk is materialized on demand.
             fidx = np.concatenate(frame_idx_parts)
             docs = np.repeat(np.asarray(doc_ids, dtype=object), n_frames_per_doc)
             base_us = np.concatenate(base_us_parts) if has_ts else None
+            offsets = np.concatenate(
+                ([0], np.cumsum(np.asarray(n_frames_per_doc, dtype=np.int64)))
+            )
+            total = int(offsets[-1])
 
-            for lo in range(0, len(W), MAX_FRAMES_PER_CHUNK):
-                hi = min(lo + MAX_FRAMES_PER_CHUNK, len(W))
+            def chunk_windows(lo: int, hi: int) -> np.ndarray:
+                parts = []
+                d = int(np.searchsorted(offsets, lo, side="right")) - 1
+                pos = lo
+                while pos < hi:
+                    take = int(min(hi, offsets[d + 1]) - pos)
+                    start = int(pos - offsets[d])
+                    parts.append(win_parts[d][start : start + take])
+                    pos += take
+                    d += 1
+                return parts[0] if len(parts) == 1 else np.vstack(parts)
+
+            for lo in range(0, total, KERNEL_CHUNK):
+                hi = min(lo + KERNEL_CHUNK, total)
                 res = _kernel_batch(
-                    W[lo:hi], frame_length, sample_rate, token_scale, feats, nm
+                    chunk_windows(lo, hi),
+                    frame_length, sample_rate, token_scale, feats, nm,
                 )
-                bad_input = res.pop("_bad_input")
-                zero_spec = res.pop("_zero_spec")
-                spectral_bad = bad_input | zero_spec
                 fi = fidx[lo:hi]
                 start = (
                     start_sample + fi.astype(np.int64) * hop
@@ -170,30 +212,9 @@ def fused_frame_features(
                         av[null_ts] = pd.NaT
                     out["event_ts"] = ev
                     out["available_ts"] = av
-                for name, _t in fields:
-                    if name == "ferror":
-                        out[name] = pd.Series(
-                            np.where(
-                                bad_input,
-                                "nonfinite_frame",
-                                np.where(zero_spec, "zero_spectrum", None),
-                            )
-                        )
-                    elif name in res:
-                        is_spectral = name not in (
-                            "rms", "volume", "zero_crossing_rate"
-                        )
-                        bad = spectral_bad if is_spectral else bad_input
-                        col = res[name]
-                        if isinstance(col, list):
-                            out[name] = pd.Series(
-                                [None if b else v for v, b in zip(col, bad)],
-                                dtype=object,
-                            )
-                        else:
-                            out[name] = np.where(bad, np.nan, col)
-                    else:
-                        out[name] = pd.Series([None] * (hi - lo), dtype=object)
+                # ferror tagging + feature nulling: ONE shared helper with
+                # the Series->struct kernel UDF (kernel.mask_kernel_outputs)
+                out.update(mask_kernel_outputs(res, fields, hi - lo))
                 yield pd.DataFrame(out)
 
     return seqs.select(*cols).mapInPandas(gen, ddl)

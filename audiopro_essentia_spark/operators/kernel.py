@@ -264,34 +264,51 @@ def make_frame_kernel(
         res = _kernel_batch_chunked(
             W, frame_length, sample_rate, token_scale, feats, nm
         )
-        bad_input = res.pop("_bad_input")
-        zero_spec = res.pop("_zero_spec")
-        spectral = bad_input | zero_spec  # spectral outputs nulled (:198-203)
-        data: dict[str, object] = {}
-        for name, _t in fields:
-            if name == "ferror":
-                data[name] = pd.Series(
-                    np.where(
-                        bad_input,
-                        "nonfinite_frame",
-                        np.where(zero_spec, "zero_spectrum", None),
-                    )
-                )
-            elif name in res:
-                is_spectral = name not in ("rms", "volume", "zero_crossing_rate")
-                bad = spectral if is_spectral else bad_input
-                col = res[name]
-                if isinstance(col, list):  # array-valued
-                    data[name] = pd.Series(
-                        [None if b else v for v, b in zip(col, bad)], dtype=object
-                    )
-                else:
-                    data[name] = pd.Series(np.where(bad, np.nan, col))
-            else:
-                data[name] = pd.Series([None] * len(wins), dtype=object)
-        return pd.DataFrame(data)
+        return pd.DataFrame(mask_kernel_outputs(res, fields, len(wins)))
 
     return _udf, feats
+
+
+# non-spectral outputs: nulled only on non-finite input, never on a
+# zero spectrum (:198-203). ONE tuple shared by both kernel paths.
+NON_SPECTRAL_OUTPUTS = ("rms", "volume", "zero_crossing_rate")
+
+
+def mask_kernel_outputs(
+    res: dict, fields: list[tuple[str, str]], n_rows: int
+) -> dict:
+    """The ferror-tagging / feature-nulling contract, shared by the
+    Series->struct UDF above AND the fused mapInPandas path (fused.py) —
+    two hand-maintained copies of this block had already drifted in small
+    ways, and any future ferror category or non-spectral feature must
+    change BOTH paths identically or the paths' tested equality breaks.
+
+    Pops _bad_input/_zero_spec from `res`; returns name -> column."""
+    bad_input = res.pop("_bad_input")
+    zero_spec = res.pop("_zero_spec")
+    spectral_bad = bad_input | zero_spec
+    data: dict[str, object] = {}
+    for name, _t in fields:
+        if name == "ferror":
+            data[name] = pd.Series(
+                np.where(
+                    bad_input,
+                    "nonfinite_frame",
+                    np.where(zero_spec, "zero_spectrum", None),
+                )
+            )
+        elif name in res:
+            bad = bad_input if name in NON_SPECTRAL_OUTPUTS else spectral_bad
+            col = res[name]
+            if isinstance(col, list):  # array-valued
+                data[name] = pd.Series(
+                    [None if b else v for v, b in zip(col, bad)], dtype=object
+                )
+            else:
+                data[name] = pd.Series(np.where(bad, np.nan, col))
+        else:
+            data[name] = pd.Series([None] * n_rows, dtype=object)
+    return data
 
 
 def with_frame_features(

@@ -40,6 +40,9 @@ def salted_agg(
     partial_aggs = []
     for c in sums:
         partial_aggs.append(F.sum(c).alias(f"_sum_{c}"))
+        # per-column NON-NULL count: avg = sum/n_rows diverges from SQL
+        # AVG as soon as the summed column has NULLs
+        partial_aggs.append(F.count(c).alias(f"_nn_{c}"))
     for c in maxs:
         partial_aggs.append(F.max(c).alias(f"_max_{c}"))
     for c in mins:
@@ -51,6 +54,7 @@ def salted_agg(
     final_aggs = []
     for c in sums:
         final_aggs.append(F.sum(f"_sum_{c}").alias(f"sum_{c}"))
+        final_aggs.append(F.sum(f"_nn_{c}").alias(f"_nncnt_{c}"))
     for c in maxs:
         final_aggs.append(F.max(f"_max_{c}").alias(f"max_{c}"))
     for c in mins:
@@ -60,8 +64,16 @@ def salted_agg(
     out = partial.groupBy(*key_cols).agg(*final_aggs)
     for c in sums:
         if counts:
-            out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("n_rows"))
-    return out
+            # SQL-AVG semantics: sum over NON-NULL count (NULL when the
+            # group has no non-null values, exactly like F.avg)
+            out = out.withColumn(
+                f"avg_{c}",
+                F.when(
+                    F.col(f"_nncnt_{c}") > 0,
+                    F.col(f"sum_{c}") / F.col(f"_nncnt_{c}"),
+                ),
+            )
+    return out.drop(*[f"_nncnt_{c}" for c in sums])
 
 
 def salted_broadcast_join(
@@ -80,6 +92,13 @@ def salted_broadcast_join(
     salt is one constant per key, which would put every row of the hot key
     back on a single (key, salt) reducer (byte-identical duplicate rows
     still collide; that is the only residual skew)."""
+    if how not in ("inner", "left", "left_outer", "leftsemi", "left_semi",
+                   "leftanti", "left_anti"):
+        # right/full would keep every unmatched REPLICA of a small-side
+        # row: n_salts null-padded duplicates, silently wrong
+        raise ValueError(
+            f"salted_broadcast_join supports inner/left/semi/anti, not {how!r}"
+        )
     big_s = with_salt(big, n_salts, None)
     salts = small.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")

@@ -38,6 +38,9 @@ def get_spark(
     # ~2-3x total cores and let AQE coalesce.
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        # Spark's local-with-retries form is local[N,maxFailures] — only
+        # the first field is the core count
+        n = n.split(",")[0].strip()
         shuffle_partitions = 32 if n == "*" else max(1, int(n))
 
     b = (

@@ -43,6 +43,12 @@ def assert_sequences_schema(df: DataFrame) -> None:
     tok = fields.get("tokens")
     if not isinstance(tok, ArrayType) or tok.elementType.simpleString() != "int":
         raise ValueError("column 'tokens' must be array<int>")
+    # NOTE: containsNull is NOT checked — the parquet reader reports
+    # nullable elements even for files with no null element, so a strict
+    # schema check would reject every real table. A null ELEMENT arrives
+    # in the kernels as NaN and lands in the nonfinite-frame ferror path
+    # (reference bad-frame semantics); an object-dtype guard in fused.py
+    # backstops exotic Arrow conversions with a contract-naming error.
 
 
 def slice_time_range(

@@ -161,3 +161,49 @@ def test_analyze_sequences_unfused_path_matches_fused(spark, tmp_path):
     a, b = snap(res_f["frame_features"]), snap(res_u["frame_features"])
     assert len(a) == len(b) > 100
     assert a == b
+
+
+def test_fused_null_tokens_row_skipped_not_crashed(spark):
+    from pyspark.sql import types as T2
+
+    from audiopro_essentia_spark.operators.fused import fused_frame_features
+
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.StringType()),
+        T2.StructField("tokens", T2.ArrayType(T2.IntegerType())),
+    ])
+    df = spark.createDataFrame(
+        [("ok", list(range(64))), ("nulldoc", None)], schema
+    )
+    out = fused_frame_features(
+        df, features=("rms",), frame_length=16, hop=8, with_timestamps=False
+    ).collect()
+    assert {r["doc_id"] for r in out} == {"ok"}
+
+
+def test_fused_null_token_element_flags_nonfinite(spark):
+    # Arrow delivers a null ELEMENT as NaN in a float array (not an
+    # object array), so it flows into the kernel's nonfinite guard: the
+    # frames covering it get ferror='nonfinite_frame' + NULL features,
+    # exactly the reference's bad-frame semantics — not a crash, not a
+    # silent number. (The object-dtype ValueError in fused.py remains as
+    # a defensive guard for exotic Arrow paths.)
+    from pyspark.sql import types as T2
+
+    from audiopro_essentia_spark.operators.fused import fused_frame_features
+
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.StringType()),
+        T2.StructField("tokens", T2.ArrayType(T2.IntegerType())),
+    ])
+    df = spark.createDataFrame(
+        [("bad", [1, None] + list(range(62)))], schema
+    )
+    rows = fused_frame_features(
+        df, features=("rms",), frame_length=16, hop=8, with_timestamps=False
+    ).collect()
+    by_idx = {r["frame_idx"]: r for r in rows}
+    assert by_idx[0]["ferror"] == "nonfinite_frame"  # covers the null
+    assert by_idx[0]["rms"] is None
+    assert by_idx[2]["ferror"] is None  # past the null: clean frame
+    assert by_idx[2]["rms"] is not None

@@ -281,3 +281,30 @@ def test_writer_rejects_reserved_bucket_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserved"):
         w.write(df)
+
+
+def test_salted_agg_avg_ignores_nulls(spark):
+    from audiopro_essentia_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", 3.0), ("k", None)], "k string, v double"
+    )
+    r = salted_agg(df, ("k",), n_salts=4, sums=("v",)).collect()[0]
+    assert r["n_rows"] == 3 and r["sum_v"] == 4.0
+    assert abs(r["avg_v"] - 2.0) < 1e-12  # SQL AVG, not sum/count(*)
+
+
+def test_salted_broadcast_join_rejects_right_full(spark):
+    from audiopro_essentia_spark.operators.skew import salted_broadcast_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y"), (2, "z")], "k long, b string")
+    with pytest.raises(ValueError, match="salted_broadcast_join"):
+        salted_broadcast_join(big, small, ("k",), how="full")
+
+
+def test_get_spark_parses_local_with_retries():
+    from audiopro_essentia_spark.session import get_spark
+
+    s = get_spark(app_name="retries", master="local[2,3]")
+    assert s is not None
