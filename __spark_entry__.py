@@ -215,6 +215,15 @@ def q_lag_lead(spark, sf_dir):
     ).select("user_id", "event_id", "value", "value_lag1", "value_lead1")
 
 
+def q_monitor_stats(spark, sf_dir):
+    """A17: ±2σ outlier-trimmed per-group avg/peak — the distributed
+    analog of the reference monitor summary (monitor.py:99-129)."""
+    from audiopro_essentia_spark.operators.aggregates import trimmed_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_stats(ev, "event_type", "value", 2.0)
+
+
 def q_rolling(spark, sf_dir):
     """W3/W4: trailing rolling aggregates (5-row window ~ hop/window batching)."""
     ev = _t(spark, sf_dir, "events")
@@ -1045,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "quarantine": q_quarantine,
         "lag_lead": q_lag_lead,
+        "monitor_stats": q_monitor_stats,
         "rolling": q_rolling,
         "ffill": q_ffill,
         "sessionize": q_sessionize,
@@ -1194,6 +1204,22 @@ SELECT user_id, event_id, value,
   lead(value) OVER w AS value_lead1
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "monitor_stats": """
+WITH s AS MATERIALIZED (
+  SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd,
+         count(*) AS n
+  FROM events GROUP BY event_type),
+k AS (
+  SELECT e.event_type, e.value, s.n
+  FROM events e JOIN s USING (event_type)
+  WHERE abs(e.value - s.m) <= 2 * s.sd)
+SELECT event_type,
+  CAST(max(n) AS BIGINT) AS n_samples,
+  CAST(count(*) AS BIGINT) AS n_kept,
+  round(avg(value), 6) AS avg_value,
+  round(max(value), 6) AS peak_value
+FROM k GROUP BY event_type
 """,
         "rolling": """
 SELECT user_id, event_id,

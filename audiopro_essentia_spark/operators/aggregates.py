@@ -314,3 +314,41 @@ def distinct_profile(
         .cast("long")
         .alias("n_distinct_words"),
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k_sigma: float = 2.0,
+) -> DataFrame:
+    """A17 — ±kσ outlier-trimmed avg/peak per group: the data-parallel
+    analog of the reference monitor's summary statistics
+    (/root/reference/src/audiopro/monitor/monitor.py:99-129), which drops
+    samples more than 2 population-σ from the mean before reporting
+    avg/peak CPU.
+
+    Two aggregate passes over the fact table sharing one scan lineage:
+    pass 1 computes per-group (mean, σ_pop, n) — a tiny result that is
+    BROADCAST back onto the facts, so the trim filter is a map-side
+    predicate, not a shuffle; pass 2 re-aggregates the kept rows. At
+    corpus scale this is two hash-agg shuffles on the (low-cardinality)
+    group key and zero wide joins. Mirrors the reference's "or cpu"
+    fallback: a degenerate group (σ=0, all values equal) keeps every row
+    because |v-mean|=0 <= 0.
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.avg(v).alias("_mean"),
+        F.stddev_pop(v).alias("_sd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    kept = df.join(F.broadcast(stats), group_col).where(
+        F.abs(v - F.col("_mean")) <= F.lit(float(k_sigma)) * F.col("_sd")
+    )
+    return kept.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n_samples"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.round(F.avg(v), 6).alias("avg_value"),
+        F.round(F.max(v), 6).alias("peak_value"),
+    )

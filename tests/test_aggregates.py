@@ -109,3 +109,33 @@ def test_corpus_percentiles_exact_vs_approx(spark):
         # t-digest at accuracy 10000 on 1000 values: near-exact ranks
         for p in ("p50", "p90", "p99"):
             assert abs(getattr(exact[s], p) - getattr(approx[s], p)) <= 30.0
+
+
+def test_trimmed_stats_matches_monitor_semantics(spark):
+    """±2σ trim per group must reproduce PerformanceMonitor.summary's
+    python-scalar semantics (mean/σ_pop, keep |v-m|<=2σ, avg/peak of kept),
+    including the degenerate all-equal group (σ=0 keeps every row)."""
+    from audiopro_essentia_spark.operators.aggregates import trimmed_stats
+
+    groups = {
+        # one wild outlier that must be trimmed
+        "a": [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 1000.0],
+        # degenerate: all equal -> sd=0, |v-m|=0 <= 0 keeps all
+        "b": [5.0] * 6,
+        "c": [float(i) for i in range(50)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.event_type: r for r in trimmed_stats(df).collect()}
+
+    for g, vs in groups.items():
+        m = sum(vs) / len(vs)
+        sd = (sum((v - m) ** 2 for v in vs) / len(vs)) ** 0.5
+        kept = [v for v in vs if abs(v - m) <= 2 * sd] or vs
+        r = got[g]
+        assert r.n_samples == len(vs)
+        assert r.n_kept == len(kept)
+        assert r.avg_value == pytest.approx(sum(kept) / len(kept), abs=1e-6)
+        assert r.peak_value == pytest.approx(max(kept), abs=1e-6)
+    assert got["a"].n_kept == 9 and got["a"].peak_value == 11.0
+    assert got["b"].n_kept == 6
