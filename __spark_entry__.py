@@ -333,6 +333,39 @@ def q_salted_agg(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew: salt-replicated broadcast equi-join on the hot `source` key
+    (80% of docs share one source in the fixture profile) — must equal a
+    plain join exactly. The salt spreads the hot key over n_salts
+    reducers; with broadcast it is shuffle-free (operators/skew.py)."""
+    from audiopro_essentia_spark.operators.skew import salted_broadcast_join
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    dim = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("source_docs")
+    )
+    out = salted_broadcast_join(d, dim, ("source",), n_salts=8, how="inner")
+    return out.select("doc_id", "source", "source_docs")
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """Multi-granularity corpus report: GROUP BY ROLLUP(source, len_class)
+    — detail, per-source subtotal, grand total in ONE Expand+agg pass
+    (vs 3 separate scans); grouping_id disambiguates levels."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.when(F.col("n_chars") < 1000, F.lit("short"))
+        .otherwise(F.lit("long"))
+        .alias("len_class"),
+    )
+    return d.rollup("source", "len_class").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Ranking: top-3 docs by n_chars per lang (deterministic tie-break)."""
     d = _t(spark, sf_dir, "documents")
@@ -1062,6 +1095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "enrich_broadcast": q_enrich_broadcast,
         "salted_agg": q_salted_agg,
+        "salted_join": q_salted_join,
+        "corpus_rollup": q_corpus_rollup,
         "topk_per_group": q_topk_per_group,
         "tpch_q1": q_tpch_q1,
         "dedup_exact": q_dedup_exact,
@@ -1297,6 +1332,22 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
   round(CAST(sum(n_chars) AS BIGINT) / CAST(count(n_chars) AS BIGINT), 6)
     AS avg_n_chars
 FROM documents GROUP BY source
+""",
+        "salted_join": """
+SELECT d.doc_id, d.source, s.source_docs
+FROM documents d
+JOIN (SELECT source, CAST(count(*) AS BIGINT) AS source_docs
+      FROM documents GROUP BY source) s USING (source)
+""",
+        "corpus_rollup": """
+WITH t AS (SELECT source, n_chars,
+  CASE WHEN n_chars < 1000 THEN 'short' ELSE 'long' END AS len_class
+  FROM documents)
+SELECT source, len_class,
+  CAST(GROUPING(source, len_class) AS BIGINT) AS gid,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(avg(n_chars), 6) AS avg_chars
+FROM t GROUP BY ROLLUP (source, len_class)
 """,
         "topk_per_group": """
 SELECT lang, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
