@@ -308,3 +308,19 @@ def test_get_spark_parses_local_with_retries():
 
     s = get_spark(app_name="retries", master="local[2,3]")
     assert s is not None
+
+
+def test_salted_broadcast_join_plan_is_broadcast(spark):
+    """The salted join must stay a BroadcastHashJoin — a SortMergeJoin
+    would re-introduce the hot-key shuffle the salt exists to kill."""
+    big = spark.range(5000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(7).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    plan = salted_broadcast_join(
+        big, small, ("k",), n_salts=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
