@@ -107,12 +107,14 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
         joined.write.format("noop").mode("overwrite").save()  # all columns
         return joined
 
-    # min-of-2 like the per-query loop: run 1 is ALSO the warmup (Python
-    # UDF workers, Arrow buffers, page cache) — this shared VM throws
-    # CPU-steal outliers that would otherwise land on the headline metric
+    # min-of-3, run 1 ALSO the warmup (Python UDF workers, Arrow buffers,
+    # page cache): this shared VM throws CPU-steal bursts lasting minutes,
+    # and the flagship number is THE headline metric — three samples give
+    # one more chance to land inside a quiet window than the per-query
+    # min-of-2
     mon = PerformanceMonitor().start()
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         joined = one_pass()
         elapsed = min(elapsed, time.perf_counter() - t0)
