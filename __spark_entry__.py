@@ -359,10 +359,14 @@ def q_corpus_rollup(spark, sf_dir):
         .otherwise(F.lit("long"))
         .alias("len_class"),
     )
+    # exact integer sum/count (NOT avg()): both engines divide the SAME
+    # two exact integers, so round-6 can never straddle an ulp boundary
     return d.rollup("source", "len_class").agg(
         F.grouping_id().cast("long").alias("gid"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(
+            F.sum("n_chars").cast("long") / F.count("n_chars").cast("long"), 6
+        ).alias("avg_chars"),
     )
 
 
@@ -1248,7 +1252,7 @@ WITH s AS MATERIALIZED (
 k AS (
   SELECT e.event_type, e.value, s.n
   FROM events e JOIN s USING (event_type)
-  WHERE abs(e.value - s.m) <= 2 * s.sd)
+  WHERE s.sd = 0 OR abs(e.value - s.m) <= 2 * s.sd)
 SELECT event_type,
   CAST(max(n) AS BIGINT) AS n_samples,
   CAST(count(*) AS BIGINT) AS n_kept,
@@ -1346,7 +1350,8 @@ WITH t AS (SELECT source, n_chars,
 SELECT source, len_class,
   CAST(GROUPING(source, len_class) AS BIGINT) AS gid,
   CAST(count(*) AS BIGINT) AS n_docs,
-  round(avg(n_chars), 6) AS avg_chars
+  round(CAST(sum(n_chars) AS BIGINT) / CAST(count(n_chars) AS BIGINT), 6)
+    AS avg_chars
 FROM t GROUP BY ROLLUP (source, len_class)
 """,
         "topk_per_group": """

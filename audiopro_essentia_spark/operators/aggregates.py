@@ -318,8 +318,8 @@ def distinct_profile(
 
 def trimmed_stats(
     df: DataFrame,
-    group_col: str = "event_type",
-    value_col: str = "value",
+    group_col: str,
+    value_col: str,
     k_sigma: float = 2.0,
 ) -> DataFrame:
     """A17 — ±kσ outlier-trimmed avg/peak per group: the data-parallel
@@ -335,7 +335,10 @@ def trimmed_stats(
     corpus scale this is two hash-agg shuffles on the (low-cardinality)
     group key and zero wide joins. Mirrors the reference's "or cpu"
     fallback: a degenerate group (σ=0, all values equal) keeps every row
-    because |v-mean|=0 <= 0.
+    via the EXPLICIT _sd=0 branch — relying on |v-mean| <= 0 alone is
+    wrong, because avg() (plain sum/count) can land an ulp off the common
+    value while stddev_pop (Welford) is exactly 0, which would silently
+    drop the entire group.
     """
     v = F.col(value_col).cast("double")
     stats = df.groupBy(group_col).agg(
@@ -344,7 +347,8 @@ def trimmed_stats(
         F.count(F.lit(1)).alias("_n"),
     )
     kept = df.join(F.broadcast(stats), group_col).where(
-        F.abs(v - F.col("_mean")) <= F.lit(float(k_sigma)) * F.col("_sd")
+        (F.col("_sd") == 0)
+        | (F.abs(v - F.col("_mean")) <= F.lit(float(k_sigma)) * F.col("_sd"))
     )
     return kept.groupBy(group_col).agg(
         F.max("_n").cast("long").alias("n_samples"),

@@ -120,13 +120,20 @@ def test_trimmed_stats_matches_monitor_semantics(spark):
     groups = {
         # one wild outlier that must be trimmed
         "a": [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 1000.0],
-        # degenerate: all equal -> sd=0, |v-m|=0 <= 0 keeps all
+        # degenerate: all equal -> sd=0 branch keeps all
         "b": [5.0] * 6,
         "c": [float(i) for i in range(50)],
+        # ulp trap: avg(0.1*3) = 0.10000000000000002 != 0.1 while
+        # stddev_pop is exactly 0 — without the explicit sd=0 branch the
+        # whole group would vanish
+        "d": [0.1, 0.1, 0.1],
     }
     rows = [(g, v) for g, vs in groups.items() for v in vs]
     df = spark.createDataFrame(rows, "event_type string, value double")
-    got = {r.event_type: r for r in trimmed_stats(df).collect()}
+    got = {
+        r.event_type: r
+        for r in trimmed_stats(df, "event_type", "value").collect()
+    }
 
     for g, vs in groups.items():
         m = sum(vs) / len(vs)
@@ -139,3 +146,4 @@ def test_trimmed_stats_matches_monitor_semantics(spark):
         assert r.peak_value == pytest.approx(max(kept), abs=1e-6)
     assert got["a"].n_kept == 9 and got["a"].peak_value == 11.0
     assert got["b"].n_kept == 6
+    assert got["d"].n_kept == 3  # sd=0 branch, not dropped-by-ulp

@@ -319,8 +319,10 @@ def test_salted_broadcast_join_plan_is_broadcast(spark):
     small = spark.range(7).select(
         F.col("id").alias("k"), (F.col("id") * 100).alias("w")
     )
-    plan = salted_broadcast_join(
-        big, small, ("k",), n_salts=4
-    )._jdf.queryExecution().executedPlan().toString()
+    j = salted_broadcast_join(big, small, ("k",), n_salts=4)
+    j.collect()  # finalize the AdaptiveSparkPlan (CLAUDE.md: executedPlan
+    # stays isFinalPlan=false until THIS DataFrame executes)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
