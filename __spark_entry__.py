@@ -1005,6 +1005,23 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_token_budget(spark, sf_dir):
+    """Mixture epoch-weighting by TOKEN budget, not doc rate: cap src0 at
+    2k chars and src1 at 4k, keep the rest whole (both caps BIND
+    at every SF tier — per-source totals are ~8k at sf0.01 — so the
+    downsample branches are oracle-exercised, not vacuous) — two-pass
+    total-then-hash-filter (functions/sampling.py token_budget_sample)."""
+    from audiopro_essentia_spark.functions.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(d, {"src0": 2000, "src1": 4000})
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("rate_pm").cast("long").alias("rate_pm"),
+    )
+
+
 def q_curate(spark, sf_dir):
     """End-to-end corpus curation plan (quality gate -> lang filter ->
     exact-dup collapse -> near-dup cluster collapse -> hash split) —
@@ -1143,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
+        "token_budget": q_token_budget,
         "curate": q_curate,
         "streaming_session": q_streaming_session,
     }
@@ -1411,6 +1429,20 @@ WHERE ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1
   < CASE WHEN source = 'src0' THEN 1000
          WHEN source = 'src1' THEN 300
          ELSE 500 END
+""",
+        "token_budget": """
+WITH t AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+           FROM documents GROUP BY source),
+r AS (SELECT source, CASE
+    WHEN source = 'src0' THEN LEAST(1000,
+      CAST(floor(CAST(2000 AS DOUBLE) * 1000.0 / total + 0.5) AS BIGINT))
+    WHEN source = 'src1' THEN LEAST(1000,
+      CAST(floor(CAST(4000 AS DOUBLE) * 1000.0 / total + 0.5) AS BIGINT))
+    ELSE 1000 END AS rate_pm FROM t)
+SELECT d.doc_id, d.source, r.rate_pm
+FROM documents d JOIN r USING (source)
+WHERE ((('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)) % 1000
+  < r.rate_pm
 """,
         "simhash": DT.simhash_pairs_sql(ngram=2, max_hamming=3),
         "incremental_dedup": DT.incremental_sql(k=16, bands=4),

@@ -109,3 +109,67 @@ def mixture_sample(
             F.col(source_col) == s, F.lit(per_mille(r))
         ).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    weight_col: str = "n_chars",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    rate_col: str = "rate_pm",
+) -> DataFrame:
+    """Downsample each source to a target TOKEN budget — the epoch-weighting
+    primitive of pretraining mixtures ("use at most B tokens of source S"),
+    where doc-count rates (mixture_sample) are the wrong unit because doc
+    length varies by orders of magnitude across sources.
+
+    Two passes: (1) per-source total weight — a tiny hash agg broadcast
+    back; (2) keep-rate = min(1, budget/total) quantized HALF-UP to
+    per-mille, applied as the usual deterministic content-hash filter.
+    Expected kept weight = budget within binomial sampling noise. Sources
+    absent from `budgets` are unlimited (kept whole).
+
+    Scale shape: this is the 10^12-row-safe form — the exact alternative
+    (per-source cumulative-sum window over hash order) sorts each source's
+    entire row set through one reducer chain, which a hot source breaks.
+    Here the wide work is ONE map-side-combinable sum per source; the
+    filter stays narrow. The rate arithmetic (floor(b*1000.0/total + 0.5),
+    exact-integer operands, one IEEE division) is bit-identical in DuckDB,
+    so the selection is oracle-exact despite being 'approximate' in budget.
+
+    Output: input rows that survive, plus `rate_col` (applied per-mille
+    rate) for auditability.
+    """
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("_total")
+    )
+    budget_expr: Column | None = None
+    for s, b in sorted(budgets.items()):
+        c = F.col(source_col) == s
+        lit = F.lit(int(b)).cast("double")
+        budget_expr = (
+            F.when(c, lit) if budget_expr is None else budget_expr.when(c, lit)
+        )
+    budget_expr = (
+        budget_expr.otherwise(F.lit(None)) if budget_expr is not None
+        else F.lit(None).cast("double")
+    )
+    rate = F.when(
+        budget_expr.isNull() | (F.col("_total") <= 0), F.lit(_BUCKETS)
+    ).otherwise(
+        F.least(
+            F.lit(_BUCKETS),
+            F.floor(budget_expr * F.lit(float(_BUCKETS)) / F.col("_total") + F.lit(0.5)),
+        )
+    ).cast("long")
+    out = (
+        df.join(F.broadcast(totals), source_col)
+        .withColumn(rate_col, rate)
+        .filter(hash_bucket(F.col(key_col), salt) < F.col(rate_col))
+    )
+    return out.drop("_total")

@@ -317,3 +317,37 @@ def test_distinct_profile_reports_empty_source_as_zero(spark):
     assert got["a"]["n_distinct_words"] == 3
     # the all-empty source must APPEAR with 0, not vanish from the report
     assert got["b"]["n_docs"] == 2 and got["b"]["n_distinct_words"] == 0
+
+
+def test_token_budget_sample_caps_kept_weight(spark):
+    """Kept weight per capped source must land near the budget (binomial
+    noise on the hash filter); uncapped sources are kept WHOLE; the
+    selection is deterministic (same rows on rerun)."""
+    from audiopro_essentia_spark.functions.sampling import token_budget_sample
+
+    rows = [
+        (i, "big" if i % 2 == 0 else "free", 100)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    # big: total 100k, budget 20k -> rate 200 per-mille
+    out = token_budget_sample(df, {"big": 20_000})
+    got = {
+        r.source: r
+        for r in out.groupBy("source").agg(
+            F.sum("n_chars").alias("w"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("rate_pm").alias("rate"),
+        ).collect()
+    }
+    assert got["free"].n == 1000 and got["free"].rate == 1000  # kept whole
+    assert got["big"].rate == 200
+    # binomial(1000, 0.2): sd ~ 12.6 docs -> +-5 sd band on kept weight
+    assert abs(got["big"].w - 20_000) < 5 * 12.65 * 100
+    rerun = token_budget_sample(df, {"big": 20_000})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in rerun.collect()
+    )
+    # budget >= total -> whole source kept
+    whole = token_budget_sample(df, {"big": 10**9})
+    assert whole.count() == 2000
