@@ -181,7 +181,14 @@ def kernel_sql(
                 )
                 + f", {nb - 1})"
             )
-            flist = "[" + ",".join(repr(float(f)) for f in freqs) + "]"
+            # CAST: a bare decimal literal list ([0.0, 2756.25, ...]) types
+            # as DECIMAL in DuckDB and the driver's Arrow serialization of
+            # DECIMAL is not guaranteed to render like Spark's DOUBLE
+            flist = (
+                "["
+                + ",".join(f"CAST({float(f)!r} AS DOUBLE)" for f in freqs)
+                + "]"
+            )
             out_cols.append(
                 nullable(f"round(({flist})[{kexpr} + 1], 6)", "spectral_rolloff")
             )
@@ -251,13 +258,74 @@ def kernel_sql(
                         + f")/{hi - li}.0, 6)"
                     )
                 else:
-                    expr = "0.0"
+                    expr = "CAST(0.0 AS DOUBLE)"  # bare 0.0 types as DECIMAL(2,1)
                 out_cols.append(nullable(expr, f"fb_{name}"))
 
     return (
         "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n ".join(out_cols)
         + f"\nFROM {last_cte}"
     )
+
+
+def kernel_time_sql(
+    frame_length: int,
+    hop: int,
+    sample_rate: int,
+    token_scale: float,
+    repeat: int,
+) -> str:
+    """DuckDB twin of the TIME-DOMAIN kernel slice (rms / volume /
+    zero_crossing_rate) at the PRODUCTION frame geometry (F=2048, H=512).
+    The DFT twins unroll F `wd{j}` columns — fine at F=16, infeasible at
+    F=2048 — so this twin keeps each window as a LIST and indexes a
+    frame_length-literal Hann list via a 1-row CTE. The f32-windowing cast
+    is the same `CAST(exact_f64_product AS REAL)` recipe as _dft_parts
+    (both operands exact in f64 → IEEE round == numpy f32 multiply).
+    `repeat` replicates each doc's token array (the Spark side does the
+    identical flatten(array_repeat(...))) so 10-100-word fixture docs
+    produce real 2048-token frames. list_sum's sequential f64 order vs
+    numpy's pairwise mean differs by ~1e-14 relative — round-6 stable on
+    the fixed fixture corpus (same argument as the rfft twins)."""
+    c = _consts(frame_length, sample_rate, 1)
+    # string->DOUBLE casts: DuckDB parses bare decimal literals through
+    # DECIMAL and its DECIMAL->DOUBLE conversion is off by 1 ulp for many
+    # values (measured: 0.020668301731348038 round-trips wrong), which the
+    # f32 windowing cast then amplifies to a full f32 ulp; the string parse
+    # is correctly rounded (verified exact for all 2048 hann values)
+    hann = (
+        "[" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in c["hann"]) + "]"
+    )
+    FL = frame_length
+    rms = f"sqrt(list_sum(list_transform(wd, x -> x*x))/{FL}.0)"
+    flips = (
+        f"list_sum(list_transform(generate_series(2, {FL}), "
+        "j -> CASE WHEN (wd[j-1] < 0) <> (wd[j] < 0) THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH {toks_cte()},
+rp AS (SELECT doc_id,
+    flatten(list_transform(generate_series(1, {repeat}), x -> toks)) AS toks
+  FROM t),
+tt AS (SELECT doc_id, list_slice(toks, 1, len(toks) - (len(toks) % 2)) AS toks FROM rp),
+f AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+    list_slice(toks, i*{hop}+1, i*{hop}+{FL}) AS w
+  FROM tt, LATERAL UNNEST(generate_series(0,
+    CAST((len(toks)-{FL})//{hop} AS INT))) AS g(i)
+  WHERE len(toks) >= {FL}),
+hn AS (SELECT {hann} AS hann),
+a AS MATERIALIZED (SELECT doc_id, frame_idx,
+    list_transform(generate_series(1, {FL}), j ->
+      CAST(CAST(CAST(w[j] AS DOUBLE)/{token_scale!r} * hann[j] AS REAL)
+           AS DOUBLE)) AS wd
+  FROM f CROSS JOIN hn),
+r AS (SELECT doc_id, frame_idx, {rms} AS rms, {flips} AS flips FROM a)
+SELECT doc_id, frame_idx,
+  round((CAST(frame_idx AS DOUBLE) * {hop})/{sample_rate} * 1000.0, 6) AS time_ms,
+  round(rms, 6) AS rms,
+  round(20.0*log10(rms + {EPS!r}), 6) AS volume,
+  round(CAST(flips AS DOUBLE)/{FL - 1}.0, 6) AS zero_crossing_rate
+FROM r
+"""
 
 
 # ---------------------------------------------------------------------------

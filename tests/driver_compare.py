@@ -65,14 +65,40 @@ def rows_to_set(cols, rows):
     )
 
 
+_SAFE_DUCK_TYPES = {
+    # types whose Arrow/pandas rendering is bit-identical to the Spark twin
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "TIMESTAMP_NS",
+    "TIMESTAMP WITH TIME ZONE",
+}
+
+
+def type_problems(res):
+    """Catch oracle columns whose DuckDB type (HUGEINT, DECIMAL, ...) the
+    driver's Arrow/pandas serialization would render differently from the
+    Spark side even when fetchall() values are identical — the pack_shards
+    r2 hash-fail class. fetchall() hides these (HUGEINT -> Python int)."""
+    bad = []
+    for col, typ in zip(res.columns, res.types):
+        t = str(typ).upper()
+        if t.startswith("LIST") or t.startswith("STRUCT"):
+            continue  # element values are compared recursively by canon()
+        if t not in _SAFE_DUCK_TYPES:
+            bad.append(f"{col}:{t}")  # HUGEINT, DECIMAL(...), UHUGEINT, ...
+    return bad
+
+
 def compare_one(spark, con, name, qfn, sql, sf_dir):
     sdf = qfn(spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     res = con.sql(sql)
     dcols = res.columns
+    tp = type_problems(res)  # inspect types BEFORE fetch (no re-execution)
     drows = res.fetchall()
     problems = []
+    if tp:
+        problems.append(f"oracle-dtype (driver-hash hazard): {tp}")
     if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
         problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
     if len(srows) != len(drows):
