@@ -849,13 +849,16 @@ def q_vocab_by_source(spark, sf_dir):
 
 def q_kmeans(spark, sf_dir):
     """Embedding clustering: distributed spherical k-means (Lloyd's over
-    broadcast centroids + O(k*d) per-iteration aggregates). ITERATIVE —
-    deliberately no SQL twin (the genuinely-non-SQL-expressible class);
-    the driver records the rows-only check. Output: k cluster sizes."""
+    broadcast centroids + O(k*d) per-iteration aggregates). ONE iteration
+    here so the query is fully oracle-checkable (md5-ordered init +
+    assignment + mean update + final assignment are all SQL-expressible —
+    duck_twins.kmeans_sql); the multi-iteration path is the same loop and
+    is pinned by pytest (test_curation_extras: blob recovery,
+    deterministic init, duplicate-vector init). Output: cluster sizes."""
     from audiopro_essentia_spark.operators.similarity import kmeans_lite
 
     e = _t(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_lite(e, k=8, iters=3)
+    assigned, _ = kmeans_lite(e, k=8, iters=1)
     return (
         assigned.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -1582,6 +1585,7 @@ SELECT * FROM (
 ) WHERE rank <= 5
 """,
         "lsh_ann": DT.lsh_ann_sql(dim=64, n_planes=6, seed=42, k=5),
+        "kmeans": DT.kmeans_sql(k=8, dim=64),
         "ann_recall": f"""
 WITH ex AS (
 SELECT * FROM (

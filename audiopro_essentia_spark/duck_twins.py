@@ -726,6 +726,82 @@ SELECT * FROM (
 """
 
 
+SAMPLE_KEY = (
+    "md5(array_to_string(list_transform({v}, x -> CAST(CAST(round("
+    "CAST(x AS DOUBLE) * 1000000000.0) AS BIGINT) AS VARCHAR)), ','))"
+)  # twin of similarity.sample_key_expr (byte-identical, see its docstring)
+
+
+def kmeans_sql(k: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ONE Lloyd iteration of similarity.kmeans_lite
+    (iters=1): md5-ordered distinct init (SAMPLE_KEY twin of
+    sample_key_expr) -> cosine assignment under the init centroids ->
+    per-cluster mean update (empty / zero-norm clusters keep their init
+    centroid) -> final assignment under the updated centroids -> cluster
+    sizes. Assignment tie-break = lowest centroid id (numpy stable argsort
+    on -sims). Sims are full-f64; numpy's pairwise dot vs list_sum's
+    sequential order differ ~1e-16 — assignment flips would need two
+    centroids equidistant to within that, which the random fixture
+    embeddings never are. MATERIALIZED everywhere: DuckDB otherwise
+    re-inlines the normalized-centroid expression per sim term."""
+    key = SAMPLE_KEY.format(v="emb")
+    gs = f"generate_series(1, {dim})"
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    CASE WHEN sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) = 0 THEN 1.0
+         ELSE sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) END AS vn
+  FROM embeddings),
+init AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS cid, c FROM (
+    SELECT row_number() OVER (ORDER BY {key}) AS rn,
+           list_transform(emb, x -> CAST(x AS DOUBLE)) AS c
+    FROM (SELECT DISTINCT embedding AS emb FROM embeddings))
+  WHERE rn <= {k}),
+n0 AS MATERIALIZED (
+  SELECT cid, list_transform(c, x -> x / sqrt(list_sum(
+           list_transform(c, y -> y*y)))) AS nc
+  FROM init),
+a0 AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT ev.vec_id, n0.cid,
+      row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+        list_sum(list_transform({gs},
+          j -> (ev.v[j] / ev.vn) * n0.nc[j])) DESC, n0.cid ASC) AS rn
+    FROM ev CROSS JOIN n0)
+  WHERE rn = 1),
+agg AS MATERIALIZED (
+  SELECT a0.cid, g.j, sum(ev.v[g.j]) AS s, count(*) AS cnt
+  FROM a0 JOIN ev USING (vec_id)
+  CROSS JOIN LATERAL UNNEST({gs}) AS g(j)
+  GROUP BY a0.cid, g.j),
+mean1 AS MATERIALIZED (
+  SELECT cid, list(s / cnt ORDER BY j) AS m FROM agg GROUP BY cid),
+c1 AS MATERIALIZED (
+  SELECT init.cid,
+    CASE WHEN mean1.m IS NOT NULL
+           AND sqrt(list_sum(list_transform(mean1.m, x -> x*x))) > 0
+         THEN mean1.m ELSE init.c END AS c
+  FROM init LEFT JOIN mean1 USING (cid)),
+n1 AS MATERIALIZED (
+  SELECT cid, list_transform(c, x -> x / sqrt(list_sum(
+           list_transform(c, y -> y*y)))) AS nc
+  FROM c1),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT ev.vec_id, n1.cid,
+      row_number() OVER (PARTITION BY ev.vec_id ORDER BY
+        list_sum(list_transform({gs},
+          j -> (ev.v[j] / ev.vn) * n1.nc[j])) DESC, n1.cid ASC) AS rn
+    FROM ev CROSS JOIN n1)
+  WHERE rn = 1)
+SELECT CAST(cid AS INT) AS cluster_id, CAST(count(*) AS BIGINT) AS n
+FROM a1 GROUP BY cid
+"""
+
+
 def media_frames_sql(n_frames: int = 4, frame_bytes: int = 64) -> str:
     """DuckDB twin of multimodal.sample_media_frames: byte-true slices via
     hex(encode(text)) surgery (DuckDB md5 takes VARCHAR only; decode of a

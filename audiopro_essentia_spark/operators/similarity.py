@@ -180,25 +180,46 @@ def _nearest_centroids_udf(centroids: np.ndarray, n: int):
     return _nearest
 
 
+def sample_key_expr(vec_col: str) -> Column:
+    """Cross-engine deterministic ordering key for vector sampling: md5 of
+    the comma-joined round(x*1e9)-as-BIGINT rendering of the elements.
+    Scaled-integer rendering (NOT float-to-string) because Java renders
+    floats < 1e-3 in E-notation while DuckDB renders plain decimal, and
+    printf('%.Ne') diverges on exact decimal-half ties (Java HALF_UP vs C
+    round-half-even — measured on -0.27392578125). round() on the exact
+    widened double rounds ties away from zero in BOTH engines, so the
+    strings are byte-identical (verified at sf0.001/0.01/0.1). DuckDB twin:
+    md5(array_to_string(list_transform(v, x ->
+      CAST(CAST(round(CAST(x AS DOUBLE)*1000000000.0) AS BIGINT) AS
+      VARCHAR)), ','))."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * F.lit(1000000000.0))
+                .cast("long")
+                .cast("string"),
+            ),
+        )
+    )
+
+
 def _md5_sample(
     corpus: DataFrame, vec_col: str, n: int, distinct: bool
 ) -> np.ndarray:
     """Deterministic pseudo-random vector sample: order by md5 of the
-    rendered vector, take n. `distinct=True` dedups vectors first so
-    exact-duplicate rows (the norm in web corpora) cannot yield duplicate
-    seeds. Returns (m, d) with m <= n; callers decide whether m < n is an
-    error."""
+    rendered vector (sample_key_expr — DuckDB-reproducible), take n.
+    `distinct=True` dedups vectors first so exact-duplicate rows (the norm
+    in web corpora) cannot yield duplicate seeds. Returns (m, d) with
+    m <= n; callers decide whether m < n is an error."""
     src = corpus.select(vec_col)
     if distinct:
         src = src.distinct()
     return np.array(
         [
             r[0]
-            for r in src.orderBy(
-                F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>")))
-            )
-            .limit(n)
-            .collect()
+            for r in src.orderBy(sample_key_expr(vec_col)).limit(n).collect()
         ],
         dtype=np.float64,
     )
