@@ -335,18 +335,27 @@ def q_salted_agg(spark, sf_dir):
 
 
 def q_salted_join(spark, sf_dir):
-    """Skew: salt-replicated broadcast equi-join on the hot `source` key
-    (80% of docs share one source in the fixture profile) — must equal a
-    plain join exactly. The salt spreads the hot key over n_salts
-    reducers; with broadcast it is shuffle-free (operators/skew.py)."""
+    """Skew: salt-replicated broadcast equi-join on a genuinely HOT key —
+    ~80% of docs collapse onto one 'hot' join key (content-hash derived;
+    documents.source itself is UNIFORM across src0..src19, so a
+    source-keyed demo would never make the salt do any work), the rest
+    keep their source. Must equal a plain join exactly; the salt spreads
+    the hot key over n_salts reducers, and with broadcast it is
+    shuffle-free (operators/skew.py)."""
+    from audiopro_essentia_spark.functions.sampling import hash_bucket
     from audiopro_essentia_spark.operators.skew import salted_broadcast_join
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    dim = d.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("source_docs")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id")) < 800, F.lit("hot"))
+        .otherwise(F.col("source"))
+        .alias("skew_key"),
     )
-    out = salted_broadcast_join(d, dim, ("source",), n_salts=8, how="inner")
-    return out.select("doc_id", "source", "source_docs")
+    dim = d.groupBy("skew_key").agg(
+        F.count(F.lit(1)).cast("long").alias("key_docs")
+    )
+    out = salted_broadcast_join(d, dim, ("skew_key",), n_salts=8, how="inner")
+    return out.select("doc_id", "skew_key", "key_docs")
 
 
 def q_corpus_rollup(spark, sf_dir):
@@ -1405,10 +1414,14 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
 FROM documents GROUP BY source
 """,
         "salted_join": """
-SELECT d.doc_id, d.source, s.source_docs
-FROM documents d
-JOIN (SELECT source, CAST(count(*) AS BIGINT) AS source_docs
-      FROM documents GROUP BY source) s USING (source)
+WITH k AS (SELECT doc_id,
+  CASE WHEN ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)
+             % 1000) < 800
+       THEN 'hot' ELSE source END AS skew_key
+  FROM documents)
+SELECT k.doc_id, k.skew_key, s.key_docs
+FROM k JOIN (SELECT skew_key, CAST(count(*) AS BIGINT) AS key_docs
+             FROM k GROUP BY skew_key) s USING (skew_key)
 """,
         "corpus_rollup": """
 WITH t AS (SELECT source, n_chars,

@@ -129,7 +129,14 @@ def token_budget_sample(
     back; (2) keep-rate = min(1, budget/total) quantized HALF-UP to
     per-mille, applied as the usual deterministic content-hash filter.
     Expected kept weight = budget within binomial sampling noise. Sources
-    absent from `budgets` are unlimited (kept whole).
+    absent from `budgets` are unlimited (kept whole) — including
+    NULL-source rows (the totals join is null-safe, so they flow through
+    with the default rate rather than being silently dropped). An explicit
+    budget of 0 drops the source entirely, even when its total weight is
+    degenerate (0 or all-NULL); a POSITIVE budget over a degenerate total
+    keeps the source whole (nothing to apportion — there is no meaningful
+    rate, and dropping data on a bookkeeping degeneracy is the worse
+    failure).
 
     Scale shape: this is the 10^12-row-safe form — the exact alternative
     (per-source cumulative-sum window over hash order) sorts each source's
@@ -159,17 +166,27 @@ def token_budget_sample(
         budget_expr.otherwise(F.lit(None)) if budget_expr is not None
         else F.lit(None).cast("double")
     )
-    rate = F.when(
-        budget_expr.isNull() | (F.col("_total") <= 0), F.lit(_BUCKETS)
-    ).otherwise(
-        F.least(
-            F.lit(_BUCKETS),
-            F.floor(budget_expr * F.lit(float(_BUCKETS)) / F.col("_total") + F.lit(0.5)),
+    rate = (
+        F.when(budget_expr == F.lit(0.0), F.lit(0))
+        .when(budget_expr.isNull() | (F.col("_total") <= 0), F.lit(_BUCKETS))
+        .otherwise(
+            F.least(
+                F.lit(_BUCKETS),
+                F.floor(
+                    budget_expr * F.lit(float(_BUCKETS)) / F.col("_total")
+                    + F.lit(0.5)
+                ),
+            )
         )
-    ).cast("long")
+        .cast("long")
+    )
+    totals = totals.withColumnRenamed(source_col, "_src_t")
     out = (
-        df.join(F.broadcast(totals), source_col)
+        df.join(
+            F.broadcast(totals),
+            F.col(source_col).eqNullSafe(F.col("_src_t")),
+        )
         .withColumn(rate_col, rate)
         .filter(hash_bucket(F.col(key_col), salt) < F.col(rate_col))
     )
-    return out.drop("_total")
+    return out.drop("_total", "_src_t")

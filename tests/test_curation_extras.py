@@ -351,3 +351,31 @@ def test_token_budget_sample_caps_kept_weight(spark):
     # budget >= total -> whole source kept
     whole = token_budget_sample(df, {"big": 10**9})
     assert whole.count() == 2000
+
+
+def test_token_budget_sample_null_source_and_zero_budget(spark):
+    """The degenerate branches: NULL-source rows are 'absent from budgets'
+    and must be kept WHOLE (null-safe totals join — a plain equi-join
+    silently drops them); budget==0 drops the source entirely, even when
+    its total weight is degenerate (0 / all-NULL, where the old code kept
+    it whole via the total<=0 guard); a POSITIVE budget over a degenerate
+    total keeps the source whole."""
+    from audiopro_essentia_spark.functions.sampling import token_budget_sample
+
+    rows = (
+        [(i, None, 100) for i in range(50)]            # NULL source
+        + [(100 + i, "zeroed", 0) for i in range(50)]  # budget 0, total 0
+        + [(200 + i, "dud", None) for i in range(50)]  # budget >0, all-NULL
+        + [(300 + i, "plain", 100) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    out = token_budget_sample(df, {"zeroed": 0, "dud": 1000})
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got.get(None) == 50        # NULL source kept whole, not dropped
+    assert "zeroed" not in got        # budget 0 wins over degenerate total
+    assert got.get("dud") == 50       # positive budget, nothing to apportion
+    assert got.get("plain") == 50
+    assert {r.rate_pm for r in out.filter(F.col("source").isNull()).collect()} == {1000}
