@@ -30,6 +30,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # synthesized sequences scale per SF tier: ~8k tokens/doc average
 N_DOCS = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}
 
+# max allowed max/min spread across timed samples of one measurement;
+# beyond this the window contained a CPU-steal burst (CLAUDE.md rule)
+SPREAD_LIMIT = 2.0
+
 BENCH_QUERIES = (
     "frame_rms",
     "doc_stats",
@@ -113,15 +117,25 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
     # one more chance to land inside a quiet window than the per-query
     # min-of-2
     mon = PerformanceMonitor().start()
-    elapsed = float("inf")
+    samples = []
     for _ in range(3):
         t0 = time.perf_counter()
         joined = one_pass()
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        samples.append(time.perf_counter() - t0)
+    # steal check on the POST-warmup samples (run 1 legitimately pays
+    # worker spin-up, so it does not vote); >2x spread = steal episode
+    if max(samples[1:]) / min(samples[1:]) > SPREAD_LIMIT:
+        t0 = time.perf_counter()
+        one_pass()
+        samples.append(time.perf_counter() - t0)
+    elapsed = min(samples)
+    steady = samples[1:]
     n_frames = joined.count()
     mon.stop()
     return {
         "pipeline_sec": round(elapsed, 3),
+        "pipeline_samples": [round(s, 3) for s in samples],
+        "pipeline_steal_suspect": max(steady) / min(steady) > SPREAD_LIMIT,
         "n_sequences": n_seq,
         "n_tokens": int(n_tok),
         "n_frames": n_frames,
@@ -152,16 +166,29 @@ def main() -> None:
 
     qs = E.queries()
     per_query: dict[str, float] = {}
+    steal_suspect: list[str] = []
     total = pipe["pipeline_sec"]
     for name in BENCH_QUERIES:
         _noop_sink(qs[name](spark, SF_DIR))  # warmup: workers/JIT/page cache
-        best = float("inf")
-        for _ in range(2):  # min-of-2: this shared VM has CPU-steal spikes
+        times: list[float] = []
+        # min-of-2, plus up to 2 retries while the sample spread says a
+        # CPU-steal burst contaminated the window (CLAUDE.md spread rule,
+        # applied in code: if max/min > 2 the measurement is garbage)
+        for attempt in range(4):
             t0 = time.perf_counter()
             _noop_sink(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
-        total += best
+            times.append(time.perf_counter() - t0)
+            if len(times) >= 2 and max(times) / min(times) <= SPREAD_LIMIT:
+                break
+        per_query[name] = round(min(times), 3)
+        if max(times) / min(times) > SPREAD_LIMIT:
+            # still >2x after retries: the MIN may itself be inflated —
+            # tag it so a reader never mistakes a steal episode for a
+            # regression (the r2 postmortem: 3-5x phantom regressions)
+            steal_suspect.append(name)
+        total += min(times)
+    if pipe["pipeline_steal_suspect"]:
+        steal_suspect.insert(0, "token_pipeline")
 
     out = {
         "metric": "tokens/sec feature-engineering throughput (flagship token pipeline) + headline query wall-clock",
@@ -170,6 +197,7 @@ def main() -> None:
         "queries": {"token_pipeline": pipe["pipeline_sec"], **per_query},
         "sf": sf_name,
         "total_sec": round(total, 3),
+        "steal_suspect": steal_suspect,
         "pipeline": pipe,
         "cpus": CPUS,
     }
