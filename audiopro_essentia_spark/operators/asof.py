@@ -6,14 +6,18 @@ imap; processors.py:281-285 idx->time). Spark SQL has no native ASOF JOIN,
 so it is built from first principles two ways:
 
 1. strategy='union' (default, pure JVM): union-tag both sides, ONE
-   hash-shuffle on the key + ONE in-partition sort on (ts, side), then a
+   hash-shuffle on the key + an in-partition sort on (ts, side), then a
    running `last(value, ignorenulls=True)` forward-fill carries the most
    recent right-side row onto every left row. O(n log n) per partition, no
-   Python, AQE-coalesced. Ties (right.ts == left.ts) MATCH (backward as-of
-   semantics, same as pandas merge_asof / DuckDB ASOF JOIN).
+   Python, AQE-coalesced. Ties (right.ts == left.ts) MATCH (as-of
+   semantics, same as pandas merge_asof / DuckDB ASOF JOIN). All three
+   directions run here: 'forward' is the identical running-last over time
+   REVERSED (one extra sort, same single shuffle); 'nearest' computes both
+   scans over the one shuffle and picks the closer match (backward wins
+   equal distances — pandas' rule).
 2. strategy='cogroup' (Arrow): groupBy(key).cogroup().applyInPandas with
-   pd.merge_asof per key — used for direction='forward'/'nearest' and as an
-   independent cross-check in tests.
+   pd.merge_asof per key — an independent cross-check in tests and the
+   escape hatch for semantics Spark expressions don't cover.
 
 Tolerance: a match further back than `tolerance_us` is nulled out (pandas
 merge_asof tolerance semantics).
@@ -73,7 +77,11 @@ def asof_join(
     # into every left row before the first real right row (silent wrong
     # data), and pandas merge_asof refuses NULL right keys outright
     right = right.where(F.col(right_ts).isNotNull())
-    if strategy == "cogroup" or direction != "backward":
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if strategy == "cogroup":
         return _asof_cogroup(
             left, right, on, left_ts, right_ts, right_values,
             tolerance_us, direction, matched_ts_col,
@@ -131,19 +139,50 @@ def asof_join(
     tie_keys = (
         ["_rv"] if all(_orderable(rschema[c]) for c in right_values) else []
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_ts", "_side", *tie_keys)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = u.withColumn("_rv_f", F.last("_rv", ignorenulls=True).over(w)).filter(
-        F.col("_side") == 1
-    )
+
+    def _win(reverse: bool):
+        # forward scan = the same running-last over time REVERSED.
+        # desc_nulls_first keeps NULL-left-ts rows ahead of every right
+        # row in BOTH scan directions (plain desc puts NULLs last, which
+        # would hand a NULL-ts left row the earliest right row — silent
+        # wrong data); _side asc keeps right (0) before left (1) at equal
+        # ts, so ties match in both directions, matching merge_asof.
+        ts = F.desc_nulls_first("_ts") if reverse else F.asc("_ts")
+        return (
+            Window.partitionBy(*on)
+            .orderBy(ts, "_side", *tie_keys)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    last_rv = F.last("_rv", ignorenulls=True)
+    if direction == "backward":
+        filled = u.withColumn("_rv_f", last_rv.over(_win(False)))
+        dist = F.col("_ts") - F.col("_rv_f._rts")
+    elif direction == "forward":
+        filled = u.withColumn("_rv_f", last_rv.over(_win(True)))
+        dist = F.col("_rv_f._rts") - F.col("_ts")
+    else:  # nearest: both scans share ONE shuffle (same partitionBy);
+        # equal distances resolve backward, pandas merge_asof's rule
+        bdist = F.col("_ts") - F.col("_b._rts")
+        fdist = F.col("_f._rts") - F.col("_ts")
+        filled = (
+            u.withColumn("_b", last_rv.over(_win(False)))
+            .withColumn("_f", last_rv.over(_win(True)))
+            .withColumn(
+                "_rv_f",
+                F.when(F.col("_b").isNull(), F.col("_f"))
+                .when(F.col("_f").isNull(), F.col("_b"))
+                .when(bdist <= fdist, F.col("_b"))
+                .otherwise(F.col("_f")),
+            )
+        )
+        dist = F.abs(F.col("_ts") - F.col("_rv_f._rts"))
+    filled = filled.filter(F.col("_side") == 1)
 
     in_tol = (
         F.lit(True)
         if tolerance_us is None
-        else (F.col("_ts") - F.col("_rv_f._rts")) <= F.lit(int(tolerance_us))
+        else dist <= F.lit(int(tolerance_us))
     )
     keep = F.col("_rv_f").isNotNull() & in_tol
     out_cols: list[Column] = [F.col(f"_lv.{c}").alias(c) for c in lcols]

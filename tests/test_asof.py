@@ -38,7 +38,9 @@ def labels(spark, tiny_table):
     return spark.read.parquet(p)
 
 
-def _golden(frames_pd: pd.DataFrame, labels_pd: pd.DataFrame) -> pd.DataFrame:
+def _golden(
+    frames_pd: pd.DataFrame, labels_pd: pd.DataFrame, direction: str = "backward"
+) -> pd.DataFrame:
     out = []
     for doc, grp in frames_pd.groupby("doc_id"):
         rl = labels_pd[labels_pd.doc_id == doc].sort_values("label_ts")
@@ -47,21 +49,22 @@ def _golden(frames_pd: pd.DataFrame, labels_pd: pd.DataFrame) -> pd.DataFrame:
             rl[["label_ts", "label"]],
             left_on="available_ts",
             right_on="label_ts",
-            direction="backward",
+            direction=direction,
         )
         out.append(merged)
     return pd.concat(out).sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
 
 
 @pytest.mark.parametrize("strategy", ["union", "cogroup"])
-def test_asof_matches_merge_asof(spark, frames, labels, strategy):
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_matches_merge_asof(spark, frames, labels, strategy, direction):
     got = (
         asof_join(frames, labels, left_ts="available_ts", right_ts="label_ts",
-                  strategy=strategy)
+                  strategy=strategy, direction=direction)
         .orderBy("doc_id", "frame_idx")
         .toPandas()
     )
-    exp = _golden(frames.toPandas(), labels.toPandas())
+    exp = _golden(frames.toPandas(), labels.toPandas(), direction)
     assert len(got) == len(exp)
     assert np.allclose(got["label"], exp["label"], equal_nan=True)
     g = got["matched_ts"].to_numpy("datetime64[us]")
@@ -152,13 +155,17 @@ def test_forward_direction_cogroup(spark):
 
 def test_asof_property_random_vs_merge_asof(spark):
     """Property: for right sides with unique (key, ts), the union-window
-    strategy equals pandas merge_asof exactly — random keys, ts ties
-    across sides, sparse/dense mixes, keys with no right rows."""
+    strategy equals pandas merge_asof exactly in ALL THREE directions —
+    random keys, ts ties across sides, sparse/dense mixes, keys with no
+    right rows."""
     from hypothesis import given, settings, strategies as st
 
     @settings(max_examples=15, deadline=None)
     @given(st.data())
     def run(data):
+        direction = data.draw(
+            st.sampled_from(["backward", "forward", "nearest"])
+        )
         n_keys = data.draw(st.integers(1, 4))
         lrows, rrows = [], []
         for k in range(n_keys):
@@ -184,18 +191,61 @@ def test_asof_property_random_vs_merge_asof(spark):
             (r.doc_id, r.i): (r.matched_ts, r.rv)
             for r in asof_join(
                 left, right, on=("doc_id",), left_ts="lts", right_ts="rts",
-                right_values=("rv",),
+                right_values=("rv",), direction=direction,
             ).collect()
         }
         lpd = pd.DataFrame(lrows, columns=["doc_id", "i", "lts"]).sort_values("lts")
         rpd = pd.DataFrame(rrows, columns=["doc_id", "rv", "rts"]).sort_values("rts")
-        m = pd.merge_asof(lpd, rpd, left_on="lts", right_on="rts", by="doc_id")
+        m = pd.merge_asof(lpd, rpd, left_on="lts", right_on="rts",
+                          by="doc_id", direction=direction)
         for _, row in m.iterrows():
             exp_ts = None if pd.isna(row.rts) else row.rts.to_pydatetime()
             exp_rv = None if pd.isna(row.rv) else row.rv
             assert got[(row.doc_id, row.i)] == (exp_ts, exp_rv), (row.doc_id, row.i)
 
     run()
+
+
+@pytest.mark.parametrize("strategy", ["union", "cogroup"])
+def test_forward_tolerance_and_nearest_tie(spark, strategy):
+    """forward: tolerance bounds the FUTURE distance; nearest: equal
+    distances resolve backward (pandas merge_asof's rule)."""
+    t0 = dt.datetime(2026, 1, 1)
+    left = spark.createDataFrame(
+        [("a", t0)], "doc_id string, available_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=5), 7.0)],
+        "doc_id string, label_ts timestamp, label double",
+    )
+    ok = asof_join(left, right, direction="forward", strategy=strategy,
+                   tolerance_us=6_000_000).collect()[0]
+    assert ok.label == 7.0
+    out = asof_join(left, right, direction="forward", strategy=strategy,
+                    tolerance_us=4_000_000).collect()[0]
+    assert out.label is None and out.matched_ts is None
+    # nearest tie: labels equidistant at +-5s -> backward (3.0) wins
+    right2 = spark.createDataFrame(
+        [("a", t0 - dt.timedelta(seconds=5), 3.0),
+         ("a", t0 + dt.timedelta(seconds=5), 7.0)],
+        "doc_id string, label_ts timestamp, label double",
+    )
+    tie = asof_join(left, right2, direction="nearest",
+                    strategy=strategy).collect()[0]
+    assert tie.label == 3.0
+    # and the forward one wins when strictly closer
+    right3 = spark.createDataFrame(
+        [("a", t0 - dt.timedelta(seconds=5), 3.0),
+         ("a", t0 + dt.timedelta(seconds=4), 7.0)],
+        "doc_id string, label_ts timestamp, label double",
+    )
+    near = asof_join(left, right3, direction="nearest",
+                     strategy=strategy).collect()[0]
+    assert near.label == 7.0
+    # nearest + tolerance: 4s match survives a 4s bound, not a 3s bound
+    tol = asof_join(left, right3, direction="nearest", strategy=strategy,
+                    tolerance_us=3_000_000).collect()[0]
+    assert tol.label is None
 
 
 def test_asof_null_right_ts_never_matches(spark):
