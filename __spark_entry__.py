@@ -890,7 +890,7 @@ def q_kernel_features(spark, sf_dir):
     )
     out = with_frame_features(
         framed, frame_length=KF_, sample_rate=KSR_, token_scale=KSCALE_,
-        features=KERNEL_FEATURES,
+        features=KERNEL_FEATURES, chroma_band=(0.0, KSR_ / 2.0),
     )
     return _project_kernel_scalars(out, KERNEL_FEATURES, N_MFCC)
 
@@ -995,6 +995,7 @@ def q_fused_pipeline(spark, sf_dir):
         hop=KH_,
         sample_rate=KSR_,
         token_scale=KSCALE_,
+        chroma_band=(0.0, KSR_ / 2.0),
     )
     return _project_kernel_scalars(out, FUSED_FEATURES, N_MFCC)
 
@@ -1466,11 +1467,19 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
 """,
         "minhash_lsh": DT.minhash_sql(k=16, bands=4, ngram=3),
         "dedup_clusters": DT.clusters_sql(DT.minhash_sql(k=16, bands=4, ngram=3)),
+        # chroma_band full-range at the F=16 miniature: the production
+        # 40-5000 Hz HPCP gate would leave a 2756-Hz-resolution toy
+        # spectrum 1 usable bin (near-vacuous check) AND put interpolated
+        # peaks within fp noise of the 5000 Hz cut; full range keeps all
+        # 7 interior bins folding and every gate comparison far from its
+        # boundary. The production gate is pinned by numpy goldens.
         "kernel_features": DT.kernel_sql(
-            KF_, KH_, KSR_, KSCALE_, KERNEL_FEATURES, KMELS_
+            KF_, KH_, KSR_, KSCALE_, KERNEL_FEATURES, KMELS_,
+            chroma_band=(0.0, KSR_ / 2.0),
         ),
         "fused_pipeline": DT.kernel_sql(
-            KF_, KH_, KSR_, KSCALE_, FUSED_FEATURES, KMELS_, doc_id_varchar=True
+            KF_, KH_, KSR_, KSCALE_, FUSED_FEATURES, KMELS_,
+            doc_id_varchar=True, chroma_band=(0.0, KSR_ / 2.0),
         ),
         "kernel_full_geometry": DT.kernel_time_sql(
             2048, 512, 44100, KSCALE_, repeat=GEO_REP_

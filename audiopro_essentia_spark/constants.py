@@ -47,6 +47,17 @@ N_MFCC: int = 13  # reference processors.py:82 (numberCoefficients=13)
 N_MELS: int = 40
 N_CHROMA: int = 12  # reference types.py:173
 
+# HPCP-shaped chroma fold (re-spec of es.SpectralPeaks + es.HPCP with
+# their DEFAULT parameters — reference processors.py:85-88,251-260):
+# parabolically-interpolated peaks in [MIN,MAX] Hz fold their ENERGY
+# (mag^2) onto the pitch classes within WINDOW semitones of
+# 12*log2(f/REF), squared-cosine weighted, unit-max normalized.
+CHROMA_REF_FREQ: float = 440.0       # es.HPCP referenceFrequency
+CHROMA_WINDOW_SEMITONES: float = 1.0  # es.HPCP windowSize
+CHROMA_MIN_FREQ: float = 40.0        # es.HPCP minFrequency
+CHROMA_MAX_FREQ: float = 5000.0      # es.HPCP maxFrequency
+CHROMA_HARMONICS: int = 0            # es.HPCP harmonics (default: none)
+
 # Signal validation thresholds — reference validator.py:80-123.
 MIN_SIGNAL_ENERGY: float = 1e-6
 SILENCE_THRESHOLD: float = 0.001

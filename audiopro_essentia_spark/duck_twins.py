@@ -70,6 +70,7 @@ def kernel_sql(
     features: tuple[str, ...],
     n_mels: int,
     doc_id_varchar: bool = False,
+    chroma_band: tuple[float, float] | None = None,
 ) -> str:
     """DuckDB twin of frame_tokens + with_frame_features for the scalar +
     mfcc_i + chroma_i + fb_* projection. The chroma peak-fold is stable
@@ -206,41 +207,81 @@ def kernel_sql(
                 expr = " + ".join(f"lm{m}*{dct[i, m]!r}" for m in range(n_mels))
                 out_cols.append(nullable(f"round({expr}, 6)", f"mfcc_{i}"))
         if "chroma" in fset:
-            # peak-fold: interior local maxima folded onto pitch classes;
-            # stable vs rfft only because the snapped twiddles make the
-            # spectra agree to ~1e-15 (verified 0 flips over 56k frames)
-            pc_onehot = c["pc_onehot"]
-            peak = {
-                k: (
-                    f"(s{k} > s{k - 1} AND s{k} >= s{k + 1} AND s{k} > 1e-10)"
-                )
-                for k in range(1, nb - 1)
-            }
-            raw_cols = []
-            for p in range(pc_onehot.shape[1]):
-                terms = [
-                    f"(CASE WHEN {peak[k]} THEN s{k} ELSE 0.0 END)"
-                    for k in range(1, nb - 1)
-                    if pc_onehot[k - 1, p] != 0
-                ]
-                raw_cols.append(
-                    f"({' + '.join(terms) if terms else '0.0'}) AS cr{p}"
+            # HPCP-shaped fold (kernel.chroma_fold, harmonics=0):
+            # parabolic peak interpolation -> [lo,hi] Hz gate ->
+            # squared-cosine ENERGY fold around 12*log2(f/440) ->
+            # unit-max. Stable vs rfft only because the snapped twiddles
+            # keep the spectra within ~1e-15 (peak offsets p are bounded
+            # in [-0.5, 0.5] for true peaks, so the interpolation cannot
+            # amplify that noise; the d<=window gate is harmless to flip
+            # — the weight is 0 at the boundary).
+            import math
+
+            from .constants import (
+                CHROMA_MAX_FREQ,
+                CHROMA_MIN_FREQ,
+                CHROMA_REF_FREQ,
+                CHROMA_WINDOW_SEMITONES,
+                N_CHROMA,
+            )
+
+            lo_f, hi_f = chroma_band or (CHROMA_MIN_FREQ, CHROMA_MAX_FREQ)
+            step = sample_rate / frame_length
+            whp = math.pi / 2.0 / CHROMA_WINDOW_SEMITONES
+            pk_cols = []
+            for k in range(1, nb - 1):
+                pk_cols.append(
+                    f"(CASE WHEN (s{k - 1} - 2.0*s{k} + s{k + 1}) = 0 THEN 0.0 "
+                    f"ELSE 0.5*(s{k - 1} - s{k + 1})/(s{k - 1} - 2.0*s{k} + s{k + 1}) "
+                    f"END) AS po{k}"
                 )
             ctes.append(
-                f"ch AS MATERIALIZED (SELECT *, {', '.join(raw_cols)} "
+                f"cp AS MATERIALIZED (SELECT *, {', '.join(pk_cols)} "
                 f"FROM {last_cte})"
             )
-            last_cte = "ch"
+            en_cols = []
+            for k in range(1, nb - 1):
+                fq = f"(({k}.0 + po{k}) * {float(step)!r})"
+                mg = f"(s{k} - 0.25*(s{k - 1} - s{k + 1})*po{k})"
+                en_cols.append(
+                    f"(CASE WHEN s{k} > s{k - 1} AND s{k} >= s{k + 1} "
+                    f"AND s{k} > 1e-10 AND {fq} >= {float(lo_f)!r} "
+                    f"AND {fq} <= {float(hi_f)!r} AND {fq} > 0 "
+                    f"THEN {mg}*{mg} ELSE 0.0 END) AS en{k}"
+                )
+                en_cols.append(
+                    f"(CASE WHEN {fq} > 0 THEN "
+                    f"((((12.0*log2({fq}/{float(CHROMA_REF_FREQ)!r})) % 12.0)"
+                    " + 12.0) % 12.0) "
+                    f"ELSE 0.0 END) AS sm{k}"
+                )
+            ctes.append(
+                f"ce AS MATERIALIZED (SELECT *, {', '.join(en_cols)} FROM cp)"
+            )
+            raw_cols = []
+            for p in range(N_CHROMA):
+                terms = []
+                for k in range(1, nb - 1):
+                    d = f"least(abs(sm{k} - {p}.0), 12.0 - abs(sm{k} - {p}.0))"
+                    terms.append(
+                        f"(en{k} * (CASE WHEN {d} <= "
+                        f"{float(CHROMA_WINDOW_SEMITONES)!r} "
+                        f"THEN pow(cos({whp!r} * {d}), 2) ELSE 0.0 END))"
+                    )
+                raw_cols.append(f"({' + '.join(terms)}) AS cr{p}")
+            ctes.append(
+                f"ch AS MATERIALIZED (SELECT *, {', '.join(raw_cols)} FROM ce)"
+            )
             cmax = (
                 "greatest("
-                + ", ".join(f"cr{p}" for p in range(pc_onehot.shape[1]))
+                + ", ".join(f"cr{p}" for p in range(N_CHROMA))
                 + ")"
             )
             ctes.append(
                 f"chm AS MATERIALIZED (SELECT *, {cmax} AS cmax FROM ch)"
             )
             last_cte = "chm"
-            for p in range(pc_onehot.shape[1]):
+            for p in range(N_CHROMA):
                 out_cols.append(
                     nullable(
                         f"round(CASE WHEN cmax > 0 THEN cr{p}/cmax "

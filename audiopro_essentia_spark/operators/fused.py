@@ -62,6 +62,7 @@ def fused_frame_features(
     n_mels: int | None = None,
     with_timestamps: bool = True,
     validate: bool = False,
+    chroma_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """sequences(doc_id, tokens[, base_ts]) -> frame feature rows.
 
@@ -171,6 +172,7 @@ def fused_frame_features(
                 res = _kernel_batch(
                     chunk_windows(lo, hi),
                     frame_length, sample_rate, token_scale, feats, nm,
+                    chroma_band,
                 )
                 fi = fidx[lo:hi]
                 start = (

@@ -35,6 +35,11 @@ from pyspark.sql.functions import pandas_udf
 
 from ..constants import (
     ALL_FRAME_FEATURES,
+    CHROMA_HARMONICS,
+    CHROMA_MAX_FREQ,
+    CHROMA_MIN_FREQ,
+    CHROMA_REF_FREQ,
+    CHROMA_WINDOW_SEMITONES,
     EPS,
     FRAME_LENGTH,
     FREQUENCY_BANDS,
@@ -75,12 +80,6 @@ def _consts(frame_length: int, sample_rate: int, n_mels: int):
     dct[0] *= np.sqrt(1.0 / n_mels)
     dct[1:] *= np.sqrt(2.0 / n_mels)
 
-    # pitch-class one-hot for interior bins (chroma fold)
-    interior = freqs[1:-1]
-    pc = (np.round(12.0 * np.log2(interior / 440.0)).astype(np.int64)) % 12
-    pc_onehot = np.zeros((len(interior), N_CHROMA), dtype=np.float64)
-    pc_onehot[np.arange(len(interior)), pc] = 1.0
-
     f32 = freqs.astype(np.float32)
     band_idx = {
         name: (
@@ -89,11 +88,69 @@ def _consts(frame_length: int, sample_rate: int, n_mels: int):
         )
         for name, (lo_, hi_) in FREQUENCY_BANDS.items()
     }
-    c = dict(
-        hann=hann, freqs=freqs, fb=fb, dct=dct, pc_onehot=pc_onehot, band_idx=band_idx
-    )
+    c = dict(hann=hann, freqs=freqs, fb=fb, dct=dct, band_idx=band_idx)
     _CONST_CACHE[key] = c
     return c
+
+
+def chroma_fold(
+    spec: np.ndarray,
+    sample_rate: int,
+    frame_length: int,
+    chroma_band: tuple[float, float] | None = None,
+    harmonics: int = CHROMA_HARMONICS,
+) -> np.ndarray:
+    """HPCP-shaped chroma over a (B, n_bins) magnitude-spectrum batch —
+    re-spec of es.SpectralPeaks -> es.HPCP at their defaults (reference
+    processors.py:85-88,251-260; bit parity with Essentia is impossible
+    here, the algorithm below is the pinned spec and the DuckDB twin
+    mirrors it term-for-term):
+
+    1. peaks: interior local maxima (strict left, >= right, > 1e-10);
+    2. parabolic interpolation (the standard 3-point vertex): with
+       u=b-a>0, v=b-c>=0 the offset p = 0.5*(u-v)/(u+v) is always in
+       [-0.5, 0.5]; f = (k+p)*sr/F, magnitude m = b - 0.25*(a-c)*p;
+    3. frequency gate [chroma_band] (es.HPCP min/maxFrequency —
+       defaults 40..5000 Hz);
+    4. fold ENERGY m^2 onto every pitch class within
+       CHROMA_WINDOW_SEMITONES of s = 12*log2(f/440), weighted
+       cos^2(pi/2 * d/window) (es.HPCP squaredCosine); each harmonic
+       n=2..harmonics+1 re-folds at s_n = 12*log2(f/(n*440)) with energy
+       m^2/n (re-spec: the reference runs harmonics=0);
+    5. unit-max normalize (es.HPCP normalized='unitMax').
+
+    The 12-class loop keeps temporaries 2-D (B x n_interior) — a
+    (B, nI, 12) broadcast is ~75 MB per 256-chunk at F=2048."""
+    lo_f, hi_f = chroma_band or (CHROMA_MIN_FREQ, CHROMA_MAX_FREQ)
+    a, b, c2 = spec[:, :-2], spec[:, 1:-1], spec[:, 2:]
+    peaks = (b > a) & (b >= c2) & (b > 1e-10)
+    denom = a - 2.0 * b + c2  # = -(u+v) < 0 strictly for any true peak
+    p = np.where(
+        denom == 0.0, 0.0, 0.5 * (a - c2) / np.where(denom == 0.0, 1.0, denom)
+    )
+    step = sample_rate / frame_length
+    kk = np.arange(1, spec.shape[1] - 1, dtype=np.float64)[None, :]
+    fpk = (kk + p) * step
+    mpk = b - 0.25 * (a - c2) * p
+    sel = peaks & (fpk >= lo_f) & (fpk <= hi_f) & (fpk > 0)
+    energy0 = np.where(sel, mpk * mpk, 0.0)
+    w_half_pi = np.pi / 2.0 / CHROMA_WINDOW_SEMITONES
+    chroma = np.zeros((spec.shape[0], N_CHROMA), dtype=np.float64)
+    for n in range(1, max(harmonics, 0) + 2):
+        st = 12.0 * np.log2(
+            np.where(fpk > 0, fpk, 1.0) / (n * CHROMA_REF_FREQ)
+        )
+        smod = np.mod(st, 12.0)
+        energy = energy0 / float(n)
+        for pc in range(N_CHROMA):
+            d = np.abs(smod - float(pc))
+            d = np.minimum(d, 12.0 - d)
+            w = np.where(
+                d <= CHROMA_WINDOW_SEMITONES, np.cos(w_half_pi * d) ** 2, 0.0
+            )
+            chroma[:, pc] += (energy * w).sum(axis=1)
+    m = chroma.max(axis=1, keepdims=True)
+    return np.where(m > 0, chroma / np.where(m == 0, 1, m), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -110,6 +167,7 @@ def _kernel_batch(
     token_scale: float,
     features: tuple[str, ...],
     n_mels: int,
+    chroma_band: tuple[float, float] | None = None,
 ) -> dict[str, np.ndarray]:
     """Compute requested features for a (B, F) int window batch."""
     c = _consts(frame_length, sample_rate, n_mels)
@@ -171,15 +229,9 @@ def _kernel_batch(
             mel_e = spec @ c["fb"].T
             out["mfcc"] = list(np.log(mel_e + EPS) @ c["dct"].T)
         if "chroma" in fset:
-            interior = spec[:, 1:-1]
-            peaks = (
-                (interior > spec[:, :-2])
-                & (interior >= spec[:, 2:])
-                & (interior > 1e-10)
+            out["chroma"] = list(
+                chroma_fold(spec, sample_rate, frame_length, chroma_band)
             )
-            chroma = (interior * peaks) @ c["pc_onehot"]
-            m = chroma.max(axis=1, keepdims=True)
-            out["chroma"] = list(np.where(m > 0, chroma / np.where(m == 0, 1, m), 0.0))
         for name in BAND_NAMES:
             if "frequency_bands" in fset:
                 li, hi = c["band_idx"][name]
@@ -202,16 +254,19 @@ def _kernel_batch_chunked(
     token_scale: float,
     features: tuple[str, ...],
     n_mels: int,
+    chroma_band: tuple[float, float] | None = None,
 ) -> dict[str, np.ndarray]:
     """_kernel_batch in cache-sized chunks, results concatenated."""
     if len(wins) <= KERNEL_CHUNK:
         return _kernel_batch(
-            wins, frame_length, sample_rate, token_scale, features, n_mels
+            wins, frame_length, sample_rate, token_scale, features, n_mels,
+            chroma_band,
         )
     parts = [
         _kernel_batch(
             wins[lo : lo + KERNEL_CHUNK],
             frame_length, sample_rate, token_scale, features, n_mels,
+            chroma_band,
         )
         for lo in range(0, len(wins), KERNEL_CHUNK)
     ]
@@ -244,11 +299,13 @@ def make_frame_kernel(
     features: tuple[str, ...] | None = None,
     token_scale: float = TOKEN_SCALE,
     n_mels: int | None = None,
+    chroma_band: tuple[float, float] | None = None,
 ):
     """Build the fused pandas UDF: window array<int> -> struct of features.
 
     `features=None` means all (the reference computes volume by default even
-    with no config — processors.py:171-172)."""
+    with no config — processors.py:171-172). `chroma_band=None` means the
+    reference HPCP gate (40..5000 Hz)."""
     feats = tuple(features) if features else ALL_FRAME_FEATURES
     nm = n_mels or min(N_MELS, max(2, frame_length // 2 - 1))
     fields = kernel_output_fields(feats)
@@ -262,7 +319,7 @@ def make_frame_kernel(
             return pd.DataFrame({n: pd.Series(dtype=object) for n, _ in fields})
         W = np.stack(wins.to_numpy())
         res = _kernel_batch_chunked(
-            W, frame_length, sample_rate, token_scale, feats, nm
+            W, frame_length, sample_rate, token_scale, feats, nm, chroma_band
         )
         return pd.DataFrame(mask_kernel_outputs(res, fields, len(wins)))
 
@@ -320,12 +377,13 @@ def with_frame_features(
     window_col: str = "window",
     keep_window: bool = False,
     n_mels: int | None = None,
+    chroma_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Apply the fused kernel and flatten its struct into columns; re-nest
     `frequency_bands` as a struct<sub_bass..treble> (reference
     types.py:134-140)."""
     udf, feats = make_frame_kernel(
-        frame_length, sample_rate, features, token_scale, n_mels
+        frame_length, sample_rate, features, token_scale, n_mels, chroma_band
     )
     out = frames.withColumn("_feat", udf(F.col(window_col)))
     keep = [c for c in frames.columns if keep_window or c != window_col]

@@ -141,10 +141,46 @@ def _dct_matrix(n_out: int, n_in: int) -> np.ndarray:
     return m
 
 
-def _chroma_pc(freq: float) -> int:
-    """Pitch class of a frequency (A440 reference), our re-spec of HPCP
-    folding (processors.py:251-260)."""
-    return int(np.round(12.0 * np.log2(freq / 440.0))) % 12
+def _chroma_hpcp(
+    spec: np.ndarray,
+    sample_rate: int,
+    frame_length: int,
+    chroma_band: tuple[float, float] | None = None,
+) -> np.ndarray:
+    """Scalar (one-frame, plain-loop) form of the HPCP-shaped chroma fold
+    — independent of the batched kernel (kernel.chroma_fold), same pinned
+    spec: parabolic peak interpolation -> [40,5000] Hz gate -> squared-
+    cosine energy fold around 12*log2(f/440) -> unit-max. Re-spec of
+    es.SpectralPeaks + es.HPCP defaults (processors.py:85-88,251-260)."""
+    from .constants import (
+        CHROMA_MAX_FREQ,
+        CHROMA_MIN_FREQ,
+        CHROMA_REF_FREQ,
+        CHROMA_WINDOW_SEMITONES,
+    )
+
+    lo_f, hi_f = chroma_band or (CHROMA_MIN_FREQ, CHROMA_MAX_FREQ)
+    step = sample_rate / frame_length
+    chroma = np.zeros(N_CHROMA, dtype=np.float64)
+    for i in range(1, len(spec) - 1):
+        a, b, c = float(spec[i - 1]), float(spec[i]), float(spec[i + 1])
+        if not (b > a and b >= c and b > 1e-10):
+            continue
+        denom = a - 2.0 * b + c
+        p = 0.0 if denom == 0.0 else 0.5 * (a - c) / denom
+        f = (i + p) * step
+        m = b - 0.25 * (a - c) * p
+        if not (lo_f <= f <= hi_f and f > 0):
+            continue
+        s = np.mod(12.0 * np.log2(f / CHROMA_REF_FREQ), 12.0)
+        for pc in range(N_CHROMA):
+            d = abs(s - pc)
+            d = min(d, 12.0 - d)
+            if d <= CHROMA_WINDOW_SEMITONES:
+                w = np.cos(np.pi / 2.0 * d / CHROMA_WINDOW_SEMITONES) ** 2
+                chroma[pc] += w * m * m
+    mx = chroma.max()
+    return chroma / mx if mx > 0 else chroma
 
 
 def frame_features(
@@ -153,6 +189,7 @@ def frame_features(
     frame_length: int | None = None,
     token_scale: float = TOKEN_SCALE,
     n_mels: int | None = None,
+    chroma_band: tuple[float, float] | None = None,
 ) -> dict | None:
     """All per-frame features for one token window.
 
@@ -212,15 +249,10 @@ def frame_features(
     mel_e = _mel_fb(nm, len(spec), sample_rate) @ spec
     mfcc = (_dct_matrix(N_MFCC, nm) @ np.log(mel_e + EPS)).astype(np.float64)
 
-    # chroma (12): local spectral peaks folded to pitch classes, unit-max
-    # normalized (re-spec of es.SpectralPeaks + es.HPCP :251-260)
-    chroma = np.zeros(N_CHROMA, dtype=np.float64)
-    for i in range(1, len(spec) - 1):
-        if spec[i] > spec[i - 1] and spec[i] >= spec[i + 1] and spec[i] > 1e-10:
-            chroma[_chroma_pc(freqs[i])] += spec[i]
-    m = chroma.max()
-    if m > 0:
-        chroma = chroma / m
+    # chroma (12): HPCP-shaped fold — interpolated peaks, freq gate,
+    # squared-cosine energy weighting (re-spec of es.SpectralPeaks +
+    # es.HPCP :251-260)
+    chroma = _chroma_hpcp(spec, sample_rate, F, chroma_band)
 
     # frequency bands: mean magnitude within [low, high) using searchsorted
     # left/right (processors.py:60-71), 0.0 for empty bands

@@ -67,6 +67,91 @@ def test_full_parity_every_frame(features_df, oracle_map):
             ), (b, row.doc_id, row.frame_idx)
 
 
+def _parab_triple(M, alpha, p0):
+    """Spectrum triple (a, b, c) of the parabola with vertex (p0, M):
+    parabolic interpolation must recover p0 and M EXACTLY."""
+    return (
+        M - alpha * (1 + p0) ** 2,
+        M - alpha * p0**2,
+        M - alpha * (1 - p0) ** 2,
+    )
+
+
+def test_chroma_hpcp_interpolated_fold_two_tone():
+    """Numpy golden for the HPCP-shaped fold (VERDICT r2 item 4) on a
+    synthetic two-peak spectrum at the PRODUCTION geometry:
+    - parabolic interpolation recovers the vertex exactly, and the
+      recovered (not bin-center) frequency decides the pitch class:
+      bin 25 (538.3 Hz -> pc 3) with vertex offset +0.45 (543.1 Hz)
+      must fold dominantly onto pc 4;
+    - the squared-cosine split between the two straddled classes matches
+      the closed form (weights sum to 1 at windowSize=1);
+    - the 40-5000 Hz default gate excludes a LOUDER 6008 Hz peak, which
+      takes over under a full-range chroma_band."""
+    from audiopro_essentia_spark.operators.kernel import chroma_fold
+
+    SR, F = 44100, 2048
+    step = SR / F
+    k0, p0, M = 25, 0.45, 3.0
+    k1, M1 = 279, 50.0  # 279 * 21.53 = 6008 Hz > 5000 -> gated off
+    spec = np.zeros((1, F // 2 + 1))
+    spec[0, k0 - 1 : k0 + 2] = _parab_triple(M, 1.0, p0)
+    spec[0, k1 - 1 : k1 + 2] = _parab_triple(M1, 1.0, 0.0)
+    got = chroma_fold(spec, SR, F)[0]
+
+    s = np.mod(12.0 * np.log2((k0 + p0) * step / 440.0), 12.0)  # 3.801
+    lo_pc, frac = int(np.floor(s)), s - np.floor(s)
+    w_lo = np.cos(np.pi / 2.0 * frac) ** 2
+    w_hi = np.cos(np.pi / 2.0 * (1.0 - frac)) ** 2
+    assert int(np.argmax(got)) == lo_pc + 1 == 4  # interpolated class wins
+    exp = np.zeros(12)
+    exp[lo_pc], exp[lo_pc + 1] = w_lo * M * M, w_hi * M * M
+    exp /= exp.max()
+    assert np.allclose(got, exp, rtol=1e-9, atol=1e-12)
+    # bin-CENTER class (3) must NOT be the argmax — interpolation matters
+    assert got[3] < got[4]
+
+    full = chroma_fold(spec, SR, F, chroma_band=(0.0, SR / 2.0))[0]
+    s1 = np.mod(12.0 * np.log2(k1 * step / 440.0), 12.0)
+    assert int(np.argmax(full)) == int(np.round(s1)) % 12
+    assert full.max() == 1.0
+
+
+def test_chroma_hpcp_harmonics_subfold():
+    """harmonics=h re-folds each peak at f/1..f/(h+1) with energy/n
+    (re-spec; the reference runs the es.HPCP default harmonics=0).
+    h=1 only adds f/2 — one octave down, the SAME pitch class — so the
+    normalized fold is invariant; h=2 adds f/3 (octave+fifth down),
+    which must light the class a fifth below at energy/3."""
+    from audiopro_essentia_spark.operators.kernel import chroma_fold
+
+    SR, F = 44100, 2048
+    step = SR / F
+    k0 = int(round(880.0 / step))  # bin 41 -> 882.8 Hz -> pc 0 (A-ish)
+    spec = np.zeros((1, F // 2 + 1))
+    spec[0, k0 - 1 : k0 + 2] = _parab_triple(4.0, 1.0, 0.0)
+    plain = chroma_fold(spec, SR, F, harmonics=0)[0]
+    octave = chroma_fold(spec, SR, F, harmonics=1)[0]
+    assert np.allclose(plain, octave)  # f/2 folds onto the same class
+
+    fifth = chroma_fold(spec, SR, F, harmonics=2)[0]
+    s1 = np.mod(12.0 * np.log2(k0 * step / 440.0), 12.0)
+    p_main = int(np.round(s1)) % 12
+    s3 = np.mod(s1 - 12.0 * np.log2(3.0), 12.0)  # ~7.02 below, mod 12
+    assert int(np.argmax(fifth)) == p_main
+    # closed form: max class holds cos^2(d_main)-weighted M^2*(1 + 1/2)
+    # (f and f/2 stack); each sub class gets its cos^2 share of M^2/3
+    d_main = min(abs(s1 - p_main), 12.0 - abs(s1 - p_main))
+    w_main = np.cos(np.pi / 2.0 * d_main) ** 2
+    for pc in (int(np.floor(s3)), (int(np.floor(s3)) + 1) % 12):
+        d = abs(s3 - pc)
+        d = min(d, 12.0 - d)
+        w = np.cos(np.pi / 2.0 * d) ** 2 if d <= 1.0 else 0.0
+        exp = (w / 3.0) / (1.5 * w_main)
+        assert np.isclose(fifth[pc % 12], exp, rtol=1e-9), (pc, exp)
+        assert plain[pc % 12] == 0.0
+
+
 def test_silence_doc_volume_floor(features_df):
     """All-zero doc: rms=0, volume=20*log10(eps) (processors.py:167-177);
     spectral features NULL (zero spectrum dropped in reference)."""
