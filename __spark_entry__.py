@@ -956,9 +956,11 @@ def q_spectral_contrast(spark, sf_dir):
 
 
 def q_rhythm(spark, sf_dir):
-    """A16: beat/tempo extraction over derived tokens, digested to
-    (tempo, n_beats, beats_sum) and hash-checked against a generated DuckDB
-    twin of detect_beats (duck_twins.rhythm_sql)."""
+    """A16: beat/tempo extraction over derived tokens — autocorrelation
+    tempo induction + tempo-constrained peak keep + median re-estimation
+    — digested to (tempo, tempo_acf, n_beats, beats_sum) and hash-checked
+    against a generated DuckDB twin of detect_beats
+    (duck_twins.rhythm_sql; the acf argmax is exact, see rhythm.py)."""
     from audiopro_essentia_spark.operators.rhythm import extract_rhythm
 
     toks = _docs_tokens(spark, sf_dir).select(
@@ -972,6 +974,7 @@ def q_rhythm(spark, sf_dir):
     return out.select(
         "doc_id",
         F.round("tempo", 6).alias("tempo"),
+        F.round("tempo_acf", 6).alias("tempo_acf"),
         F.col("n_beats").cast("int").alias("n_beats"),
         F.round(beats_sum, 6).alias("beats_sum"),
     )

@@ -474,10 +474,16 @@ def rhythm_sql(
     sample_rate: int,
     token_scale: float,
     min_sep: int = 4,
+    lag_min: int = 2,
+    lag_max: int = 64,
 ) -> str:
-    """DuckDB twin of extract_rhythm's (tempo, n_beats, beats_sum) digest.
-    Energy/flux arithmetic is exact (see module docstring); the greedy
-    min-separation peak keep is a list_reduce over singleton lists."""
+    """DuckDB twin of extract_rhythm's (tempo, tempo_acf, n_beats,
+    beats_sum) digest. Energy / flux / autocorrelation arithmetic is
+    exact (rhythm.py module docstring), so the induced period T* —
+    list_position of the max autocorrelation, i.e. numpy argmax's
+    first-max rule — is deterministic; the tempo-constrained greedy keep
+    (separation >= max(min_sep, T*//2)) is a list_reduce over singleton
+    lists."""
     F, H = frame_length, hop
     return f"""
 WITH {toks_cte()},
@@ -494,25 +500,38 @@ fx AS (SELECT doc_id, len(energy) AS nf,
   FROM e),
 st AS (SELECT doc_id, nf, flux, list_sum(flux)/nf AS mu, list_max(flux) AS fmax
   FROM fx WHERE nf > 0),
-th AS (SELECT *, mu + 0.5*sqrt(list_sum(list_transform(flux, f -> (f-mu)*(f-mu)))/nf) AS thresh
+ac AS (SELECT *, CASE WHEN fmax <= 0 OR least({lag_max}, nf - 1) < {lag_min}
+    THEN [] ELSE
+      list_transform(generate_series({lag_min}, least({lag_max}, nf - 1)),
+        L -> list_sum(list_transform(generate_series(1, nf - L),
+               i -> flux[i] * flux[i + L])))
+    END AS acr
   FROM st),
-pk AS (SELECT doc_id,
+tp AS (SELECT *, CASE WHEN len(acr) > 0 AND list_max(acr) > 0
+    THEN {lag_min} + list_position(acr, list_max(acr)) - 1 ELSE 0
+    END AS tstar
+  FROM ac),
+th AS (SELECT *,
+    mu + 0.5*sqrt(list_sum(list_transform(flux, f -> (f-mu)*(f-mu)))/nf) AS thresh,
+    greatest({min_sep}, tstar // 2) AS sep
+  FROM tp),
+pk AS (SELECT doc_id, tstar, sep,
     CASE WHEN fmax <= 0 THEN [] ELSE
       list_filter(generate_series(2, nf-1),
         i -> flux[i] > flux[i-1] AND flux[i] >= flux[i+1] AND flux[i] > thresh)
     END AS peaks
   FROM th),
-kp AS (SELECT doc_id,
+kp AS (SELECT doc_id, tstar,
     CASE WHEN len(peaks) = 0 THEN []
     ELSE list_reduce(list_transform(peaks, p -> [p - 1]),
-           (acc, x) -> CASE WHEN x[1] - acc[len(acc)] >= {min_sep}
+           (acc, x) -> CASE WHEN x[1] - acc[len(acc)] >= sep
                        THEN list_append(acc, x[1]) ELSE acc END)
     END AS kept
   FROM pk),
-bt AS (SELECT doc_id,
+bt AS (SELECT doc_id, tstar,
     list_transform(kept, p -> (CAST(p AS DOUBLE)*{float(H)!r})/{float(sample_rate)!r}) AS beats
   FROM kp),
-res AS (SELECT doc_id, beats, len(beats) AS n_beats,
+res AS (SELECT doc_id, tstar, beats, len(beats) AS n_beats,
     CASE WHEN len(beats) > 1 THEN
       list_aggregate(list_transform(generate_series(2, len(beats)),
                      i -> beats[i]-beats[i-1]), 'median')
@@ -520,6 +539,8 @@ res AS (SELECT doc_id, beats, len(beats) AS n_beats,
   FROM bt)
 SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
   round(CASE WHEN r.n_beats > 1 AND r.med > 0 THEN 60.0/r.med ELSE 0.0 END, 6) AS tempo,
+  round(CASE WHEN r.tstar > 0
+        THEN 60.0*{float(sample_rate)!r}/(r.tstar*{float(H)!r}) ELSE 0.0 END, 6) AS tempo_acf,
   CAST(COALESCE(r.n_beats, 0) AS INT) AS n_beats,
   round(COALESCE(list_sum(r.beats), 0.0), 6) AS beats_sum
 FROM documents d LEFT JOIN res r ON d.doc_id = r.doc_id

@@ -10,11 +10,25 @@ re-specification of multi-feature beat tracking over a token signal:
 
   1. frame the scaled signal (F=2048, H=512) and compute per-frame energy;
   2. onset envelope = positive energy flux (diff clipped at 0);
-  3. beats = local maxima of the envelope above mean + 0.5*std,
-     separated by >= 4 frames;
-  4. beat times in seconds; tempo = 60/median(diff(beats)) when >1 beat
-     (exactly the reference's re-estimation, utils/audio.py:82-89),
-     else 0.0 (controller.py:179-184).
+  3. TEMPO INDUCTION (the multifeature-shaped stage RhythmExtractor2013
+     runs as its periodicity estimation): raw autocorrelation of the
+     onset envelope over lags [lag_min, lag_max]; the induced period
+     T* = argmax lag (smallest lag on ties). The envelope values are
+     exact binary rationals (see below), so the argmax is deterministic
+     and engine-independent;
+  4. TEMPO-CONSTRAINED beat picking: local maxima of the envelope above
+     mean + 0.5*std, greedily kept with separation
+     >= max(min_sep_frames, T* // 2) — the induced period vetoes
+     off-beat double-fires instead of a fixed gap doing it;
+  5. beat times in seconds; tempo_acf = 60*sr/(T**hop); final tempo =
+     60/median(diff(beats)) when >1 beat (exactly the reference's
+     re-estimation, utils/audio.py:82-89), else 0.0
+     (controller.py:179-184).
+
+Exactness note (why the DuckDB twin can hash-match): energies, fluxes,
+and autocorrelation terms are sums/products of rationals with
+power-of-two denominators whose numerators stay far below 2^52, so every
+engine computes bit-identical values in ANY summation order.
 
 The same algorithm exists in the numpy oracle (oracle_rhythm) for parity
 tests. Per-doc state never crosses docs — one shuffle on doc_id, then pure
@@ -30,7 +44,8 @@ from pyspark.sql import DataFrame
 from ..constants import FRAME_LENGTH, HOP_LENGTH, SAMPLE_RATE, TOKEN_SCALE
 
 OUT_SCHEMA = (
-    "doc_id string, tempo double, n_beats int, beats array<double>"
+    "doc_id string, tempo double, tempo_acf double, n_beats int, "
+    "beats array<double>"
 )
 
 
@@ -41,20 +56,37 @@ def detect_beats(
     hop: int = HOP_LENGTH,
     token_scale: float = TOKEN_SCALE,
     min_sep_frames: int = 4,
-) -> tuple[float, np.ndarray]:
-    """Deterministic onset-based beat detection + median-interval tempo.
-    Shared by the Spark grouped-map UDF and the test oracle caller."""
+    lag_min: int = 2,
+    lag_max: int = 64,
+) -> tuple[float, float, np.ndarray]:
+    """Deterministic onset-based beat detection: autocorrelation tempo
+    induction over the onset envelope + tempo-constrained greedy peak
+    keep + median-interval re-estimation (module docstring has the full
+    pinned spec). Returns (tempo, tempo_acf, beat_times). Shared by the
+    Spark grouped-map UDF and the test oracle caller."""
     x = np.asarray(tokens, dtype=np.float32) / np.float32(token_scale)
     n = len(x) - (len(x) % 2)
     if n < frame_length:
-        return 0.0, np.empty(0, dtype=np.float64)
+        return 0.0, 0.0, np.empty(0, dtype=np.float64)
     nf = 1 + (n - frame_length) // hop
     idx = np.arange(nf)[:, None] * hop + np.arange(frame_length)[None, :]
     frames = x[:n][idx]
     energy = (frames.astype(np.float64) ** 2).mean(axis=1)
     flux = np.clip(np.diff(energy, prepend=energy[0]), 0.0, None)
     if flux.max() <= 0:
-        return 0.0, np.empty(0, dtype=np.float64)
+        return 0.0, 0.0, np.empty(0, dtype=np.float64)
+    # tempo induction: raw autocorrelation of the envelope; smallest lag
+    # wins ties (np.argmax's first-max rule == DuckDB list_position)
+    hi = min(lag_max, nf - 1)
+    T = 0
+    if hi >= lag_min:
+        r = np.array(
+            [float(np.dot(flux[: nf - L], flux[L:])) for L in range(lag_min, hi + 1)]
+        )
+        if r.max() > 0:
+            T = lag_min + int(np.argmax(r))
+    tempo_acf = 60.0 * sample_rate / (T * hop) if T > 0 else 0.0
+    sep = max(min_sep_frames, T // 2)
     thresh = flux.mean() + 0.5 * flux.std()
     is_peak = np.zeros(nf, dtype=bool)
     is_peak[1:-1] = (
@@ -63,7 +95,7 @@ def detect_beats(
     peaks = np.flatnonzero(is_peak)
     beats: list[int] = []
     for p in peaks:
-        if not beats or p - beats[-1] >= min_sep_frames:
+        if not beats or p - beats[-1] >= sep:
             beats.append(int(p))
     beat_times = np.array(beats, dtype=np.float64) * hop / sample_rate
     if len(beat_times) > 1:
@@ -71,7 +103,7 @@ def detect_beats(
         tempo = 60.0 / med if med > 0 else 0.0
     else:
         tempo = 0.0
-    return tempo, beat_times
+    return tempo, tempo_acf, beat_times
 
 
 def extract_rhythm(
@@ -92,13 +124,16 @@ def extract_rhythm(
         for pdf in batches:
             out = []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-                tempo, beats = detect_beats(
+                tempo, tempo_acf, beats = detect_beats(
                     np.asarray(tokens, dtype=np.int64),
                     sample_rate, frame_length, hop, token_scale,
                 )
-                out.append((doc_id, tempo, len(beats), beats.tolist()))
+                out.append(
+                    (doc_id, tempo, tempo_acf, len(beats), beats.tolist())
+                )
             yield pd.DataFrame(
-                out, columns=["doc_id", "tempo", "n_beats", "beats"]
+                out,
+                columns=["doc_id", "tempo", "tempo_acf", "n_beats", "beats"],
             )
 
     return seqs.select("doc_id", "tokens").mapInPandas(gen, OUT_SCHEMA)
@@ -123,12 +158,20 @@ def extract_rhythm_chunked(
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_idx")
         toks = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
-        tempo, beats = detect_beats(
+        tempo, tempo_acf, beats = detect_beats(
             toks, sample_rate, frame_length, hop, token_scale
         )
         return pd.DataFrame(
-            [(pdf["doc_id"].iloc[0], tempo, len(beats), beats.tolist())],
-            columns=["doc_id", "tempo", "n_beats", "beats"],
+            [
+                (
+                    pdf["doc_id"].iloc[0],
+                    tempo,
+                    tempo_acf,
+                    len(beats),
+                    beats.tolist(),
+                )
+            ],
+            columns=["doc_id", "tempo", "tempo_acf", "n_beats", "beats"],
         )
 
     return (

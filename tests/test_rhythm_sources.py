@@ -23,9 +23,10 @@ def test_rhythm_grouped_map_matches_local(spark, tiny_seqs, tiny_table):
     tbl = tiny_table.to_pydict()
     checked = 0
     for doc_id, toks in zip(tbl["doc_id"], tbl["tokens"]):
-        tempo, beats = detect_beats(np.asarray(toks, dtype=np.int64))
+        tempo, tempo_acf, beats = detect_beats(np.asarray(toks, dtype=np.int64))
         r = got[doc_id]
         assert r.tempo == pytest.approx(tempo)
+        assert r.tempo_acf == pytest.approx(tempo_acf)
         assert r.n_beats == len(beats)
         assert np.allclose(r.beats, beats)
         if len(beats) > 1:
@@ -35,6 +36,37 @@ def test_rhythm_grouped_map_matches_local(spark, tiny_seqs, tiny_table):
                 oracle.tempo_from_boundaries(beats)
             )
     assert checked >= 1  # at least one doc with real beats
+
+
+def test_detect_beats_recovers_periodic_impulse_tempo():
+    """VERDICT r2 item 5 'done' gate: a synthetic doc with an impulse
+    every P frames must induce T* = P via the envelope autocorrelation —
+    tempo_acf == 60*sr/(P*hop) — and the tempo-constrained keep must
+    recover one beat per impulse, so the median re-estimated tempo
+    agrees."""
+    from audiopro_essentia_spark.constants import (
+        FRAME_LENGTH,
+        HOP_LENGTH,
+        SAMPLE_RATE,
+    )
+
+    P = 9  # impulse period in frames (not a multiple of min_sep to be sure)
+    n_frames = 80
+    toks = np.zeros(FRAME_LENGTH + (n_frames - 1) * HOP_LENGTH, dtype=np.int64)
+    # one-hop-wide bursts every P frames: frame energy spikes at those frames
+    for k in range(0, n_frames, P):
+        s = k * HOP_LENGTH
+        toks[s : s + HOP_LENGTH] = 40
+    tempo, tempo_acf, beats = detect_beats(toks)
+    assert tempo_acf == pytest.approx(60.0 * SAMPLE_RATE / (P * HOP_LENGTH))
+    # beats land once per impulse -> median interval = P frames
+    assert tempo == pytest.approx(60.0 * SAMPLE_RATE / (P * HOP_LENGTH))
+    assert len(beats) >= n_frames // P - 2
+    # off-period double-fires are vetoed by the induced period:
+    # min observed separation >= P//2 frames
+    if len(beats) > 1:
+        min_gap = np.diff(beats).min() * SAMPLE_RATE / HOP_LENGTH
+        assert min_gap >= P // 2
 
 
 def test_time_range_slice(spark, tiny_seqs):
