@@ -55,28 +55,31 @@ class CheckpointedWriter:
         key_col: str = "doc_id",
         fmt: str = "parquet",
         spark=None,
+        table: str | None = None,
     ):
         if fmt == "iceberg":
-            # production target: df.writeTo(table).append() gives snapshot
-            # lineage natively; this sandbox has no Iceberg runtime on the
-            # classpath, so fail loud instead of silently degrading
+            # production target: ONE writeTo(table).overwritePartitions()
+            # per write call (the Iceberg analog of the parquet facade's
+            # dynamic partition overwrite) with REAL snapshot-id lineage.
+            # Requires the runtime on the classpath (spark.jars.packages
+            # org.apache.iceberg:iceberg-spark-runtime-*) — exercised by
+            # the opt-in tests/test_iceberg_optin.py, which skips offline.
             if spark is None or not _iceberg_available(spark):
                 raise ValueError(
                     "fmt='iceberg' requires an Iceberg runtime on the "
                     "classpath; use the parquet facade (same commit/lineage "
                     "contract over partitioned parquet)"
                 )
-            raise NotImplementedError(
-                "Iceberg runtime detected but the writeTo path is not "
-                "wired in this build; use fmt='parquet'"
-            )
-        if fmt not in ("parquet", "json"):
+            if not table:
+                raise ValueError("fmt='iceberg' requires table='cat.db.tbl'")
+        elif fmt not in ("parquet", "json"):
             # format dispatch table analog — output_handler.py:22-25
             raise ValueError(f"unsupported format: {fmt}")
         self.out_dir = out_dir
         self.n_buckets = n_buckets
         self.key_col = key_col
         self.fmt = fmt
+        self.table = table
         self.data_dir = os.path.join(out_dir, "data")
         self.lineage_dir = os.path.join(out_dir, "_lineage")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -96,6 +99,7 @@ class CheckpointedWriter:
             "n_buckets": self.n_buckets,
             "key_col": self.key_col,
             "fmt": self.fmt,
+            "table": self.table,
         }
         if os.path.exists(meta_path):
             with open(meta_path) as fh:
@@ -130,6 +134,7 @@ class CheckpointedWriter:
             key_col=m["key_col"],
             fmt=m["fmt"],
             spark=spark,
+            table=m.get("table"),
         )
 
     def _recover_interrupted_compaction(self) -> None:
@@ -206,38 +211,62 @@ class CheckpointedWriter:
             bucketed.filter(~F.col("bucket").isin(*done)) if done else bucketed
         )
 
-        # clear UNCOMMITTED bucket dirs first: dynamic overwrite only
-        # touches partitions present in the new data, so a bucket that had
-        # stale data from a crashed/over-budget run but is EMPTY in the
-        # current df would otherwise keep (and then commit) the stale rows.
-        # Safe: no commit marker == invisible, so deletion preserves
-        # exactly-once. (Object-store deployments do this at the manifest
-        # level instead of rm-ing files.)
-        import shutil
-
-        for b in sorted(set(range(self.n_buckets)) - done):
-            d = os.path.join(self.data_dir, f"bucket={b}")
-            if os.path.isdir(d):
-                shutil.rmtree(d, ignore_errors=True)
-
-        # job 1: the only pass over the input — write every pending bucket
-        (
-            pending_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .format(self.fmt)
-            .save(self.data_dir)
-        )
-
-        # job 2: per-bucket metrics from the WRITTEN output (committed
-        # parquet/json; partition-pruned scan of only pending buckets)
         pending = sorted(set(range(self.n_buckets)) - done)
         spark = df.sparkSession
+        if self.fmt == "iceberg" and not pending:
+            back = None
+        elif self.fmt == "iceberg":
+            # manifest-level analog of the rm loop below: stale rows from a
+            # crashed/over-budget run live in UNCOMMITTED (no lineage
+            # marker -> invisible) partitions; delete them in one
+            # transaction, then ONE append commit writes every pending
+            # bucket. Snapshot-id lineage comes from the table itself.
+            if spark.catalog.tableExists(self.table):
+                spark.sql(
+                    f"DELETE FROM {self.table} WHERE bucket IN "
+                    f"({', '.join(str(b) for b in pending)})"
+                )
+                pending_df.writeTo(self.table).append()
+            else:
+                (
+                    pending_df.writeTo(self.table)
+                    .using("iceberg")
+                    .partitionedBy(F.col("bucket"))
+                    .create()
+                )
+            back = spark.table(self.table).filter(F.col("bucket").isin(pending))
+        else:
+            # clear UNCOMMITTED bucket dirs first: dynamic overwrite only
+            # touches partitions present in the new data, so a bucket that
+            # had stale data from a crashed/over-budget run but is EMPTY in
+            # the current df would otherwise keep (and then commit) the
+            # stale rows. Safe: no commit marker == invisible, so deletion
+            # preserves exactly-once.
+            import shutil
+
+            for b in pending:
+                d = os.path.join(self.data_dir, f"bucket={b}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+
+            # job 1: the only pass over the input — write every pending
+            # bucket
+            (
+                pending_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .format(self.fmt)
+                .save(self.data_dir)
+            )
+            back = self._read_buckets(spark, pending)
+
+        # job 2: per-bucket metrics from the WRITTEN output (committed
+        # table/parquet/json; partition-pruned scan of only pending
+        # buckets)
         metrics: dict[int, dict] = {
             b: {"row_count": 0, "error_count": 0, "error_categories": {}}
             for b in pending
         }
-        back = self._read_buckets(spark, pending)
         if back is not None:
             # JSON omits null fields (ignoreNullFields), so an all-null
             # error column is absent from the inferred read-back schema —
@@ -296,7 +325,14 @@ class CheckpointedWriter:
                     )
                 continue  # over-budget bucket stays UNCOMMITTED
             lineage = {
-                "snapshot_id": uuid.uuid4().hex,
+                # iceberg: the REAL table snapshot id of this write's
+                # append/create commit (shared by all buckets it wrote —
+                # one atomic commit); parquet/json facade: a synthetic id
+                "snapshot_id": (
+                    self._latest_snapshot_id(spark)
+                    if self.fmt == "iceberg"
+                    else uuid.uuid4().hex
+                ),
                 "bucket": b,
                 "row_count": m["row_count"],
                 "error_count": m["error_count"],
@@ -339,6 +375,12 @@ class CheckpointedWriter:
         import shutil
         import uuid as _uuid
 
+        if self.fmt == "iceberg":
+            raise NotImplementedError(
+                "iceberg tables compact via the engine's own "
+                "rewrite_data_files procedure (CALL "
+                "cat.system.rewrite_data_files(...)), not this file-swap"
+            )
         stats = {"compacted": [], "skipped": [], "files_before": 0, "files_after": 0}
         for b in sorted(self.committed_buckets()):
             bdir = os.path.join(self.data_dir, f"bucket={b}")
@@ -389,6 +431,15 @@ class CheckpointedWriter:
             stats["files_after"] += rec["files"]
         return stats
 
+    def _latest_snapshot_id(self, spark) -> str:
+        """Most recent Iceberg snapshot id of self.table (the commit the
+        current write just produced)."""
+        rows = spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(rows[0][0]) if rows else ""
+
     def _read_buckets(self, spark, buckets) -> DataFrame | None:
         """Read only the given buckets' directories (basePath keeps the
         bucket partition column). Missing dirs (empty buckets) skipped."""
@@ -408,6 +459,13 @@ class CheckpointedWriter:
     def read(self, spark) -> DataFrame:
         """Read the COMMITTED output only — data written for a bucket whose
         commit marker is missing (crash, over-budget skip) is invisible."""
+        if self.fmt == "iceberg":
+            done = sorted(self.committed_buckets())
+            if not done:
+                raise FileNotFoundError(
+                    f"no committed buckets for {self.table}"
+                )
+            return spark.table(self.table).filter(F.col("bucket").isin(done))
         out = self._read_buckets(spark, sorted(self.committed_buckets()))
         if out is None:
             raise FileNotFoundError(
