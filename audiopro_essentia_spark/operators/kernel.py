@@ -122,33 +122,71 @@ def chroma_fold(
     The 12-class loop keeps temporaries 2-D (B x n_interior) — a
     (B, nI, 12) broadcast is ~75 MB per 256-chunk at F=2048."""
     lo_f, hi_f = chroma_band or (CHROMA_MIN_FREQ, CHROMA_MAX_FREQ)
-    a, b, c2 = spec[:, :-2], spec[:, 1:-1], spec[:, 2:]
+    step = sample_rate / frame_length
+    # bin-range pre-prune: the interpolated offset p is bounded in
+    # [-0.5, 0.5], so a bin k can pass the [lo_f, hi_f] gate only when
+    # (k+0.5)*step >= lo_f and (k-0.5)*step <= hi_f. Out-of-range bins
+    # contribute EXACT zeros, so slicing them away is bit-identical —
+    # and under the production 40-5000 Hz gate it cuts the F=2048
+    # transcendental work ~4x (bins 1..233 of 1023).
+    n_int = spec.shape[1] - 2
+    k_lo = max(1, int(np.floor(lo_f / step - 0.5)))
+    k_hi = min(n_int, int(np.ceil(hi_f / step + 0.5)))
+    if k_hi < k_lo:
+        return np.zeros((spec.shape[0], N_CHROMA), dtype=np.float64)
+    a = spec[:, k_lo - 1 : k_hi]
+    b = spec[:, k_lo : k_hi + 1]
+    c2 = spec[:, k_lo + 1 : k_hi + 2]
     peaks = (b > a) & (b >= c2) & (b > 1e-10)
     denom = a - 2.0 * b + c2  # = -(u+v) < 0 strictly for any true peak
     p = np.where(
         denom == 0.0, 0.0, 0.5 * (a - c2) / np.where(denom == 0.0, 1.0, denom)
     )
-    step = sample_rate / frame_length
-    kk = np.arange(1, spec.shape[1] - 1, dtype=np.float64)[None, :]
+    kk = np.arange(k_lo, k_hi + 1, dtype=np.float64)[None, :]
     fpk = (kk + p) * step
     mpk = b - 0.25 * (a - c2) * p
     sel = peaks & (fpk >= lo_f) & (fpk <= hi_f) & (fpk > 0)
     energy0 = np.where(sel, mpk * mpk, 0.0)
     w_half_pi = np.pi / 2.0 / CHROMA_WINDOW_SEMITONES
-    chroma = np.zeros((spec.shape[0], N_CHROMA), dtype=np.float64)
+    B = spec.shape[0]
+    chroma = np.zeros((B, N_CHROMA), dtype=np.float64)
+    two_class = CHROMA_WINDOW_SEMITONES == 1.0
+    row_key = np.arange(B, dtype=np.int64)[:, None] * N_CHROMA
     for n in range(1, max(harmonics, 0) + 2):
         st = 12.0 * np.log2(
             np.where(fpk > 0, fpk, 1.0) / (n * CHROMA_REF_FREQ)
         )
         smod = np.mod(st, 12.0)
         energy = energy0 / float(n)
-        for pc in range(N_CHROMA):
-            d = np.abs(smod - float(pc))
-            d = np.minimum(d, 12.0 - d)
-            w = np.where(
-                d <= CHROMA_WINDOW_SEMITONES, np.cos(w_half_pi * d) ** 2, 0.0
-            )
-            chroma[:, pc] += (energy * w).sum(axis=1)
+        if two_class:
+            # windowSize=1: a peak reaches EXACTLY the two classes
+            # straddling smod (d to any other class > 1, and the weight
+            # at d==1 is cos^2(pi/2) ~ 1e-33 — sub-round-6 in all cases,
+            # incl. the fp edge smod==12.0). Same d/cos expressions as
+            # the generic branch, scattered with two bincounts instead
+            # of a 12-pass loop — ~12x less transcendental work; this
+            # IS the kernel's hot path at F=2048 (113 ms of a 167 ms
+            # chunk before, ~10 ms after).
+            lo = np.minimum(np.floor(smod), 11.0)
+            hi_f = np.where(lo >= 11.0, 0.0, lo + 1.0)
+            for pc_f in (lo, hi_f):
+                d = np.abs(smod - pc_f)
+                d = np.minimum(d, 12.0 - d)
+                w = np.cos(w_half_pi * d) ** 2
+                keys = (row_key + pc_f.astype(np.int64)).ravel()
+                chroma += np.bincount(
+                    keys, weights=(energy * w).ravel(), minlength=B * N_CHROMA
+                ).reshape(B, N_CHROMA)
+        else:
+            for pc in range(N_CHROMA):
+                d = np.abs(smod - float(pc))
+                d = np.minimum(d, 12.0 - d)
+                w = np.where(
+                    d <= CHROMA_WINDOW_SEMITONES,
+                    np.cos(w_half_pi * d) ** 2,
+                    0.0,
+                )
+                chroma[:, pc] += (energy * w).sum(axis=1)
     m = chroma.max(axis=1, keepdims=True)
     return np.where(m > 0, chroma / np.where(m == 0, 1, m), 0.0)
 
