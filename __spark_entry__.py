@@ -41,9 +41,16 @@ from audiopro_essentia_spark.operators.temporal import (  # noqa: E402
 )
 
 from audiopro_essentia_spark import duck_twins as DT  # noqa: E402
+from audiopro_essentia_spark.functions.text import classifier_weights  # noqa: E402
 
 # driver-scale framing params (token arrays here are ~30-90 words long)
 DF_, DH_ = 8, 3
+# hashed linear classifier (quality_classifier): dim + f64 weight literals
+# shared verbatim between the Spark expression and its DuckDB twin
+CLF_DIM = 64
+DT_CLF_WEIGHTS = (
+    "[" + ",".join(f"CAST({w!r} AS DOUBLE)" for w in classifier_weights()) + "]"
+)
 # kernel-surface framing params (FFT features; 9 rfft bins, 7 mels)
 KF_, KH_, KSR_, KSCALE_ = 16, 4, 44100, 64.0
 GEO_REP_ = 64  # token-array replication for the F=2048 full-geometry query
@@ -707,6 +714,69 @@ def q_surprisal(spark, sf_dir):
     )
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    """Quality: self-trained add-alpha BIGRAM LM surprisal — the next
+    rung toward KenLM perplexity filtering, all linear shuffles
+    (operators/tfidf.py bigram_surprisal)."""
+    from audiopro_essentia_spark.operators.tfidf import bigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_bigrams",
+        "avg_logloss",
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Quality: fasttext-SHAPED hashed-bag-of-words linear classifier ->
+    sigmoid, one narrow JVM expression (functions/text.py
+    quality_classifier_score; seeded stand-in weights, swap real ones at
+    deploy)."""
+    from audiopro_essentia_spark.functions.text import quality_classifier_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        quality_classifier_score(F.col("text")).alias("clf_score"),
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """Dedup: SemDeDup-shaped semantic deduplication — one-iteration
+    spherical k-means clustering, then min-id near-dup collapse WITHIN
+    clusters only (similarity.semantic_dedup). Perturbed-twin union (as
+    in embed_neardup) makes real >=0.95 pairs exist; originals are all
+    kept and ~98%% of twins flagged at sf0.01 — the misses are twins
+    whose perturbation crossed a cluster boundary, the inherent recall
+    trade of cluster-scoped dedup (the SemDeDup paper's own caveat;
+    exact closure is dedup_clusters / embed_neardup)."""
+    from audiopro_essentia_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    orig = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    pert = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.05).otherwise(
+                x.cast("double")
+            ),
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(orig.unionByName(pert), k=8, threshold=0.95)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        "is_dup",
+    )
+
+
 def q_tfidf(spark, sf_dir):
     """Text: top-5 TF-IDF terms per doc (smooth-idf; rank ties broken on
     the round-6 score then term so Spark and DuckDB agree bit-for-bit)."""
@@ -1225,6 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
+        # ---- round-3 additions (oracle-backed, verified locally) ----
+        "semantic_dedup": q_semantic_dedup,
+        "bigram_surprisal": q_bigram_surprisal,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1611,6 +1685,37 @@ SELECT * FROM (
 """,
         "lsh_ann": DT.lsh_ann_sql(dim=64, n_planes=6, seed=42, k=5),
         "kmeans": DT.kmeans_sql(k=8, dim=64),
+        "semantic_dedup": DT.semantic_dedup_sql(k=8, dim=64, threshold=0.95),
+        "bigram_surprisal": """
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+       FROM w, LATERAL UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+       WHERE len(ws) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+uc AS (SELECT w1, COUNT(*) AS c1
+       FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
+s AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        round(-avg(ln((bc.cb + 0.5) / (uc.c1 + 0.5 * v.v))), 6) AS avg_logloss
+      FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+      GROUP BY bg.doc_id)
+SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.avg_logloss
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+        "quality_classifier": f"""
+WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+a AS (SELECT doc_id, len(ws) AS nw,
+        list_sum(list_transform(ws, x ->
+          ({DT_CLF_WEIGHTS})[((('0x' || substr(md5(x), 1, 8))::BIGINT) % {CLF_DIM}) + 1])) AS acc
+      FROM w)
+SELECT doc_id,
+  round(1.0 / (1.0 + exp(-(CASE WHEN nw > 0 THEN acc / CAST(nw AS DOUBLE)
+                           ELSE 0.0 END))), 6) AS clf_score
+FROM a
+""",
         "ann_recall": f"""
 WITH ex AS (
 SELECT * FROM (

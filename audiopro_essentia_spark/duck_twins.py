@@ -794,33 +794,25 @@ SAMPLE_KEY = (
 )  # twin of similarity.sample_key_expr (byte-identical, see its docstring)
 
 
-def kmeans_sql(k: int = 8, dim: int = 64) -> str:
-    """DuckDB twin of ONE Lloyd iteration of similarity.kmeans_lite
-    (iters=1): md5-ordered distinct init (SAMPLE_KEY twin of
-    sample_key_expr) -> cosine assignment under the init centroids ->
-    per-cluster mean update (empty / zero-norm clusters keep their init
-    centroid) -> final assignment under the updated centroids -> cluster
-    sizes. Assignment tie-break = lowest centroid id (numpy stable argsort
-    on -sims). Sims are full-f64; numpy's pairwise dot vs list_sum's
-    sequential order differ ~1e-16 — assignment flips would need two
-    centroids equidistant to within that, which the random fixture
-    embeddings never are. MATERIALIZED everywhere: DuckDB otherwise
-    re-inlines the normalized-centroid expression per sim term."""
+def _kmeans_ctes(k: int, dim: int, src: str = "embeddings") -> str:
+    """The shared one-Lloyd-iteration CTE chain (no WITH keyword): md5
+    init -> assign -> mean update -> final assignment `a1(vec_id, cid)`,
+    over source relation `src(vec_id, embedding)`. Used by kmeans_sql
+    (cluster sizes) and semantic_dedup_sql (within-cluster near-dups)."""
     key = SAMPLE_KEY.format(v="emb")
     gs = f"generate_series(1, {dim})"
-    return f"""
-WITH ev AS MATERIALIZED (
+    return f"""ev AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
     CASE WHEN sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) = 0 THEN 1.0
          ELSE sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) END AS vn
-  FROM embeddings),
+  FROM {src}),
 init AS MATERIALIZED (
   SELECT CAST(rn - 1 AS INT) AS cid, c FROM (
     SELECT row_number() OVER (ORDER BY {key}) AS rn,
            list_transform(emb, x -> CAST(x AS DOUBLE)) AS c
-    FROM (SELECT DISTINCT embedding AS emb FROM embeddings))
+    FROM (SELECT DISTINCT embedding AS emb FROM {src}))
   WHERE rn <= {k}),
 n0 AS MATERIALIZED (
   SELECT cid, list_transform(c, x -> x / sqrt(list_sum(
@@ -858,9 +850,62 @@ a1 AS MATERIALIZED (
         list_sum(list_transform({gs},
           j -> (ev.v[j] / ev.vn) * n1.nc[j])) DESC, n1.cid ASC) AS rn
     FROM ev CROSS JOIN n1)
-  WHERE rn = 1)
+  WHERE rn = 1)"""
+
+
+def kmeans_sql(k: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ONE Lloyd iteration of similarity.kmeans_lite
+    (iters=1): md5-ordered distinct init (SAMPLE_KEY twin of
+    sample_key_expr) -> cosine assignment under the init centroids ->
+    per-cluster mean update (empty / zero-norm clusters keep their init
+    centroid) -> final assignment under the updated centroids -> cluster
+    sizes. Assignment tie-break = lowest centroid id (numpy stable argsort
+    on -sims). Sims are full-f64; numpy's pairwise dot vs list_sum's
+    sequential order differ ~1e-16 — assignment flips would need two
+    centroids equidistant to within that, which the random fixture
+    embeddings never are. MATERIALIZED everywhere: DuckDB otherwise
+    re-inlines the normalized-centroid expression per sim term."""
+    return f"""
+WITH {_kmeans_ctes(k, dim)}
 SELECT CAST(cid AS INT) AS cluster_id, CAST(count(*) AS BIGINT) AS n
 FROM a1 GROUP BY cid
+"""
+
+
+def semantic_dedup_sql(
+    k: int = 8, dim: int = 64, threshold: float = 0.95
+) -> str:
+    """DuckDB twin of similarity.semantic_dedup (iters=1) over the
+    perturbed-twin union corpus `u` (near-dups exist by construction —
+    CLAUDE.md: random fixture embeddings have no natural >=0.95 pairs):
+    cluster assignment via the shared kmeans chain, then min-id star
+    keep-rule on round-6 within-cluster cosine."""
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, len(a.v)), "
+        "i -> a.v[i] * b.v[i])) / "
+        "(sqrt(list_sum(list_transform(a.v, x -> x*x))) * "
+        "sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6)"
+    )
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+    list_transform(generate_series(1, len(embedding)),
+      i -> CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE) + 0.05
+           ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings),
+{_kmeans_ctes(k, dim, src="u")},
+vv AS MATERIALIZED (
+  SELECT a1.vec_id, a1.cid, ev.v FROM a1 JOIN ev USING (vec_id)),
+dropped AS MATERIALIZED (
+  SELECT DISTINCT b.vec_id
+  FROM vv a JOIN vv b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold!r})
+SELECT CAST(a1.vec_id AS BIGINT) AS vec_id, CAST(a1.cid AS INT) AS cluster_id,
+  (dropped.vec_id IS NOT NULL) AS is_dup
+FROM a1 LEFT JOIN dropped USING (vec_id)
 """
 
 

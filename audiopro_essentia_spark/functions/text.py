@@ -103,6 +103,49 @@ def quality_score(text: Column) -> Column:
     return F.round(s, 6)
 
 
+CLASSIFIER_DIM = 64  # hashed feature buckets (fasttext-style hashing trick)
+
+
+def classifier_weights(dim: int = CLASSIFIER_DIM, seed: int = 7) -> list[float]:
+    """Deterministic seeded weight vector for the hashed linear
+    classifier — the stand-in for trained fasttext/logreg weights (no
+    training data ships with the engine; swap in real weights at deploy
+    time). Round-trip-exact f64 literals, shared with the DuckDB twin."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [float(x) for x in rng.standard_normal(dim) * 0.5]
+
+
+def quality_classifier_score(
+    text: Column,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+) -> Column:
+    """Fasttext-SHAPED document classifier, fully JVM-side: mean of
+    hashed-bag-of-words bucket weights -> linear -> sigmoid. This is the
+    architecture of the quality/domain classifiers every public corpus
+    pipeline runs (CCNet/fasttext: hashing-trick features, linear model,
+    probability out) expressed as ONE narrow Catalyst expression — no
+    UDF, no shuffle, whole-stage codegen. Buckets via the engine's
+    portable md5 hash, so the score has an exact DuckDB twin.
+
+    score = sigmoid(bias + mean over words of W[h(w) mod dim])."""
+    ws = F.filter(words(text), lambda x: x != "")
+    w_arr = F.array(*[F.lit(w) for w in (weights or classifier_weights())])
+    dim = len(weights) if weights else CLASSIFIER_DIM
+    acc = F.aggregate(
+        ws,
+        F.lit(0.0),
+        lambda a, x: a
+        + F.element_at(w_arr, (F.pmod(portable_hash32(x), F.lit(dim)) + 1).cast("int")),
+    )
+    z = F.lit(bias) + F.coalesce(
+        F.try_divide(acc, F.size(ws).cast("double")), F.lit(0.0)
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     """Stopword hit-rate per language — the n-gram-free language-ID
     heuristic. Deterministic, portable."""

@@ -155,6 +155,64 @@ def lsh_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 1,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (public recipe: Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster the embedding space with spherical
+    k-means, then look for near-duplicates ONLY within a cluster — the
+    cluster assignment replaces the quadratic all-pairs scan.
+
+    Keep rule (deterministic): inside a cluster, a row is a duplicate iff
+    some SMALLER-id row of the same cluster has round-6 cosine >=
+    threshold with it (min-id star representative — the transitive-exact
+    variant is dedup_clusters' connected components, deliberately not
+    repeated here).
+
+    Output: corpus + cluster_id + is_dup.
+
+    100-TB shape: k grows with the corpus (the SemDeDup paper runs ~100k
+    clusters) so per-cluster membership — and with it the within-cluster
+    pair join — stays bounded; the only wide ops are the k-means
+    passes (narrow Arrow map + O(k*d) aggregate) and ONE equi-join
+    shuffle on cluster_id. No cartesian anywhere. With iters=1 the whole
+    query (md5-deterministic init included) is DuckDB-expressible —
+    duck_twins.semantic_dedup_sql is the oracle twin."""
+    assigned, _ = kmeans_lite(corpus, vec_col=vec_col, k=k, iters=iters)
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .withColumn("is_dup", F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup")
+    )
+
+
 def _nearest_centroids_udf(centroids: np.ndarray, n: int):
     """embedding -> n nearest centroid ids by cosine distance, as ONE Arrow
     pass with the centroid matrix captured in the closure (broadcast via

@@ -58,6 +58,79 @@ def tfidf_top_terms(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Self-trained BIGRAM LM score per doc — the next step up from
+    unigram_surprisal toward KenLM-style perplexity filtering, still with
+    no external model: avg_logloss = -mean over a doc's bigrams (w1,w2)
+    of ln P(w2|w1), with add-alpha smoothing over the corpus vocab,
+    P = (c(w1,w2) + alpha) / (c(w1) + alpha*V).
+
+    Docs with < 2 words appear with n_bigrams=0 and NULL avg_logloss
+    (nothing to score — dropping them silently would make the downstream
+    quality gate's coverage lie).
+
+    Scale shape: two count aggregates with map-side combine (bigrams,
+    unigrams), a 1-row broadcast vocab size, one join of the bigram
+    stream back on its two keys, one per-doc mean — all linear shuffles,
+    no windows."""
+    cw = F.filter(words(F.col(text_col)), lambda x: x != "")
+    base = df.select(F.col(id_col), cw.alias("_ws"))
+    n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
+    bg = base.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, n1),
+                F.slice(F.col("_ws"), 2, n1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        F.col("_bg.w1").alias("_w1"),
+        F.col("_bg.w2").alias("_w2"),
+    )
+    bc = bg.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    uc = base.select(F.col(id_col), F.explode("_ws").alias("_w1")).groupBy(
+        "_w1"
+    ).agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = uc.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    scored = (
+        bg.join(bc, ["_w1", "_w2"])
+        .join(uc, "_w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log(
+                        (F.col("_cb") + F.lit(alpha))
+                        / (F.col("_c1") + F.lit(alpha) * F.col("_v"))
+                    )
+                ),
+                6,
+            ).alias("avg_logloss"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "avg_logloss",
+        )
+    )
+
+
 def unigram_surprisal(
     df: DataFrame,
     text_col: str = "text",

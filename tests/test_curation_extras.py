@@ -353,6 +353,84 @@ def test_token_budget_sample_caps_kept_weight(spark):
     assert whole.count() == 2000
 
 
+def test_semantic_dedup_flags_twin_keeps_original(spark):
+    """SemDeDup shape: exact-duplicate pair in one cluster -> larger id
+    flagged, min id kept; far-apart vectors untouched; output covers
+    every input row exactly once."""
+    from audiopro_essentia_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    # two tight groups along different axes + one singleton
+    for i in range(4):
+        rows.append((i, [1.0, 0.001 * i] + [0.0] * 6))
+        rows.append((10 + i, [0.001 * i, 1.0] + [0.0] * 6))
+    rows.append((99, [0.0] * 7 + [1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=3, threshold=0.999)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 9 and out.count() == 9
+    # within each tight group the min id survives, the rest are dups
+    assert not got[0].is_dup and not got[10].is_dup and not got[99].is_dup
+    for i in (1, 2, 3):
+        # cosine of (1, .00x, ...) pairs ~ 0.9999995+ -> all collapse
+        assert got[i].is_dup and got[10 + i].is_dup, i
+    # dup rows share the keeper's cluster
+    assert got[1].cluster_id == got[0].cluster_id
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Closed-form check on a 3-doc corpus, incl. the <2-word doc
+    (n_bigrams=0, NULL score)."""
+    import math
+
+    from audiopro_essentia_spark.operators.tfidf import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "a")],
+        "doc_id long, text string",
+    )
+    # bigrams: d1: (a,b)x2 (b,a); d2: (a,b) (b,c); corpus c(a,b)=3,
+    # c(b,a)=1, c(b,c)=1; unigrams c(a)=4 c(b)=3 c(c)=1; V=3; alpha=.5
+    got = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    V, al = 3.0, 0.5
+    p_ab = (3 + al) / (4 + al * V)
+    p_ba = (1 + al) / (3 + al * V)
+    p_bc = (1 + al) / (3 + al * V)
+    exp1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    exp2 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert got[1].n_bigrams == 3 and abs(got[1].avg_logloss - exp1) < 1e-6
+    assert got[2].n_bigrams == 2 and abs(got[2].avg_logloss - exp2) < 1e-6
+    assert got[3].n_bigrams == 0 and got[3].avg_logloss is None
+
+
+def test_quality_classifier_deterministic_and_bounded(spark):
+    """Hashed linear classifier: scores in (0,1), deterministic across
+    runs, 0.5 exactly for empty text (zero feature vector), and sensitive
+    to content (different docs -> different scores in general)."""
+    from audiopro_essentia_spark.functions.text import (
+        classifier_weights,
+        quality_classifier_score,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zxq9 qq11 blorp"), (3, ""), (4, "the the the")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.s for r in df.select(
+        "doc_id", quality_classifier_score(F.col("text")).alias("s")
+    ).collect()}
+    assert all(0.0 < v < 1.0 for v in out.values())
+    assert out[3] == 0.5  # empty -> z = 0 -> sigmoid = 0.5
+    rerun = {r.doc_id: r.s for r in df.select(
+        "doc_id", quality_classifier_score(F.col("text")).alias("s")
+    ).collect()}
+    assert out == rerun
+    assert len(set(out.values())) >= 3  # not a constant function
+    # weights are seeded-stable (the oracle embeds them as literals)
+    assert classifier_weights() == classifier_weights()
+
+
 def test_token_budget_sample_null_source_and_zero_budget(spark):
     """The degenerate branches: NULL-source rows are 'absent from budgets'
     and must be kept WHOLE (null-safe totals join — a plain equi-join
