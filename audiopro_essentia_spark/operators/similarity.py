@@ -183,8 +183,16 @@ def semantic_dedup(
     passes (narrow Arrow map + O(k*d) aggregate) and ONE equi-join
     shuffle on cluster_id. No cartesian anywhere. With iters=1 the whole
     query (md5-deterministic init included) is DuckDB-expressible —
-    duck_twins.semantic_dedup_sql is the oracle twin."""
+    duck_twins.semantic_dedup_sql is the oracle twin.
+
+    The assignment is localCheckpoint'ed: it feeds THREE plan branches
+    (both pair-join sides + the output join), and Catalyst would
+    otherwise re-run the centroid-assignment Arrow UDF in each (measured
+    10 ArrowEvalPython nodes -> 1). Materialize-assignments-once is also
+    the production shape — at corpus scale this checkpoint is a table
+    write."""
     assigned, _ = kmeans_lite(corpus, vec_col=vec_col, k=k, iters=iters)
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_ida"),

@@ -66,6 +66,10 @@ BENCH_QUERIES = (
     "ann_recall",
     "curate",
     "tpch_q1",
+    "kernel_full_geometry",
+    "semantic_dedup",
+    "bigram_surprisal",
+    "quality_classifier",
 )
 
 
