@@ -777,6 +777,62 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: 6 distributed BPE merges learned over the
+    corpus word-frequency table (operators/bpe.py train_bpe) —
+    deterministic (count desc, pair asc) argmax per merge, merge applied
+    as a pure-JVM fold; the DuckDB twin replays the loop with
+    materialized CTE layers and a list_reduce fold (duck_twins.bpe_sql).
+    The merge table is O(n_merges) driver state by nature, the kmeans
+    centroid contract."""
+    from audiopro_essentia_spark.operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return train_bpe(spark, d, n_merges=6)
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Sampling: temperature-scaled mixture (tau=0.5) — per-source
+    keep-rates derived from corpus shares via the sqrt path (IEEE
+    correctly rounded both engines), smallest source kept whole
+    (functions/sampling.py temperature_sample)."""
+    from audiopro_essentia_spark.functions.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_sample(d, tau=0.5)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        F.col("rate_pm").cast("long").alias("rate_pm"),
+    )
+
+
+def q_cap_per_group(spark, sf_dir):
+    """Capping: top-5 docs per source by (n_chars desc, doc_id asc) via
+    the two-phase hierarchical salted window (operators/skew.py
+    capped_top_n) — exactly equal to the single-window answer, but a hot
+    group spreads over n_salts reducers; twin is the plain one-window
+    QUALIFY."""
+    from audiopro_essentia_spark.operators.skew import capped_top_n
+
+    d = _t(spark, sf_dir, "documents")
+    out = capped_top_n(d, n=5, group_col="source", order_col="n_chars")
+    return out.select(
+        "source", "doc_id", "n_chars", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def q_silence_segments(spark, sf_dir):
+    """Segmentation: contiguous active-frame runs (frame energy >= 175,
+    the fixture median) with token-offset spans and exact-integer segment
+    RMS (operators/segmentation.py silence_segments; reference
+    metadata.py:75 silence_ratio made operational)."""
+    from audiopro_essentia_spark.operators.segmentation import silence_segments
+
+    return silence_segments(
+        _framed(spark, sf_dir), min_energy=175, frame_length=DF_, hop=DH_
+    )
+
+
 def q_tfidf(spark, sf_dir):
     """Text: top-5 TF-IDF terms per doc (smooth-idf; rank ties broken on
     the round-6 score then term so Spark and DuckDB agree bit-for-bit)."""
@@ -1299,6 +1355,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bigram_surprisal": q_bigram_surprisal,
         "quality_classifier": q_quality_classifier,
+        "bpe_merges": q_bpe_merges,
+        "temperature_sample": q_temperature_sample,
+        "cap_per_group": q_cap_per_group,
+        "silence_segments": q_silence_segments,
     }
 
 
@@ -1938,6 +1998,51 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(n_unk AS BIGINT) AS n_unk,
   {H32.format(x='ids_s')} AS ids_h32
 FROM e
+""",
+        "bpe_merges": DT.bpe_sql(6),
+        "temperature_sample": f"""
+WITH t AS MATERIALIZED (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total
+  FROM documents GROUP BY source),
+m AS (SELECT MIN(total) AS mn FROM t WHERE total > 0),
+r AS (SELECT source,
+        CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(total AS DOUBLE))
+                   * 1000.0 + 0.5) AS BIGINT) AS rate_pm
+      FROM t, m)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.rate_pm
+FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
+WHERE ({H32.format(x="CAST(d.doc_id AS VARCHAR) || ''")}) % 1000 < r.rate_pm
+""",
+        "cap_per_group": """
+SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank FROM (
+  SELECT source, doc_id, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents) WHERE rank <= 5
+""",
+        "silence_segments": f"""
+WITH {FRAMES_CTE},
+e AS (SELECT doc_id, frame_idx,
+        list_sum(list_transform(w,
+          x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS energy
+      FROM f),
+fl AS (SELECT doc_id, frame_idx, energy, (energy >= 175) AS active FROM e),
+ch AS (SELECT *, CASE WHEN lag(active) OVER wd IS NULL
+                        OR lag(active) OVER wd <> active
+                      THEN 1 ELSE 0 END AS chg
+       FROM fl WINDOW wd AS (PARTITION BY doc_id ORDER BY frame_idx)),
+isl AS (SELECT *, SUM(chg) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                 ROWS UNBOUNDED PRECEDING) AS seg
+        FROM ch)
+SELECT doc_id,
+  CAST(MIN(frame_idx) AS BIGINT) AS start_frame,
+  CAST(MAX(frame_idx) AS BIGINT) AS end_frame,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(MIN(frame_idx) * {DH_} AS BIGINT) AS start_token,
+  CAST(MAX(frame_idx) * {DH_} + {DF_} AS BIGINT) AS end_token,
+  round(sqrt(CAST(SUM(energy) AS DOUBLE)
+             / CAST(COUNT(*) * {DF_} AS DOUBLE)), 6) AS seg_rms
+FROM isl WHERE active GROUP BY doc_id, seg
 """,
         "span_dedup": f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -1008,3 +1008,56 @@ SELECT s.doc_id AS doc_id, s.quality_score, s.lang_pred, {split} AS split
 FROM surv s LEFT JOIN losers l ON s.doc_id = l.doc_id
 WHERE l.doc_id IS NULL
 """
+
+
+def bpe_sql(n_merges: int = 6, table: str = "documents") -> str:
+    """DuckDB twin of operators.bpe.train_bpe: the same merge loop as
+    materialized CTE layers. Layer m: pair counts over the layer-(m-1)
+    word table (1-BASED list indexing; range() is end-exclusive, so
+    i in 1..len-1), deterministic argmax (cnt DESC, left, right), then the
+    merge fold via list_reduce on a chr(1)-delimited string accumulator —
+    leftmost non-overlapping, identical to the Spark F.aggregate fold
+    (suffix check uses right()/left() string surgery, not LIKE, so merge
+    symbols containing pattern metacharacters stay exact). AS MATERIALIZED
+    on every layer: DuckDB inlines plain CTEs like Catalyst collapses
+    projections, and the fold chain re-expands combinatorially without it
+    (CLAUDE.md, layered-kernel precedent)."""
+
+    def fold(b: str) -> str:
+        l, r = f"{b}.left_sym", f"{b}.right_sym"
+        return (
+            "string_split(list_reduce(sym, (acc, c) -> CASE "
+            f"WHEN (acc = {l} OR right(acc, length({l}) + 1) = chr(1) || {l}) "
+            f"AND c = {r} "
+            f"THEN left(acc, length(acc) - length({l})) || {l} || {r} "
+            "ELSE acc || chr(1) || c END), chr(1))"
+        )
+
+    layers = [
+        "w0 AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "regexp_split_to_array(word, '') AS sym "
+        f"FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table}) "
+        "WHERE word <> '' GROUP BY word)"
+    ]
+    for m in range(1, n_merges + 1):
+        layers.append(
+            f"pc{m} AS (SELECT sym[i] AS left_sym, sym[i+1] AS right_sym, "
+            "CAST(SUM(freq) AS BIGINT) AS pair_cnt "
+            f"FROM w{m-1}, LATERAL UNNEST(range(1, len(sym))) AS g(i) "
+            "GROUP BY 1, 2)"
+        )
+        layers.append(
+            f"b{m} AS MATERIALIZED (SELECT left_sym, right_sym, pair_cnt "
+            f"FROM pc{m} ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 1)"
+        )
+        if m < n_merges:
+            layers.append(
+                f"w{m} AS MATERIALIZED (SELECT word, freq, {fold(f'b{m}')} "
+                f"AS sym FROM w{m-1} CROSS JOIN b{m})"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({m} AS BIGINT) AS merge_rank, left_sym, right_sym, "
+        f"pair_cnt FROM b{m}"
+        for m in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(layers) + "\n" + union

@@ -190,3 +190,76 @@ def token_budget_sample(
         .filter(hash_bucket(F.col(key_col), salt) < F.col(rate_col))
     )
     return out.drop("_total", "_src_t")
+
+
+def temperature_sample(
+    df: DataFrame,
+    tau: float = 0.5,
+    weight_col: str = "n_chars",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    rate_col: str = "rate_pm",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-pretraining
+    rebalance: sample source s proportional to share_s^tau, tau<1 pulling
+    the mix toward uniform — mBERT/XLM-R exponential smoothing, public
+    recipe). Where mixture_sample takes rates as INPUT, this DERIVES them
+    from the corpus itself: keep-rate_s = (total_s/min_total)^(tau-1),
+    normalized so the smallest source is kept whole and larger sources
+    are downsampled toward the tempered share.
+
+    Exactness across engines: the demo tau=0.5 routes through sqrt
+    (IEEE-correctly-rounded in BOTH JVM and C libm) on exact
+    BIGINT-to-double inputs, so the per-mille quantization
+    floor(rate*1000+0.5) is bit-identical in the DuckDB twin. General tau
+    uses pow(), where JVM Math.pow is only 1-ulp-bounded — documented
+    hazard: a rate landing within 1 ulp of a per-mille boundary could
+    round differently cross-engine (never cross-run within Spark).
+
+    Scale shape: one map-side-combinable per-source sum + a 1-row min
+    agg, both broadcast back; the keep decision is the usual narrow
+    content-hash filter. NULL sources group and join null-safely (same
+    rule as token_budget_sample)."""
+    if tau <= 0.0 or tau > 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("_total")
+    )
+    # min over POSITIVE totals only; a degenerate (zero/all-NULL-weight)
+    # source is kept whole — token_budget_sample's rule: there is no
+    # meaningful share to temper, and dropping data on a bookkeeping
+    # degeneracy is the worse failure
+    mn = totals.filter(F.col("_total") > 0).agg(
+        F.min("_total").alias("_min_total")
+    )
+    ratio = F.col("_min_total").cast("double") / F.col("_total").cast("double")
+    if tau == 0.5:
+        scaled = F.sqrt(ratio)  # correctly-rounded path, oracle-exact
+    else:
+        scaled = F.pow(ratio, F.lit(1.0 - tau))
+    rates = (
+        totals.crossJoin(F.broadcast(mn))
+        .withColumn(
+            rate_col,
+            F.coalesce(
+                F.when(
+                    F.col("_total") > 0,
+                    F.floor(
+                        scaled * F.lit(float(_BUCKETS)) + F.lit(0.5)
+                    ).cast("long"),
+                ),
+                F.lit(_BUCKETS).cast("long"),
+            ),
+        )
+        .withColumnRenamed(source_col, "_src_t")
+        .select("_src_t", rate_col)
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("_src_t")),
+        )
+        .filter(hash_bucket(F.col(key_col), salt) < F.col(rate_col))
+        .drop("_src_t")
+    )

@@ -12,7 +12,7 @@ avg), so the two-level tree is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,50 @@ def salted_broadcast_join(
     return big_s.join(
         F.broadcast(small_rep), [*on, "_salt"], how
     ).drop("_salt")
+
+
+def capped_top_n(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the top-n rows per group by (order_col DESC, id_col ASC) —
+    the per-domain document cap every curation pipeline applies so one
+    hot domain cannot dominate the training mix.
+
+    The naive form is one row_number window per group: a hot group (a
+    domain with 10^9 docs at 100 TB) funnels through ONE reducer. Spark
+    >=3.5 already softens this with WindowGroupLimit pushdown (each MAP
+    partition pre-limits to its local top-n per group before the
+    exchange, observed in the plan) — but the hot group's single reducer
+    still receives n * num_map_partitions rows (n=1000 cap x 100k map
+    partitions = 10^8 on one task). This two-phase hierarchical form
+    splits that stream over n_salts reducers: phase 1 ranks within
+    (group, content-hash salt) and keeps n per subgroup; phase 2 ranks
+    the <= n_salts*n survivors per group (bounded, trivially small) and
+    keeps the final n. The global top-n of a group is contained in the
+    union of its subgroup top-n's, so the result is EXACTLY the
+    single-window answer, and the (order, id) total order makes it
+    deterministic — the DuckDB twin is the plain one-window QUALIFY.
+
+    The salt is the portable content hash of id_col (not F.hash/rand):
+    deterministic across engines, retries, and corpus growth."""
+    from ..functions.text import portable_hash32
+
+    order = (F.desc(order_col), F.asc(id_col))
+    salt = F.pmod(portable_hash32(F.col(id_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(group_col, "_csalt").orderBy(*order)
+    pre = (
+        df.withColumn("_csalt", salt)
+        .withColumn("_rk1", F.row_number().over(w1))
+        .filter(F.col("_rk1") <= n)
+        .drop("_rk1", "_csalt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return pre.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= n
+    )

@@ -139,3 +139,49 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_capped_top_n_two_phase_with_group_limit_pushdown(spark):
+    """Both window phases must carry Spark's WindowGroupLimit partial
+    pushdown (map-side pre-limit), and the salted pre-phase must shuffle
+    on (group, salt) — the hot-group stream split the operator exists
+    for."""
+    from audiopro_essentia_spark.operators.skew import capped_top_n
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(
+        capped_top_n(d, n=5, group_col="source", order_col="n_chars")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        capped_top_n(d, n=5, group_col="source", order_col="n_chars").explain()
+    simple = buf.getvalue()
+    assert simple.count("WindowGroupLimit") == 4  # Partial+Final x 2 phases
+    assert "hashpartitioning(source" in simple
+    assert "_csalt" in simple  # phase-1 exchange includes the salt
+    # formatted AQE output omits the FileScan detail block; the simple
+    # text still carries the scan line with its pushdown summary
+    assert "PushedFilters" in simple
+
+
+def test_silence_segments_single_exchange(spark):
+    """Two island windows + the segment groupBy must share ONE doc_id
+    exchange (identical partitioning/ordering — Catalyst reuses it); a
+    second shuffle would double the wide cost of every segmentation."""
+    from audiopro_essentia_spark.operators.framing import frame_tokens
+    from audiopro_essentia_spark.operators.segmentation import silence_segments
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id",
+        "transform(split(text, ' '), w -> length(w)) AS toks",
+    )
+    framed = frame_tokens(
+        d, frame_length=8, hop=3, tokens_col="toks",
+        id_cols=("doc_id",), carry_cols=(), base_ts_col=None,
+    )
+    seg = silence_segments(framed, min_energy=175, frame_length=8, hop=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seg.explain()
+    simple = buf.getvalue()
+    assert simple.count("Exchange") == 1, simple
