@@ -1282,21 +1282,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     spectral surface, and this round's new entries all sit inside the
     checked window. Entries past 50 are either redundant variants of an
     in-window query (frame_zcr ⊂ kernel_features zcr) or double-confirmed
-    trivial scalar queries (driver-green in r1 AND r2); all are still
-    verified locally by tests/driver_compare.py."""
+    queries (driver-green in r1 AND r2: lag_lead/rolling/ffill/
+    enrich_broadcast/normalized_dedup/ann_recall/surprisal yielded their
+    slots to this round's seven NEW never-driver-checked entries); all
+    are still verified locally by tests/driver_compare.py."""
     return {
         # -- core framing / temporal / join surface -------------------
         "framing_counts": q_framing_counts,
         "frame_rms": q_frame_rms,
         "doc_stats": q_doc_stats,
         "quarantine": q_quarantine,
-        "lag_lead": q_lag_lead,
-        "rolling": q_rolling,
-        "ffill": q_ffill,
         "sessionize": q_sessionize,
         "session_tempo": q_session_tempo,
         "asof_join": q_asof_join,
-        "enrich_broadcast": q_enrich_broadcast,
         "salted_join": q_salted_join,
         # -- kernel / spectral surface (r1-fail fixes live here) ------
         "kernel_features": q_kernel_features,
@@ -1319,26 +1317,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "decontaminate": q_decontaminate,
-        "normalized_dedup": q_normalized_dedup,
         "incremental_dedup": q_incremental_dedup,
         "embed_neardup": q_embed_neardup,
         "ann_topk": q_ann_topk,
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
-        "ann_recall": q_ann_recall,
         "kmeans": q_kmeans,
+        "semantic_dedup": q_semantic_dedup,
         "hashed_embedding": q_hashed_embedding,
         "chunk_documents": q_chunk_documents,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
-        "surprisal": q_surprisal,
         "pack_shards": q_pack_shards,
         "corpus_profile": q_corpus_profile,
         "pii_redact": q_pii_redact,
         "span_dedup": q_span_dedup,
         "vocab": q_vocab,
+        # -- round-3 additions (never driver-checked before) ----------
+        "bigram_surprisal": q_bigram_surprisal,
+        "quality_classifier": q_quality_classifier,
+        "bpe_merges": q_bpe_merges,
+        "temperature_sample": q_temperature_sample,
+        "cap_per_group": q_cap_per_group,
+        "silence_segments": q_silence_segments,
         # ---- position 51+: redundant / double-confirmed entries ----
+        "lag_lead": q_lag_lead,
+        "rolling": q_rolling,
+        "ffill": q_ffill,
+        "enrich_broadcast": q_enrich_broadcast,
+        "normalized_dedup": q_normalized_dedup,
+        "ann_recall": q_ann_recall,
+        "surprisal": q_surprisal,
         "encode_tokens": q_encode_tokens,
         "quantize_embed": q_quantize_embed,
         "vocab_by_source": q_vocab_by_source,
@@ -1351,14 +1361,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
-        # ---- round-3 additions (oracle-backed, verified locally) ----
-        "semantic_dedup": q_semantic_dedup,
-        "bigram_surprisal": q_bigram_surprisal,
-        "quality_classifier": q_quality_classifier,
-        "bpe_merges": q_bpe_merges,
-        "temperature_sample": q_temperature_sample,
-        "cap_per_group": q_cap_per_group,
-        "silence_segments": q_silence_segments,
     }
 
 
