@@ -70,6 +70,10 @@ BENCH_QUERIES = (
     "semantic_dedup",
     "bigram_surprisal",
     "quality_classifier",
+    "bpe_merges",
+    "temperature_sample",
+    "cap_per_group",
+    "silence_segments",
 )
 
 

@@ -42,6 +42,10 @@ NOTES = {
     "semantic_dedup": "assignment localCheckpoint'ed (UDF runs ONCE; was 10 ArrowEvalPython across the 3 consuming branches); within-cluster pairs are ONE cluster_id equi-join, no cartesian",
     "bigram_surprisal": "bigram/unigram count aggs (map-side combine) + 1-row broadcast vocab + linear join-back; <2-word docs restored by a doc_id left join",
     "quality_classifier": "ONE narrow JVM projection — zero Exchange, zero Python; hashed-BoW weights are an array literal inside the scan projection",
+    "bpe_merges": "iterative pair-count agg on the BOUNDED word-freq table (corpus read ONCE); each merge is one map-side-combinable agg + TakeOrdered(1) argmax; merge apply is a pure JVM fold; localCheckpoint truncates the M-deep lineage",
+    "temperature_sample": "per-source share agg (tiny) broadcast back as a tau-scaled keep-rate; the sample decision is a narrow content-hash predicate — no shuffle of the corpus",
+    "cap_per_group": "two-phase (group,salt)->group window with WindowGroupLimit partial pushdown on BOTH phases — a hot group's top-N spreads over n_salts reducers before the final per-group limit",
+    "silence_segments": "gap-and-island windows + segment agg all partitioned on doc_id — ONE exchange reused across both window passes and the groupBy; per-frame energy is an exact-integer JVM fold",
 }
 
 HEADLINE = (
@@ -51,7 +55,8 @@ HEADLINE = (
     "hashed_embedding", "kernel_features", "pii_redact", "span_dedup",
     "encode_tokens", "quantize_embed", "salted_join", "corpus_rollup",
     "monitor_stats", "token_budget", "semantic_dedup", "bigram_surprisal",
-    "quality_classifier",
+    "quality_classifier", "bpe_merges", "temperature_sample",
+    "cap_per_group", "silence_segments",
 )
 
 
