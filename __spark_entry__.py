@@ -1052,6 +1052,66 @@ def q_kernel_full_geometry(spark, sf_dir):
     )
 
 
+N_DELTA_COEF = 4  # mfcc_0..3 — bounds the generated twin's width
+
+
+def q_mfcc_delta(spark, sf_dir):
+    """A9 + post-kernel transforms: kernel mfcc (F=16, H=4) -> HTK delta
+    regression (width 2, edge-replicated — operators/deltas.py) + per-doc
+    cepstral mean subtraction (CMN). One Exchange on doc_id serves the
+    delta lags/leads, the edge first/last values, AND the doc moments;
+    hash-checked against the generated unrounded-input DuckDB window twin
+    (duck_twins.kernel_delta_sql)."""
+    from audiopro_essentia_spark.operators.deltas import (
+        with_cmvn,
+        with_frame_deltas,
+    )
+
+    toks = _docs_tokens(spark, sf_dir)
+    framed = frame_tokens(
+        toks, frame_length=KF_, hop=KH_, sample_rate=KSR_, tokens_col="toks",
+        id_cols=("doc_id",), carry_cols=(), base_ts_col=None,
+    )
+    out = with_frame_features(
+        framed, frame_length=KF_, sample_rate=KSR_, token_scale=KSCALE_,
+        features=("mfcc",),
+    )
+    sel = out.select(
+        "doc_id",
+        "frame_idx",
+        *[
+            F.element_at("mfcc", i + 1).alias(f"m{i}")
+            for i in range(N_DELTA_COEF)
+        ],
+    )
+    cols = tuple(f"m{i}" for i in range(N_DELTA_COEF))
+    d = with_cmvn(with_frame_deltas(sel, cols), cols)
+    proj = [F.col("doc_id"), F.col("frame_idx")]
+    for i in range(N_DELTA_COEF):
+        proj.extend(
+            [
+                F.round(f"m{i}", 6).alias(f"mfcc_{i}"),
+                F.round(f"m{i}_d1", 6).alias(f"mfcc_{i}_d1"),
+                F.round(f"m{i}_cmn", 6).alias(f"mfcc_{i}_cmn"),
+            ]
+        )
+    return d.select(*proj)
+
+
+def q_seq_metadata(spark, sf_dir):
+    """S1 file-metadata analogs of the reference loader's return tuple
+    (audio_loader.py:61-63: md5, bit_rate, codec): content md5,
+    duration, dictionary-size/dynamic-range analogs, effective bit rate
+    (sources/sequences.py:with_sequence_metadata). Pure narrow JVM
+    projection — zero shuffle, zero Python."""
+    from audiopro_essentia_spark.sources.sequences import (
+        with_sequence_metadata,
+    )
+
+    toks = _docs_tokens(spark, sf_dir)
+    return with_sequence_metadata(toks, tokens_col="toks")
+
+
 def q_spectral_flux(spark, sf_dir):
     """Onset strength: per-frame spectral flux + sigma-threshold onset
     flags over derived tokens (F=16, H=4) — stateless Arrow spectrum UDF,
@@ -1288,8 +1348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are still verified locally by tests/driver_compare.py."""
     return {
         # -- core framing / temporal / join surface -------------------
-        "framing_counts": q_framing_counts,
-        "frame_rms": q_frame_rms,
         "doc_stats": q_doc_stats,
         "quarantine": q_quarantine,
         "sessionize": q_sessionize,
@@ -1299,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- kernel / spectral surface (r1-fail fixes live here) ------
         "kernel_features": q_kernel_features,
         "kernel_full_geometry": q_kernel_full_geometry,
+        "mfcc_delta": q_mfcc_delta,
+        "seq_metadata": q_seq_metadata,
         "spectral_flux": q_spectral_flux,
         "spectral_contrast": q_spectral_contrast,
         "rhythm": q_rhythm,
@@ -1342,6 +1402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "silence_segments": q_silence_segments,
         # ---- position 51+: redundant / double-confirmed entries ----
+        "framing_counts": q_framing_counts,
+        "frame_rms": q_frame_rms,
         "lag_lead": q_lag_lead,
         "rolling": q_rolling,
         "ffill": q_ffill,
@@ -1623,6 +1685,30 @@ WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         "kernel_full_geometry": DT.kernel_time_sql(
             2048, 512, 44100, KSCALE_, repeat=GEO_REP_
         ),
+        "mfcc_delta": DT.kernel_delta_sql(
+            KF_, KH_, KSR_, KSCALE_, KMELS_,
+            coeffs=tuple(range(N_DELTA_COEF)), width=2,
+        ),
+        "seq_metadata": """
+WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '),
+  w -> length(w)) AS toks FROM documents),
+m AS (SELECT doc_id, toks, len(list_distinct(toks)) AS vocab FROM t)
+SELECT doc_id,
+  md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ','))
+    AS content_md5,
+  CAST(len(toks) AS BIGINT) AS n_tok,
+  round(CAST(len(toks) AS DOUBLE) / 44100.0, 6) AS duration_sec,
+  CAST(44100 AS INT) AS sample_rate,
+  CAST(1 AS INT) AS channels,
+  'tokens-v1' AS codec,
+  CAST(vocab AS BIGINT) AS vocab_size,
+  CAST(list_min(toks) AS BIGINT) AS tok_min,
+  CAST(list_max(toks) AS BIGINT) AS tok_max,
+  CAST(CASE WHEN vocab <= 1 THEN 1
+       ELSE CAST(ceil(log2(CAST(vocab AS DOUBLE))) AS INT) END AS BIGINT)
+    * 44100 AS bit_rate
+FROM m
+""",
         "spectral_flux": DT.flux_sql(KF_, KH_, KSR_, KSCALE_),
         "spectral_contrast": DT.contrast_sql(KF_, KH_, KSR_, KSCALE_),
         "rhythm": DT.rhythm_sql(KF_, KH_, KSR_, KSCALE_),

@@ -1061,3 +1061,80 @@ def bpe_sql(n_merges: int = 6, table: str = "documents") -> str:
         for m in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(layers) + "\n" + union
+
+
+def kernel_delta_sql(
+    frame_length: int,
+    hop: int,
+    sample_rate: int,
+    token_scale: float,
+    n_mels: int,
+    coeffs: tuple[int, ...] = (0, 1, 2, 3),
+    width: int = 2,
+) -> str:
+    """DuckDB twin of kernel mfcc -> operators.deltas (with_frame_deltas +
+    with_cmvn): the UNROUNDED mfcc values feed the delta regression and the
+    per-doc mean subtraction (rounding inputs first would perturb round-6
+    deltas by up to ~3e-7), round-6 lands only on the final projection,
+    mirroring the Spark query. Window semantics mirror deltas.py exactly:
+    edge replication via first/last_value when frame_idx +- k leaves the
+    doc's [min, max] index range, NULL (silent-frame) values propagate
+    through the regression, avg() ignores NULLs for the CMN mean.
+    AS MATERIALIZED on every layer (CLAUDE.md: DuckDB re-inlines plain
+    CTEs combinatorially)."""
+    c = _consts(frame_length, sample_rate, n_mels)
+    wd, spec_cols, nb = _dft_parts(frame_length, sample_rate, token_scale)
+    zero = "(" + "+".join(f"abs(wd{j})" for j in range(frame_length)) + ") = 0"
+    fb, dct = c["fb"], c["dct"]
+    mel_cols = []
+    for m in range(n_mels):
+        terms = [f"s{k}*{fb[m, k]!r}" for k in range(nb) if fb[m, k] != 0]
+        mel_cols.append(
+            f"ln(({' + '.join(terms) if terms else '0.0'}) + {EPS!r}) AS lm{m}"
+        )
+    m_cols = []
+    for i in coeffs:
+        expr = " + ".join(f"lm{m}*{dct[i, m]!r}" for m in range(n_mels))
+        m_cols.append(f"CASE WHEN zero_spec THEN NULL ELSE ({expr}) END AS m{i}")
+    win_cols = ["min(frame_idx) OVER wp AS mnx", "max(frame_idx) OVER wp AS mxx"]
+    for i in coeffs:
+        win_cols.append(f"first_value(m{i}) OVER wo AS fv{i}")
+        win_cols.append(f"last_value(m{i}) OVER wof AS lv{i}")
+        win_cols.append(f"avg(m{i}) OVER wp AS av{i}")
+        for k in range(1, width + 1):
+            win_cols.append(f"lag(m{i}, {k}) OVER wo AS pg{i}_{k}")
+            win_cols.append(f"lead(m{i}, {k}) OVER wo AS ld{i}_{k}")
+    denom = float(2 * sum(k * k for k in range(1, width + 1)))
+    out_cols = ["doc_id", "frame_idx"]
+    for i in coeffs:
+        terms = []
+        for k in range(1, width + 1):
+            fut = f"(CASE WHEN frame_idx + {k} <= mxx THEN ld{i}_{k} ELSE lv{i} END)"
+            pst = f"(CASE WHEN frame_idx - {k} >= mnx THEN pg{i}_{k} ELSE fv{i} END)"
+            terms.append(f"{k}.0*({fut} - {pst})")
+        out_cols.append(f"round(m{i}, 6) AS mfcc_{i}")
+        out_cols.append(
+            f"round(({' + '.join(terms)})/{denom!r}, 6) AS mfcc_{i}_d1"
+        )
+        out_cols.append(f"round(m{i} - av{i}, 6) AS mfcc_{i}_cmn")
+    ctes = [
+        frames_cte(frame_length, hop),
+        f"a AS MATERIALIZED (SELECT doc_id, frame_idx, {wd} FROM f)",
+        f"b AS MATERIALIZED (SELECT *, {', '.join(spec_cols)} FROM a)",
+        f"mm AS MATERIALIZED (SELECT *, {zero} AS zero_spec, "
+        f"{', '.join(mel_cols)} FROM b)",
+        f"mr AS MATERIALIZED (SELECT doc_id, frame_idx, {', '.join(m_cols)} "
+        "FROM mm)",
+        f"wb AS MATERIALIZED (SELECT doc_id, frame_idx, "
+        + ", ".join(f"m{i}" for i in coeffs)
+        + ", "
+        + ", ".join(win_cols)
+        + " FROM mr WINDOW wo AS (PARTITION BY doc_id ORDER BY frame_idx), "
+        "wof AS (PARTITION BY doc_id ORDER BY frame_idx ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), "
+        "wp AS (PARTITION BY doc_id))",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n ".join(out_cols)
+        + "\nFROM wb"
+    )

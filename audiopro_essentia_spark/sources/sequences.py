@@ -87,3 +87,52 @@ def load_and_validate(
     df, start_sample = slice_time_range(df, start_sec, end_sec)
     ok, bad = split_quarantine(df)
     return ok, bad, start_sample
+
+
+def with_sequence_metadata(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    sample_rate: int = SAMPLE_RATE,
+    codec: str = "tokens-v1",
+) -> DataFrame:
+    """S1 file-metadata analogs of the reference loader's return tuple
+    (audio, sr, channels, md5, bit_rate, codec —
+    /root/reference/src/audiopro/audio/audio_loader.py:61-63,100-123):
+
+    - content_md5: md5 of the canonical comma-joined token rendering (the
+      analog of the loader's audio-stream MD5) — content-addressed identity
+      for dedup/lineage;
+    - duration_sec: n_tok / sample_rate (the loader's length/sr);
+    - sample_rate / channels / codec: contract constants for the tokens
+      payload (1-"channel" int32 token stream);
+    - vocab_size, tok_min, tok_max: dictionary-size and dynamic-range
+      analogs of bit-depth metadata;
+    - bit_rate: ceil(log2(vocab_size)) bits-per-token x sample_rate — the
+      effective-bit-rate analog of the loader's codec bit_rate.
+
+    Pure narrow JVM projection — no shuffle, no Python; safe to fuse with
+    the scan at any scale.
+    """
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    vocab = F.size(F.array_distinct(toks))
+    bits = F.when(vocab <= 1, F.lit(1)).otherwise(
+        F.ceil(F.log2(vocab.cast("double"))).cast("int")
+    )
+    return df.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.transform(toks, lambda x: x.cast("string")), ",")
+        ).alias("content_md5"),
+        n.cast("long").alias("n_tok"),
+        F.round(n.cast("double") / F.lit(float(sample_rate)), 6).alias(
+            "duration_sec"
+        ),
+        F.lit(sample_rate).cast("int").alias("sample_rate"),
+        F.lit(1).cast("int").alias("channels"),
+        F.lit(codec).alias("codec"),
+        vocab.cast("long").alias("vocab_size"),
+        F.array_min(toks).cast("long").alias("tok_min"),
+        F.array_max(toks).cast("long").alias("tok_max"),
+        (bits.cast("long") * F.lit(sample_rate)).alias("bit_rate"),
+    )

@@ -74,6 +74,8 @@ BENCH_QUERIES = (
     "temperature_sample",
     "cap_per_group",
     "silence_segments",
+    "mfcc_delta",
+    "seq_metadata",
 )
 
 

@@ -46,6 +46,8 @@ NOTES = {
     "temperature_sample": "per-source share agg (tiny) broadcast back as a tau-scaled keep-rate; the sample decision is a narrow content-hash predicate — no shuffle of the corpus",
     "cap_per_group": "two-phase (group,salt)->group window with WindowGroupLimit partial pushdown on BOTH phases — a hot group's top-N spreads over n_salts reducers before the final per-group limit",
     "silence_segments": "gap-and-island windows + segment agg all partitioned on doc_id — ONE exchange reused across both window passes and the groupBy; per-frame energy is an exact-integer JVM fold",
+    "mfcc_delta": "ONE ArrowEvalPython (kernel), then ONE doc_id Exchange + ONE Sort serving BOTH Window nodes (delta lags/edge values + CMN doc moments)",
+    "seq_metadata": "pure narrow JVM projection fused with the scan — zero Exchange, zero Python (md5/distinct/min/max are per-row array expressions)",
 }
 
 HEADLINE = (
@@ -56,7 +58,7 @@ HEADLINE = (
     "encode_tokens", "quantize_embed", "salted_join", "corpus_rollup",
     "monitor_stats", "token_budget", "semantic_dedup", "bigram_surprisal",
     "quality_classifier", "bpe_merges", "temperature_sample",
-    "cap_per_group", "silence_segments",
+    "cap_per_group", "silence_segments", "mfcc_delta", "seq_metadata",
 )
 
 
