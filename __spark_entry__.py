@@ -1696,6 +1696,8 @@ m AS (SELECT doc_id, toks, len(list_distinct(toks)) AS vocab FROM t)
 SELECT doc_id,
   md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ','))
     AS content_md5,
+  sha256(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ','))
+    AS content_sha256,
   CAST(len(toks) AS BIGINT) AS n_tok,
   round(CAST(len(toks) AS DOUBLE) / 44100.0, 6) AS duration_sec,
   CAST(44100 AS INT) AS sample_rate,

@@ -99,9 +99,10 @@ def with_sequence_metadata(
     (audio, sr, channels, md5, bit_rate, codec —
     /root/reference/src/audiopro/audio/audio_loader.py:61-63,100-123):
 
-    - content_md5: md5 of the canonical comma-joined token rendering (the
-      analog of the loader's audio-stream MD5) — content-addressed identity
-      for dedup/lineage;
+    - content_md5 / content_sha256: digests of the canonical comma-joined
+      token rendering (the analogs of the loader's audio-stream MD5 and
+      metadata.py's file sha256_hash) — content-addressed identity for
+      dedup/lineage;
     - duration_sec: n_tok / sample_rate (the loader's length/sr);
     - sample_rate / channels / codec: contract constants for the tokens
       payload (1-"channel" int32 token stream);
@@ -119,11 +120,11 @@ def with_sequence_metadata(
     bits = F.when(vocab <= 1, F.lit(1)).otherwise(
         F.ceil(F.log2(vocab.cast("double"))).cast("int")
     )
+    canon = F.array_join(F.transform(toks, lambda x: x.cast("string")), ",")
     return df.select(
         "doc_id",
-        F.md5(
-            F.array_join(F.transform(toks, lambda x: x.cast("string")), ",")
-        ).alias("content_md5"),
+        F.md5(canon).alias("content_md5"),
+        F.sha2(canon, 256).alias("content_sha256"),
         n.cast("long").alias("n_tok"),
         F.round(n.cast("double") / F.lit(float(sample_rate)), 6).alias(
             "duration_sec"

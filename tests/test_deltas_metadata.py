@@ -132,6 +132,7 @@ def test_sequence_metadata_golden(spark):
     rows = {r.doc_id: r for r in with_sequence_metadata(df).collect()}
     a = rows["a"]
     assert a.content_md5 == hashlib.md5(b"3,1,4,1,5").hexdigest()
+    assert a.content_sha256 == hashlib.sha256(b"3,1,4,1,5").hexdigest()
     assert a.n_tok == 5
     assert a.duration_sec == pytest.approx(round(5 / 44100.0, 6))
     assert (a.sample_rate, a.channels, a.codec) == (44100, 1, "tokens-v1")
