@@ -185,3 +185,34 @@ def test_silence_segments_single_exchange(spark):
         seg.explain()
     simple = buf.getvalue()
     assert simple.count("Exchange") == 1, simple
+
+
+def test_mfcc_delta_single_exchange_single_arrow_eval(spark):
+    """The delta/CMN stack must share ONE doc_id exchange + ONE sort
+    across both Window nodes, and the kernel UDF must evaluate exactly
+    once (a second ArrowEvalPython would double the dominant cost)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["mfcc_delta"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    simple = buf.getvalue()
+    assert simple.count("ArrowEvalPython") == 1, simple
+    assert simple.count("Exchange") == 1, simple
+    assert simple.count("+- Sort") == 1, simple
+    assert simple.count("Window") == 2, simple
+
+
+def test_seq_metadata_zero_shuffle_zero_python(spark):
+    """S1 metadata analogs are a pure narrow JVM projection — any
+    Exchange or Python eval in this plan is a regression."""
+    import __spark_entry__ as e
+
+    df = e.queries()["seq_metadata"](spark, SF)
+    simple_buf = io.StringIO()
+    with contextlib.redirect_stdout(simple_buf):
+        df.explain()
+    simple = simple_buf.getvalue()
+    assert "Exchange" not in simple, simple
+    assert "Python" not in simple, simple
