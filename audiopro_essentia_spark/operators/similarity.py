@@ -190,24 +190,43 @@ def semantic_dedup(
     otherwise re-run the centroid-assignment Arrow UDF in each (measured
     10 ArrowEvalPython nodes -> 1). Materialize-assignments-once is also
     the production shape — at corpus scale this checkpoint is a table
-    write."""
+    write.
+
+    Each row's L2 norm rides along in the checkpoint, so the O(pairs)
+    within-cluster cosine only pays the dot product — recomputing both
+    norms per pair tripled the flops of the dominant join (measured
+    11.8s -> ~5s at sf0.1). Same IEEE ops in the same order as the
+    inline form, so round-6 values (and the DuckDB twin) are unchanged."""
     assigned, _ = kmeans_lite(corpus, vec_col=vec_col, k=k, iters=iters)
-    assigned = assigned.localCheckpoint()
+    assigned = assigned.withColumn(
+        "_norm", norm_expr(F.col(vec_col))
+    ).localCheckpoint()
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
     )
     b = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
     )
     dropped = (
         a.join(b, "cluster_id")
         .where(F.col("_ida") < F.col("_idb"))
         .where(
-            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        dot_expr(F.col("_va"), F.col("_vb")),
+                        F.col("_na") * F.col("_nb"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            )
             >= F.lit(threshold)
         )
         .select(F.col("_idb").alias(id_col))
@@ -217,7 +236,7 @@ def semantic_dedup(
     return (
         assigned.join(dropped, id_col, "left")
         .withColumn("is_dup", F.coalesce(F.col("_dup"), F.lit(False)))
-        .drop("_dup")
+        .drop("_dup", "_norm")
     )
 
 
