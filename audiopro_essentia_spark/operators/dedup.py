@@ -516,7 +516,7 @@ def embedding_neardup_pairs(
     for near-dups). Tune (n_planes, band_bits) to the threshold; the
     exact all-pairs form survives as embedding_neardup_pairs_exact for
     tiny-N test oracles."""
-    from .similarity import cosine_expr, make_lsh_band_udf
+    from .similarity import dot_expr, make_lsh_band_udf, norm_expr
 
     udf = make_lsh_band_udf(n_planes, band_bits, seed).asNondeterministic()
     banded = (
@@ -534,15 +534,35 @@ def embedding_neardup_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # each side's L2 norm is computed once per ROW here (O(n)), so the
+    # verify join pays only the dot per candidate pair — same IEEE ops in
+    # the same order as the inline cosine, round-6 values unchanged
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm_expr(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm_expr(F.col(vec_col)).alias("_nb"),
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        dot_expr(F.col("v_a"), F.col("v_b")),
+                        F.col("_na") * F.col("_nb"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
