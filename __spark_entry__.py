@@ -791,6 +791,32 @@ def q_bpe_merges(spark, sf_dir):
     return train_bpe(spark, d, n_merges=6)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer ENCODE side: the 6 learned merges applied in training
+    order to the corpus word table (operators/bpe.py segment_words —
+    each merge a pure-JVM leftmost-non-overlapping fold, zero Python),
+    output (word, freq, pieces, n_pieces). The DuckDB twin extends the
+    training chain through the final apply
+    (duck_twins.bpe_encode_sql)."""
+    from audiopro_essentia_spark.operators.bpe import (
+        segment_words,
+        train_bpe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = sorted(
+        train_bpe(spark, d, n_merges=6).collect(),
+        key=lambda r: r.merge_rank,
+    )
+    seg = segment_words(d, [(r.left_sym, r.right_sym) for r in merges])
+    return seg.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.array_join("sym", " ").alias("pieces"),
+        F.size("sym").cast("int").alias("n_pieces"),
+    )
+
+
 def q_temperature_sample(spark, sf_dir):
     """Sampling: temperature-scaled mixture (tau=0.5) — per-source
     keep-rates derived from corpus shares via the sqrt path (IEEE
@@ -1348,7 +1374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     are still verified locally by tests/driver_compare.py."""
     return {
         # -- core framing / temporal / join surface -------------------
-        "doc_stats": q_doc_stats,
         "quarantine": q_quarantine,
         "sessionize": q_sessionize,
         "session_tempo": q_session_tempo,
@@ -1398,10 +1423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "quality_classifier": q_quality_classifier,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "temperature_sample": q_temperature_sample,
         "cap_per_group": q_cap_per_group,
         "silence_segments": q_silence_segments,
         # ---- position 51+: redundant / double-confirmed entries ----
+        "doc_stats": q_doc_stats,
         "framing_counts": q_framing_counts,
         "frame_rms": q_frame_rms,
         "lag_lead": q_lag_lead,
@@ -2090,6 +2117,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM e
 """,
         "bpe_merges": DT.bpe_sql(6),
+        "bpe_encode": DT.bpe_encode_sql(6),
         "temperature_sample": f"""
 WITH t AS MATERIALIZED (
   SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total

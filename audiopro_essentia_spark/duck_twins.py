@@ -1010,18 +1010,23 @@ WHERE l.doc_id IS NULL
 """
 
 
-def bpe_sql(n_merges: int = 6, table: str = "documents") -> str:
-    """DuckDB twin of operators.bpe.train_bpe: the same merge loop as
-    materialized CTE layers. Layer m: pair counts over the layer-(m-1)
-    word table (1-BASED list indexing; range() is end-exclusive, so
-    i in 1..len-1), deterministic argmax (cnt DESC, left, right), then the
-    merge fold via list_reduce on a chr(1)-delimited string accumulator —
-    leftmost non-overlapping, identical to the Spark F.aggregate fold
-    (suffix check uses right()/left() string surgery, not LIKE, so merge
-    symbols containing pattern metacharacters stay exact). AS MATERIALIZED
-    on every layer: DuckDB inlines plain CTEs like Catalyst collapses
-    projections, and the fold chain re-expands combinatorially without it
-    (CLAUDE.md, layered-kernel precedent)."""
+def _bpe_layers(
+    n_merges: int, table: str, final_word_table: bool = False
+) -> list[str]:
+    """Shared CTE-layer builder for the BPE twins. Layer m: pair counts
+    over the layer-(m-1) word table (1-BASED list indexing; range() is
+    end-exclusive, so i in 1..len-1), deterministic argmax (cnt DESC,
+    left, right), then the merge fold via list_reduce on a
+    chr(1)-delimited string accumulator — leftmost non-overlapping,
+    identical to the Spark F.aggregate fold (suffix check uses
+    right()/left() string surgery, not LIKE, so merge symbols containing
+    pattern metacharacters stay exact). AS MATERIALIZED on every layer:
+    DuckDB inlines plain CTEs like Catalyst collapses projections, and
+    the fold chain re-expands combinatorially without it (CLAUDE.md,
+    layered-kernel precedent). `final_word_table=True` also applies the
+    LAST merge, yielding w{n_merges} (the encode twin's output; assumes
+    the corpus has >= n_merges mergeable pairs — an empty argmax layer
+    would annihilate the CROSS JOIN)."""
 
     def fold(b: str) -> str:
         l, r = f"{b}.left_sym", f"{b}.right_sym"
@@ -1050,17 +1055,36 @@ def bpe_sql(n_merges: int = 6, table: str = "documents") -> str:
             f"b{m} AS MATERIALIZED (SELECT left_sym, right_sym, pair_cnt "
             f"FROM pc{m} ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 1)"
         )
-        if m < n_merges:
+        if m < n_merges or final_word_table:
             layers.append(
                 f"w{m} AS MATERIALIZED (SELECT word, freq, {fold(f'b{m}')} "
                 f"AS sym FROM w{m-1} CROSS JOIN b{m})"
             )
+    return layers
+
+
+def bpe_sql(n_merges: int = 6, table: str = "documents") -> str:
+    """DuckDB twin of operators.bpe.train_bpe: the same merge loop as
+    materialized CTE layers (see _bpe_layers)."""
+    layers = _bpe_layers(n_merges, table)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({m} AS BIGINT) AS merge_rank, left_sym, right_sym, "
         f"pair_cnt FROM b{m}"
         for m in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(layers) + "\n" + union
+
+
+def bpe_encode_sql(n_merges: int = 6, table: str = "documents") -> str:
+    """DuckDB twin of train_bpe + segment_words: the SAME merge chain
+    extended through the final apply, then the segmented word table
+    (word, freq, space-joined pieces, piece count)."""
+    layers = _bpe_layers(n_merges, table, final_word_table=True)
+    return (
+        "WITH " + ",\n".join(layers)
+        + f"\nSELECT word, freq, array_to_string(sym, ' ') AS pieces, "
+        f"CAST(len(sym) AS INT) AS n_pieces FROM w{n_merges}"
+    )
 
 
 def kernel_delta_sql(

@@ -76,6 +76,7 @@ BENCH_QUERIES = (
     "silence_segments",
     "mfcc_delta",
     "seq_metadata",
+    "bpe_encode",
 )
 
 
