@@ -817,6 +817,21 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_drift_psi(spark, sf_dir):
+    """Monitoring: per-source n_chars distribution drift vs the rest of
+    the corpus as a Population Stability Index (aggregates.py
+    source_drift_psi) — the data-side sibling of the reference's
+    host-performance monitor. ONE (source, bucket) count shuffle; the
+    spine join, rest-of-corpus subtraction and PSI fold all run on the
+    20x10 aggregate."""
+    from audiopro_essentia_spark.operators.aggregates import (
+        source_drift_psi,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return source_drift_psi(d, value_col="n_chars", group_col="source")
+
+
 def q_temperature_sample(spark, sf_dir):
     """Sampling: temperature-scaled mixture (tau=0.5) — per-source
     keep-rates derived from corpus shares via the sqrt path (IEEE
@@ -1375,7 +1390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- core framing / temporal / join surface -------------------
         "quarantine": q_quarantine,
-        "sessionize": q_sessionize,
         "session_tempo": q_session_tempo,
         "asof_join": q_asof_join,
         "salted_join": q_salted_join,
@@ -1424,10 +1438,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "drift_psi": q_drift_psi,
         "temperature_sample": q_temperature_sample,
         "cap_per_group": q_cap_per_group,
         "silence_segments": q_silence_segments,
         # ---- position 51+: redundant / double-confirmed entries ----
+        "sessionize": q_sessionize,
         "doc_stats": q_doc_stats,
         "framing_counts": q_framing_counts,
         "frame_rms": q_frame_rms,
@@ -2118,6 +2134,32 @@ FROM e
 """,
         "bpe_merges": DT.bpe_sql(6),
         "bpe_encode": DT.bpe_encode_sql(6),
+        "drift_psi": """
+WITH c AS MATERIALIZED (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp,
+         CAST(least(floor(CAST(n_chars AS DOUBLE) / 100.0), 9) AS INT)
+           AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+sp AS MATERIALIZED (
+  SELECT g.grp, CAST(r.range AS INT) AS bucket
+  FROM (SELECT DISTINCT grp FROM c) g, range(10) r),
+f AS MATERIALIZED (
+  SELECT sp.grp, sp.bucket, coalesce(c.c, 0) AS c
+  FROM sp LEFT JOIN c ON sp.grp = c.grp AND sp.bucket = c.bucket),
+tg AS (SELECT grp, SUM(c) AS n_g FROM f GROUP BY grp),
+tb AS (SELECT bucket, SUM(c) AS c_all FROM f GROUP BY bucket),
+nt AS (SELECT SUM(c) AS n_all FROM f),
+pq AS (
+  SELECT f.grp,
+    greatest(CAST(f.c AS DOUBLE) / n_g, 1e-06) AS p,
+    CASE WHEN n_all - n_g = 0 THEN 1e-06
+         ELSE greatest(CAST(c_all - f.c AS DOUBLE) / (n_all - n_g), 1e-06)
+         END AS q
+  FROM f JOIN tg USING (grp) JOIN tb USING (bucket) CROSS JOIN nt)
+SELECT grp AS source, round(SUM((p - q) * ln(p / q)), 6) AS psi
+FROM pq GROUP BY grp
+""",
         "temperature_sample": f"""
 WITH t AS MATERIALIZED (
   SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total

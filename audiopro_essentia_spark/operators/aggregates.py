@@ -356,3 +356,89 @@ def trimmed_stats(
         F.round(F.avg(v), 6).alias("avg_value"),
         F.round(F.max(v), 6).alias("peak_value"),
     )
+
+
+def source_drift_psi(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    bucket_width: int = 100,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group distribution drift vs the REST of the corpus as a
+    Population Stability Index — the standard mixture-shift monitor for a
+    training-data pipeline (one number per source per epoch; the data-side
+    sibling of the reference's host-performance monitor, monitor.py:1).
+
+    Spec: bucket = least(floor(value/width), n_buckets-1) (integer
+    bucketing — no float hazard); p_b = source's bucket share, q_b = the
+    rest-of-corpus bucket share, both floored at `eps` over the FIXED
+    0..n_buckets-1 spine (empty buckets count as eps, the classic PSI
+    smoothing); PSI = sum_b (p_b - q_b) * ln(p_b / q_b). A group equal to
+    the whole corpus gets q_b = eps everywhere. NULL groups are coalesced
+    to the sentinel '__null__' BEFORE grouping (the null-equi-join trap).
+
+    100-TB shape: ONE map-side-combinable (group, bucket) count shuffle;
+    everything after runs on the (n_groups x n_buckets) aggregate —
+    spine cross-join, rest-of-corpus subtraction, and the PSI fold are
+    all tiny. Output: (group, psi) — n_groups rows.
+    """
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    b = (
+        F.least(
+            F.floor(F.col(value_col).cast("double") / F.lit(float(bucket_width))),
+            F.lit(n_buckets - 1),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
+    counts = (
+        df.select(g.alias("grp"), b)
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = (
+        counts.select("grp")
+        .distinct()
+        .crossJoin(
+            df.sparkSession.range(n_buckets).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    full = spine.join(counts, ["grp", "bucket"], "left").select(
+        "grp", "bucket", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    tot_g = full.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    tot_b = full.groupBy("bucket").agg(F.sum("c").alias("c_all"))
+    n_tot = full.agg(F.sum("c").alias("n_all"))
+    e = F.lit(float(eps))
+    joined = (
+        full.join(F.broadcast(tot_g), "grp")
+        .join(F.broadcast(tot_b), "bucket")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "grp",
+            F.greatest(F.col("c") / F.col("n_g"), e).alias("p"),
+            F.when(F.col("n_all") - F.col("n_g") == 0, e)
+            .otherwise(
+                F.greatest(
+                    (F.col("c_all") - F.col("c"))
+                    / (F.col("n_all") - F.col("n_g")),
+                    e,
+                )
+            )
+            .alias("q"),
+        )
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            ).alias("psi")
+        )
+        .select(F.col("grp").alias(group_col), "psi")
+    )

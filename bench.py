@@ -77,6 +77,7 @@ BENCH_QUERIES = (
     "mfcc_delta",
     "seq_metadata",
     "bpe_encode",
+    "drift_psi",
 )
 
 

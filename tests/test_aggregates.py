@@ -147,3 +147,55 @@ def test_trimmed_stats_matches_monitor_semantics(spark):
     assert got["a"].n_kept == 9 and got["a"].peak_value == 11.0
     assert got["b"].n_kept == 6
     assert got["d"].n_kept == 3  # sd=0 branch, not dropped-by-ulp
+
+
+def test_source_drift_psi_hand_computed(spark):
+    """PSI vs rest-of-corpus on a planted 2-group drift + a NULL group;
+    every number re-derived by a pure-python fold in the test."""
+    import math
+
+    from audiopro_essentia_spark.operators.aggregates import source_drift_psi
+
+    rows = (
+        [("a", 50)] * 6 + [("a", 150)] * 2        # a: heavy bucket 0
+        + [("b", 150)] * 5 + [("b", 250)] * 3     # b: buckets 1-2
+        + [(None, 50)] * 4                        # NULL group -> '__null__'
+    )
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {
+        r.source: r.psi
+        for r in source_drift_psi(df, bucket_width=100, n_buckets=4).collect()
+    }
+
+    def psi(grp):
+        eps = 1e-6
+        key = grp if grp is not None else "__null__"
+        cnt = {b: 0 for b in range(4)}
+        rest = {b: 0 for b in range(4)}
+        for g, v in rows:
+            b = min(v // 100, 3)
+            gk = g if g is not None else "__null__"
+            (cnt if gk == key else rest)[b] += 1
+        n, m = sum(cnt.values()), sum(rest.values())
+        out = 0.0
+        for b in range(4):
+            p = max(cnt[b] / n, eps)
+            q = eps if m == 0 else max(rest[b] / m, eps)
+            out += (p - q) * math.log(p / q)
+        return round(out, 6)
+
+    assert set(got) == {"a", "b", "__null__"}
+    for g in ("a", "b", None):
+        key = g if g is not None else "__null__"
+        assert got[key] == pytest.approx(psi(g), abs=2e-6), key
+    # identical distributions drift ~0: group vs a rest that mirrors it
+    same = spark.createDataFrame(
+        [("x", 50)] * 5 + [("x", 150)] * 5 + [("y", 50)] * 5 + [("y", 150)] * 5,
+        ["source", "n_chars"],
+    )
+    for r in source_drift_psi(same, bucket_width=100, n_buckets=4).collect():
+        assert abs(r.psi) < 1e-9
+    # single-group corpus: rest is empty -> q = eps everywhere, PSI huge
+    solo = spark.createDataFrame([("only", 50)] * 3, ["source", "n_chars"])
+    (r,) = source_drift_psi(solo, bucket_width=100, n_buckets=2).collect()
+    assert r.psi > 10  # p=1 vs q=1e-6 dominates
