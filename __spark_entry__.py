@@ -308,6 +308,64 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_pit_assembly(spark, sf_dir):
+    """J1 at full north-rule shape: MULTI-TABLE point-in-time training-
+    matrix assembly — each click (the label spine) picks up, strictly
+    as-of its own timestamp, (1) the latest purchase value + its age,
+    (2) the latest view value, (3) the user's cumulative error count.
+    Three chained union-window as-of joins (operators/asof.py), each one
+    hash-shuffle + in-partition sort; zero temporal leakage by
+    construction (every feature read is <= the click ts). DuckDB twin:
+    three native ASOF LEFT JOINs over the same pre-aggregated streams."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    errc = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "user_id", "ts", F.sum("_n").over(w).cast("long").alias("cum_err")
+        )
+    )
+    out = asof_join(
+        clicks, purch, on=("user_id",), left_ts="ts", right_ts="ts",
+        right_values=("pvalue",), matched_ts_col="p_ts",
+    )
+    out = asof_join(
+        out, views, on=("user_id",), left_ts="ts", right_ts="ts",
+        right_values=("vvalue",), matched_ts_col="v_ts",
+    )
+    out = asof_join(
+        out, errc, on=("user_id",), left_ts="ts", right_ts="ts",
+        right_values=("cum_err",), matched_ts_col="e_ts",
+    )
+    age = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("p_ts").cast("timestamp")
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("pvalue", 6).alias("pvalue"),
+        age.cast("long").alias("purchase_age_us"),
+        F.round("vvalue", 6).alias("vvalue"),
+        F.coalesce(F.col("cum_err"), F.lit(0)).cast("long").alias("n_err"),
+    )
+
+
 def q_enrich_broadcast(spark, sf_dir):
     """J2: broadcast enrichment join orders <- customer <- nation with exact
     integer-cents revenue."""
@@ -1390,8 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- core framing / temporal / join surface -------------------
         "quarantine": q_quarantine,
-        "session_tempo": q_session_tempo,
         "asof_join": q_asof_join,
+        "pit_assembly": q_pit_assembly,
         "salted_join": q_salted_join,
         # -- kernel / spectral surface (r1-fail fixes live here) ------
         "kernel_features": q_kernel_features,
@@ -1443,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_group": q_cap_per_group,
         "silence_segments": q_silence_segments,
         # ---- position 51+: redundant / double-confirmed entries ----
+        "session_tempo": q_session_tempo,
         "sessionize": q_sessionize,
         "doc_stats": q_doc_stats,
         "framing_counts": q_framing_counts,
@@ -1642,6 +1701,28 @@ SELECT c.user_id, c.event_id, round(c.value, 6) AS value,
        p.ts AS matched_ts, round(p.pvalue, 6) AS pvalue
 FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+        "pit_assembly": """
+WITH clicks AS (SELECT user_id, event_id, ts, value FROM events
+                WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, max(value) AS pvalue FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts),
+views AS (SELECT user_id, ts, max(value) AS vvalue FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+err AS (SELECT user_id, ts, CAST(count(*) AS BIGINT) AS n FROM events
+        WHERE event_type = 'error' GROUP BY user_id, ts),
+errc AS (SELECT user_id, ts,
+  CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS cum_err
+  FROM err)
+SELECT c.user_id, c.event_id, round(c.value, 6) AS value,
+  round(p.pvalue, 6) AS pvalue,
+  CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS purchase_age_us,
+  round(v.vvalue, 6) AS vvalue,
+  CAST(coalesce(e.cum_err, 0) AS BIGINT) AS n_err
+FROM clicks c
+ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND p.ts <= c.ts
+ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts
+ASOF LEFT JOIN errc e ON c.user_id = e.user_id AND e.ts <= c.ts
 """,
         "enrich_broadcast": """
 SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,

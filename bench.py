@@ -78,6 +78,7 @@ BENCH_QUERIES = (
     "seq_metadata",
     "bpe_encode",
     "drift_psi",
+    "pit_assembly",
 )
 
 

@@ -293,3 +293,36 @@ def test_asof_cogroup_string_ts_and_null_left(spark):
     by_null = {r["available_ts"] is None: r for r in rows}
     assert by_null[False]["label"] == "x"      # string ts parsed, matched
     assert by_null[True]["label"] is None      # NULL left ts passes through
+
+
+def test_pit_assembly_zero_leakage(spark):
+    """Multi-table PIT assembly (the q_pit_assembly shape): a feature row
+    one microsecond AFTER the click must be invisible in every joined
+    stream, and the cumulative error count must stop strictly at the
+    click timestamp."""
+    T = dt.datetime(2026, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    s = dt.timedelta(seconds=1)
+    clicks = spark.createDataFrame(
+        [(1, 100, T + 10 * s, 1.0)], ["user_id", "event_id", "ts", "value"]
+    )
+    purch = spark.createDataFrame(
+        [(1, T + 9 * s, 5.0), (1, T + 10 * s + us, 99.0)],
+        ["user_id", "ts", "pvalue"],
+    )
+    errc = spark.createDataFrame(
+        [(1, T + 8 * s, 1), (1, T + 10 * s, 2), (1, T + 10 * s + us, 3)],
+        ["user_id", "ts", "cum_err"],
+    )
+    out = asof_join(
+        clicks, purch, on=("user_id",), left_ts="ts", right_ts="ts",
+        right_values=("pvalue",), matched_ts_col="p_ts",
+    )
+    out = asof_join(
+        out, errc, on=("user_id",), left_ts="ts", right_ts="ts",
+        right_values=("cum_err",), matched_ts_col="e_ts",
+    )
+    (r,) = out.collect()
+    assert r.pvalue == 5.0          # the 1us-future purchase is invisible
+    assert r.p_ts == T + 9 * s
+    assert r.cum_err == 2           # <= click ts inclusive, future excluded

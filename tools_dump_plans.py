@@ -50,6 +50,7 @@ NOTES = {
     "seq_metadata": "pure narrow JVM projection fused with the scan — zero Exchange, zero Python (md5/distinct/min/max are per-row array expressions)",
     "bpe_encode": "training reuses the bpe_merges loop (bounded word-freq table); the 6-merge apply is one linear chain of JVM folds over the SAME table — no extra shuffle beyond the word agg",
     "drift_psi": "ONE map-side-combinable (group,bucket) count shuffle over the corpus; spine cross-join, rest-of-corpus subtraction and the PSI fold all run on the n_groups x n_buckets aggregate (broadcast joins)",
+    "pit_assembly": "three chained union-window as-of joins, each ONE user_id hash shuffle + in-partition sort — never a join explosion; the error feature is a window cumsum on the pre-aggregated (user,ts) stream",
 }
 
 HEADLINE = (
@@ -61,7 +62,7 @@ HEADLINE = (
     "monitor_stats", "token_budget", "semantic_dedup", "bigram_surprisal",
     "quality_classifier", "bpe_merges", "temperature_sample",
     "cap_per_group", "silence_segments", "mfcc_delta", "seq_metadata",
-    "bpe_encode", "drift_psi",
+    "bpe_encode", "drift_psi", "pit_assembly",
 )
 
 
