@@ -875,6 +875,41 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Epoch-over-epoch corpus diff (operators/snapshot.py): old =
+    documents; new = deterministic mutation (per-mille hash bucket <50
+    removed, [50,150) text-revised, removed docs re-added under doc_id+1M)
+    — every status class non-vacuous. Digests are computed in the scan
+    projection; only (id, digest) crosses the ONE full-outer join
+    shuffle."""
+    from audiopro_essentia_spark.functions.sampling import hash_bucket
+    from audiopro_essentia_spark.operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    old = d.select("doc_id", "text")
+    new = (
+        d.where(b >= 50)
+        .select(
+            "doc_id",
+            F.when(
+                b < 150, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(b < 50).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = snapshot_diff(old, new)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status"
+    )
+
+
 def q_drift_psi(spark, sf_dir):
     """Monitoring: per-source n_chars distribution drift vs the rest of
     the corpus as a Population Stability Index (aggregates.py
@@ -1468,7 +1503,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "streaming_session": q_streaming_session,
         # -- dedup / similarity / featurize ---------------------------
-        "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -1497,10 +1531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "drift_psi": q_drift_psi,
+        "snapshot_diff": q_snapshot_diff,
         "temperature_sample": q_temperature_sample,
         "cap_per_group": q_cap_per_group,
         "silence_segments": q_silence_segments,
         # ---- position 51+: redundant / double-confirmed entries ----
+        "dedup_exact": q_dedup_exact,
         "session_tempo": q_session_tempo,
         "sessionize": q_sessionize,
         "doc_stats": q_doc_stats,
@@ -2215,6 +2251,27 @@ FROM e
 """,
         "bpe_merges": DT.bpe_sql(6),
         "bpe_encode": DT.bpe_encode_sql(6),
+        "snapshot_diff": """
+WITH b AS MATERIALIZED (SELECT doc_id, text,
+  ((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 8))::BIGINT)
+   % 1000) AS bk
+  FROM documents),
+old AS MATERIALIZED (
+  SELECT doc_id, md5(coalesce(CAST(text AS VARCHAR), '')) AS d FROM b),
+new AS MATERIALIZED (
+  SELECT doc_id,
+    md5(coalesce(CASE WHEN bk < 150 THEN text || ' [rev2]'
+                 ELSE text END, '')) AS d
+  FROM b WHERE bk >= 50
+  UNION ALL
+  SELECT doc_id + 1000000, md5(coalesce(CAST(text AS VARCHAR), ''))
+  FROM b WHERE bk < 50)
+SELECT CAST(coalesce(o.doc_id, n.doc_id) AS BIGINT) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.d = n.d THEN 'same' ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""",
         "drift_psi": """
 WITH c AS MATERIALIZED (
   SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp,

@@ -79,6 +79,7 @@ BENCH_QUERIES = (
     "bpe_encode",
     "drift_psi",
     "pit_assembly",
+    "snapshot_diff",
 )
 
 

@@ -143,3 +143,37 @@ def test_sequence_metadata_golden(spark):
     c = rows["c"]
     assert c.content_md5 == hashlib.md5(b"2,2,2").hexdigest()
     assert (c.vocab_size, c.tok_min, c.tok_max) == (1, 2, 2)
+
+
+def test_snapshot_diff_statuses(spark):
+    from audiopro_essentia_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (5, None)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B!"), (4, "d"), (5, "")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        1: "same",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "same",  # NULL and '' digest identically — documented
+    }
+
+
+def test_snapshot_diff_driver_class_counts(spark):
+    """The q_snapshot_diff mutation must make every class non-vacuous at
+    sf0.001 and partition exactly: removed+same+changed = |old| and
+    added = |removed| (re-added under shifted ids)."""
+    import __spark_entry__ as e
+
+    out = e.queries()["snapshot_diff"](spark, "/root/testdata/sf0.001")
+    counts = {r.status: r.n for r in
+              out.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"added", "removed", "changed", "same"}
+    assert counts["added"] == counts["removed"]
