@@ -34,6 +34,31 @@ N_DOCS = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}
 # beyond this the window contained a CPU-steal burst (CLAUDE.md rule)
 SPREAD_LIMIT = 2.0
 
+# single-thread copy bandwidth below this = a neighbor VM is saturating
+# the shared memory bus. Measured: contended window 0.5 GB/s (2026-08-17,
+# flagship kernel 3.5x slow while cache-resident queries were unaffected);
+# quiet windows on this host measure well above 2. The spread rule CANNOT
+# detect this mode — bandwidth contention is sustained and hits only the
+# bandwidth-bound fused kernel, so samples agree with each other while
+# all being inflated.
+BW_CONTENDED_GBPS = 2.0
+
+
+def memory_bandwidth_probe() -> float:
+    """Single-thread big-copy bandwidth in GB/s (read+write bytes). The
+    256 MiB working set defeats every cache level, so this reads the
+    DRAM bus the fused kernel streams tokens through — the resource the
+    shared VM's neighbors actually contend on."""
+    import numpy as np
+
+    a = np.zeros(2 ** 25, dtype=np.float64)  # 256 MiB
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a.copy()
+        best = max(best, 2 * a.nbytes / (time.perf_counter() - t0) / 1e9)
+    return round(best, 2)
+
 BENCH_QUERIES = (
     "frame_rms",
     "doc_stats",
@@ -176,6 +201,7 @@ def main() -> None:
     )
     os.makedirs(tmp_dir, exist_ok=True)
 
+    bw_pre = memory_bandwidth_probe()
     pipe = run_token_pipeline(spark, tmp_dir, N_DOCS.get(sf_name, 512))
 
     qs = E.queries()
@@ -204,6 +230,7 @@ def main() -> None:
     if pipe["pipeline_steal_suspect"]:
         steal_suspect.insert(0, "token_pipeline")
 
+    bw_post = memory_bandwidth_probe()
     out = {
         "metric": "tokens/sec feature-engineering throughput (flagship token pipeline) + headline query wall-clock",
         "value": pipe["tokens_per_sec"],
@@ -212,6 +239,11 @@ def main() -> None:
         "sf": sf_name,
         "total_sec": round(total, 3),
         "steal_suspect": steal_suspect,
+        "mem_bw_gbps": {"pre": bw_pre, "post": bw_post},
+        # sustained neighbor-VM bandwidth contention: the flagship
+        # tokens/sec is NOT comparable to quiet-window records when true
+        # (the bandwidth-bound kernel slows 3-4x; light queries don't)
+        "bandwidth_contended": min(bw_pre, bw_post) < BW_CONTENDED_GBPS,
         "pipeline": pipe,
         "cpus": CPUS,
     }
