@@ -967,6 +967,65 @@ def q_silence_segments(spark, sf_dir):
     )
 
 
+# DSIR target domain: four fixed sources play the in-domain exemplar set
+DSIR_TARGET = ("src0", "src1", "src2", "src3")
+# BM25 audit probes over the fixture's SQL-word vocabulary
+BM25_QUERIES = (
+    (0, "table scan filter"),
+    (1, "window agg spark"),
+    (2, "customer query join"),
+    (3, "hash merge sort"),
+    (4, "stream batch order"),
+)
+BM25_K = 5
+
+
+def q_dsir_select(spark, sf_dir):
+    """Selection: DSIR importance resampling (Xie et al. 2023) — hashed
+    unigram+bigram bucket distributions fit on target (src0-3) vs raw
+    (rest), per-doc log importance weight in exact integer micro-nats,
+    keep = weight > 0 (operators/selection.py dsir_importance)."""
+    from audiopro_essentia_spark.operators.selection import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(
+        d, is_target=F.col("source").isin(*DSIR_TARGET)
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_feats",
+        "dsir_weight_micro",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def q_bm25(spark, sf_dir):
+    """Retrieval: Okapi BM25 top-5 docs per audit query (k1=1.2, b=0.75),
+    integer-micro scores, two-phase salted per-query top-k
+    (operators/selection.py bm25_topk)."""
+    from audiopro_essentia_spark.operators.selection import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id int, query string"
+    )
+    return bm25_topk(d, qs, k=BM25_K).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_hit_terms",
+        "score_micro",
+        "rank",
+    )
+
+
+def q_fertility(spark, sf_dir):
+    """Profiling: per-source tokenizer fertility / compression dashboard
+    (pieces per word, chars per piece, words per doc) from exact integer
+    sums (operators/aggregates.py tokenizer_fertility)."""
+    from audiopro_essentia_spark.operators.aggregates import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
 def q_tfidf(spark, sf_dir):
     """Text: top-5 TF-IDF terms per doc (smooth-idf; rank ties broken on
     the round-6 score then term so Spark and DuckDB agree bit-for-bit)."""
@@ -1510,13 +1569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
         "embed_neardup": q_embed_neardup,
-        "ann_topk": q_ann_topk,
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
-        "hashed_embedding": q_hashed_embedding,
-        "chunk_documents": q_chunk_documents,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
         "tfidf": q_tfidf,
@@ -1535,7 +1591,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "cap_per_group": q_cap_per_group,
         "silence_segments": q_silence_segments,
+        "dsir_select": q_dsir_select,
+        "bm25": q_bm25,
+        "fertility": q_fertility,
         # ---- position 51+: redundant / double-confirmed entries ----
+        # (ann_topk / hashed_embedding / chunk_documents were driver-green
+        # in BOTH r1 and r2 and yielded their in-window slots to the three
+        # never-checked round-3 entries above)
+        "ann_topk": q_ann_topk,
+        "hashed_embedding": q_hashed_embedding,
+        "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
         "session_tempo": q_session_tempo,
         "sessionize": q_sessionize,
@@ -2360,5 +2425,102 @@ SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
   round(CAST(SUM(CASE WHEN d.docfreq >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*), 6) AS dup_ratio
 FROM h JOIN d USING (h, h2) GROUP BY h.doc_id
+""",
+        "dsir_select": f"""
+WITH w AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+uni AS (SELECT doc_id, unnest(ws) AS feat FROM w),
+bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS feat
+       FROM w, LATERAL UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+       WHERE len(ws) >= 2),
+feats AS MATERIALIZED (
+  SELECT doc_id, {H32.format(x='feat')} % 512 AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+tagged AS (SELECT doc_id,
+        source IN ('src0','src1','src2','src3') AS is_tgt FROM documents),
+fb AS MATERIALIZED (
+  SELECT f.b, t.is_tgt FROM feats f JOIN tagged t USING (doc_id)),
+counts AS (SELECT b, SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS np,
+                  SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS nq
+           FROM fb GROUP BY b),
+tot AS (SELECT SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS tq FROM fb),
+lr AS (SELECT b, CAST(round((ln((np + 0.5) / (tp + 256.0))
+                             - ln((nq + 0.5) / (tq + 256.0))) * 1e6)
+                 AS BIGINT) AS lrm
+       FROM counts CROSS JOIN tot),
+docw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                CAST(SUM(lrm) AS BIGINT) AS wm
+         FROM feats JOIN lr USING (b) GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(docw.n_feats, 0) AS BIGINT) AS n_feats,
+  CAST(coalesce(docw.wm, 0) AS BIGINT) AS dsir_weight_micro,
+  CAST(coalesce(docw.wm, 0) > 0 AS INT) AS keep
+FROM documents d LEFT JOIN docw USING (doc_id)
+""",
+        "bm25": f"""
+WITH q AS (SELECT * FROM (VALUES {', '.join(f"({i}, '{s}')" for i, s in BM25_QUERIES)})
+           AS t(query_id, query)),
+w AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+       FROM tok GROUP BY doc_id, term),
+qt AS (SELECT DISTINCT query_id,
+         unnest(list_filter(string_split(query, ' '), x -> x <> '')) AS term
+       FROM q),
+tfq AS MATERIALIZED (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(ws)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avgdl
+          FROM w),
+sc AS (SELECT qt.query_id, tfq.doc_id,
+         CAST(round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tfq.tf * 2.2
+                    / (tfq.tf + 1.2 * (0.25 + (0.75 * tfq.dl) / s.avgdl))
+                    * 1e6) AS BIGINT) AS sm
+       FROM tfq JOIN qt USING (term) JOIN dfreq USING (term)
+       CROSS JOIN stats s),
+agg AS (SELECT query_id, doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+          CAST(SUM(sm) AS BIGINT) AS score_micro
+        FROM sc GROUP BY query_id, doc_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY score_micro DESC, doc_id ASC) AS rank FROM agg)
+SELECT CAST(query_id AS INT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,
+  n_hit_terms, score_micro, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= {BM25_K}
+""",
+        "fertility": """
+WITH w AS (SELECT coalesce(source, '__none__') AS source, text,
+        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+p AS (SELECT source, CAST(len(ws) AS BIGINT) AS nw,
+        CAST(coalesce(list_sum(list_transform(string_split(text, ' '),
+             x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0) AS BIGINT)
+          AS npc,
+        CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+          AS BIGINT) AS nch
+      FROM w),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nw) AS BIGINT) AS n_words,
+        CAST(SUM(npc) AS BIGINT) AS n_pieces,
+        CAST(SUM(nch) AS BIGINT) AS n_chars
+      FROM p GROUP BY source)
+SELECT source, n_docs, n_words, n_pieces, n_chars,
+  CASE WHEN n_words > 0
+    THEN round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+  END AS fertility,
+  CASE WHEN n_pieces > 0
+    THEN round(CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE), 6)
+  END AS chars_per_piece,
+  CASE WHEN n_docs > 0
+    THEN round(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+  END AS words_per_doc
+FROM g
 """,
     }

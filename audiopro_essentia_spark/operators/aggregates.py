@@ -442,3 +442,58 @@ def source_drift_psi(
         )
         .select(F.col("grp").alias(group_col), "psi")
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer fertility / compression profile — the
+    sanity dashboard every tokenizer change is judged by before a
+    training run (fertility = pieces per word; compression = chars per
+    piece). A source whose fertility spikes is mis-tokenized (wrong
+    script, mojibake, code-as-prose) long before loss curves show it.
+
+    Columns: n_docs, n_words, n_pieces (bpe-ish), n_chars, plus round-6
+    ratios fertility (pieces/word), chars_per_piece, words_per_doc.
+
+    Scale: one narrow map (per-row word/piece/char counts folded JVM-side,
+    no explode) + ONE groupBy(source) of exact integer sums; ratios are
+    single IEEE divisions of those exact integers, so the DuckDB twin
+    matches bit-for-bit. NULL sources aggregate under the '__none__'
+    sentinel instead of vanishing into a NULL group key."""
+    from ..functions.text import bpe_ish_token_count, words as _words
+
+    ws = F.filter(_words(F.col(text_col)), lambda w: w != F.lit(""))
+    per_doc = df.select(
+        F.coalesce(F.col(group_col), F.lit("__none__")).alias(group_col),
+        F.size(ws).cast("long").alias("_nw"),
+        bpe_ish_token_count(F.col(text_col)).alias("_npc"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("_nch"),
+    )
+    g = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nw").alias("n_words"),
+        F.sum("_npc").alias("n_pieces"),
+        F.sum("_nch").alias("n_chars"),
+    )
+    def ratio(num, den, name):
+        # explicit zero-denominator NULL: Spark's non-ANSI x/0 -> NULL but
+        # DuckDB's double division returns inf — pin both to NULL
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6)
+        ).alias(name)
+
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        ratio("n_pieces", "n_words", "fertility"),
+        ratio("n_chars", "n_pieces", "chars_per_piece"),
+        ratio("n_words", "n_docs", "words_per_doc"),
+    )

@@ -1,0 +1,259 @@
+"""Data selection for training corpora: DSIR importance resampling and
+BM25 lexical retrieval.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling", arXiv:2302.03169 — public method, independent implementation):
+score every raw document by how target-like its hashed n-gram profile is,
+log w(doc) = sum over the doc's hashed features of (ln p_target[h] -
+ln q_raw[h]), where p/q are add-alpha-smoothed bucket distributions fit on
+the target / raw split of the same corpus. The analog in the reference
+pipeline is its source-validation gate (reference
+src/audiopro/audio/validator.py) — a binary keep/drop; DSIR generalizes it
+to a calibrated, distribution-level keep score.
+
+BM25 (Robertson & Zaragoza 2009, Okapi BM25 — public formula): classic
+lexical top-k retrieval, the exact-match complement of the ANN suite
+(operators/similarity.py). Used in data pipelines for eval-set
+decontamination-by-retrieval and targeted corpus audits ("show me the
+docs that match this benchmark prompt").
+
+Scale design (both):
+- Feature/token extraction is narrow JVM codegen (split + explode), no
+  Python anywhere.
+- Every model-side table is BOUNDED and broadcast: DSIR's bucket
+  distribution is n_buckets rows (512 here, 10^4-10^5 in production —
+  still trivially broadcastable); BM25's query-term table is
+  |queries|*|terms| rows.
+- Per-doc scores are ONE groupBy(doc) sum — a single linear shuffle over
+  the exploded features; df/tf stats are the same shape.
+- Log-weights are accumulated as exact INTEGER micro-nats
+  (round(lr*1e6) per bucket, then BIGINT sum): float summation order
+  differs between engines and between Spark partitionings, integers
+  don't — the score is bit-stable at any scale and the DuckDB twin
+  matches exactly, no round-6 truce needed.
+- BM25 top-k per query goes through the two-phase salted window
+  (operators/skew.py capped_top_n), so a query matching 10^9 docs at
+  100 TB never funnels through one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import portable_hash32, words
+from .skew import capped_top_n
+
+# Smoothing for the bucket distributions. alpha=0.5 (Jeffreys) keeps
+# never-seen buckets finite on both sides of the log-ratio.
+DSIR_ALPHA = 0.5
+DSIR_BUCKETS = 512
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# integer micro-units: exact cross-engine accumulation (see module doc)
+_MICRO = 1e6
+
+
+def _doc_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, feat): unigrams + adjacent-bigram strings, empties dropped.
+    Bigrams via zip_with(ws[:-1], ws[1:]) — one pass, no posexplode."""
+    ws = F.filter(words(F.col(text_col)), lambda w: w != F.lit(""))
+    unis = df.select(F.col(id_col), F.explode(ws).alias("feat"))
+    n = F.size(ws)
+    bis = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(ws, 1, n - 1),
+                    F.slice(ws, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("feat"),
+    )
+    return unis.unionByName(bis)
+
+
+def dsir_bucket(feat: Column, n_buckets: int = DSIR_BUCKETS) -> Column:
+    """Hashed-feature bucket in [0, n_buckets) via the portable md5 hash
+    (cross-engine; F.hash would not survive the DuckDB twin)."""
+    return F.pmod(portable_hash32(feat), F.lit(n_buckets))
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(id, n_feats, dsir_weight_micro, keep): per-document DSIR
+    importance log-weight in integer micro-nats.
+
+    is_target marks the in-domain exemplar docs (the distribution you
+    want more of); the raw side is everything else. Both distributions
+    are fit over hashed unigram+bigram buckets with add-alpha smoothing:
+
+        lr[b] = ln((n_p[b]+a)/(N_p+a*B)) - ln((n_q[b]+a)/(N_q+a*B))
+
+    rounded ONCE per bucket to integer micro-nats; a doc's weight is the
+    exact integer sum of lr over its features (with multiplicity).
+    keep = weight > 0 ("more target-like than raw-like") — the
+    deterministic selection rule; production resampling would draw
+    against softmax(weight) instead, but the weights are the hard part.
+
+    Docs with zero features (empty/whitespace text) keep weight 0 via
+    the left join + coalesce — they are never silently dropped.
+    """
+    feats = _doc_features(df, text_col, id_col).withColumn(
+        "_b", dsir_bucket(F.col("feat"), n_buckets)
+    )
+    tgt = is_target  # evaluated against df's columns
+    tagged = df.select(F.col(id_col), tgt.alias("_is_tgt"))
+    fb = feats.join(tagged, id_col)  # feature rows tagged by class
+
+    # one shuffle: per-bucket counts for BOTH classes (conditional sums)
+    counts = fb.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(F.col("_is_tgt"), 0).otherwise(1)).alias("_nq"),
+    )
+    totals = fb.agg(
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tp"),
+        F.sum(F.when(F.col("_is_tgt"), 0).otherwise(1)).alias("_tq"),
+    )
+    ab = float(alpha) * n_buckets
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        F.round(
+            (
+                F.log((F.col("_np") + alpha) / (F.col("_tp") + ab))
+                - F.log((F.col("_nq") + alpha) / (F.col("_tq") + ab))
+            )
+            * _MICRO
+        )
+        .cast("long")
+        .alias("_lr_micro"),
+    )
+    # bucket table is bounded (n_buckets rows) -> broadcast into the
+    # per-feature stream; never a shuffle on the corpus side
+    doc_w = (
+        feats.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_lr_micro").alias("dsir_weight_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(doc_w, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("dsir_weight_micro", F.lit(0))
+            .cast("long")
+            .alias("dsir_weight_micro"),
+            (F.coalesce("dsir_weight_micro", F.lit(0)) > 0).alias("keep"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, doc_id, n_hit_terms, score_micro, rank): Okapi BM25
+    top-k docs per query.
+
+    queries: (query_id, query) — a SMALL table (eval prompts, audit
+    probes); it is broadcast, duplicate terms within one query are
+    deduped (standard bag-of-query-terms BM25 scores each distinct term
+    once).
+
+        idf(t)  = ln(1 + (N - df + 0.5)/(df + 0.5))
+        s(t, D) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*|D|/avgdl))
+
+    Per-term scores are rounded ONCE to integer micro-units and summed
+    exactly (see module doc), so ranking ties are engine-independent and
+    broken on doc_id. Only docs containing >=1 query term ever leave the
+    scan (inner join on the broadcast term list = the inverted-index
+    probe); the final per-query top-k runs through the two-phase salted
+    window so a hot query never serializes on one reducer.
+    """
+    ws = F.filter(words(F.col(text_col)), lambda w: w != F.lit(""))
+    toks = docs.select(
+        F.col(id_col), F.size(ws).alias("_dl"), F.explode(ws).alias("term")
+    )
+    # _dl is constant within a doc; min() (not first()) keeps the
+    # aggregate order-insensitive and mirrors the DuckDB twin exactly
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl")
+    )
+    qterms = queries.select(
+        "query_id",
+        F.explode(
+            F.filter(words(F.col("query")), lambda w: w != F.lit(""))
+        ).alias("term"),
+    ).distinct()
+    qterm_set = qterms.select("term").distinct()
+    # tf rows restricted to query terms FIRST (the inverted-index probe):
+    # everything downstream — including document frequency — is then
+    # bounded by |query terms| x matching docs, never the whole vocab
+    tfq = tf.join(F.broadcast(qterm_set), "term")
+    # df(t) = #docs containing t = tf rows per term (tf is distinct on
+    # (doc, term)); computed on the probed subset, the result is
+    # |query terms| rows -> broadcast straight back
+    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # N / avgdl over the WHOLE corpus (standard BM25 statistics).
+    # avgdl as exact-BIGINT-sum / exact-count: one IEEE division both
+    # engines compute identically (avg()'s internal accumulation order
+    # is engine-dependent)
+    stats = docs.select(F.size(ws).alias("_dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (
+            F.sum("_dl").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avgdl"),
+    )
+    hits = (
+        tfq.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    term_score = idf * F.col("_tf") * (k1 + 1.0) / denom
+    scored = (
+        hits.withColumn(
+            "_s_micro", F.round(term_score * _MICRO).cast("long")
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.sum("_s_micro").alias("score_micro"),
+        )
+    )
+    return capped_top_n(
+        scored,
+        n=k,
+        group_col="query_id",
+        order_col="score_micro",
+        id_col=id_col,
+    ).select(
+        "query_id",
+        id_col,
+        "n_hit_terms",
+        "score_micro",
+        F.col("rank").cast("int").alias("rank"),
+    )

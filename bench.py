@@ -105,6 +105,9 @@ BENCH_QUERIES = (
     "drift_psi",
     "pit_assembly",
     "snapshot_diff",
+    "dsir_select",
+    "bm25",
+    "fertility",
 )
 
 

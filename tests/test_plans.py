@@ -216,3 +216,61 @@ def test_seq_metadata_zero_shuffle_zero_python(spark):
     simple = simple_buf.getvalue()
     assert "Exchange" not in simple, simple
     assert "Python" not in simple, simple
+
+
+def test_dsir_bucket_table_broadcasts_no_cartesian(spark):
+    """DSIR's per-feature scoring join must be a BROADCAST of the bounded
+    bucket table (512 rows) into the exploded-feature stream — a shuffle
+    there would re-partition the whole corpus's features by bucket (512
+    hot keys at 100 TB); and no CartesianProduct anywhere."""
+    from audiopro_essentia_spark.operators.selection import dsir_importance
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dsir_importance(d, is_target=F.col("source") == "src0")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    simple = buf.getvalue()
+    assert "CartesianProduct" not in simple
+    # two broadcasts: the is_target tag join and the lr score join-back
+    assert simple.count("BroadcastHashJoin") >= 2
+    # the ONE bucket-key exchange is the counts aggregation, and it must
+    # carry map-side partial sums (<=512 tiny rows per map partition) —
+    # never the raw feature stream (512 hot keys over the whole corpus)
+    assert simple.count("hashpartitioning(_b") == 1
+    assert "partial_sum(CASE WHEN _is_tgt" in simple
+
+
+def test_bm25_query_probe_broadcasts(spark):
+    """BM25's inverted-index probe (tf x query terms) and the df/idf
+    join-back must both be broadcasts — only the tf aggregation and the
+    top-k windows may shuffle the corpus side."""
+    from audiopro_essentia_spark.operators.selection import bm25_topk
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    qs = spark.createDataFrame(
+        [(0, "table scan"), (1, "window agg")], "query_id int, query string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_topk(d, qs, k=3).explain()
+    simple = buf.getvalue()
+    assert "CartesianProduct" not in simple
+    assert simple.count("BroadcastHashJoin") >= 2  # term probe + df join
+    # per-query top-k runs the two-phase salted window
+    assert "WindowGroupLimit" in simple
+    assert "_csalt" in simple
+
+
+def test_fertility_single_exchange_zero_python(spark):
+    """tokenizer_fertility is one narrow fold + ONE groupBy(source)
+    exchange; no Python evaluation of any kind."""
+    from audiopro_essentia_spark.operators.aggregates import tokenizer_fertility
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        tokenizer_fertility(d).explain()
+    simple = buf.getvalue()
+    assert simple.count("Exchange") == 1
+    assert "ArrowEvalPython" not in simple and "BatchEvalPython" not in simple
