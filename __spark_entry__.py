@@ -1017,6 +1017,68 @@ def q_bm25(spark, sf_dir):
     )
 
 
+def q_c4_clean(spark, sf_dir):
+    """Cleaning: C4-style line filtering (Raffel et al. 2020 rules: >=5
+    words/line, terminal punctuation, no 'javascript' lines; doc gates on
+    lorem ipsum / '{' / <3 surviving lines) over a deterministically lined
+    corpus — 10-word chunks whose terminal '.' depends on the portable
+    hash, plus doc_id-keyed lorem/brace contamination (the perturbed-twin
+    demo pattern; functions/cleaning.py c4_clean)."""
+    from audiopro_essentia_spark.functions.cleaning import (
+        c4_clean,
+        synthesize_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lined = synthesize_lines(F.col("text"))
+    text2 = (
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(lined, F.lit("\nlorem ipsum dolor sit amet consectetur.")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(lined, F.lit("\nvar cfg = { javascript: 1 };")),
+        )
+        .otherwise(lined)
+    )
+    return c4_clean(d.select("doc_id", text2.alias("text")))
+
+
+def q_pca_power(spark, sf_dir):
+    """Decomposition: top principal component of the embeddings by
+    EXACT-INTEGER power iteration (2 steps from w0 = ones, quantize x100,
+    renormalize to 16 bits; operators/decomp.py) + per-row projection.
+    Every op after quantization is exact BIGINT in both engines, so the
+    DuckDB twin (which replays both steps in chained materialized CTEs)
+    is hash-identical by construction — no float-sum order hazard."""
+    from audiopro_essentia_spark.operators.decomp import (
+        power_iteration,
+        project_component,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    w = power_iteration(e, vec_col="embedding", dim=64, n_iter=2)
+    return project_component(
+        e, w, vec_col="embedding", id_cols=("vec_id", "label")
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        "pc1_proj",
+    )
+
+
+def q_epoch_shuffle(spark, sf_dir):
+    """Ordering: deterministic global corpus shuffle — portable-hash
+    (seed, id) epoch permutation ranked with the distributed two-phase
+    prefix rank over order-preserving hash-range buckets, never a global
+    single-partition window (operators/shuffle.py epoch_shuffle)."""
+    from audiopro_essentia_spark.operators.shuffle import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(d, id_col="doc_id", seed="epoch0", n_buckets=64)
+
+
 def q_fertility(spark, sf_dir):
     """Profiling: per-source tokenizer fertility / compression dashboard
     (pieces per word, chars per piece, words per doc) from exact integer
@@ -1536,9 +1598,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     checked window. Entries past 50 are either redundant variants of an
     in-window query (frame_zcr ⊂ kernel_features zcr) or double-confirmed
     queries (driver-green in r1 AND r2: lag_lead/rolling/ffill/
-    enrich_broadcast/normalized_dedup/ann_recall/surprisal yielded their
-    slots to this round's seven NEW never-driver-checked entries); all
-    are still verified locally by tests/driver_compare.py."""
+    enrich_broadcast/normalized_dedup/ann_recall/surprisal/ann_topk/
+    tfidf/text_quality/repetition/hashed_embedding/chunk_documents
+    yielded their slots to this round's NEW never-driver-checked
+    entries); all are still verified locally by
+    tests/driver_compare.py."""
     return {
         # -- core framing / temporal / join surface -------------------
         "quarantine": q_quarantine,
@@ -1573,9 +1637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": q_lsh_ann,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
-        "text_quality": q_text_quality,
-        "repetition": q_repetition,
-        "tfidf": q_tfidf,
         "pack_shards": q_pack_shards,
         "corpus_profile": q_corpus_profile,
         "pii_redact": q_pii_redact,
@@ -1594,11 +1655,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "bm25": q_bm25,
         "fertility": q_fertility,
+        "c4_clean": q_c4_clean,
+        "pca_power": q_pca_power,
+        "epoch_shuffle": q_epoch_shuffle,
         # ---- position 51+: redundant / double-confirmed entries ----
-        # (ann_topk / hashed_embedding / chunk_documents were driver-green
-        # in BOTH r1 and r2 and yielded their in-window slots to the three
-        # never-checked round-3 entries above)
+        # (ann_topk / text_quality / repetition / hashed_embedding /
+        # chunk_documents were driver-green in BOTH r1 and r2 and yielded
+        # their in-window slots to never-checked round-3 entries above)
         "ann_topk": q_ann_topk,
+        "tfidf": q_tfidf,
+        "text_quality": q_text_quality,
+        "repetition": q_repetition,
         "hashed_embedding": q_hashed_embedding,
         "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
@@ -2522,5 +2589,86 @@ SELECT source, n_docs, n_words, n_pieces, n_chars,
     THEN round(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
   END AS words_per_doc
 FROM g
+""",
+        "c4_clean": f"""
+WITH w AS (SELECT doc_id,
+        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      FROM documents),
+ln AS (SELECT doc_id, CASE WHEN len(ws) < 1 THEN ''
+    ELSE array_to_string(list_transform(
+      list_transform(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
+      c -> c || CASE WHEN {H32.format(x='c')} % 3 <> 0 THEN '.' ELSE '' END),
+      chr(10)) END AS lined
+  FROM w),
+t2 AS (SELECT doc_id,
+    CASE WHEN doc_id % 17 = 0
+           THEN lined || chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+         WHEN doc_id % 13 = 0
+           THEN lined || chr(10) || 'var cfg = {{ javascript: 1 }};'
+         ELSE lined END AS text
+  FROM ln),
+k AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+        list_filter(string_split(text, chr(10)), l ->
+          len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+          AND l[-1] IN ('.', '!', '?', '"')
+          AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM t2)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+  CAST((len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS INT) AS keep,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM k
+""",
+        "pca_power": """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS v
+  FROM embeddings),
+bt AS MATERIALIZED (
+  SELECT i, CAST(SUM(v[i]) AS BIGINT) AS b
+  FROM v, LATERAL UNNEST(generate_series(1, 64)) AS g(i) GROUP BY i),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+s1 AS MATERIALIZED (
+  SELECT vec_id, label, v, CAST(list_sum(v) AS BIGINT) AS s FROM v),
+t1 AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM s1),
+a1 AS (SELECT i, CAST(SUM(v[i] * s) AS BIGINT) AS a
+       FROM s1, LATERAL UNNEST(generate_series(1, 64)) AS g(i) GROUP BY i),
+r1 AS (SELECT i, a - b * (st // n) AS raw
+       FROM a1 JOIN bt USING (i) CROSS JOIN t1 CROSS JOIN nt),
+d1 AS (SELECT GREATEST(1, MAX(abs(raw)) // 65536) AS dd FROM r1),
+w1 AS MATERIALIZED (
+  SELECT list(CAST(raw // dd AS BIGINT) ORDER BY i) AS wv
+  FROM r1 CROSS JOIN d1),
+s2 AS MATERIALIZED (
+  SELECT vec_id, label, v,
+    CAST(list_sum(list_transform(generate_series(1, 64),
+      i -> v[i] * wv[i])) AS BIGINT) AS s
+  FROM s1 CROSS JOIN w1),
+t2p AS (SELECT CAST(SUM(s) AS BIGINT) AS st FROM s2),
+a2 AS (SELECT i, CAST(SUM(v[i] * s) AS BIGINT) AS a
+       FROM s2, LATERAL UNNEST(generate_series(1, 64)) AS g(i) GROUP BY i),
+r2 AS (SELECT i, a - b * (st // n) AS raw
+       FROM a2 JOIN bt USING (i) CROSS JOIN t2p CROSS JOIN nt),
+d2 AS (SELECT GREATEST(1, MAX(abs(raw)) // 65536) AS dd FROM r2),
+w2 AS MATERIALIZED (
+  SELECT list(CAST(raw // dd AS BIGINT) ORDER BY i) AS wv
+  FROM r2 CROSS JOIN d2)
+SELECT CAST(s2.vec_id AS BIGINT) AS vec_id, CAST(s2.label AS INT) AS label,
+  CAST(list_sum(list_transform(generate_series(1, 64),
+    i -> v[i] * wv[i])) AS BIGINT) AS pc1_proj
+FROM s2 CROSS JOIN w2
+""",
+        "epoch_shuffle": f"""
+WITH k AS (SELECT doc_id,
+    {H32.format(x="('epoch0:' || CAST(doc_id AS VARCHAR))")} AS shuffle_key
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, shuffle_key,
+  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+    AS epoch_pos
+FROM k
 """,
     }

@@ -108,6 +108,9 @@ BENCH_QUERIES = (
     "dsir_select",
     "bm25",
     "fertility",
+    "c4_clean",
+    "pca_power",
+    "epoch_shuffle",
 )
 
 

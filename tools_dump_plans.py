@@ -51,6 +51,8 @@ NOTES = {
     "bpe_encode": "training reuses the bpe_merges loop (bounded word-freq table); the 6-merge apply is one linear chain of JVM folds over the SAME table — no extra shuffle beyond the word agg",
     "drift_psi": "ONE map-side-combinable (group,bucket) count shuffle over the corpus; spine cross-join, rest-of-corpus subtraction and the PSI fold all run on the n_groups x n_buckets aggregate (broadcast joins)",
     "pit_assembly": "three chained union-window as-of joins, each ONE user_id hash shuffle + in-partition sort — never a join explosion; the error feature is a window cumsum on the pre-aggregated (user,ts) stream",
+    "c4_clean": "ONE whole-stage-codegen projection fused with the scan — zero Exchange, zero Python; line synthesis + line filter + doc gates are all array/string expressions",
+    "epoch_shuffle": "global rank WITHOUT a global window: order-preserving hash-range buckets, per-bucket row_number, B-row offsets broadcast back (the only order-only window runs on B rows)",
 }
 
 HEADLINE = (
@@ -62,7 +64,7 @@ HEADLINE = (
     "monitor_stats", "token_budget", "semantic_dedup", "bigram_surprisal",
     "quality_classifier", "bpe_merges", "temperature_sample",
     "cap_per_group", "silence_segments", "mfcc_delta", "seq_metadata",
-    "bpe_encode", "drift_psi", "pit_assembly",
+    "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
 )
 
 
