@@ -1079,6 +1079,33 @@ def q_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(d, id_col="doc_id", seed="epoch0", n_buckets=64)
 
 
+def q_span_scrub(spark, sf_dir):
+    """Dedup: exact duplicate-span REMOVAL (word-granular Lee et al. 2022
+    re-spec) — every 8-word span occurring >1x in the corpus is removed
+    from all but its lexicographic-first occurrence; one span-hash
+    shuffle + sparse mask join-back (operators/dedup.py span_scrub)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.span_scrub(d, n=8)
+
+
+def q_leak_split(spark, sf_dir):
+    """Splitting: leakage-safe train/val/test — near-dup clusters
+    (MinHash-LSH -> connected components) are split ATOMICALLY by hashing
+    the cluster id, so no near-duplicate pair straddles train/eval
+    (functions/sampling.py cluster_safe_split over dedup.dedup_clusters)."""
+    from audiopro_essentia_spark.functions.sampling import cluster_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    cl = D.dedup_clusters(d, k=16, bands=4)
+    return cluster_safe_split(
+        d, cl, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+    )
+
+
 def q_fertility(spark, sf_dir):
     """Profiling: per-source tokenizer fertility / compression dashboard
     (pieces per word, chars per piece, words per doc) from exact integer
@@ -1599,8 +1626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window query (frame_zcr ⊂ kernel_features zcr) or double-confirmed
     queries (driver-green in r1 AND r2: lag_lead/rolling/ffill/
     enrich_broadcast/normalized_dedup/ann_recall/surprisal/ann_topk/
-    tfidf/text_quality/repetition/hashed_embedding/chunk_documents
-    yielded their slots to this round's NEW never-driver-checked
+    ngram_jaccard/embed_neardup/tfidf/text_quality/repetition/
+    hashed_embedding/chunk_documents yielded their slots to this round's
+    NEW never-driver-checked
     entries); all are still verified locally by
     tests/driver_compare.py."""
     return {
@@ -1626,13 +1654,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "streaming_session": q_streaming_session,
         # -- dedup / similarity / featurize ---------------------------
-        "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
-        "embed_neardup": q_embed_neardup,
         "ivf_ann": q_ivf_ann,
         "lsh_ann": q_lsh_ann,
         "kmeans": q_kmeans,
@@ -1658,11 +1684,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "pca_power": q_pca_power,
         "epoch_shuffle": q_epoch_shuffle,
+        "leak_split": q_leak_split,
+        "span_scrub": q_span_scrub,
         # ---- position 51+: redundant / double-confirmed entries ----
         # (ann_topk / text_quality / repetition / hashed_embedding /
         # chunk_documents were driver-green in BOTH r1 and r2 and yielded
         # their in-window slots to never-checked round-3 entries above)
         "ann_topk": q_ann_topk,
+        "embed_neardup": q_embed_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
         "tfidf": q_tfidf,
         "text_quality": q_text_quality,
         "repetition": q_repetition,
@@ -2661,6 +2691,42 @@ SELECT CAST(s2.vec_id AS BIGINT) AS vec_id, CAST(s2.label AS INT) AS label,
   CAST(list_sum(list_transform(generate_series(1, 64),
     i -> v[i] * wv[i])) AS BIGINT) AS pc1_proj
 FROM s2 CROSS JOIN w2
+""",
+        "leak_split": DT.cluster_split_sql(k=16, bands=4, ngram=3),
+        "span_scrub": f"""
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+  FROM documents),
+occ AS MATERIALIZED (
+  SELECT doc_id, i AS pos,
+    {H32.format(x="array_to_string(list_slice(ws, i, i+7), ' ')")} AS h
+  FROM w, LATERAL UNNEST(generate_series(1, len(ws) - 7)) AS g(i)
+  WHERE len(ws) >= 8),
+st AS MATERIALIZED (
+  SELECT h, COUNT(*) AS cnt, MIN(doc_id) AS cdoc FROM occ GROUP BY h),
+st2 AS MATERIALIZED (
+  SELECT o.h, MIN(o.pos) AS cpos
+  FROM occ o JOIN st ON o.h = st.h AND o.doc_id = st.cdoc GROUP BY o.h),
+dup AS (
+  SELECT o.doc_id, o.pos
+  FROM occ o JOIN st USING (h) JOIN st2 USING (h)
+  WHERE st.cnt >= 2 AND NOT (o.doc_id = st.cdoc AND o.pos = st2.cpos)),
+m AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM dup GROUP BY doc_id),
+j AS (SELECT w.doc_id, w.ws,
+        coalesce(m.starts, CAST([] AS BIGINT[])) AS starts
+      FROM w LEFT JOIN m USING (doc_id)),
+k AS (SELECT doc_id, ws, starts,
+        list_filter(generate_series(1, len(ws)),
+          i -> len(list_filter(starts, s -> s <= i AND i < s + 8)) = 0)
+          AS keep_idx
+      FROM j)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(len(ws) - len(keep_idx) AS BIGINT) AS n_masked,
+  coalesce(array_to_string(list_transform(keep_idx, i -> ws[i]), ' '), '')
+    AS scrub_text
+FROM k
 """,
         "epoch_shuffle": f"""
 WITH k AS (SELECT doc_id,

@@ -748,6 +748,44 @@ FROM reach GROUP BY id
 """
 
 
+def cluster_split_sql(
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    weights: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "",
+) -> str:
+    """Twin of sampling.cluster_safe_split over dedup.dedup_clusters:
+    recursive-CTE transitive closure over the MinHash pairs, LEFT-joined
+    back to every doc (singletons keep their own id), then the portable
+    per-mille hash split keyed on the CLUSTER id."""
+    pairs = minhash_sql(k=k, bands=bands, ngram=ngram)
+    h = H32.format(x=f"CAST(cluster_id AS VARCHAR) || '{salt}'")
+    case = []
+    cum = 0.0
+    for name, w in weights:
+        cum += w
+        case.append(f"WHEN ({h}) % 1000 < {_per_mille(cum)} THEN '{name}'")
+    split = "CASE " + " ".join(case) + " END"
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({pairs}) q),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+reach(id, lab) AS (
+  SELECT DISTINCT a AS id, a AS lab FROM edges
+  UNION
+  SELECT e.b AS id, r.lab FROM reach r JOIN edges e ON r.id = e.a
+),
+cl AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id),
+j AS (SELECT d.doc_id,
+        CAST(coalesce(cl.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, cluster_id, {split} AS split
+FROM j
+"""
+
+
 def lsh_ann_sql(
     dim: int,
     n_planes: int = 6,

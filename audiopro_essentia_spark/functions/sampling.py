@@ -263,3 +263,39 @@ def temperature_sample(
         .filter(hash_bucket(F.col(key_col), salt) < F.col(rate_col))
         .drop("_src_t")
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the doc's
+    near-dup CLUSTER id (docs without a near-dup candidate fall back to
+    their own id), so no near-duplicate pair can ever straddle train and
+    eval — the split-time complement of decontamination (a doc_id-keyed
+    hash_split puts ~2*p*(1-p) of every dup pair across the boundary,
+    which silently inflates eval scores).
+
+    `clusters` is (id_col, cluster_col) as produced by
+    dedup.dedup_clusters — SPARSE (only docs that have a near-dup
+    candidate appear), which is what makes this scale: the join's build
+    side is the dup-pair membership table (a few percent of a deduped
+    corpus), broadcast at typical rates, sort-merge at worst; the split
+    itself stays a narrow content-hash predicate. Output:
+    (id, cluster_id, split) for EVERY input doc — exhaustive and
+    disjoint, and cluster-atomic by construction."""
+    cl = clusters.select(F.col(id_col), F.col(cluster_col))
+    j = (
+        df.select(F.col(id_col))
+        .join(cl, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(cluster_col), F.col(id_col)).alias(cluster_col),
+        )
+    )
+    return hash_split(j, weights, key_col=cluster_col, salt=salt, split_col=split_col)

@@ -798,3 +798,91 @@ def contamination_flags(
             .alias("contaminated"),
         )
     )
+
+
+def span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicate-span REMOVAL — the action half of span-level dup
+    profiling (span_dup_profile above): every n-word span that occurs
+    more than once in the corpus is removed from all but its canonical
+    first occurrence, the word-granular re-spec of exact-substring
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — public method, independent
+    implementation; their 50-BPE-token threshold scales here to n words).
+
+    Semantics (identical in the DuckDB twin; 1-based positions because
+    DuckDB lists are 1-based):
+      occurrence table: (doc, pos, h32(span)) for every n-word window;
+      canonical occurrence of a span = lexicographic min (doc, pos);
+      a doc's masked word set = union of [pos, pos+n) over its
+      NON-canonical occurrences of spans with count >= 2;
+      scrub_text = the unmasked words rejoined.
+
+    Scale shape: occurrences shuffle ONCE on the 32-bit span hash
+    (linear in corpus words); canonical+count is one aggregate on that
+    shuffle; only docs owning a non-canonical duplicate occurrence carry
+    rows in the sparse mask table joined back (semi-join shape); the
+    mask application is a narrow per-row array expression, O(W * dup
+    starts). No self-join, no all-pairs."""
+    from audiopro_essentia_spark.functions.text import portable_hash32
+
+    ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                  lambda w: w != "")
+    base = df.select(F.col(id_col), ws.alias("_ws"))
+    span_h = lambda i: portable_hash32(
+        F.concat_ws(" ", F.slice(F.col("_ws"), i, n))
+    )
+    occ = (
+        base.where(F.size("_ws") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
+                    lambda i: F.struct(i.alias("pos"), span_h(i).alias("h")),
+                )
+            ).alias("_sp"),
+        )
+        .select(F.col(id_col), F.col("_sp.pos").alias("pos"), F.col("_sp.h").alias("h"))
+    )
+    stats = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("canon"),
+    )
+    dup = (
+        occ.join(stats, "h")
+        .where(
+            (F.col("cnt") >= 2)
+            & ~(
+                (F.col(id_col) == F.col(f"canon.{id_col}"))
+                & (F.col("pos") == F.col("canon.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    j = base.join(dup, id_col, "left").select(
+        F.col(id_col),
+        F.col("_ws"),
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")).alias("_starts"),
+    )
+    # sequence(1, 0) DESCENDS in Spark — guard the empty-doc case
+    idx = F.when(F.size("_ws") < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.greatest(F.size("_ws"), F.lit(1)))
+    )
+    masked = lambda i: F.exists(
+        F.col("_starts"), lambda s: (s <= i) & (i < s + F.lit(n))
+    )
+    keep_idx = F.filter(idx, lambda i: ~masked(i))
+    return j.select(
+        F.col(id_col),
+        F.size("_ws").cast("long").alias("n_words"),
+        (F.size("_ws") - F.size(keep_idx)).cast("long").alias("n_masked"),
+        F.array_join(
+            F.transform(keep_idx, lambda i: F.element_at("_ws", i)), " "
+        ).alias("scrub_text"),
+    )

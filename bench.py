@@ -111,6 +111,8 @@ BENCH_QUERIES = (
     "c4_clean",
     "pca_power",
     "epoch_shuffle",
+    "leak_split",
+    "span_scrub",
 )
 
 

@@ -53,6 +53,8 @@ NOTES = {
     "pit_assembly": "three chained union-window as-of joins, each ONE user_id hash shuffle + in-partition sort — never a join explosion; the error feature is a window cumsum on the pre-aggregated (user,ts) stream",
     "c4_clean": "ONE whole-stage-codegen projection fused with the scan — zero Exchange, zero Python; line synthesis + line filter + doc gates are all array/string expressions",
     "epoch_shuffle": "global rank WITHOUT a global window: order-preserving hash-range buckets, per-bucket row_number, B-row offsets broadcast back (the only order-only window runs on B rows)",
+    "span_scrub": "occurrences shuffle ONCE on the span hash; canonical+count one aggregate; sparse non-canonical mask joins back; mask application is a narrow array expression — no self-join",
+    "leak_split": "near-dup clusters (min-label propagation) -> split keyed on CLUSTER id: sparse cluster table joins broadcast; the split is a narrow content-hash predicate",
 }
 
 HEADLINE = (
@@ -65,6 +67,7 @@ HEADLINE = (
     "quality_classifier", "bpe_merges", "temperature_sample",
     "cap_per_group", "silence_segments", "mfcc_delta", "seq_metadata",
     "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
+    "span_scrub",
 )
 
 
