@@ -807,7 +807,7 @@ def span_scrub(
     n: int = 8,
 ) -> DataFrame:
     """Exact duplicate-span REMOVAL — the action half of span-level dup
-    profiling (span_dup_profile above): every n-word span that occurs
+    profiling (duplicate_span_stats above): every n-word span that occurs
     more than once in the corpus is removed from all but its canonical
     first occurrence, the word-granular re-spec of exact-substring
     training-data dedup (Lee et al. 2022, "Deduplicating Training Data
