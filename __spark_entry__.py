@@ -1079,6 +1079,18 @@ def q_epoch_shuffle(spark, sf_dir):
     return epoch_shuffle(d, id_col="doc_id", seed="epoch0", n_buckets=64)
 
 
+def q_padding_waste(spark, sf_dir):
+    """Profiling: per-source padding-waste / batch-shape planner at
+    context length 256 (n_chars as the token-count column — native to
+    the table, so the scan stays 2-column) — exact integer pad counts
+    for naive per-example padding vs concat-and-chunk packing
+    (operators/aggregates.py padding_waste)."""
+    from audiopro_essentia_spark.operators.aggregates import padding_waste
+
+    d = _t(spark, sf_dir, "documents")
+    return padding_waste(d, count_col="n_chars", context_len=256)
+
+
 def q_span_scrub(spark, sf_dir):
     """Dedup: exact duplicate-span REMOVAL (word-granular Lee et al. 2022
     re-spec) — every 8-word span occurring >1x in the corpus is removed
@@ -1626,9 +1638,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window query (frame_zcr ⊂ kernel_features zcr) or double-confirmed
     queries (driver-green in r1 AND r2: lag_lead/rolling/ffill/
     enrich_broadcast/normalized_dedup/ann_recall/surprisal/ann_topk/
-    ngram_jaccard/embed_neardup/tfidf/text_quality/repetition/
-    hashed_embedding/chunk_documents yielded their slots to this round's
-    NEW never-driver-checked
+    ngram_jaccard/embed_neardup/minhash_lsh/tfidf/text_quality/
+    repetition/hashed_embedding/chunk_documents yielded their slots to
+    this round's NEW never-driver-checked
     entries); all are still verified locally by
     tests/driver_compare.py."""
     return {
@@ -1654,7 +1666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "streaming_session": q_streaming_session,
         # -- dedup / similarity / featurize ---------------------------
-        "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "decontaminate": q_decontaminate,
@@ -1686,11 +1697,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "leak_split": q_leak_split,
         "span_scrub": q_span_scrub,
+        "padding_waste": q_padding_waste,
         # ---- position 51+: redundant / double-confirmed entries ----
         # (ann_topk / text_quality / repetition / hashed_embedding /
         # chunk_documents were driver-green in BOTH r1 and r2 and yielded
         # their in-window slots to never-checked round-3 entries above)
         "ann_topk": q_ann_topk,
+        "minhash_lsh": q_minhash_lsh,
         "embed_neardup": q_embed_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "tfidf": q_tfidf,
@@ -2693,6 +2706,34 @@ SELECT CAST(s2.vec_id AS BIGINT) AS vec_id, CAST(s2.label AS INT) AS label,
 FROM s2 CROSS JOIN w2
 """,
         "leak_split": DT.cluster_split_sql(k=16, bands=4, ngram=3),
+        "padding_waste": """
+WITH p AS (SELECT coalesce(source, '__none__') AS source,
+             CAST(n_chars AS BIGINT) AS n,
+             (n_chars IS NOT NULL AND n_chars >= 0) AS ok
+           FROM documents),
+g AS (SELECT source,
+        CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_bad,
+        CAST(coalesce(SUM(CASE WHEN ok THEN n END), 0) AS BIGINT)
+          AS n_tokens,
+        CAST(coalesce(SUM(CASE WHEN ok
+               THEN (n + 255) - ((n + 255) % 256) END), 0) AS BIGINT)
+          AS naive_total
+      FROM p GROUP BY source)
+SELECT source, n_docs, n_bad, n_tokens,
+  CAST(naive_total - n_tokens AS BIGINT) AS pad_naive,
+  CAST(CASE WHEN n_tokens > 0
+    THEN ((n_tokens + 255) - ((n_tokens + 255) % 256)) - n_tokens
+    ELSE 0 END AS BIGINT) AS pad_packed,
+  CASE WHEN naive_total > 0
+    THEN round(CAST(n_tokens AS DOUBLE) / naive_total, 6) END
+    AS efficiency_naive,
+  CASE WHEN n_tokens > 0
+    THEN round(CAST(n_tokens AS DOUBLE)
+               / ((n_tokens + 255) - ((n_tokens + 255) % 256)), 6) END
+    AS efficiency_packed
+FROM g
+""",
         "span_scrub": f"""
 WITH w AS MATERIALIZED (
   SELECT doc_id,

@@ -497,3 +497,78 @@ def tokenizer_fertility(
         ratio("n_chars", "n_pieces", "chars_per_piece"),
         ratio("n_words", "n_docs", "words_per_doc"),
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    count_col: str = "n_tok",
+    context_len: int = 2048,
+    group_col: str = "source",
+) -> DataFrame:
+    """Batch-shape planner: per group, how many pad tokens each batching
+    strategy burns at a given context length — the number that decides
+    whether a corpus needs sequence packing (pack_shards) before training.
+
+      pad_naive  = sum(ceil(n / L) * L - n)   (every doc padded up to a
+                   whole number of L-token contexts — the per-example
+                   batching most loaders default to)
+      pad_packed = ceil(sum(n) / L) * L - sum(n)   (concat-and-chunk
+                   lower bound: only the final context is padded)
+      efficiency_* = real tokens / padded tokens, round-6
+
+    All exact BIGINT integer arithmetic (ceil via (n + L - 1) DIV L) up
+    to the two final ratio divisions, so the DuckDB twin is
+    hash-identical. One map-side-combinable groupBy — no shuffle beyond
+    the aggregate's own exchange, no window. NULL/negative counts are
+    excluded (counted in n_bad so the exclusion is visible, never
+    silent); NULL group -> '__none__' sentinel like tokenizer_fertility."""
+    if context_len <= 0:
+        raise ValueError(f"context_len must be positive (got {context_len})")
+    n = F.col(count_col).cast("long")
+    ok = n.isNotNull() & (n >= 0)
+    lit_l = F.lit(int(context_len)).cast("long")
+    # ceil(n/L)*L exactly, in integers:
+    # (n + L - 1) - ((n + L - 1) % L) == floor((n+L-1)/L) * L
+    padded = (n + lit_l - 1) - F.pmod(n + lit_l - 1, lit_l)
+    g = (
+        df.select(
+            F.coalesce(F.col(group_col), F.lit("__none__")).alias(group_col),
+            n.alias("_n"),
+            ok.alias("_ok"),
+            F.when(ok, padded).alias("_pad"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.when(F.col("_ok"), 1).otherwise(0)).cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).cast("long").alias("n_bad"),
+            F.sum(F.when(F.col("_ok"), F.col("_n"))).cast("long").alias("n_tokens"),
+            F.sum("_pad").cast("long").alias("_naive_total"),
+        )
+    )
+    packed_total = (
+        (F.col("n_tokens") + lit_l - 1)
+        - F.pmod(F.col("n_tokens") + lit_l - 1, lit_l)
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_bad",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        (F.coalesce("_naive_total", F.lit(0)) - F.coalesce("n_tokens", F.lit(0)))
+        .cast("long")
+        .alias("pad_naive"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0, packed_total - F.col("n_tokens")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pad_packed"),
+        F.when(
+            F.coalesce("_naive_total", F.lit(0)) > 0,
+            F.round(F.col("n_tokens") / F.col("_naive_total"), 6),
+        ).alias("efficiency_naive"),
+        F.when(
+            F.coalesce("n_tokens", F.lit(0)) > 0,
+            F.round(F.col("n_tokens") / packed_total, 6),
+        ).alias("efficiency_packed"),
+    )

@@ -113,6 +113,7 @@ BENCH_QUERIES = (
     "epoch_shuffle",
     "leak_split",
     "span_scrub",
+    "padding_waste",
 )
 
 

@@ -1,0 +1,63 @@
+"""padding_waste — batch-shape planner (naive per-example padding vs
+concat-and-chunk lower bound). Hand-computed goldens; DuckDB twin
+re-verifies at sf0.01 (padding_waste)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from audiopro_essentia_spark.operators.aggregates import padding_waste  # noqa: E402
+
+
+def test_padding_waste_hand_golden(spark):
+    rows = [
+        # source a: counts 100, 250, 300 at L=100:
+        #   naive: ceil->100,300,300 => total 700, pad 50
+        #   packed: sum 650 -> ceil 700, pad 50... (same here)
+        ("a", 100), ("a", 250), ("a", 300),
+        # source b: 10, 20 at L=100: naive 200 (pad 170), packed 100 (pad 70)
+        ("b", 10), ("b", 20),
+        # NULL source -> sentinel; NULL and negative counts -> n_bad
+        (None, 55), ("c", None), ("c", -5), ("c", 100),
+    ]
+    df = spark.createDataFrame(rows, "source string, n_tok long")
+    out = {r["source"]: r for r in padding_waste(df, "n_tok", 100).collect()}
+
+    a = out["a"]
+    assert (a["n_docs"], a["n_bad"], a["n_tokens"]) == (3, 0, 650)
+    assert a["pad_naive"] == 50 and a["pad_packed"] == 50
+    assert a["efficiency_naive"] == round(650 / 700, 6)
+
+    b = out["b"]
+    assert (b["n_tokens"], b["pad_naive"], b["pad_packed"]) == (30, 170, 70)
+    assert b["efficiency_naive"] == 0.15
+    assert b["efficiency_packed"] == 0.3
+
+    n = out["__none__"]
+    assert (n["n_docs"], n["n_tokens"], n["pad_naive"]) == (1, 55, 45)
+
+    c = out["c"]
+    assert (c["n_docs"], c["n_bad"], c["n_tokens"]) == (1, 2, 100)
+    assert c["pad_naive"] == 0 and c["pad_packed"] == 0
+    assert c["efficiency_naive"] == 1.0 and c["efficiency_packed"] == 1.0
+
+
+def test_padding_waste_exact_multiples_and_zero(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 200)], "source string, n_tok long"
+    )
+    a = padding_waste(df, "n_tok", 100).collect()[0]
+    # 0-token doc: ceil(0/L)=0 contexts, zero pad; 200 is an exact multiple
+    assert a["n_tokens"] == 200
+    assert a["pad_naive"] == 0 and a["pad_packed"] == 0
+
+
+def test_padding_waste_bad_context_len(spark):
+    df = spark.createDataFrame([("a", 1)], "source string, n_tok long")
+    with pytest.raises(ValueError, match="positive"):
+        padding_waste(df, "n_tok", 0)
