@@ -70,3 +70,56 @@ def test_canonical_is_lexicographic_min_doc_then_pos(spark):
     assert out[2]["n_masked"] == 0
     assert out[10]["n_masked"] == 8
     assert out[10]["scrub_text"] == "f1 f2 t1"
+
+
+# ---------------------------------------------------------------------------
+# property test vs a brute-force python mirror
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _mirror(docs: dict, n: int) -> dict:
+    """Brute-force python spec of span_scrub (1-based positions)."""
+    words = {d: [w for w in (t or "").split(" ") if w] for d, t in docs.items()}
+    occ = {}  # span -> list[(doc, pos)]
+    for d in sorted(words):
+        ws = words[d]
+        for p in range(1, len(ws) - n + 2):
+            occ.setdefault(tuple(ws[p - 1 : p - 1 + n]), []).append((d, p))
+    masked = {d: set() for d in words}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        canon = min(places)
+        for d, p in places:
+            if (d, p) != canon:
+                masked[d].update(range(p, p + n))
+    out = {}
+    for d, ws in words.items():
+        keep = [w for i, w in enumerate(ws, start=1) if i not in masked[d]]
+        out[d] = (len(ws), len(ws) - len(keep), " ".join(keep))
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=12),
+        min_size=1,
+        max_size=7,
+    )
+)
+def test_span_scrub_matches_brute_force_mirror(spark, doc_words):
+    n = 3
+    docs = {i: " ".join(ws) for i, ws in enumerate(doc_words)}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_scrub(df, n=n).collect()}
+    exp = _mirror(docs, n)
+    assert set(got) == set(exp)
+    for d, (nw, nm, txt) in exp.items():
+        assert (got[d]["n_words"], got[d]["n_masked"], got[d]["scrub_text"]) == (
+            nw, nm, txt,
+        ), f"doc {d}"
