@@ -516,7 +516,8 @@ def padding_waste(
                    lower bound: only the final context is padded)
       efficiency_* = real tokens / padded tokens, round-6
 
-    All exact BIGINT integer arithmetic (ceil via (n + L - 1) DIV L) up
+    All exact BIGINT integer arithmetic (ceil(n/L)*L via the modulo
+    identity (n+L-1) - ((n+L-1) % L)) up
     to the two final ratio divisions, so the DuckDB twin is
     hash-identical. One map-side-combinable groupBy — no shuffle beyond
     the aggregate's own exchange, no window. NULL/negative counts are
