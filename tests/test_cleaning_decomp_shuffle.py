@@ -252,3 +252,19 @@ def test_epoch_shuffle_no_global_window(spark):
     assert re.search(r"windowspecdefinition\(_b#\d+, shuffle_key#\d+L? ASC", plan), plan
     # ... and no window may globally order the full table by shuffle_key
     assert not re.search(r"windowspecdefinition\(shuffle_key", plan), plan
+
+
+def test_epoch_shuffle_scale_invariants(spark):
+    """200k rows across all 64 buckets: epoch_pos must be exactly the
+    permutation 0..n-1 (distributed asserts — nothing collected). The
+    200-row golden can't catch bucket-boundary off-by-ones; this can."""
+    n = 200_000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = epoch_shuffle(df, seed="big", n_buckets=64)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("epoch_pos").alias("lo"),
+        F.max("epoch_pos").alias("hi"),
+        F.countDistinct("epoch_pos").alias("nd"),
+    ).collect()[0]
+    assert (row["n"], row["lo"], row["hi"], row["nd"]) == (n, 0, n - 1, n)
