@@ -83,6 +83,11 @@ def power_iteration(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1 (got {n_iter})")
     v = df.select(quantized_vec(F.col(vec_col), scale).alias("v"))
+    if n_iter > 1:
+        # each iteration is one aggregate pass over v; persisting the
+        # quantized projection trades one materialization for n_iter-1
+        # re-scans (and re-quantizations) of the source table
+        v = v.persist()
     # B_i and n are iteration-invariant: fold them into the first pass
     w = [1] * dim
     b_vec = None
@@ -114,9 +119,12 @@ def power_iteration(
             # no principal direction exists — return the zero vector,
             # exactly what the SQL twin computes (raw_i = 0 for all i),
             # so the branch is oracle-consistent rather than divergent
-            return [0] * dim
+            w = [0] * dim
+            break
         d_scale = max(1, tdiv(max_abs, 1 << target_bits))
         w = [tdiv(r, d_scale) for r in raw]
+    if n_iter > 1:
+        v.unpersist()
     return w
 
 
