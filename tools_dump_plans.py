@@ -54,7 +54,9 @@ NOTES = {
     "c4_clean": "ONE whole-stage-codegen projection fused with the scan — zero Exchange, zero Python; line synthesis + line filter + doc gates are all array/string expressions",
     "epoch_shuffle": "global rank WITHOUT a global window: order-preserving hash-range buckets, per-bucket row_number, B-row offsets broadcast back (the only order-only window runs on B rows)",
     "span_scrub": "occurrences shuffle ONCE on the span hash; canonical+count one aggregate; sparse non-canonical mask joins back; mask application is a narrow array expression — no self-join",
-    "leak_split": "near-dup clusters (min-label propagation) -> split keyed on CLUSTER id: sparse cluster table joins broadcast; the split is a narrow content-hash predicate",
+    "pca_power": "projection stage after the driver-side 2-step power iteration (each step ONE narrow d+2-sum aggregate): a zero-shuffle literal-dot projection fused with the scan",
+    "leak_split": "near-dup clusters (min-label propagation, localCheckpoint-truncated) -> split keyed on CLUSTER id: sparse cluster table joins broadcast; the split is a narrow content-hash predicate",
+    "padding_waste": "ONE map-side-combinable groupBy over a 2-column scan; all pad math is exact integer expressions inside the aggregate",
 }
 
 HEADLINE = (
@@ -67,7 +69,7 @@ HEADLINE = (
     "quality_classifier", "bpe_merges", "temperature_sample",
     "cap_per_group", "silence_segments", "mfcc_delta", "seq_metadata",
     "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
-    "span_scrub",
+    "span_scrub", "pca_power", "leak_split", "padding_waste",
 )
 
 
