@@ -51,3 +51,27 @@ def test_query_matches_oracle(spark, name):
     )
     assert not problems, (name, problems)
     assert n > 0
+
+
+def test_contract_invariants_locked():
+    """Lock the driver-contract invariants that reorders keep breaking:
+    every query has an oracle, the bench list only names real queries,
+    and every never-driver-checked entry (vs the union of recorded
+    CORRECTNESS artifacts) sits inside the driver's 50-query window."""
+    import json
+
+    import bench
+
+    qs = list(E.queries())
+    oracles = E.oracle_sql()
+    assert set(oracles) == set(qs), "oracle keys must exactly match queries"
+    assert set(bench.BENCH_QUERIES).issubset(set(qs)), "bench names a ghost"
+
+    checked: set = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fn in os.listdir(root):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            checked |= set(json.load(open(os.path.join(root, fn))))
+    never = [q for q in qs if q not in checked]
+    outside = [q for q in never if q not in set(qs[:50])]
+    assert not outside, f"never-driver-checked entries past position 50: {outside}"
