@@ -759,6 +759,19 @@ def q_pack_shards(spark, sf_dir):
     return pack_shards(d, "n_tok", shard_tokens=4096)
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Packing: per-shard training manifest (docs started, straddlers
+    whose attention mask crosses the boundary, ordered offset:doc
+    boundary string) on pack_shards' distributed prefix sum — ONE extra
+    bounded groupBy(shard_id) (operators/packing.py shard_manifest)."""
+    from audiopro_essentia_spark.operators.packing import shard_manifest
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return shard_manifest(d, "n_tok", shard_tokens=4096)
+
+
 def q_surprisal(spark, sf_dir):
     """Quality: self-trained unigram LM surprisal per doc (no external
     model — the corpus scores itself; perplexity-filter analog)."""
@@ -1638,14 +1651,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window query (frame_zcr ⊂ kernel_features zcr) or double-confirmed
     queries (driver-green in r1 AND r2: lag_lead/rolling/ffill/
     enrich_broadcast/normalized_dedup/ann_recall/surprisal/ann_topk/
-    ngram_jaccard/embed_neardup/minhash_lsh/tfidf/text_quality/
-    repetition/hashed_embedding/chunk_documents yielded their slots to
-    this round's NEW never-driver-checked
+    ngram_jaccard/embed_neardup/minhash_lsh/quarantine/tfidf/
+    text_quality/repetition/hashed_embedding/chunk_documents yielded
+    their slots to this round's NEW never-driver-checked
     entries); all are still verified locally by
     tests/driver_compare.py."""
     return {
         # -- core framing / temporal / join surface -------------------
-        "quarantine": q_quarantine,
         "asof_join": q_asof_join,
         "pit_assembly": q_pit_assembly,
         "salted_join": q_salted_join,
@@ -1698,11 +1710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak_split": q_leak_split,
         "span_scrub": q_span_scrub,
         "padding_waste": q_padding_waste,
+        "shard_manifest": q_shard_manifest,
         # ---- position 51+: redundant / double-confirmed entries ----
         # (ann_topk / text_quality / repetition / hashed_embedding /
         # chunk_documents were driver-green in BOTH r1 and r2 and yielded
         # their in-window slots to never-checked round-3 entries above)
         "ann_topk": q_ann_topk,
+        "quarantine": q_quarantine,
         "minhash_lsh": q_minhash_lsh,
         "embed_neardup": q_embed_neardup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -2664,6 +2678,33 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
         AND NOT contains(text, '{{')) AS INT) AS keep,
   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
 FROM k
+""",
+        "shard_manifest": """
+WITH c AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(string_split(text, ' '),
+         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_tokens,
+    doc_id % 64 AS b
+  FROM documents),
+g AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY b, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS global_offset
+  FROM c),
+p AS (
+  SELECT doc_id, n_tokens,
+    CAST(global_offset // 4096 AS BIGINT) AS shard_id,
+    CAST(global_offset % 4096 AS BIGINT) AS shard_offset
+  FROM g)
+SELECT shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN shard_offset + n_tokens > 4096 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_straddlers,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_started,
+  string_agg(CAST(shard_offset AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR),
+             ',' ORDER BY shard_offset, doc_id) AS boundaries
+FROM p GROUP BY shard_id
 """,
         "pca_power": """
 WITH v AS MATERIALIZED (

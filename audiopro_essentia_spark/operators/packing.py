@@ -90,3 +90,56 @@ def pack_shards(
         F.expr(f"global_offset DIV {int(shard_tokens)}").alias("shard_id"),
         (F.col("global_offset") % shard_tokens).alias("shard_offset"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    count_col: str,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-shard training manifest — the metadata a packed-training
+    loader actually consumes: for each shard, how many documents START
+    in it, how many straddle into the next shard (their attention mask
+    must not cross the boundary), and the ordered (offset:doc) boundary
+    list for example reconstruction.
+
+    Built ON pack_shards' distributed two-phase prefix sum; adds ONE
+    groupBy(shard_id). The per-shard state is bounded by construction —
+    at most shard_tokens/min_doc_tokens (+1 straddler) docs can start in
+    one shard — so the collect_list can never become an unbounded
+    hot-group straggler the way a per-source or per-user collect could.
+
+    `boundaries` is emitted as an 'offset:id,offset:id,...' string
+    ordered by (offset, id) rather than an array-of-structs column, so
+    the DuckDB twin (string_agg ... ORDER BY) is byte-identical."""
+    p = pack_shards(df, count_col, shard_tokens, id_col, n_buckets)
+    bounds = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("shard_offset").alias("off"), F.col(id_col).alias("id")
+                )
+            )
+        ),
+        lambda s: F.concat(
+            s["off"].cast("string"), F.lit(":"), s["id"].cast("string")
+        ),
+    )
+    return (
+        p.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (
+                    F.col("shard_offset") + F.col("n_tokens")
+                    > F.lit(int(shard_tokens))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_straddlers"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_started"),
+            F.concat_ws(",", bounds).alias("boundaries"),
+        )
+    )

@@ -114,6 +114,7 @@ BENCH_QUERIES = (
     "leak_split",
     "span_scrub",
     "padding_waste",
+    "shard_manifest",
 )
 
 

@@ -61,3 +61,26 @@ def test_padding_waste_bad_context_len(spark):
     df = spark.createDataFrame([("a", 1)], "source string, n_tok long")
     with pytest.raises(ValueError, match="positive"):
         padding_waste(df, "n_tok", 0)
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest (packed-training boundary metadata on pack_shards)
+# ---------------------------------------------------------------------------
+
+from audiopro_essentia_spark.operators.packing import shard_manifest  # noqa: E402
+
+
+def test_shard_manifest_hand_golden(spark):
+    # bucket = doc_id % 64 == doc_id here, so pack order is plain doc_id
+    rows = [(0, 10), (1, 20), (2, 4090), (3, 5), (4, 0), (5, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {r["shard_id"]: r for r in shard_manifest(df, "n_tok", 100).collect()}
+    # offsets: 0,10,30,4120,4125,4125 -> shards 0,0,0,41,41,41
+    assert set(out) == {0, 41}
+    s0 = out[0]
+    assert (s0["n_docs"], s0["n_straddlers"], s0["n_tokens_started"]) == (3, 1, 4120)
+    assert s0["boundaries"] == "0:0,10:1,30:2"
+    s41 = out[41]
+    assert (s41["n_docs"], s41["n_straddlers"], s41["n_tokens_started"]) == (3, 1, 105)
+    # equal offsets (zero-token doc 4) tie-break by doc_id
+    assert s41["boundaries"] == "20:3,25:4,25:5"
