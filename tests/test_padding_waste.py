@@ -84,3 +84,37 @@ def test_shard_manifest_hand_golden(spark):
     assert (s41["n_docs"], s41["n_straddlers"], s41["n_tokens_started"]) == (3, 1, 105)
     # equal offsets (zero-token doc 4) tie-break by doc_id
     assert s41["boundaries"] == "20:3,25:4,25:5"
+
+
+def test_new_ops_partition_count_invariant(spark):
+    """shard_manifest / epoch_shuffle / span_scrub are order-sensitive
+    internally (prefix sums, collect_list, canonical mins) — their OUTPUT
+    must not depend on shuffle partitioning (README invariance claim)."""
+    from audiopro_essentia_spark.operators.dedup import span_scrub
+    from audiopro_essentia_spark.operators.shuffle import epoch_shuffle
+
+    packs = spark.createDataFrame(
+        [(i, (i * 37) % 211) for i in range(500)], "doc_id long, n_tok long"
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+         for i in range(120)],
+        "doc_id long, text string",
+    )
+
+    def snapshot():
+        return (
+            sorted(map(tuple, shard_manifest(packs, "n_tok", 100).collect())),
+            sorted(map(tuple, epoch_shuffle(packs, n_buckets=16).collect())),
+            sorted(map(tuple, span_scrub(docs, n=4).collect())),
+        )
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = snapshot()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = snapshot()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b
