@@ -772,6 +772,19 @@ def q_shard_manifest(spark, sf_dir):
     return shard_manifest(d, "n_tok", shard_tokens=4096)
 
 
+def q_pack_nosplit(spark, sf_dir):
+    """Packing: greedy NO-SPLIT packing (docs never straddle a shard —
+    the cross-doc-attention-safe discipline). Bucket-aligned so every
+    bucket folds independently in one applyInPandas; oversize docs get
+    their own flagged shard (operators/packing.py pack_nosplit)."""
+    from audiopro_essentia_spark.operators.packing import pack_nosplit
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return pack_nosplit(d, "n_tok", shard_tokens=96)
+
+
 def q_surprisal(spark, sf_dir):
     """Quality: self-trained unigram LM surprisal per doc (no external
     model — the corpus scores itself; perplexity-filter analog)."""
@@ -1651,14 +1664,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in-window query (frame_zcr ⊂ kernel_features zcr) or double-confirmed
     queries (driver-green in r1 AND r2: lag_lead/rolling/ffill/
     enrich_broadcast/normalized_dedup/ann_recall/surprisal/ann_topk/
-    ngram_jaccard/embed_neardup/minhash_lsh/quarantine/tfidf/
+    ngram_jaccard/embed_neardup/minhash_lsh/quarantine/asof_join/tfidf/
     text_quality/repetition/hashed_embedding/chunk_documents yielded
     their slots to this round's NEW never-driver-checked
     entries); all are still verified locally by
     tests/driver_compare.py."""
     return {
         # -- core framing / temporal / join surface -------------------
-        "asof_join": q_asof_join,
         "pit_assembly": q_pit_assembly,
         "salted_join": q_salted_join,
         # -- kernel / spectral surface (r1-fail fixes live here) ------
@@ -1711,11 +1723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_scrub": q_span_scrub,
         "padding_waste": q_padding_waste,
         "shard_manifest": q_shard_manifest,
+        "pack_nosplit": q_pack_nosplit,
         # ---- position 51+: redundant / double-confirmed entries ----
         # (ann_topk / text_quality / repetition / hashed_embedding /
         # chunk_documents were driver-green in BOTH r1 and r2 and yielded
         # their in-window slots to never-checked round-3 entries above)
         "ann_topk": q_ann_topk,
+        "asof_join": q_asof_join,
         "quarantine": q_quarantine,
         "minhash_lsh": q_minhash_lsh,
         "embed_neardup": q_embed_neardup,
@@ -2678,6 +2692,32 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
         AND NOT contains(text, '{{')) AS INT) AS keep,
   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
 FROM k
+""",
+        "pack_nosplit": """
+WITH RECURSIVE
+c AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(string_split(text, ' '),
+         w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n,
+    CAST(doc_id % 64 AS INT) AS b,
+    row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+  FROM documents),
+rec(b, rn, doc_id, n, shard_seq, shard_offset, fill) AS (
+  SELECT b, rn, doc_id, n, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.b, c.rn, c.doc_id, c.n,
+    CASE WHEN r.fill + c.n <= 96 THEN r.shard_seq ELSE r.shard_seq + 1 END,
+    CASE WHEN r.fill + c.n <= 96 THEN r.fill ELSE CAST(0 AS BIGINT) END,
+    CASE WHEN r.fill + c.n <= 96 THEN r.fill + c.n ELSE c.n END
+  FROM rec r JOIN c ON c.b = r.b AND c.rn = r.rn + 1)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(b AS INT) AS bucket,
+  CAST(shard_seq AS BIGINT) AS shard_seq,
+  CAST(shard_offset AS BIGINT) AS shard_offset,
+  CAST(n > 96 AS INT) AS oversize
+FROM rec
 """,
         "shard_manifest": """
 WITH c AS (

@@ -143,3 +143,93 @@ def shard_manifest(
             F.concat_ws(",", bounds).alias("boundaries"),
         )
     )
+
+
+def pack_nosplit(
+    df: DataFrame,
+    count_col: str,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy NO-SPLIT packing: documents never straddle a shard boundary
+    (the packing discipline used when cross-document attention must not
+    leak across examples) — a doc joins the current shard iff it fits,
+    else it starts a new one; a doc larger than the shard gets its own
+    shard and an `oversize` flag (the loader truncates; never silent).
+
+    Greedy fill is a NON-associative recurrence, so the two-phase prefix
+    sum of pack_shards cannot express it. Distributed form:
+    BUCKET-ALIGNED packing — shards never span the deterministic id
+    buckets, so every bucket folds independently (one applyInPandas per
+    bucket group); the cost is at most one partial shard of waste per
+    bucket, and shard identity is the pair (bucket, shard_seq) — no
+    global coordination, no driver state. Size n_buckets so a bucket's
+    rows fit one task comfortably (corpus_docs / n_buckets); at 10^12
+    docs that means ~10^6 buckets, still a single shuffle.
+
+    State recurrence (doc i in bucket order, cap = shard_tokens):
+      fits:     seq_i = seq_{i-1}, off_i = fill_{i-1}, fill_i += n_i
+      else new: seq_i = seq_{i-1}+1, off_i = 0, fill_i = n_i
+    (an oversize doc has n_i > cap, so fill_i = n_i guarantees the next
+    doc opens a new shard). The DuckDB twin replays the same recurrence
+    as a recursive CTE stepping all buckets in parallel."""
+    import pandas as pd
+
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive (got {shard_tokens})")
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"pack_nosplit needs an integral id column; {id_col} is {id_type}"
+        )
+    cap = int(shard_tokens)
+    b = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(count_col).cast("long").alias("_n"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("_b"),
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        ns = pdf["_n"].tolist()
+        seqs, offs, overs = [], [], []
+        seq, fill = 0, None
+        for n in ns:
+            if n is None or n < 0:
+                raise ValueError("pack_nosplit: NULL or negative count")
+            if fill is None:
+                seq, off, fill = 0, 0, n
+            elif fill + n <= cap:
+                off = fill
+                fill += n
+            else:
+                seq, off, fill = seq + 1, 0, n
+            seqs.append(seq)
+            offs.append(off)
+            overs.append(1 if n > cap else 0)
+        out = pd.DataFrame(
+            {
+                "_id": pdf["_id"],
+                "_n": pdf["_n"],
+                "_b": pdf["_b"],
+                "shard_seq": seqs,
+                "shard_offset": offs,
+                "oversize": overs,
+            }
+        )
+        return out
+
+    schema = (
+        "_id long, _n long, _b int, shard_seq long, shard_offset long, "
+        "oversize int"
+    )
+    out = b.groupBy("_b").applyInPandas(fold, schema=schema)
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.col("_b").alias("bucket"),
+        "shard_seq",
+        "shard_offset",
+        "oversize",
+    )

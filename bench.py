@@ -115,6 +115,7 @@ BENCH_QUERIES = (
     "span_scrub",
     "padding_waste",
     "shard_manifest",
+    "pack_nosplit",
 )
 
 

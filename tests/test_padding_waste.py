@@ -118,3 +118,87 @@ def test_new_ops_partition_count_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# pack_nosplit (greedy no-split, bucket-aligned)
+# ---------------------------------------------------------------------------
+
+from audiopro_essentia_spark.operators.packing import pack_nosplit  # noqa: E402
+
+
+def test_pack_nosplit_hand_golden(spark):
+    rows = [(0, 50), (1, 150), (2, 40), (3, 30), (4, 20), (5, 60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {
+        r["doc_id"]: r for r in pack_nosplit(df, "n_tok", 100, n_buckets=2).collect()
+    }
+    # bucket 0 = docs 0,2,4: 50 -> (0,0); +40 fits -> (0,50); +20 doesn't -> (1,0)
+    assert (out[0]["shard_seq"], out[0]["shard_offset"]) == (0, 0)
+    assert (out[2]["shard_seq"], out[2]["shard_offset"]) == (0, 50)
+    assert (out[4]["shard_seq"], out[4]["shard_offset"]) == (1, 0)
+    # bucket 1 = docs 1,3,5: 150 oversize alone -> (0,0); 30 new shard ->
+    # (1,0); +60 fits -> (1,30)
+    assert (out[1]["shard_seq"], out[1]["shard_offset"], out[1]["oversize"]) == (0, 0, 1)
+    assert (out[3]["shard_seq"], out[3]["shard_offset"]) == (1, 0)
+    assert (out[5]["shard_seq"], out[5]["shard_offset"]) == (1, 30)
+    assert all(out[i]["oversize"] == 0 for i in (0, 2, 3, 4, 5))
+
+
+def test_pack_nosplit_no_doc_straddles(spark):
+    """The defining invariant: every non-oversize doc fits entirely
+    inside its shard."""
+    rows = [(i, (i * 53) % 140) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    from pyspark.sql import functions as F
+    bad = (
+        pack_nosplit(df, "n_tok", 100, n_buckets=8)
+        .filter((F.col("oversize") == 0)
+                & (F.col("shard_offset") + F.col("n_tokens") > 100))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_nosplit_matches_python_mirror(spark):
+    rows = [(i, (i * 37 + 11) % 130) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["shard_seq"], r["shard_offset"], r["oversize"])
+        for r in pack_nosplit(df, "n_tok", 100, n_buckets=16).collect()
+    }
+    exp = {}
+    by_bucket = {}
+    for i, n in rows:
+        by_bucket.setdefault(i % 16, []).append((i, n))
+    for b, docs in by_bucket.items():
+        fill = None
+        seq = 0
+        for i, n in sorted(docs):
+            if fill is None:
+                seq, off, fill = 0, 0, n
+            elif fill + n <= 100:
+                off = fill
+                fill += n
+            else:
+                seq, off, fill = seq + 1, 0, n
+            exp[i] = (b, seq, off, 1 if n > 100 else 0)
+    assert got == exp
+
+
+def test_pack_nosplit_zero_and_bad_inputs(spark):
+    df = spark.createDataFrame([(0, 0), (2, 100)], "doc_id long, n_tok long")
+    out = {r["doc_id"]: r for r in pack_nosplit(df, "n_tok", 100, n_buckets=1).collect()}
+    # zero-token doc opens the shard; the 100 still fits behind it
+    assert (out[0]["shard_seq"], out[0]["shard_offset"]) == (0, 0)
+    assert (out[2]["shard_seq"], out[2]["shard_offset"]) == (0, 0)
+
+    import pytest as _pytest
+    bad = spark.createDataFrame([(0, -5)], "doc_id long, n_tok long")
+    with _pytest.raises(Exception, match="negative"):
+        pack_nosplit(bad, "n_tok", 100).collect()
+    with _pytest.raises(ValueError, match="positive"):
+        pack_nosplit(df, "n_tok", 0)
+    txt = spark.createDataFrame([("a", 1)], "doc_id string, n_tok long")
+    with _pytest.raises(ValueError, match="integral"):
+        pack_nosplit(txt, "n_tok", 100)
