@@ -57,6 +57,7 @@ NOTES = {
     "pca_power": "projection stage after the driver-side 2-step power iteration (each step ONE narrow d+2-sum aggregate): a zero-shuffle literal-dot projection fused with the scan",
     "leak_split": "near-dup clusters (min-label propagation, localCheckpoint-truncated) -> split keyed on CLUSTER id: sparse cluster table joins broadcast; the split is a narrow content-hash predicate",
     "padding_waste": "ONE map-side-combinable groupBy over a 2-column scan; all pad math is exact integer expressions inside the aggregate",
+    "pack_nosplit": "bucket-aligned greedy fold: ONE shuffle into id buckets + ONE FlatMapGroupsInPandas; no global state, no prefix-sum chain",
 }
 
 HEADLINE = (
@@ -70,6 +71,7 @@ HEADLINE = (
     "cap_per_group", "silence_segments", "mfcc_delta", "seq_metadata",
     "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
     "span_scrub", "pca_power", "leak_split", "padding_waste",
+    "pack_nosplit",
 )
 
 
