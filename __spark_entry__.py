@@ -1655,25 +1655,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the 50 highest-value oracle-backed queries come FIRST:
-    the driver's correctness check covers exactly the first 50 entries
-    (CORRECTNESS_r02 stopped there), so the r1-failers (rhythm,
-    fused_pipeline, multimodal, streaming_session), the full kernel /
-    spectral surface, and this round's new entries all sit inside the
-    checked window. Entries past 50 are either redundant variants of an
-    in-window query (frame_zcr ⊂ kernel_features zcr) or double-confirmed
-    queries (driver-green in r1 AND r2: lag_lead/rolling/ffill/
-    enrich_broadcast/normalized_dedup/ann_recall/surprisal/ann_topk/
-    ngram_jaccard/embed_neardup/minhash_lsh/quarantine/asof_join/tfidf/
-    text_quality/repetition/hashed_embedding/chunk_documents yielded
-    their slots to this round's NEW never-driver-checked
-    entries); all are still verified locally by
-    tests/driver_compare.py."""
+    """Ordered so the driver's correctness check (which covers exactly
+    the FIRST 50 entries) always lands on the least-verified queries.
+    Round-4 rotation per VERDICT.md r3 item #2: the 12 entries with only
+    ONE driver check ever (r2: tfidf, repetition, hashed_embedding,
+    chunk_documents, normalized_dedup, ann_recall, surprisal,
+    encode_tokens, quantize_embed, vocab_by_source, monitor_stats,
+    corpus_rollup) are promoted into the window; 12 double-green rows
+    (green in r3 AND r1-or-r2: salted_join, multimodal,
+    streaming_session, dedup_clusters, simhash, decontaminate, ivf_ann,
+    lsh_ann, corpus_profile, pii_redact, span_dedup, vocab) yielded
+    their slots. Still in-window despite being double-green:
+    kernel_features/fused_pipeline/rhythm (the fused kernel's f32 memory
+    path changes this round — keep its oracles driver-checked),
+    kmeans/pack_shards (r2 stragglers, only one HASH-green check each),
+    incremental_dedup (bench-drift suspect, VERDICT What's-wrong #1).
+    Everything outside the window is verified locally by
+    tests/driver_compare.py each round."""
     return {
         # -- core framing / temporal / join surface -------------------
         "pit_assembly": q_pit_assembly,
-        "salted_join": q_salted_join,
-        # -- kernel / spectral surface (r1-fail fixes live here) ------
+        # -- kernel / spectral surface (f32 path touched in r4) --------
         "kernel_features": q_kernel_features,
         "kernel_full_geometry": q_kernel_full_geometry,
         "mfcc_delta": q_mfcc_delta,
@@ -1682,28 +1684,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_contrast": q_spectral_contrast,
         "rhythm": q_rhythm,
         "fused_pipeline": q_fused_pipeline,
-        "multimodal": q_multimodal,
         "media_frames": q_media_frames,
         "hash_split": q_hash_split,
         "mixture_sample": q_mixture_sample,
         "token_budget": q_token_budget,
         "curate": q_curate,
-        "streaming_session": q_streaming_session,
         # -- dedup / similarity / featurize ---------------------------
-        "dedup_clusters": q_dedup_clusters,
-        "simhash": q_simhash,
-        "decontaminate": q_decontaminate,
         "incremental_dedup": q_incremental_dedup,
-        "ivf_ann": q_ivf_ann,
-        "lsh_ann": q_lsh_ann,
         "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
         "pack_shards": q_pack_shards,
-        "corpus_profile": q_corpus_profile,
-        "pii_redact": q_pii_redact,
-        "span_dedup": q_span_dedup,
-        "vocab": q_vocab,
-        # -- round-3 additions (never driver-checked before) ----------
+        # -- round-4 promotions (single driver check, r2 only) --------
+        "tfidf": q_tfidf,
+        "repetition": q_repetition,
+        "hashed_embedding": q_hashed_embedding,
+        "chunk_documents": q_chunk_documents,
+        "normalized_dedup": q_normalized_dedup,
+        "ann_recall": q_ann_recall,
+        "surprisal": q_surprisal,
+        "encode_tokens": q_encode_tokens,
+        "quantize_embed": q_quantize_embed,
+        "vocab_by_source": q_vocab_by_source,
+        "monitor_stats": q_monitor_stats,
+        "corpus_rollup": q_corpus_rollup,
+        # -- round-3 additions (single driver check, r3) ---------------
         "bigram_surprisal": q_bigram_surprisal,
         "quality_classifier": q_quality_classifier,
         "bpe_merges": q_bpe_merges,
@@ -1724,21 +1728,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste": q_padding_waste,
         "shard_manifest": q_shard_manifest,
         "pack_nosplit": q_pack_nosplit,
-        # ---- position 51+: redundant / double-confirmed entries ----
-        # (ann_topk / text_quality / repetition / hashed_embedding /
-        # chunk_documents were driver-green in BOTH r1 and r2 and yielded
-        # their in-window slots to never-checked round-3 entries above)
+        # ---- position 51+: every entry here has >=2 driver-green
+        # checks (or is a redundant variant of an in-window query, e.g.
+        # frame_zcr ⊂ kernel_features zcr); re-verified locally by
+        # tests/driver_compare.py each round ----
+        "salted_join": q_salted_join,
+        "multimodal": q_multimodal,
+        "streaming_session": q_streaming_session,
+        "dedup_clusters": q_dedup_clusters,
+        "simhash": q_simhash,
+        "decontaminate": q_decontaminate,
+        "ivf_ann": q_ivf_ann,
+        "lsh_ann": q_lsh_ann,
+        "corpus_profile": q_corpus_profile,
+        "pii_redact": q_pii_redact,
+        "span_dedup": q_span_dedup,
+        "vocab": q_vocab,
         "ann_topk": q_ann_topk,
         "asof_join": q_asof_join,
         "quarantine": q_quarantine,
         "minhash_lsh": q_minhash_lsh,
         "embed_neardup": q_embed_neardup,
         "ngram_jaccard": q_ngram_jaccard,
-        "tfidf": q_tfidf,
         "text_quality": q_text_quality,
-        "repetition": q_repetition,
-        "hashed_embedding": q_hashed_embedding,
-        "chunk_documents": q_chunk_documents,
         "dedup_exact": q_dedup_exact,
         "session_tempo": q_session_tempo,
         "sessionize": q_sessionize,
@@ -1749,15 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling": q_rolling,
         "ffill": q_ffill,
         "enrich_broadcast": q_enrich_broadcast,
-        "normalized_dedup": q_normalized_dedup,
-        "ann_recall": q_ann_recall,
-        "surprisal": q_surprisal,
-        "encode_tokens": q_encode_tokens,
-        "quantize_embed": q_quantize_embed,
-        "vocab_by_source": q_vocab_by_source,
-        "monitor_stats": q_monitor_stats,
         "salted_agg": q_salted_agg,
-        "corpus_rollup": q_corpus_rollup,
         "topk_per_group": q_topk_per_group,
         "tpch_q1": q_tpch_q1,
         "frame_zcr": q_frame_zcr,
@@ -2210,7 +2214,9 @@ uc AS (SELECT w1, COUNT(*) AS c1
        FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
 v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
 s AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        round(-avg(ln((bc.cb + 0.5) / (uc.c1 + 0.5 * v.v))), 6) AS avg_logloss
+        round(-(CAST(SUM(CAST(round(
+                  ln((bc.cb + 0.5) / (uc.c1 + 0.5 * v.v)) * 1e6)
+                AS BIGINT)) AS BIGINT) / 1e6) / COUNT(*), 6) AS avg_logloss
       FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
       GROUP BY bg.doc_id)
 SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,

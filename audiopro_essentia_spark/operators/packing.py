@@ -192,12 +192,16 @@ def pack_nosplit(
 
     def fold(pdf):
         pdf = pdf.sort_values("_id").reset_index(drop=True)
-        ns = pdf["_n"].tolist()
+        # Arrow hands nullable longs to pandas as float64 with NaN for NULL,
+        # so a `n is None` check never fires — test isna() on the column.
+        if pdf["_n"].isna().any():
+            raise ValueError("pack_nosplit: NULL count")
+        ns = [int(n) for n in pdf["_n"].tolist()]
         seqs, offs, overs = [], [], []
         seq, fill = 0, None
         for n in ns:
-            if n is None or n < 0:
-                raise ValueError("pack_nosplit: NULL or negative count")
+            if n < 0:
+                raise ValueError("pack_nosplit: negative count")
             if fill is None:
                 seq, off, fill = 0, 0, n
             elif fill + n <= cap:

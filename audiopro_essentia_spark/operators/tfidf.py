@@ -77,7 +77,14 @@ def bigram_surprisal(
     Scale shape: two count aggregates with map-side combine (bigrams,
     unigrams), a 1-row broadcast vocab size, one join of the bigram
     stream back on its two keys, one per-doc mean — all linear shuffles,
-    no windows."""
+    no windows.
+
+    Accumulation: each bigram's log-prob is rounded ONCE to integer
+    micro-nats and summed as exact BIGINTs (same discipline as
+    selection.py DSIR/BM25) — float avg() summation order is engine- and
+    partitioning-dependent, integer sums are not, so the score is
+    bit-stable at any scale; the single float division by n_bigrams
+    happens once per doc on the exact integer sum."""
     cw = F.filter(words(F.col(text_col)), lambda x: x != "")
     base = df.select(F.col(id_col), cw.alias("_ws"))
     n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
@@ -104,16 +111,29 @@ def bigram_surprisal(
         bg.join(bc, ["_w1", "_w2"])
         .join(uc, "_w1")
         .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    (F.col("_cb") + F.lit(alpha))
+                    / (F.col("_c1") + F.lit(alpha) * F.col("_v"))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("_lp_micro"),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_lp_micro").alias("_sm"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
             F.round(
-                -F.avg(
-                    F.log(
-                        (F.col("_cb") + F.lit(alpha))
-                        / (F.col("_c1") + F.lit(alpha) * F.col("_v"))
-                    )
-                ),
+                -(F.col("_sm").cast("double") / F.lit(1e6))
+                / F.col("n_bigrams"),
                 6,
             ).alias("avg_logloss"),
         )

@@ -197,6 +197,14 @@ def test_pack_nosplit_zero_and_bad_inputs(spark):
     bad = spark.createDataFrame([(0, -5)], "doc_id long, n_tok long")
     with _pytest.raises(Exception, match="negative"):
         pack_nosplit(bad, "n_tok", 100).collect()
+    # NULL counts arrive in pandas as float64 NaN (not None) — the guard
+    # must fire on isna(), not identity; a silent NaN would mis-pack every
+    # later doc in the bucket (fill=NaN makes fits-checks always False).
+    nul = spark.createDataFrame(
+        [(0, 10), (1, None), (2, 10)], "doc_id long, n_tok long"
+    )
+    with _pytest.raises(Exception, match="NULL"):
+        pack_nosplit(nul, "n_tok", 100, n_buckets=1).collect()
     with _pytest.raises(ValueError, match="positive"):
         pack_nosplit(df, "n_tok", 0)
     txt = spark.createDataFrame([("a", 1)], "doc_id string, n_tok long")
