@@ -43,6 +43,15 @@ def cosine_expr(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with per-row norms computed ONCE upstream of the pair join
+    (CLAUDE.md O(pairs) rule): the pair expression pays only the dot.
+    Same IEEE ops in the same order as cosine_expr — norm_expr evaluated
+    per row yields the bit-identical double it yields per pair — so
+    round-6 oracle twins are unchanged."""
+    return F.coalesce(F.try_divide(dot_expr(a, b), na * nb), F.lit(0.0))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,14 +62,32 @@ def brute_force_topk(
     query_vec: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast the queries, one corpus scan,
-    Window row_number <= k. Deterministic tie-break on (cosine desc, id asc)."""
+    Window row_number <= k. Deterministic tie-break on (cosine desc, id asc).
+
+    Each side's L2 norm is computed once per ROW below the join (queries:
+    at broadcast build; corpus: once per streamed row, before codegen's
+    inner loop over the broadcast rows), so the per-pair expression pays
+    only the dot — the inline form re-folded both dim-d norms per pair,
+    tripling the flops of the scan."""
     q = queries.select(
-        F.col(query_id), F.col(query_vec).alias("_qv")
+        F.col(query_id),
+        F.col(query_vec).alias("_qv"),
+        norm_expr(F.col(query_vec)).alias("_qn"),
     )
-    joined = corpus.crossJoin(F.broadcast(q)).select(
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec).alias("_cv"),
+        norm_expr(F.col(corpus_vec)).alias("_cn"),
+    )
+    joined = c.crossJoin(F.broadcast(q)).select(
         query_id,
         F.col(corpus_id),
-        F.round(cosine_expr(F.col("_qv"), F.col(corpus_vec)), 6).alias("cosine"),
+        F.round(
+            cosine_precomputed(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.desc("cosine"), F.asc(corpus_id)
@@ -138,16 +165,24 @@ def lsh_topk(
     join). Signatures via one Arrow pass (make_lsh_band_udf, single band =
     whole signature)."""
     udf = make_lsh_band_udf(n_planes, band_bits=n_planes, seed=seed)
-    c = corpus.withColumn("_sig", F.element_at(udf(F.col(corpus_vec)), 1))
+    c = corpus.withColumn(
+        "_sig", F.element_at(udf(F.col(corpus_vec)), 1)
+    ).withColumn("_cn", norm_expr(F.col(corpus_vec)))
     q = queries.select(
         F.col(query_id),
         F.col(query_vec).alias("_qv"),
         F.element_at(udf(F.col(query_vec)), 1).alias("_sig"),
+        norm_expr(F.col(query_vec)).alias("_qn"),
     )
     joined = c.join(F.broadcast(q), "_sig").select(
         query_id,
         F.col(corpus_id),
-        F.round(cosine_expr(F.col("_qv"), F.col(corpus_vec)), 6).alias("cosine"),
+        F.round(
+            cosine_precomputed(
+                F.col("_qv"), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
+            ),
+            6,
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return joined.withColumn("rank", F.row_number().over(w)).filter(
@@ -356,11 +391,21 @@ def ivf_topk(
         F.col(query_id),
         F.col(query_vec).alias("_qv"),
         F.explode(probe_udf(F.col(query_vec))).alias("cluster_id"),
+        norm_expr(F.col(query_vec)).alias("_qn"),
     )
-    joined = assigned.join(F.broadcast(q), "cluster_id").select(
-        query_id,
-        F.col(corpus_id),
-        F.round(cosine_expr(F.col("_qv"), F.col(corpus_vec)), 6).alias("cosine"),
+    joined = (
+        assigned.withColumn("_cn", norm_expr(F.col(corpus_vec)))
+        .join(F.broadcast(q), "cluster_id")
+        .select(
+            query_id,
+            F.col(corpus_id),
+            F.round(
+                cosine_precomputed(
+                    F.col("_qv"), F.col(corpus_vec), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(corpus_id))
     return joined.withColumn("rank", F.row_number().over(w)).filter(
