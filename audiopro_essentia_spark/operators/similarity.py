@@ -228,43 +228,73 @@ def semantic_dedup(
     write.
 
     Each row's L2 norm rides along in the checkpoint, so the O(pairs)
-    within-cluster cosine only pays the dot product — recomputing both
-    norms per pair tripled the flops of the dominant join (measured
-    11.8s -> ~5s at sf0.1). Same IEEE ops in the same order as the
-    inline form, so round-6 values (and the DuckDB twin) are unchanged."""
+    within-cluster cosine only pays the dot product.
+
+    The within-cluster pair scan runs as ONE applyInPandas over
+    cluster_id groups (group size bounded by cluster membership — the
+    same boundedness the equi-join relied on) instead of a self-join:
+    the dot is a dimension-ordered vectorized fold that reproduces the
+    SQL `aggregate(zip_with(...))` left fold BIT-IDENTICALLY (same IEEE
+    multiplies and adds in the same order: acc starts 0.0 and adds the
+    j-th product plane for j = 0..d-1; numpy elementwise * and + are the
+    same f64 ops Spark's codegen emits), and the same holds for the
+    norm product and division, so the unrounded cosine that leaves the
+    UDF is the exact double the replaced join produced. The UDF applies
+    only a CONSERVATIVE margin prefilter (cosine >= threshold - 1e-6;
+    round-6 moves a value by <= 5e-7, so no pair that can pass the
+    round-6 threshold is dropped) — the authoritative round-6 >=
+    threshold decision stays JVM-side on the returned double. Replaced
+    a 1M-pair x dim-64 higher-order-function fold (the dominant cost)
+    with k gemm-shaped batch folds; round-6 values (and the DuckDB
+    twin) are unchanged by construction."""
     assigned, _ = kmeans_lite(corpus, vec_col=vec_col, k=k, iters=iters)
     assigned = assigned.withColumn(
         "_norm", norm_expr(F.col(vec_col))
     ).localCheckpoint()
-    a = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("_ida"),
-        F.col(vec_col).alias("_va"),
-        F.col("_norm").alias("_na"),
-    )
-    b = assigned.select(
-        F.col("cluster_id"),
-        F.col(id_col).alias("_idb"),
-        F.col(vec_col).alias("_vb"),
-        F.col("_norm").alias("_nb"),
+
+    import pandas as pd
+
+    margin = threshold - 1e-6
+
+    id_sql_type = assigned.schema[id_col].dataType.simpleString()
+
+    def _pair_candidates(pdf):
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({"_cid": pdf["_id"][:0], "_cos": []})
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        E = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()[order]]
+        )
+        n = pdf["_n"].to_numpy()[order].astype(np.float64)
+        acc = np.zeros((g, g), dtype=np.float64)
+        for j in range(E.shape[1]):
+            col = E[:, j]
+            # same f64 product x_j*y_j and same sequential accumulation
+            # order as the SQL fold: ((0.0 + p_0) + p_1) + ...
+            acc += np.multiply.outer(col, col)
+        den = np.multiply.outer(n, n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den == 0.0, 0.0, acc / den)
+        ia, ib = np.triu_indices(g, 1)  # ids sorted asc => id_a < id_b
+        c = cos[ia, ib]
+        keep = c >= margin  # NaN compares False, like SQL round(NaN)>=t
+        return pd.DataFrame({"_cid": ids[ib[keep]], "_cos": c[keep]})
+
+    cand = (
+        assigned.select(
+            F.col("cluster_id"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("_norm").alias("_n"),
+        )
+        .groupBy("cluster_id")
+        .applyInPandas(_pair_candidates, f"_cid {id_sql_type}, _cos double")
     )
     dropped = (
-        a.join(b, "cluster_id")
-        .where(F.col("_ida") < F.col("_idb"))
-        .where(
-            F.round(
-                F.coalesce(
-                    F.try_divide(
-                        dot_expr(F.col("_va"), F.col("_vb")),
-                        F.col("_na") * F.col("_nb"),
-                    ),
-                    F.lit(0.0),
-                ),
-                6,
-            )
-            >= F.lit(threshold)
-        )
-        .select(F.col("_idb").alias(id_col))
+        cand.where(F.round(F.col("_cos"), 6) >= F.lit(threshold))
+        .select(F.col("_cid").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
