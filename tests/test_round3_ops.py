@@ -80,6 +80,97 @@ def test_bpe_exhausts_early(spark):
     assert got == [(1, "a", "b", 2)]
 
 
+def _mirror_pair_counts(words):
+    """Driver-side exact pair-count mirror: {(l, r): freq-weighted count}."""
+    from collections import Counter
+
+    c = Counter()
+    for sym, freq in words:
+        for a, b in zip(sym, sym[1:]):
+            c[(a, b)] += freq
+    return c
+
+
+def _mirror_apply(words, left, right):
+    out = []
+    for sym, freq in words:
+        acc = []
+        for s in sym:
+            if acc and acc[-1] == left and s == right:
+                acc[-1] = left + right
+            else:
+                acc.append(s)
+        out.append((acc, freq))
+    return out
+
+
+def test_bpe_batched_m1_equals_exact(spark):
+    df = spark.createDataFrame(
+        [("low low lower",), ("lowest low",)], ["text"]
+    )
+    exact = [tuple(r) for r in train_bpe(spark, df, n_merges=4).collect()]
+    m1 = [
+        tuple(r)
+        for r in train_bpe(
+            spark, df, n_merges=4, merges_per_round=1
+        ).collect()
+    ]
+    assert m1 == exact
+
+
+def test_bpe_batched_counts_exact_at_application(spark, monkeypatch):
+    """The compatibility theorem, checked end-to-end: every batched
+    merge's recorded pair_cnt equals the EXACT corpus count at its
+    application point (replayed by a driver-side mirror), batches are
+    pairwise symbol-disjoint, and the round count is ~n_merges/m
+    (3 pair-count jobs for 6 merges at m=3 on the textbook corpus,
+    vs 6 exact)."""
+    import audiopro_essentia_spark.operators.bpe as bpe_mod
+
+    calls = {"n": 0}
+    real = bpe_mod.pair_counts
+
+    def counting(words):
+        calls["n"] += 1
+        return real(words)
+
+    monkeypatch.setattr(bpe_mod, "pair_counts", counting)
+    df = spark.createDataFrame(
+        [("low low lower",), ("lowest low",)], ["text"]
+    )
+    got = [
+        tuple(r)
+        for r in train_bpe(
+            spark, df, n_merges=6, merges_per_round=3
+        ).collect()
+    ]
+    # hand-derived: round 1 picks (l,o):5 then skips (o,w) [shares o],
+    # picks (w,e):2, skips (e,r)/(e,s) [share e], picks (s,t):1;
+    # round 2 picks (lo,w):3, skips (lo,we), picks (we,r):1, skips
+    # (we,st) -> only 2 fit; round 3 picks (lo,we):1 on right-asc
+    # tie-break. The rank-2/3 divergence from exact mode ((lo,w) before
+    # (w,e)) is the documented in-batch creation blindness.
+    assert got == [
+        (1, "l", "o", 5),
+        (2, "w", "e", 2),
+        (3, "s", "t", 1),
+        (4, "lo", "w", 3),
+        (5, "we", "r", 1),
+        (6, "lo", "we", 1),
+    ]
+    assert calls["n"] == 3  # ~n_merges/m jobs, not n_merges
+    # frozen-count exactness: replay the merge list on a driver mirror,
+    # asserting each recorded count equals the true count at application
+    words = [
+        (list("low"), 3),
+        (list("lower"), 1),
+        (list("lowest"), 1),
+    ]
+    for _, left, right, cnt in got:
+        assert _mirror_pair_counts(words)[(left, right)] == cnt, (left, right)
+        words = _mirror_apply(words, left, right)
+
+
 # ---------------------------------------------------------------------------
 # temperature sampling
 # ---------------------------------------------------------------------------
