@@ -951,6 +951,54 @@ def q_drift_psi(spark, sf_dir):
     return source_drift_psi(d, value_col="n_chars", group_col="source")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Sketching: per-source HyperLogLog estimate of DISTINCT WORD
+    BIGRAMS (lexical-diversity cardinality; ~700 true distincts per
+    source exercises the raw harmonic branch at p=7/m=128). Portable
+    md5 hash, exact dyadic harmonic sum (operators/sketch.py) — the
+    mergeable-cardinality monitor exact COUNT(DISTINCT) can't provide
+    at 100 TB; registers union across shards/epochs by max."""
+    from audiopro_essentia_spark.operators.sketch import hll_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    base = d.select("source", ws.alias("_ws"))
+    n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
+    bg = base.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, n1),
+                F.slice(F.col("_ws"), 2, n1),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            )
+        ).alias("bigram"),
+    )
+    return hll_distinct(bg, F.col("bigram"), group_col="source", p=7)
+
+
+def q_kl_drift(spark, sf_dir):
+    """Monitoring: per-source lexical KL divergence vs the rest of the
+    corpus over the global top-500 words, each term rounded once to
+    integer micro-nats and summed exactly (aggregates.py
+    source_kl_divergence) — the distribution-level companion of
+    drift_psi's scalar-bucket PSI."""
+    from audiopro_essentia_spark.operators.aggregates import (
+        source_kl_divergence,
+    )
+
+    return source_kl_divergence(_t(spark, sf_dir, "documents"), top_n=500)
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Profiling: per-source Zipf exponent — least-squares slope of
+    ln(freq) on ln(rank) over the source's top-200 words, regression on
+    exact BIGINT micro-nat sums (aggregates.py zipf_slope)."""
+    from audiopro_essentia_spark.operators.aggregates import zipf_slope
+
+    return zipf_slope(_t(spark, sf_dir, "documents"), top_n=200)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Sampling: temperature-scaled mixture (tau=0.5) — per-source
     keep-rates derived from corpus shares via the sqrt path (IEEE
@@ -1667,9 +1715,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_ann, corpus_profile, pii_redact, span_dedup, vocab) yielded
     their slots. Still in-window despite being double-green:
     kernel_features/fused_pipeline/rhythm (the fused kernel's f32 memory
-    path changes this round — keep its oracles driver-checked),
-    kmeans/pack_shards (r2 stragglers, only one HASH-green check each),
-    incremental_dedup (bench-drift suspect, VERDICT What's-wrong #1).
+    path changes this round — keep its oracles driver-checked).
+    Mid-round-4 rotation for the three NEW queries (hll_distinct,
+    kl_drift, zipf_slope — never driver-checked, must sit in-window):
+    incremental_dedup (r2+r3 green; its bench drift is resolved as
+    environment in BENCH/BASELINE.md) plus kmeans and pack_shards (r2
+    rows-green + r3 hash-green) yielded their slots.
     Everything outside the window is verified locally by
     tests/driver_compare.py each round."""
     return {
@@ -1690,10 +1741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "curate": q_curate,
         # -- dedup / similarity / featurize ---------------------------
-        "incremental_dedup": q_incremental_dedup,
-        "kmeans": q_kmeans,
         "semantic_dedup": q_semantic_dedup,
-        "pack_shards": q_pack_shards,
+        # -- round-4 additions (never driver-checked -> in-window) -----
+        "hll_distinct": q_hll_distinct,
+        "kl_drift": q_kl_drift,
+        "zipf_slope": q_zipf_slope,
         # -- round-4 promotions (single driver check, r2 only) --------
         "tfidf": q_tfidf,
         "repetition": q_repetition,
@@ -1732,6 +1784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # checks (or is a redundant variant of an in-window query, e.g.
         # frame_zcr ⊂ kernel_features zcr); re-verified locally by
         # tests/driver_compare.py each round ----
+        # r4 demotions: incremental_dedup (r2+r3 green, bench drift
+        # resolved as environment in BENCH/BASELINE.md), kmeans /
+        # pack_shards (r2 rows-green + r3 hash-green)
+        "incremental_dedup": q_incremental_dedup,
+        "kmeans": q_kmeans,
+        "pack_shards": q_pack_shards,
         "salted_join": q_salted_join,
         "multimodal": q_multimodal,
         "streaming_session": q_streaming_session,
@@ -2203,6 +2261,9 @@ SELECT * FROM (
         "lsh_ann": DT.lsh_ann_sql(dim=64, n_planes=6, seed=42, k=5),
         "kmeans": DT.kmeans_sql(k=8, dim=64),
         "semantic_dedup": DT.semantic_dedup_sql(k=8, dim=64, threshold=0.95),
+        "hll_distinct": DT.hll_sql(p=7),
+        "kl_drift": DT.kl_sql(top_n=500),
+        "zipf_slope": DT.zipf_sql(top_n=200),
         "bigram_surprisal": """
 WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
            FROM documents),

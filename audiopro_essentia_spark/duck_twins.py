@@ -1200,3 +1200,120 @@ def kernel_delta_sql(
         "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n ".join(out_cols)
         + "\nFROM wb"
     )
+
+
+def hll_sql(p: int = 7, table: str = "documents") -> str:
+    """Twin of operators/sketch.hll_distinct over per-source word BIGRAMS
+    (q_hll_distinct). Mirrors the Spark expression tree op-for-op:
+    portable md5 hash halves, integer shift/mask, bin()-length rho, the
+    EXACT dyadic harmonic sum (order-free — every partial sum is exact
+    in f64, see sketch.py), and the same Python-literal alpha*m constant
+    interpolated into both engines."""
+    m = 1 << p
+    width = 32 - p
+    alpha_m = 0.7213 / (1.0 + 1.079 / m) * m
+    return f"""
+WITH w AS (SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM {table}),
+bg AS (SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp,
+              ws[i] || ' ' || ws[i+1] AS bigram
+       FROM w, LATERAL UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+       WHERE len(ws) >= 2),
+h AS (SELECT grp, ('0x' || substr(md5(bigram), 1, 8))::BIGINT AS hv FROM bg),
+r AS (SELECT grp,
+             CAST(hv >> {width} AS INT) AS reg_idx,
+             CAST(CASE WHEN (hv & {(1 << width) - 1}) = 0 THEN {width + 1}
+                  ELSE {width + 1} - length(bin(hv & {(1 << width) - 1}))
+                  END AS INT) AS rho
+      FROM h),
+regs AS MATERIALIZED (
+  SELECT grp, reg_idx, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+agg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+               SUM(pow(2.0, -reg)) AS s_present
+        FROM regs GROUP BY 1),
+e AS (SELECT grp, n_nonzero,
+             (CAST({alpha_m!r} AS DOUBLE) * CAST({float(m)!r} AS DOUBLE)) /
+               (s_present + CAST({m} - n_nonzero AS DOUBLE)) AS raw,
+             CAST({m} - n_nonzero AS DOUBLE) AS vz
+      FROM agg)
+SELECT grp AS source,
+       n_nonzero AS n_reg_nonzero,
+       round(CASE WHEN raw <= CAST({2.5 * m!r} AS DOUBLE) AND vz > 0
+                  THEN CAST({float(m)!r} AS DOUBLE)
+                       * ln(CAST({float(m)!r} AS DOUBLE) / vz)
+                  ELSE raw END, 6) AS estimate
+FROM e
+"""
+
+
+def kl_sql(top_n: int = 500, eps: float = 1e-9, table: str = "documents") -> str:
+    """Twin of aggregates.source_kl_divergence: per-source lexical KL vs
+    rest-of-corpus over the global top-N words; per-term micro-nat
+    rounding, exact BIGINT sum (HUGEINT cast back per CLAUDE.md)."""
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w <> ''),
+head AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c_all
+  FROM tok GROUP BY 1 ORDER BY c_all DESC, word ASC LIMIT {top_n}),
+counts AS MATERIALIZED (
+  SELECT t.grp, t.word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok t JOIN head h ON t.word = h.word GROUP BY 1, 2),
+sp AS (SELECT g.grp, h.word, h.c_all
+       FROM (SELECT DISTINCT grp FROM counts) g, head h),
+f AS MATERIALIZED (
+  SELECT sp.grp, sp.word, sp.c_all,
+         coalesce(c.c, CAST(0 AS BIGINT)) AS c
+  FROM sp LEFT JOIN counts c ON sp.grp = c.grp AND sp.word = c.word),
+tg AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM f GROUP BY 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM f),
+pq AS (SELECT f.grp,
+         CASE WHEN tg.n_g = 0 THEN {eps!r}
+              ELSE greatest(f.c / tg.n_g, {eps!r}) END AS p,
+         CASE WHEN nt.n_all - tg.n_g = 0 THEN {eps!r}
+              ELSE greatest((f.c_all - f.c) / (nt.n_all - tg.n_g), {eps!r})
+              END AS q
+       FROM f JOIN tg ON f.grp = tg.grp CROSS JOIN nt)
+SELECT grp AS source,
+       CAST(SUM(CAST(round((p * ln(p / q)) * 1e6) AS BIGINT)) AS BIGINT)
+         AS kl_micronats,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM pq GROUP BY 1
+"""
+
+
+def zipf_sql(top_n: int = 200, table: str = "documents") -> str:
+    """Twin of aggregates.zipf_slope: rank = row_number over (count DESC,
+    word ASC); ln(rank)/ln(freq) micro-nat integers; slope from exact
+    integer sums (HUGEINT-exact in DuckDB, in-range BIGINT in Spark),
+    single final division, round-6."""
+    return f"""
+WITH tok AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w <> ''),
+counts AS MATERIALIZED (
+  SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+ranked AS MATERIALIZED (
+  SELECT grp, c, row_number() OVER
+           (PARTITION BY grp ORDER BY c DESC, word ASC) AS rnk
+  FROM counts),
+xy AS (SELECT grp,
+         CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+       FROM ranked WHERE rnk <= {top_n}),
+s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM xy GROUP BY 1)
+SELECT grp AS source,
+       n AS n_ranks,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS slope
+FROM s
+"""

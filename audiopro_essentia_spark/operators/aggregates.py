@@ -444,6 +444,149 @@ def source_drift_psi(
     )
 
 
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 500,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-source lexical KL divergence KL(P_source || Q_rest) over the
+    corpus' global top-N words — the mixture-shift monitor PSI
+    (source_drift_psi) can't provide: PSI buckets a scalar, KL compares
+    the actual token distributions, the quantity mixture-balancing /
+    DoReMi-style reweighting reasons about.
+
+    Spec (fully deterministic, engine-portable):
+    - vocabulary spine = global top-N words by (corpus count DESC, word
+      ASC) — bounded and broadcastable, the standard restrict-to-head
+      trick (the tail's KL mass is negligible and unstable);
+    - p_w = source's share of its OWN top-N token total, q_w = the
+      rest-of-corpus share of ITS top-N total, both floored at eps over
+      the fixed spine (empty cells count as eps);
+    - each term p_w * ln(p_w / q_w) is rounded ONCE to integer
+      micro-nats and the terms are summed as exact BIGINTs — the
+      bigram_surprisal/DSIR rule: never expose an engine-order float
+      sum to the oracle hash.
+
+    100-TB shape: one (group, word) count shuffle that the spine join
+    immediately prunes to n_groups x top_n rows; the global head is one
+    map-side-combinable word count + a top-N broadcast. Output one row
+    per source: (group, kl_micronats, n_terms)."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    tok = df.select(
+        g.alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    head = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+        .orderBy(F.desc("c_all"), F.asc("word"))
+        .limit(top_n)
+    )
+    counts = (
+        tok.join(F.broadcast(head.select("word")), "word")
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = counts.select("grp").distinct().crossJoin(F.broadcast(head))
+    full = spine.join(counts, ["grp", "word"], "left").select(
+        "grp",
+        "word",
+        "c_all",
+        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+    )
+    tot_g = full.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    n_tot = full.agg((F.sum("c")).alias("n_all"))
+    e = F.lit(float(eps))
+    joined = (
+        full.join(F.broadcast(tot_g), "grp")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "grp",
+            F.when(F.col("n_g") == 0, e)
+            .otherwise(F.greatest(F.col("c") / F.col("n_g"), e))
+            .alias("p"),
+            F.when(F.col("n_all") - F.col("n_g") == 0, e)
+            .otherwise(
+                F.greatest(
+                    (F.col("c_all") - F.col("c"))
+                    / (F.col("n_all") - F.col("n_g")),
+                    e,
+                )
+            )
+            .alias("q"),
+        )
+    )
+    term = F.col("p") * F.log(F.col("p") / F.col("q"))
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.sum(F.round(term * F.lit(1e6)).cast("long")).alias(
+                "kl_micronats"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .select(F.col("grp").alias(group_col), "kl_micronats", "n_terms")
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 200,
+) -> DataFrame:
+    """Per-source Zipf exponent: the least-squares slope of ln(freq) on
+    ln(rank) over the source's top-N words — natural text sits near -1;
+    a source drifting toward 0 is boilerplate/templated (flat head), one
+    plunging past -1.5 is degenerate repetition. A standard one-number
+    corpus-health profile (Zipf 1949; public diagnostic).
+
+    Determinism: rank = row_number over (count DESC, word ASC) (total
+    order, no tie ambiguity); ln(rank) and ln(freq) are each rounded
+    ONCE to integer micro-nats; the regression runs on exact BIGINT sums
+    (Sx, Sy, Sxy, Sxx — magnitudes < 2^60 at top_n <= 10^4), so the only
+    float steps are per-row ln+round and one final slope division,
+    round-6. The rank window partitions by source — never a global sort.
+
+    100-TB shape: one (group, word) count shuffle, a per-group top-N
+    window (WindowGroupLimit pushes the limit into the shuffle), then a
+    tiny exact-integer groupBy."""
+    from pyspark.sql import Window
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    counts = (
+        df.select(
+            g.alias("grp"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("word"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_n
+    )
+    x = F.round(F.log(F.col("rank").cast("double")) * F.lit(1e6)).cast("long")
+    y = F.round(F.log(F.col("c").cast("double")) * F.lit(1e6)).cast("long")
+    s = ranked.select("grp", x.alias("x"), y.alias("y")).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("grp").alias(group_col),
+        F.col("n").alias("n_ranks"),
+        F.when(den != 0, F.round(num / den, 6)).alias("slope"),
+    )
+
+
 def tokenizer_fertility(
     df: DataFrame,
     text_col: str = "text",

@@ -116,6 +116,9 @@ BENCH_QUERIES = (
     "padding_waste",
     "shard_manifest",
     "pack_nosplit",
+    "hll_distinct",
+    "kl_drift",
+    "zipf_slope",
 )
 
 

@@ -1,0 +1,175 @@
+"""Unit tests for the round-4 monitoring operators: HLL cardinality
+sketch (operators/sketch.py), lexical KL drift and Zipf slope
+(operators/aggregates.py). Each is checked against an exact driver-side
+Python mirror that replicates the operator's arithmetic op-for-op."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from audiopro_essentia_spark.operators.aggregates import (
+    source_kl_divergence,
+    zipf_slope,
+)
+from audiopro_essentia_spark.operators.sketch import hll_distinct, hll_registers
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _mirror_hll(values, p):
+    width = 32 - p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = _h32(v)
+        idx = h >> width
+        rem = h & ((1 << width) - 1)
+        rho = width + 1 if rem == 0 else width + 1 - rem.bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    raw = (alpha * m) * float(m) / s
+    vz = float(m - len(regs))
+    est = float(m) * math.log(float(m) / vz) if (raw <= 2.5 * m and vz > 0) else raw
+    return regs, round(est, 6)
+
+
+def test_hll_registers_and_estimate_match_mirror(spark):
+    vals = [f"item{i}" for i in range(2000)] * 3  # duplicates collapse
+    df = spark.createDataFrame(
+        [(v, "g") for v in vals], "v string, source string"
+    )
+    regs = {
+        r.reg_idx: r.reg
+        for r in hll_registers(df, F.col("v"), p=10).collect()
+    }
+    est = hll_distinct(df, F.col("v"), p=10).collect()[0]
+    m_regs, m_est = _mirror_hll(set(vals), 10)
+    assert regs == m_regs
+    assert est.estimate == m_est
+    assert est.n_reg_nonzero == len(m_regs)
+    # estimator sanity: HLL standard error at m=1024 is ~3.3%; allow 4 sigma
+    assert abs(est.estimate - 2000) / 2000 < 0.13
+
+
+def test_hll_registers_merge_across_shards(spark):
+    a = [f"x{i}" for i in range(500)]
+    b = [f"x{i}" for i in range(300, 900)]  # overlapping shard
+    df_a = spark.createDataFrame([(v, "g") for v in a], "v string, source string")
+    df_b = spark.createDataFrame([(v, "g") for v in b], "v string, source string")
+    df_u = spark.createDataFrame(
+        [(v, "g") for v in a + b], "v string, source string"
+    )
+    merged = (
+        hll_registers(df_a, F.col("v"), p=8)
+        .unionByName(hll_registers(df_b, F.col("v"), p=8))
+        .groupBy("grp", "reg_idx")
+        .agg(F.max("reg").alias("reg"))
+    )
+    whole = hll_registers(df_u, F.col("v"), p=8)
+    got = {(r.reg_idx): r.reg for r in merged.collect()}
+    want = {(r.reg_idx): r.reg for r in whole.collect()}
+    assert got == want  # register-wise max IS the union sketch
+
+
+def _mirror_kl(docs, top_n, eps=1e-9):
+    """docs: list of (source, text). Mirrors source_kl_divergence."""
+    from collections import Counter
+
+    tok = [(s, w) for s, t in docs for w in t.split(" ") if w != ""]
+    c_all = Counter(w for _, w in tok)
+    head = sorted(c_all.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    groups = sorted({s for s, _ in tok})
+    c_gw = Counter(tok)
+    out = {}
+    n_all = sum(
+        c_gw.get((g, w), 0) for g in groups for w, _ in head
+    )
+    for g in groups:
+        n_g = sum(c_gw.get((g, w), 0) for w, _ in head)
+        total = 0
+        for w, cw_all in head:
+            c = c_gw.get((g, w), 0)
+            p = eps if n_g == 0 else max(c / n_g, eps)
+            q = (
+                eps
+                if n_all - n_g == 0
+                else max((cw_all - c) / (n_all - n_g), eps)
+            )
+            term = p * math.log(p / q)
+            # Python round() is half-even; Spark/DuckDB round() is
+            # half-away — implement half-away explicitly
+            x = term * 1e6
+            total += int(math.floor(x + 0.5)) if x >= 0 else int(
+                math.ceil(x - 0.5)
+            )
+        out[g] = (total, len(head))
+    return out
+
+
+def test_kl_divergence_matches_mirror_and_sign(spark):
+    docs = [
+        ("a", "cat dog cat bird cat dog"),
+        ("a", "cat dog fish"),
+        ("b", "fish fish fish shark fish shark"),
+        ("b", "shark fish"),
+        ("c", "cat dog bird fish shark"),  # near the corpus mix
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        r.source: (r.kl_micronats, r.n_terms)
+        for r in source_kl_divergence(df, top_n=5).collect()
+    }
+    want = _mirror_kl(docs, 5)
+    assert got == want
+    # skewed sources diverge strongly; the mixed source much less
+    assert got["a"][0] > got["c"][0] and got["b"][0] > got["c"][0]
+    assert got["c"][0] >= 0  # KL >= 0 up to micro-nat rounding
+
+
+def _mirror_zipf(counts, top_n):
+    """counts: list of (word, count) for ONE source."""
+    ranked = sorted(counts, key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    xs, ys = [], []
+    for rank, (_, c) in enumerate(ranked, start=1):
+        xs.append(int(math.floor(math.log(float(rank)) * 1e6 + 0.5)))
+        ys.append(int(math.floor(math.log(float(c)) * 1e6 + 0.5)))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    den = n * sxx - sx * sx
+    return None if den == 0 else round((n * sxy - sx * sy) / den, 6)
+
+
+def test_zipf_slope_exact_power_law(spark):
+    # counts c_i = floor(4000 / i): an exact-ish Zipf corpus -> slope ~ -1
+    counts = [(f"w{i:03d}", 4000 // i) for i in range(1, 41)]
+    rows = [("s", " ".join([w] * c)) for w, c in counts]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = zipf_slope(df, top_n=40).collect()[0]
+    assert got.n_ranks == 40
+    assert got.slope == _mirror_zipf(counts, 40)
+    assert -1.05 < got.slope < -0.95
+
+
+def test_zipf_slope_degenerate_single_rank(spark):
+    df = spark.createDataFrame(
+        [("s", "same same same")], "source string, text string"
+    )
+    got = zipf_slope(df).collect()[0]
+    assert got.n_ranks == 1 and got.slope is None
+
+
+def test_hll_p_bounds(spark):
+    df = spark.createDataFrame([("x", "g")], "v string, source string")
+    with pytest.raises(ValueError):
+        hll_registers(df, F.col("v"), p=6)  # m < 128 alpha is wrong
+    with pytest.raises(ValueError):
+        hll_registers(df, F.col("v"), p=17)
