@@ -39,7 +39,7 @@ NOTES = {
     "corpus_rollup": "detail + subtotal + grand total in ONE Expand + hash-agg pass (no triple scan)",
     "monitor_stats": "pass-1 tiny per-group stats broadcast back; trim filter is a map-side predicate, then one hash agg",
     "token_budget": "per-source total (tiny agg) broadcast back as a per-mille rate; the budget filter stays a narrow hash predicate — no per-source cumsum window",
-    "semantic_dedup": "assignment localCheckpoint'ed (UDF runs ONCE; was 10 ArrowEvalPython across the 3 consuming branches); within-cluster pairs are ONE cluster_id equi-join, no cartesian",
+    "semantic_dedup": "assignment localCheckpoint'ed (UDF runs ONCE; was 10 ArrowEvalPython across the 3 consuming branches); within-cluster pair scan is ONE FlatMapGroupsInPandas over cluster_id (bit-identical ordered fold, conservative margin prefilter), round-6 threshold stays JVM-side — no self-join, no cartesian",
     "bigram_surprisal": "bigram/unigram count aggs (map-side combine) + 1-row broadcast vocab + linear join-back; <2-word docs restored by a doc_id left join",
     "quality_classifier": "ONE narrow JVM projection — zero Exchange, zero Python; hashed-BoW weights are an array literal inside the scan projection",
     "bpe_merges": "iterative pair-count agg on the BOUNDED word-freq table (corpus read ONCE); each merge is one map-side-combinable agg + TakeOrdered(1) argmax; merge apply is a pure JVM fold; localCheckpoint truncates the M-deep lineage",
@@ -58,6 +58,9 @@ NOTES = {
     "leak_split": "near-dup clusters (min-label propagation, localCheckpoint-truncated) -> split keyed on CLUSTER id: sparse cluster table joins broadcast; the split is a narrow content-hash predicate",
     "padding_waste": "ONE map-side-combinable groupBy over a 2-column scan; all pad math is exact integer expressions inside the aggregate",
     "pack_nosplit": "bucket-aligned greedy fold: ONE shuffle into id buckets + ONE FlatMapGroupsInPandas; no global state, no prefix-sum chain",
+    "hll_distinct": "ONE map-side-combinable register groupBy (bounded at groups x 2^p rows); estimate math on the tiny aggregate; zero Python",
+    "kl_drift": "head-restricted (group,word) count shuffle; top-N spine broadcast; exact BIGINT micro-nat sum",
+    "zipf_slope": "per-group top-N via WindowGroupLimit pushdown; regression on exact integer sums, zero Python",
 }
 
 HEADLINE = (
@@ -71,7 +74,7 @@ HEADLINE = (
     "cap_per_group", "silence_segments", "mfcc_delta", "seq_metadata",
     "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
     "span_scrub", "pca_power", "leak_split", "padding_waste",
-    "pack_nosplit",
+    "pack_nosplit", "hll_distinct", "kl_drift", "zipf_slope",
 )
 
 
