@@ -101,8 +101,14 @@ def _consts(frame_length: int, sample_rate: int, n_mels: int):
             fb_bands.append((int(nz[0]), int(nz[-1]) + 1, fb[m, nz[0] : nz[-1] + 1].copy()))
         else:
             fb_bands.append((0, 0, fb[m, 0:0]))
+    # one (n_bins, 3) moment matrix: spec @ m3 yields [sum, sum f*s,
+    # sum f^2*s] in ONE pass over spec instead of three (sum, two
+    # matvecs) — the kernel is bandwidth-bound, passes ARE the cost.
+    # BLAS accumulation order differs from np.sum's pairwise order by
+    # ~1 ulp; inside the allclose/round-6 truce like every reorder here.
+    m3 = np.stack([np.ones_like(freqs), freqs, freqs * freqs], axis=1)
     c = dict(
-        hann=hann, freqs=freqs, f2=freqs * freqs, fb=fb, fb_bands=fb_bands,
+        hann=hann, freqs=freqs, m3=m3, fb=fb, fb_bands=fb_bands,
         dct=dct, band_idx=band_idx,
     )
     _CONST_CACHE[key] = c
@@ -269,21 +275,24 @@ def _kernel_batch(
     if fset & SPECTRAL_FEATURES:
         spec = np.abs(np.fft.rfft(W64, axis=1))
         zero_spec = (spec == 0).all(axis=1)  # processors.py:198-203
-        ssum = spec.sum(axis=1)
+        # ONE gemm pass over spec for all three linear reductions
+        # (see _consts m3) — sum, first and second frequency moments
+        mom = spec @ c["m3"]
+        ssum = mom[:, 0]
         safe = np.where(ssum == 0, 1.0, ssum)
         freqs = c["freqs"]
 
-        centroid = (spec @ freqs) / safe
+        centroid = mom[:, 1] / safe
         if "spectral_centroid" in fset:
             out["spectral_centroid"] = centroid
         if "spectral_bandwidth" in fset:
             # expanded second-moment form: sum((f-c)^2 s)/S = sum(f^2 s)/S
             # - c^2 (exactly, since c = sum(f s)/S). Replaces two (B,
             # n_bins) temporaries (fd, fd*fd ~ 4 MB per 256-chunk) with
-            # one matmul over cached f^2 — 17x faster measured, max rel
+            # the shared moment gemm — 17x faster measured, max rel
             # deviation 3e-15 (clip guards the cancellation residue going
             # epsilon-negative for near-pure tones, as before).
-            var = (spec @ c["f2"]) / safe - centroid * centroid
+            var = mom[:, 2] / safe - centroid * centroid
             bw = np.sqrt(np.clip(var, 0.0, None))
             out["spectral_bandwidth"] = np.where(ssum > 1e-10, bw, 0.0)
         if "spectral_flatness" in fset:
@@ -296,7 +305,9 @@ def _kernel_batch(
             mx = spec.max(axis=1, keepdims=True)
             eps_r = EPS * np.where(mx > 0, mx, 1.0)
             gm = np.exp(np.mean(np.log(spec + eps_r), axis=1))
-            out["spectral_flatness"] = gm / (np.mean(spec, axis=1) + EPS)
+            # arithmetic mean from the shared moment gemm (ssum/n) — one
+            # fewer full pass over spec; ~1 ulp vs np.mean's pairwise sum
+            out["spectral_flatness"] = gm / (ssum / spec.shape[1] + EPS)
         if "spectral_rolloff" in fset:
             energy = spec**2
             cum = np.cumsum(energy, axis=1)
