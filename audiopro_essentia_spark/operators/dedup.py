@@ -515,56 +515,91 @@ def embedding_neardup_pairs(
     require disagreement on EVERY plane ((theta/pi)^n_planes — vanishing
     for near-dups). Tune (n_planes, band_bits) to the threshold; the
     exact all-pairs form survives as embedding_neardup_pairs_exact for
-    tiny-N test oracles."""
-    from .similarity import dot_expr, make_lsh_band_udf, norm_expr
+    tiny-N test oracles.
+
+    Execution shape (round-4): vectors + per-row norms ride the ONE
+    (band, bval) bucket shuffle and each bucket's pair scan runs as a
+    single applyInPandas fold — no JVM pair-struct materialization, no
+    pair distinct shuffle, no vector join-backs, no per-pair SQL
+    higher-order fold (profiled: candidate generation + verify joins
+    were ~100% of wall time at sf0.1's 295k candidates). The in-UDF dot
+    is the dimension-ordered vectorized fold that reproduces
+    aggregate(zip_with(...)) BIT-identically (CLAUDE.md recipe); the
+    UDF applies only a conservative margin (threshold - 1e-6), the
+    authoritative round-6 threshold stays JVM-side, and a final
+    distinct collapses pairs caught by multiple bands (identical
+    doubles, so the rows are identical). Star-capping past max_bucket
+    is preserved inside the fold. At corpus scale the shuffle is
+    O(n x bands x d) — in skewed-bucket regimes strictly less traffic
+    than the O(candidate pairs) rows the join form shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import make_lsh_band_udf, norm_expr
 
     udf = make_lsh_band_udf(n_planes, band_bits, seed).asNondeterministic()
     banded = (
         _spread(df)
-        .select(F.col(id_col), udf(F.col(vec_col)).alias("_bands"))
-        .select(id_col, F.posexplode("_bands").alias("band", "bval"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            norm_expr(F.col(vec_col)).alias("_n"),
+            udf(F.col(vec_col)).alias("_bands"),
+        )
+        .select(
+            id_col, "_v", "_n", F.posexplode("_bands").alias("band", "bval")
+        )
     )
-    # single-eval bucket shape (see minhash_lsh_candidates): one UDF pass,
-    # one shuffle to (band, bval) buckets, in-bucket pairs (star-capped)
-    cand = (
-        banded.groupBy("band", "bval")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(_bucket_pairs(F.col("ids"), max_bucket)).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
-    # each side's L2 norm is computed once per ROW here (O(n)), so the
-    # verify join pays only the dot per candidate pair — same IEEE ops in
-    # the same order as the inline cosine, round-6 values unchanged
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-        norm_expr(F.col(vec_col)).alias("_na"),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-        norm_expr(F.col(vec_col)).alias("_nb"),
+    margin = threshold - 1e-6
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def _bucket_dots(pdf):
+        g = len(pdf)
+        if g < 2:
+            empty = pdf[id_col][:0]
+            return pd.DataFrame({"id_a": empty, "id_b": empty, "_c": []})
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        E = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf["_v"].to_numpy()[order]
+            ]
+        )
+        n = pdf["_n"].to_numpy()[order].astype(np.float64)
+        if g <= max_bucket:
+            acc = np.zeros((g, g), dtype=np.float64)
+            for j in range(E.shape[1]):
+                col = E[:, j]
+                # ((0.0 + p_0) + p_1) + ... — the SQL fold's exact order
+                acc += np.multiply.outer(col, col)
+            den = np.multiply.outer(n, n)
+            ia, ib = np.triu_indices(g, 1)
+            dots, dens = acc[ia, ib], den[ia, ib]
+        else:
+            # star pattern: min-id representative vs every other member
+            acc0 = np.zeros(g, dtype=np.float64)
+            for j in range(E.shape[1]):
+                acc0 += E[0, j] * E[:, j]
+            ia = np.zeros(g - 1, dtype=np.int64)
+            ib = np.arange(1, g, dtype=np.int64)
+            dots, dens = acc0[1:], n[0] * n[1:]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(dens == 0.0, 0.0, dots / dens)
+        keep = cos >= margin  # NaN compares False, like SQL
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "_c": cos[keep]}
+        )
+
+    cand = banded.groupBy("band", "bval").applyInPandas(
+        _bucket_dots, f"id_a {id_t}, id_b {id_t}, _c double"
     )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.coalesce(
-                    F.try_divide(
-                        dot_expr(F.col("v_a"), F.col("v_b")),
-                        F.col("_na") * F.col("_nb"),
-                    ),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("cosine"),
+        cand.select(
+            "id_a", "id_b", F.round(F.col("_c"), 6).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 
