@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 NOTES = {
     "minhash_lsh": "ONE ArrowEvalPython (signature UDF), one shuffle to (band,bsig) buckets, in-bucket pairs, distinct",
     "simhash": "ONE ArrowEvalPython; chunk-bucket pigeonhole candidates; popcount verify",
-    "embed_neardup": "ONE ArrowEvalPython; sign-LSH buckets; exact-cosine verify joins are JVM-only",
+    "embed_neardup": "ONE ArrowEvalPython (banding); vectors+norms ride the single (band,bval) shuffle; per-bucket pair scan is ONE FlatMapGroupsInPandas (bit-identical ordered fold, star-capped); round-6 threshold JVM-side",
     "asof_join": "union-tag + window ffill: one hash shuffle + in-partition sort, no join explosion",
     "session_tempo": "one window pass + one hash agg sharing the shuffle",
     "tfidf": "linear shuffles; corpus size N enters as a broadcast one-row aggregate",
