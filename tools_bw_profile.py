@@ -1,0 +1,55 @@
+"""Aggregate-DRAM-bandwidth profile vs process count — the measurement
+behind the single-box scaling ceiling analysis in BENCH/BASELINE.md.
+
+bench.memory_bandwidth_probe() measures ONE thread (the contention
+detector); this tool measures how much TOTAL bandwidth N concurrent
+processes extract, which is the physical ceiling any N-worker
+bandwidth-bound stage scales against on one box:
+
+    python tools_bw_profile.py [n n n ...]   # default 1 2 4 8
+
+Prints one JSON line {n_procs: aggregate_GB_s}. Read+write bytes
+counted (a.copy() moves 2x the buffer). Run it in the same window as a
+scaling measurement — the ratio C(4N_procs)/C(N_procs) bounds the
+speedup of the bus-bound fraction of any N->4N pair, and a real
+4x-node cluster has 4x the aggregate bus by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+
+def _worker(q, dur: float) -> None:
+    import numpy as np
+
+    a = np.zeros(2**25, dtype=np.float64)  # 256 MiB
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < dur:
+        a.copy()
+        n += 1
+    q.put(2 * a.nbytes * n / (time.perf_counter() - t0) / 1e9)
+
+
+def aggregate_bw(nproc: int, dur: float = 4.0) -> float:
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_worker, args=(q, dur)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    vals = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(vals)
+
+
+def main() -> None:
+    counts = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    print(json.dumps({n: round(aggregate_bw(n), 2) for n in counts}))
+
+
+if __name__ == "__main__":
+    main()
