@@ -309,8 +309,9 @@ def _kernel_batch(
             # fewer full pass over spec; ~1 ulp vs np.mean's pairwise sum
             out["spectral_flatness"] = gm / (ssum / spec.shape[1] + EPS)
         if "spectral_rolloff" in fset:
-            energy = spec**2
-            cum = np.cumsum(energy, axis=1)
+            energy = spec * spec
+            # in-place running sum — drops a (B, n_bins) temporary
+            cum = np.cumsum(energy, axis=1, out=energy)
             target = 0.85 * cum[:, -1:]
             k = np.minimum((cum < target).sum(axis=1), len(freqs) - 1)
             out["spectral_rolloff"] = freqs[k]
