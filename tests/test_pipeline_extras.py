@@ -825,3 +825,54 @@ def test_minhash_bands_must_divide_k():
 
     with pytest.raises(ValueError, match="divide"):
         make_minhash_band_udf(32, 5)
+
+
+def test_embed_neardup_star_cap_and_zero_norm(spark):
+    """The r4 applyInPandas pair-fold must preserve _bucket_pairs'
+    star-cap contract: past max_bucket, a bucket emits only min-id-star
+    pairs (connectivity kept, O(n) rows); all-zero vectors (norm 0) get
+    cosine 0 in both pair positions and never qualify."""
+    from audiopro_essentia_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    # 6 identical vectors -> one bucket of 6 under any signature
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0]))  # zero vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # capped: star pattern only — min id 0 paired with each of 1..5
+    capped = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.99, n_planes=8, band_bits=2, max_bucket=4
+        ).collect()
+    )
+    assert capped == [(0, b) for b in range(1, 6)]
+
+    # uncapped: full all-pairs of the 6 identical vectors, cosine 1.0
+    full = embedding_neardup_pairs(
+        df, threshold=0.99, n_planes=8, band_bits=2, max_bucket=1024
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in full) == [
+        (a, b) for a in range(6) for b in range(a + 1, 6)
+    ]
+    assert all(r.cosine == 1.0 for r in full)
+    # the zero vector never appears (cosine defined as 0 when a norm is 0)
+    assert all(99 not in (r.id_a, r.id_b) for r in full)
+
+
+def test_embed_neardup_null_embedding_dropped(spark):
+    from audiopro_essentia_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.9, n_planes=4, band_bits=2
+        ).collect()
+    )
+    assert got == [(1, 2)]  # NULL signature rows drop out of buckets
