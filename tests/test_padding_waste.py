@@ -102,11 +102,40 @@ def test_new_ops_partition_count_invariant(spark):
         "doc_id long, text string",
     )
 
+    from pyspark.sql import functions as F
+
+    from audiopro_essentia_spark.operators.aggregates import (
+        source_kl_divergence,
+        zipf_slope,
+    )
+    from audiopro_essentia_spark.operators.sketch import hll_distinct
+
+    sourced = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+    )
+
     def snapshot():
         return (
             sorted(map(tuple, shard_manifest(packs, "n_tok", 100).collect())),
             sorted(map(tuple, epoch_shuffle(packs, n_buckets=16).collect())),
             sorted(map(tuple, span_scrub(docs, n=4).collect())),
+            # r4 monitoring ops: float estimate / micro-nat sums must not
+            # depend on partitioning (exact dyadic sum / BIGINT sums)
+            sorted(
+                map(
+                    tuple,
+                    hll_distinct(
+                        sourced.select(
+                            "source",
+                            F.explode(F.split("text", " ")).alias("w"),
+                        ),
+                        F.col("w"),
+                        p=7,
+                    ).collect(),
+                )
+            ),
+            sorted(map(tuple, source_kl_divergence(sourced, top_n=10).collect())),
+            sorted(map(tuple, zipf_slope(sourced, top_n=10).collect())),
         )
 
     orig = spark.conf.get("spark.sql.shuffle.partitions")
