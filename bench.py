@@ -245,6 +245,19 @@ def main() -> None:
         steal_suspect.insert(0, "token_pipeline")
 
     bw_post = memory_bandwidth_probe()
+    # aggregate 8-process bandwidth: r4 measured windows where the
+    # single-thread probe read ~6 GB/s QUIET while 2- and 8-process
+    # aggregates were crushed to <1 GB/s (neighbor load alternating on a
+    # sub-minute scale and/or hitting only multi-worker scheduling) — the
+    # flagship runs 32 workers, so the AGGREGATE number is the one its
+    # throughput actually depends on. Quiet host: C(8) ~ 10; contended:
+    # can read below the single-thread figure.
+    try:
+        from tools_bw_profile import aggregate_bw
+
+        bw_agg8 = round(aggregate_bw(8, dur=2.0), 2)
+    except Exception:
+        bw_agg8 = None
     out = {
         "metric": "tokens/sec feature-engineering throughput (flagship token pipeline) + headline query wall-clock",
         "value": pipe["tokens_per_sec"],
@@ -253,11 +266,12 @@ def main() -> None:
         "sf": sf_name,
         "total_sec": round(total, 3),
         "steal_suspect": steal_suspect,
-        "mem_bw_gbps": {"pre": bw_pre, "post": bw_post},
+        "mem_bw_gbps": {"pre": bw_pre, "post": bw_post, "agg8": bw_agg8},
         # sustained neighbor-VM bandwidth contention: the flagship
         # tokens/sec is NOT comparable to quiet-window records when true
         # (the bandwidth-bound kernel slows 3-4x; light queries don't)
-        "bandwidth_contended": min(bw_pre, bw_post) < BW_CONTENDED_GBPS,
+        "bandwidth_contended": min(bw_pre, bw_post) < BW_CONTENDED_GBPS
+        or (bw_agg8 is not None and bw_agg8 < 6.0),
         "pipeline": pipe,
         "cpus": CPUS,
     }
