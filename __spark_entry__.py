@@ -999,6 +999,16 @@ def q_zipf_slope(spark, sf_dir):
     return zipf_slope(_t(spark, sf_dir, "documents"), top_n=200)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Curation: cross-source 3-gram overlap / Jaccard matrix (the
+    source-contamination map; dedup.source_ngram_overlap) — distinct
+    shingle projection, bounded collect_set pair generation, exact
+    integer counts, one round-6 division."""
+    from audiopro_essentia_spark.operators.dedup import source_ngram_overlap
+
+    return source_ngram_overlap(_t(spark, sf_dir, "documents"), ngram=3)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Sampling: temperature-scaled mixture (tau=0.5) — per-source
     keep-rates derived from corpus shares via the sqrt path (IEEE
@@ -1733,7 +1743,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_metadata": q_seq_metadata,
         "spectral_flux": q_spectral_flux,
         "spectral_contrast": q_spectral_contrast,
-        "rhythm": q_rhythm,
         "fused_pipeline": q_fused_pipeline,
         "media_frames": q_media_frames,
         "hash_split": q_hash_split,
@@ -1746,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "kl_drift": q_kl_drift,
         "zipf_slope": q_zipf_slope,
+        "source_overlap": q_source_overlap,
         # -- round-4 promotions (single driver check, r2 only) --------
         "tfidf": q_tfidf,
         "repetition": q_repetition,
@@ -1786,7 +1796,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/driver_compare.py each round ----
         # r4 demotions: incremental_dedup (r2+r3 green, bench drift
         # resolved as environment in BENCH/BASELINE.md), kmeans /
-        # pack_shards (r2 rows-green + r3 hash-green)
+        # pack_shards (r2 rows-green + r3 hash-green), rhythm (r1+r3
+        # double-green; its flux/onset path is untouched by the r4
+        # kernel-batch changes — slot yielded to source_overlap)
+        "rhythm": q_rhythm,
         "incremental_dedup": q_incremental_dedup,
         "kmeans": q_kmeans,
         "pack_shards": q_pack_shards,
@@ -2262,6 +2275,7 @@ SELECT * FROM (
         "kmeans": DT.kmeans_sql(k=8, dim=64),
         "semantic_dedup": DT.semantic_dedup_sql(k=8, dim=64, threshold=0.95),
         "hll_distinct": DT.hll_sql(p=7),
+        "source_overlap": DT.source_overlap_sql(ngram=3),
         "kl_drift": DT.kl_sql(top_n=500),
         "zipf_slope": DT.zipf_sql(top_n=200),
         "bigram_surprisal": """

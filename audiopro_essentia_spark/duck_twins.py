@@ -1317,3 +1317,35 @@ SELECT grp AS source,
        END AS slope
 FROM s
 """
+
+
+def source_overlap_sql(ngram: int = 3, table: str = "documents") -> str:
+    """Twin of dedup.source_ngram_overlap: distinct per-source shingles
+    (the word_ngrams/_shingle convention), pair intersections via a
+    shingle self-join (oracle-scale only — the Spark side uses a bounded
+    collect_set groupBy), exact BIGINT counts, one round-6 division."""
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT grp, gram
+  FROM (
+    SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp,
+           unnest(array_distinct(list_transform(
+             generate_series(1,
+               greatest(len(string_split(text, ' ')) - {ngram - 1}, 0)),
+             i -> array_to_string(
+               list_slice(string_split(text, ' '), i, i + {ngram - 1}), ' ')
+           ))) AS gram
+    FROM {table})),
+sz AS MATERIALIZED (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+pr AS (
+  SELECT a.grp AS src_a, b.grp AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.gram = b.gram AND a.grp < b.grp
+  GROUP BY 1, 2)
+SELECT pr.src_a, pr.src_b, pr.n_common,
+       sa.n AS n_a, sb.n AS n_b,
+       round(pr.n_common / (sa.n + sb.n - pr.n_common), 6) AS jaccard
+FROM pr
+JOIN sz sa ON pr.src_a = sa.grp
+JOIN sz sb ON pr.src_b = sb.grp
+"""

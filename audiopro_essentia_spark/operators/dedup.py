@@ -626,6 +626,67 @@ def embedding_neardup_pairs_exact(
     )
 
 
+def source_ngram_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    ngram: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap / Jaccard matrix — the
+    source-contamination map a mixture designer reads before weighting
+    corpora (which crawls share boilerplate, whether a 'curated' source
+    is secretly a subset of common-crawl, how much an eval-adjacent
+    source leaks into training sources). Decontamination
+    (`decontaminate`) answers doc-vs-benchmark; this answers
+    source-vs-source.
+
+    Output: one row per UNORDERED source pair that shares at least one
+    shingle: (src_a < src_b, n_common, n_a, n_b, jaccard round-6).
+    Zero-overlap pairs are omitted (their jaccard is exactly 0).
+
+    100-TB shape: distinct (source, shingle) projection -> ONE shingle
+    groupBy whose per-group state is bounded by the SOURCE COUNT (tiny),
+    pair explosion bounded by n_sources^2 per shingle, one
+    (src_a, src_b) count aggregate, broadcast size join. The corpus is
+    never self-joined; shingles use the same word_ngrams/_shingle twin
+    convention as MinHash."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    sh = df.select(
+        g.alias("grp"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
+    ).distinct()
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        sh.groupBy("gram")
+        .agg(F.sort_array(F.collect_set("grp")).alias("gs"))
+        .filter(F.size("gs") > 1)
+        # n_sources is tiny, so the cap never engages — all unordered pairs
+        .select(F.explode(_bucket_pairs(F.col("gs"), 1_000_000)).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("src_a"), F.col("p.id_b").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -119,6 +119,7 @@ BENCH_QUERIES = (
     "hll_distinct",
     "kl_drift",
     "zipf_slope",
+    "source_overlap",
 )
 
 

@@ -173,3 +173,22 @@ def test_hll_p_bounds(spark):
         hll_registers(df, F.col("v"), p=6)  # m < 128 alpha is wrong
     with pytest.raises(ValueError):
         hll_registers(df, F.col("v"), p=17)
+
+
+def test_source_ngram_overlap_matches_mirror(spark):
+    from audiopro_essentia_spark.operators.dedup import source_ngram_overlap
+
+    docs = [
+        ("a", "x y z w"),          # shingles: {x y z, y z w}
+        ("b", "x y z q"),          # {x y z, y z q}
+        ("b", "y z w extra pad"),  # adds {y z w, z w extra, w extra pad}
+        ("c", "p q r"),            # {p q r} — no overlap with a or b
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.n_a, r.n_b, r.jaccard)
+        for r in source_ngram_overlap(df, ngram=3).collect()
+    }
+    # mirror by hand: S_a = {xyz, yzw} (2); S_b = {xyz, yzq, yzw, zwe, wep}
+    # (5); S_c = {pqr} (1). a∩b = {xyz, yzw} = 2 -> j = 2/(2+5-2) = 0.4
+    assert got == {("a", "b"): (2, 2, 5, 0.4)}  # zero-overlap pairs omitted
