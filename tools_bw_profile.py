@@ -46,9 +46,42 @@ def aggregate_bw(nproc: int, dur: float = 4.0) -> float:
     return sum(vals)
 
 
+def _cpu_worker(q, dur: float) -> None:
+    import numpy as np
+
+    a = np.zeros((64, 64))  # cache-resident: no DRAM traffic
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < dur:
+        a @ a
+        n += 1
+    q.put(n / (time.perf_counter() - t0))
+
+
+def aggregate_cpu(nproc: int, dur: float = 3.0) -> float:
+    """Aggregate cache-resident matmuls/s over N processes — the CPU
+    axis of the decomposition. Run it NEXT TO aggregate_bw in the same
+    window: CPU scaling ~1.0 while bandwidth aggregate is crushed
+    proves neighbor load owns only the DRAM bus (cores fully
+    available), attributing any sub-1.0 job scaling to the memory
+    system rather than to the code's parallel structure."""
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_cpu_worker, args=(q, dur)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    vals = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(vals)
+
+
 def main() -> None:
-    counts = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
-    print(json.dumps({n: round(aggregate_bw(n), 2) for n in counts}))
+    args = [a for a in sys.argv[1:] if a != "--cpu"]
+    counts = [int(a) for a in args] or [1, 2, 4, 8]
+    if "--cpu" in sys.argv:
+        print(json.dumps({n: round(aggregate_cpu(n)) for n in counts}))
+    else:
+        print(json.dumps({n: round(aggregate_bw(n), 2) for n in counts}))
 
 
 if __name__ == "__main__":
