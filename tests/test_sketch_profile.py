@@ -192,3 +192,24 @@ def test_source_ngram_overlap_matches_mirror(spark):
     # mirror by hand: S_a = {xyz, yzw} (2); S_b = {xyz, yzq, yzw, zwe, wep}
     # (5); S_c = {pqr} (1). a∩b = {xyz, yzw} = 2 -> j = 2/(2+5-2) = 0.4
     assert got == {("a", "b"): (2, 2, 5, 0.4)}  # zero-overlap pairs omitted
+
+
+def test_null_source_sentinel_in_monitoring_ops(spark):
+    """NULL group keys must aggregate under '__null__', not vanish into
+    a NULL group (the null-equi-join trap the PSI operator documents)."""
+    docs = [
+        (None, "a b c a b"),
+        ("s1", "a b c d e"),
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    kl = {r.source for r in source_kl_divergence(df, top_n=5).collect()}
+    zs = {r.source for r in zipf_slope(df, top_n=5).collect()}
+    hl = {
+        r.source
+        for r in hll_distinct(
+            df.select("source", F.explode(F.split("text", " ")).alias("w")),
+            F.col("w"),
+            p=7,
+        ).collect()
+    }
+    assert kl == zs == hl == {"__null__", "s1"}
