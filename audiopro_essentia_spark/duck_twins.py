@@ -1250,7 +1250,10 @@ FROM e
 def kl_sql(top_n: int = 500, eps: float = 1e-9, table: str = "documents") -> str:
     """Twin of aggregates.source_kl_divergence: per-source lexical KL vs
     rest-of-corpus over the global top-N words; per-term micro-nat
-    rounding, exact BIGINT sum (HUGEINT cast back per CLAUDE.md)."""
+    rounding, exact BIGINT sum (HUGEINT cast back per CLAUDE.md). The
+    spine enumerates DISTINCT sources from tok (not counts) so a source
+    with zero head-word overlap still emits its all-eps row, mirroring
+    the Spark side; n_head_toks = the source's head-word token total."""
     return f"""
 WITH tok AS MATERIALIZED (
   SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
@@ -1263,7 +1266,7 @@ counts AS MATERIALIZED (
   SELECT t.grp, t.word, CAST(COUNT(*) AS BIGINT) AS c
   FROM tok t JOIN head h ON t.word = h.word GROUP BY 1, 2),
 sp AS (SELECT g.grp, h.word, h.c_all
-       FROM (SELECT DISTINCT grp FROM counts) g, head h),
+       FROM (SELECT DISTINCT grp FROM tok) g, head h),
 f AS MATERIALIZED (
   SELECT sp.grp, sp.word, sp.c_all,
          coalesce(c.c, CAST(0 AS BIGINT)) AS c
@@ -1276,20 +1279,26 @@ pq AS (SELECT f.grp,
          CASE WHEN nt.n_all - tg.n_g = 0 THEN {eps!r}
               ELSE greatest((f.c_all - f.c) / (nt.n_all - tg.n_g), {eps!r})
               END AS q
-       FROM f JOIN tg ON f.grp = tg.grp CROSS JOIN nt)
-SELECT grp AS source,
-       CAST(SUM(CAST(round((p * ln(p / q)) * 1e6) AS BIGINT)) AS BIGINT)
-         AS kl_micronats,
-       CAST(COUNT(*) AS BIGINT) AS n_terms
-FROM pq GROUP BY 1
+       FROM f JOIN tg ON f.grp = tg.grp CROSS JOIN nt),
+agg AS (
+  SELECT grp,
+         CAST(SUM(CAST(round((p * ln(p / q)) * 1e6) AS BIGINT)) AS BIGINT)
+           AS kl_micronats,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM pq GROUP BY 1)
+SELECT agg.grp AS source, agg.kl_micronats, agg.n_terms,
+       tg.n_g AS n_head_toks
+FROM agg JOIN tg ON agg.grp = tg.grp
 """
 
 
 def zipf_sql(top_n: int = 200, table: str = "documents") -> str:
     """Twin of aggregates.zipf_slope: rank = row_number over (count DESC,
-    word ASC); ln(rank)/ln(freq) micro-nat integers; slope from exact
-    integer sums (HUGEINT-exact in DuckDB, in-range BIGINT in Spark),
-    single final division, round-6."""
+    word ASC); ln(rank)/ln(freq) micro-nat integers; Sx/Sy/Sxy/Sxx are
+    exact sums, each CAST to DOUBLE per-factor before the n*Sxy - Sx*Sy
+    combination (mirrors the Spark expression tree exactly — BIGINT
+    products overflow from top_n ~500 at web-scale head counts), single
+    final division, round-6."""
     return f"""
 WITH tok AS (
   SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
@@ -1311,9 +1320,12 @@ s AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
       FROM xy GROUP BY 1)
 SELECT grp AS source,
        n AS n_ranks,
-       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
-            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
-                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+            THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
        END AS slope
 FROM s
 """

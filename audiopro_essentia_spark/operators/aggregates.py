@@ -463,7 +463,10 @@ def source_kl_divergence(
       trick (the tail's KL mass is negligible and unstable);
     - p_w = source's share of its OWN top-N token total, q_w = the
       rest-of-corpus share of ITS top-N total, both floored at eps over
-      the fixed spine (empty cells count as eps);
+      the fixed spine (empty cells count as eps); the spine covers
+      EVERY source present in the corpus — a source sharing none of
+      the top-N words still emits a row (all-eps p, n_head_toks = 0,
+      KL ~ a few negative micro-nats), it never silently vanishes;
     - each term p_w * ln(p_w / q_w) is rounded ONCE to integer
       micro-nats and the terms are summed as exact BIGINTs — the
       bigram_surprisal/DSIR rule: never expose an engine-order float
@@ -472,7 +475,7 @@ def source_kl_divergence(
     100-TB shape: one (group, word) count shuffle that the spine join
     immediately prunes to n_groups x top_n rows; the global head is one
     map-side-combinable word count + a top-N broadcast. Output one row
-    per source: (group, kl_micronats, n_terms)."""
+    per source: (group, kl_micronats, n_terms, n_head_toks)."""
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     tok = df.select(
         g.alias("grp"),
@@ -489,7 +492,7 @@ def source_kl_divergence(
         .groupBy("grp", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    spine = counts.select("grp").distinct().crossJoin(F.broadcast(head))
+    spine = tok.select("grp").distinct().crossJoin(F.broadcast(head))
     full = spine.join(counts, ["grp", "word"], "left").select(
         "grp",
         "word",
@@ -527,7 +530,13 @@ def source_kl_divergence(
             ),
             F.count(F.lit(1)).cast("long").alias("n_terms"),
         )
-        .select(F.col("grp").alias(group_col), "kl_micronats", "n_terms")
+        .join(F.broadcast(tot_g), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "kl_micronats",
+            "n_terms",
+            F.col("n_g").alias("n_head_toks"),
+        )
     )
 
 
@@ -545,10 +554,14 @@ def zipf_slope(
 
     Determinism: rank = row_number over (count DESC, word ASC) (total
     order, no tie ambiguity); ln(rank) and ln(freq) are each rounded
-    ONCE to integer micro-nats; the regression runs on exact BIGINT sums
-    (Sx, Sy, Sxy, Sxx — magnitudes < 2^60 at top_n <= 10^4), so the only
-    float steps are per-row ln+round and one final slope division,
-    round-6. The rank window partitions by source — never a global sort.
+    ONCE to integer micro-nats; Sx, Sy, Sxy, Sxx accumulate as exact
+    BIGINTs (each sum < 2^63 up to top_n ~ 10^4 even at web-scale head
+    counts), then EACH SUM is cast to double before the n*Sxy - Sx*Sy
+    combination — the BIGINT products would overflow from top_n ~500
+    with large corpora, and the per-factor-cast f64 expression tree is
+    identical on both engines (the DuckDB twin casts the same way), so
+    round-6 parity holds with no order-dependent float accumulation.
+    The rank window partitions by source — never a global sort.
 
     100-TB shape: one (group, word) count shuffle, a per-group top-N
     window (WindowGroupLimit pushes the limit into the shuffle), then a
@@ -578,8 +591,10 @@ def zipf_slope(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * F.col("sy").cast("double")
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
     return s.select(
         F.col("grp").alias(group_col),
         F.col("n").alias("n_ranks"),

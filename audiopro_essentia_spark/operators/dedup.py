@@ -535,7 +535,7 @@ def embedding_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    from .similarity import make_lsh_band_udf, norm_expr
+    from .similarity import make_lsh_band_udf, margin_pair_fold, norm_expr
 
     udf = make_lsh_band_udf(n_planes, band_bits, seed).asNondeterministic()
     banded = (
@@ -554,42 +554,19 @@ def embedding_neardup_pairs(
     id_t = df.schema[id_col].dataType.simpleString()
 
     def _bucket_dots(pdf):
-        g = len(pdf)
-        if g < 2:
+        if len(pdf) < 2:
             empty = pdf[id_col][:0]
             return pd.DataFrame({"id_a": empty, "id_b": empty, "_c": []})
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
-        E = np.stack(
-            [
-                np.asarray(v, dtype=np.float64)
-                for v in pdf["_v"].to_numpy()[order]
-            ]
-        )
+        vecs = pdf["_v"].to_numpy()[order]
         n = pdf["_n"].to_numpy()[order].astype(np.float64)
-        if g <= max_bucket:
-            acc = np.zeros((g, g), dtype=np.float64)
-            for j in range(E.shape[1]):
-                col = E[:, j]
-                # ((0.0 + p_0) + p_1) + ... — the SQL fold's exact order
-                acc += np.multiply.outer(col, col)
-            den = np.multiply.outer(n, n)
-            ia, ib = np.triu_indices(g, 1)
-            dots, dens = acc[ia, ib], den[ia, ib]
-        else:
-            # star pattern: min-id representative vs every other member
-            acc0 = np.zeros(g, dtype=np.float64)
-            for j in range(E.shape[1]):
-                acc0 += E[0, j] * E[:, j]
-            ia = np.zeros(g - 1, dtype=np.int64)
-            ib = np.arange(1, g, dtype=np.int64)
-            dots, dens = acc0[1:], n[0] * n[1:]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(dens == 0.0, 0.0, dots / dens)
-        keep = cos >= margin  # NaN compares False, like SQL
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "_c": cos[keep]}
+        # full pairs <= max_bucket, min-id star past it; IEEE fold
+        # order, zero-den and ragged-length contracts: margin_pair_fold
+        ia, ib, cos = margin_pair_fold(
+            ids, vecs, n, margin, max_bucket=max_bucket
         )
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "_c": cos})
 
     cand = banded.groupBy("band", "bval").applyInPandas(
         _bucket_dots, f"id_a {id_t}, id_b {id_t}, _c double"

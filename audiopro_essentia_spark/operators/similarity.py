@@ -52,6 +52,103 @@ def cosine_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.coalesce(F.try_divide(dot_expr(a, b), na * nb), F.lit(0.0))
 
 
+def margin_pair_fold(ids, vecs, norms, margin, max_bucket=None):
+    """The ONE in-UDF pair-cosine fold shared by semantic_dedup and
+    dedup.embedding_neardup_pairs — the IEEE-order contract lives here
+    and nowhere else (a drifted second copy would silently break the
+    other caller's round-6 oracle twin).
+
+    Inputs: ids (ascending), vecs (object array of per-row vectors),
+    norms (f64, computed ONCE upstream), margin (conservative prefilter
+    threshold - 1e-6; the authoritative round-6 decision stays JVM-side
+    on the returned double). Returns (ia, ib, cos): global-index pairs
+    with ia < ib positions whose unrounded cosine passes the margin.
+
+    Bit-identical to the SQL aggregate(zip_with(...)) left fold: the
+    dot accumulates plane-by-plane in dimension order (((0.0 + p_0) +
+    p_1) + ...; numpy elementwise * and + are the same f64 ops Spark's
+    codegen emits), den = na*nb, zero den -> cosine 0.0, NaN fails the
+    margin like SQL round(NaN) >= t.
+
+    Ragged lengths: SQL zip_with NULL-pads a mixed-length pair -> NULL
+    dot -> coalesce(try_divide(...), 0.0) -> fails any positive
+    threshold. Mirrored here by folding only within same-length
+    classes and dropping cross-length pairs — observably identical,
+    where an unconditional np.stack would crash the whole job on one
+    corrupt row.
+
+    max_bucket: past it, star pattern — the GLOBAL min-id row vs every
+    other member (of its own length class; cross-length pairs drop as
+    above), never all pairs (the pinned star-cap edge contract).
+
+    NULL vectors (length sentinel -1) never pair: SQL zip_with(NULL, b)
+    -> NULL dot -> cosine 0.0 -> fails any positive threshold."""
+    g = len(ids)
+    lengths = np.fromiter(
+        (-1 if v is None else len(v) for v in vecs), dtype=np.int64, count=g
+    )
+    uniform = bool(lengths[0] >= 0 and (lengths == lengths[0]).all())
+    if max_bucket is not None and g > max_bucket:
+        members = (
+            np.arange(g, dtype=np.int64)
+            if uniform
+            else (
+                np.nonzero(lengths == lengths[0])[0]
+                if lengths[0] >= 0
+                else np.zeros(1, dtype=np.int64)  # NULL rep: star emits nothing
+            )
+        )
+        others = members[members != 0]
+        if not len(others):
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.float64)
+        v0 = np.asarray(vecs[0], dtype=np.float64)
+        E = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in others])
+        acc = np.zeros(len(others), dtype=np.float64)
+        for j in range(E.shape[1]):
+            acc += v0[j] * E[:, j]
+        dots, dens = acc, norms[0] * norms[others]
+        ia, ib = np.zeros(len(others), dtype=np.int64), others
+    else:
+        classes = (
+            [np.arange(g, dtype=np.int64)]
+            if uniform
+            else [
+                np.nonzero(lengths == L)[0]
+                for L in np.unique(lengths)
+                if L >= 0
+            ]
+        )
+        ia_l, ib_l, dot_l, den_l = [], [], [], []
+        for idx in classes:
+            m = len(idx)
+            if m < 2:
+                continue
+            E = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in idx])
+            acc = np.zeros((m, m), dtype=np.float64)
+            for j in range(E.shape[1]):
+                col = E[:, j]
+                acc += np.multiply.outer(col, col)
+            nn = norms[idx]
+            den = np.multiply.outer(nn, nn)
+            ua, ub = np.triu_indices(m, 1)
+            ia_l.append(idx[ua])
+            ib_l.append(idx[ub])
+            dot_l.append(acc[ua, ub])
+            den_l.append(den[ua, ub])
+        if not ia_l:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.zeros(0, dtype=np.float64)
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        dots = np.concatenate(dot_l)
+        dens = np.concatenate(den_l)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(dens == 0.0, 0.0, dots / dens)
+    keep = cos >= margin  # NaN compares False, like SQL
+    return ia[keep], ib[keep], cos[keep]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,11 +203,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 def make_lsh_band_udf(n_planes: int, band_bits: int, seed: int = 42):
     """Arrow-vectorized banded sign-LSH: embedding -> array of
     n_planes//band_bits packed band values. Hyperplanes are built lazily
-    from the first batch's dimensionality (deterministic given seed; no
-    driver-side .first() action to sniff dim). Sign of dot(v, plane) is
-    scale-invariant, so no normalization pass is needed. NULL embeddings
-    yield NULL signatures (downstream candidate joins drop them), same
-    contract as the minhash/simhash UDFs."""
+    per DIMENSION seen (deterministic given seed; no driver-side
+    .first() action to sniff dim) — a corrupt/ragged row of a different
+    length is signed with its own dim's seeded planes instead of
+    crashing the whole stage in np.stack; cross-length pairs then drop
+    in the pair fold (margin_pair_fold), mirroring the SQL zip_with
+    NULL-pad semantics. Sign of dot(v, plane) is scale-invariant, so no
+    normalization pass is needed. NULL embeddings yield NULL signatures
+    (downstream candidate joins drop them), same contract as the
+    minhash/simhash UDFs."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -127,22 +228,25 @@ def make_lsh_band_udf(n_planes: int, band_bits: int, seed: int = 42):
     def _bands(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        mask = np.array([v is not None for v in vecs])
-        dense = [np.asarray(v, dtype=np.float64) for v in vecs if v is not None]
-        out = [None] * len(vecs)
-        if dense:
-            E = np.stack(dense)
-            planes = state.get("planes")
-            if planes is None or planes.shape[1] != E.shape[1]:
-                planes = _hyperplanes(E.shape[1], n_planes, seed)
-                state["planes"] = planes
+        vlist = vecs.tolist()
+        out = [None] * len(vlist)
+        by_dim: dict = {}
+        for i, v in enumerate(vlist):
+            if v is not None:
+                by_dim.setdefault(len(v), []).append(i)
+        for d, idx in by_dim.items():
+            planes = state.get(d)
+            if planes is None:
+                planes = _hyperplanes(d, n_planes, seed)
+                state[d] = planes
+            E = np.stack([np.asarray(vlist[i], dtype=np.float64) for i in idx])
             bits = (E @ planes.T) >= 0  # (B, n_planes)
             vals = np.zeros((len(E), bands), dtype=np.int64)
             for b in range(bands):
                 for r in range(band_bits):
                     vals[:, b] |= bits[:, b * band_bits + r].astype(np.int64) << r
-            it = iter(list(vals))
-            out = [next(it) if ok else None for ok in mask]
+            for i, row in zip(idx, list(vals)):
+                out[i] = row
         return pd.Series(out, dtype=object)
 
     return _bands
@@ -259,28 +363,15 @@ def semantic_dedup(
     id_sql_type = assigned.schema[id_col].dataType.simpleString()
 
     def _pair_candidates(pdf):
-        g = len(pdf)
-        if g < 2:
+        if len(pdf) < 2:
             return pd.DataFrame({"_cid": pdf["_id"][:0], "_cos": []})
         order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
         ids = pdf["_id"].to_numpy()[order]
-        E = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["_v"].to_numpy()[order]]
-        )
+        vecs = pdf["_v"].to_numpy()[order]
         n = pdf["_n"].to_numpy()[order].astype(np.float64)
-        acc = np.zeros((g, g), dtype=np.float64)
-        for j in range(E.shape[1]):
-            col = E[:, j]
-            # same f64 product x_j*y_j and same sequential accumulation
-            # order as the SQL fold: ((0.0 + p_0) + p_1) + ...
-            acc += np.multiply.outer(col, col)
-        den = np.multiply.outer(n, n)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(den == 0.0, 0.0, acc / den)
-        ia, ib = np.triu_indices(g, 1)  # ids sorted asc => id_a < id_b
-        c = cos[ia, ib]
-        keep = c >= margin  # NaN compares False, like SQL round(NaN)>=t
-        return pd.DataFrame({"_cid": ids[ib[keep]], "_cos": c[keep]})
+        # ids sorted asc => id_a < id_b; fold contract: margin_pair_fold
+        _, ib, c = margin_pair_fold(ids, vecs, n, margin)
+        return pd.DataFrame({"_cid": ids[ib], "_cos": c})
 
     cand = (
         assigned.select(
@@ -309,23 +400,35 @@ def _nearest_centroids_udf(centroids: np.ndarray, n: int):
     """embedding -> n nearest centroid ids by cosine distance, as ONE Arrow
     pass with the centroid matrix captured in the closure (broadcast via
     task serialization). A per-centroid CASE-WHEN expression chain blows up
-    Catalyst past ~64 centroids (projection-collapse re-inlining)."""
+    Catalyst past ~64 centroids (projection-collapse re-inlining).
+
+    NULL embeddings and corrupt rows whose length differs from the
+    centroid dim get a NULL assignment (they can never be candidates)
+    instead of crashing the stage in np.stack; kmeans_lite's driver
+    update already skips the resulting NULL/ragged group defensively."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    d = C.shape[1]
 
     @pandas_udf("array<int>")
     def _nearest(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        norms = np.linalg.norm(E, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (E / norms) @ C.T  # (B, n_centroids)
-        # argsort desc with centroid-id tiebreak (stable sort on -sim)
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-        return pd.Series([row.astype(np.int32).tolist() for row in order])
+        vlist = vecs.tolist()
+        ok = [i for i, v in enumerate(vlist) if v is not None and len(v) == d]
+        out = [None] * len(vlist)
+        if ok:
+            E = np.stack([np.asarray(vlist[i], dtype=np.float64) for i in ok])
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (E / norms) @ C.T  # (B, n_centroids)
+            # argsort desc with centroid-id tiebreak (stable sort on -sim)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            for i, row in zip(ok, order):
+                out[i] = row.astype(np.int32).tolist()
+        return pd.Series(out, dtype=object)
 
     return _nearest
 
@@ -362,10 +465,27 @@ def _md5_sample(
     rendered vector (sample_key_expr — DuckDB-reproducible), take n.
     `distinct=True` dedups vectors first so exact-duplicate rows (the norm
     in web corpora) cannot yield duplicate seeds. Returns (m, d) with
-    m <= n; callers decide whether m < n is an error."""
-    src = corpus.select(vec_col)
+    m <= n; callers decide whether m < n is an error.
+
+    Sampling is restricted to the corpus's MODAL vector length (ties
+    broken toward the smaller length; NULLs excluded) — a single
+    corrupt ragged row that wins the md5 race must not poison the
+    centroid matrix (np.array would raise on inhomogeneous shapes and
+    kill the job). A no-op on well-formed corpora, so the DuckDB
+    init-sampling twins are unchanged where oracles exist; costs one
+    tiny map-side-combinable size() count."""
+    src = corpus.select(vec_col).where(F.col(vec_col).isNotNull())
     if distinct:
         src = src.distinct()
+    mode = (
+        src.groupBy(F.size(F.col(vec_col)).alias("_d"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("_d"))
+        .first()
+    )
+    if mode is None:
+        return np.array([], dtype=np.float64)
+    src = src.where(F.size(F.col(vec_col)) == mode["_d"])
     return np.array(
         [
             r[0]

@@ -108,6 +108,7 @@ def test_new_ops_partition_count_invariant(spark):
         source_kl_divergence,
         zipf_slope,
     )
+    from audiopro_essentia_spark.operators.dedup import source_ngram_overlap
     from audiopro_essentia_spark.operators.sketch import hll_distinct
 
     sourced = docs.withColumn(
@@ -136,6 +137,9 @@ def test_new_ops_partition_count_invariant(spark):
             ),
             sorted(map(tuple, source_kl_divergence(sourced, top_n=10).collect())),
             sorted(map(tuple, zipf_slope(sourced, top_n=10).collect())),
+            sorted(
+                map(tuple, source_ngram_overlap(sourced, ngram=3).collect())
+            ),
         )
 
     orig = spark.conf.get("spark.sql.shuffle.partitions")

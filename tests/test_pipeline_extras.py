@@ -876,3 +876,45 @@ def test_embed_neardup_null_embedding_dropped(spark):
         ).collect()
     )
     assert got == [(1, 2)]  # NULL signature rows drop out of buckets
+
+
+def test_embed_neardup_ragged_length_dropped_not_crash(spark):
+    """One corrupt 3-dim row among 4-dim vectors must not kill the job
+    (the applyInPandas rewrite's np.stack would raise on a ragged
+    batch): SQL zip_with NULL-pads a mixed-length pair -> NULL dot ->
+    cosine 0.0 -> dropped, so the observable contract is 'the corrupt
+    row never pairs, everything else is unaffected'. The band UDF signs
+    it with its own-dim seeded planes; margin_pair_fold folds only
+    within same-length classes."""
+    from audiopro_essentia_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(3)]
+    rows.append((7, [1.0, 2.0, 3.0]))  # ragged: truncated upstream
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.99, n_planes=8, band_bits=2
+        ).collect()
+    )
+    assert got == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_semantic_dedup_ragged_length_row_never_dup_not_crash(spark):
+    """A ragged embedding must not crash semantic_dedup (centroid
+    assignment np.stack / pair-fold np.stack): it gets a NULL cluster
+    assignment, never enters any pair, and comes back is_dup=False."""
+    from audiopro_essentia_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(i % 4 == j) for j in range(4)]) for i in range(12)]
+    rows.append((100, [1.0, 0.0, 0.0, 0.0]))  # exact dup of vec 0/4/8 class
+    rows.append((200, [1.0, 0.0]))  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, k=4, iters=1, threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert set(by_id) == {r[0] for r in rows}  # no row vanishes
+    assert by_id[200].is_dup is False and by_id[200].cluster_id is None
+    # the genuine duplicate structure is still found
+    assert any(r.is_dup for r in out)

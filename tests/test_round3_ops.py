@@ -104,18 +104,44 @@ def _mirror_apply(words, left, right):
     return out
 
 
+def _mirror_textbook_bpe(corpus_words, n_merges):
+    """Driver-side textbook BPE: greedy exact argmax per merge with the
+    documented (count desc, left asc, right asc) tie-break — the
+    INDEPENDENT reference m=1 must equal (comparing m=1 against itself
+    via the default would be vacuous)."""
+    from collections import Counter
+
+    wf = Counter(corpus_words)
+    words = [(list(w), f) for w, f in sorted(wf.items())]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = _mirror_pair_counts(words)
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        words = _mirror_apply(words, left, right)
+    return merges
+
+
 def test_bpe_batched_m1_equals_exact(spark):
+    """m=1 must reproduce the textbook greedy-exact sequence, judged
+    against a DRIVER-SIDE mirror (not against another train_bpe call,
+    which would share any regression)."""
     df = spark.createDataFrame(
         [("low low lower",), ("lowest low",)], ["text"]
     )
-    exact = [tuple(r) for r in train_bpe(spark, df, n_merges=4).collect()]
+    corpus_words = "low low lower lowest low".split()
+    want = _mirror_textbook_bpe(corpus_words, 4)
     m1 = [
         tuple(r)
         for r in train_bpe(
             spark, df, n_merges=4, merges_per_round=1
         ).collect()
     ]
-    assert m1 == exact
+    assert m1 == want
 
 
 def test_bpe_batched_counts_exact_at_application(spark, monkeypatch):

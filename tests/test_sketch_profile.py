@@ -109,7 +109,7 @@ def _mirror_kl(docs, top_n, eps=1e-9):
             total += int(math.floor(x + 0.5)) if x >= 0 else int(
                 math.ceil(x - 0.5)
             )
-        out[g] = (total, len(head))
+        out[g] = (total, len(head), n_g)
     return out
 
 
@@ -123,7 +123,7 @@ def test_kl_divergence_matches_mirror_and_sign(spark):
     ]
     df = spark.createDataFrame(docs, "source string, text string")
     got = {
-        r.source: (r.kl_micronats, r.n_terms)
+        r.source: (r.kl_micronats, r.n_terms, r.n_head_toks)
         for r in source_kl_divergence(df, top_n=5).collect()
     }
     want = _mirror_kl(docs, 5)
@@ -131,6 +131,28 @@ def test_kl_divergence_matches_mirror_and_sign(spark):
     # skewed sources diverge strongly; the mixed source much less
     assert got["a"][0] > got["c"][0] and got["b"][0] > got["c"][0]
     assert got["c"][0] >= 0  # KL >= 0 up to micro-nat rounding
+
+
+def test_kl_divergence_zero_overlap_source_still_emits(spark):
+    """A source sharing NONE of the global top-N words must not vanish
+    from the monitor (the spine is built from tok, not counts): it
+    emits an all-eps row with n_head_toks = 0, matching the mirror."""
+    docs = [
+        ("a", "cat dog cat bird cat dog cat dog cat"),
+        ("b", "cat dog fish cat dog fish cat dog"),
+        ("z", "qqq zzz qqq"),  # off-spine at top_n=3
+    ]
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        r.source: (r.kl_micronats, r.n_terms, r.n_head_toks)
+        for r in source_kl_divergence(df, top_n=3).collect()
+    }
+    want = _mirror_kl(docs, 3)
+    assert got == want
+    assert "z" in got and got["z"][2] == 0
+    # all-eps p against a sizable q: a few NEGATIVE micro-nats, never
+    # a large positive KL — the n_head_toks=0 column is the flag
+    assert got["z"][0] <= 0
 
 
 def _mirror_zipf(counts, top_n):

@@ -35,15 +35,34 @@ def _worker(q, dur: float) -> None:
     q.put(2 * a.nbytes * n / (time.perf_counter() - t0) / 1e9)
 
 
+def _run_and_sum(ps, q, dur: float) -> float:
+    """Collect one result per worker with a hard timeout so a dead or
+    OOM-killed child can never hang the caller (bench.py runs this
+    inside every detached bench; a blocked q.get() there stalls the
+    whole measurement silently). Missing results just don't contribute
+    — an undercount reads as 'contended', the safe direction."""
+    import queue as _queue
+
+    for p in ps:
+        p.start()
+    vals = []
+    deadline = time.perf_counter() + dur + 30.0
+    for _ in ps:
+        try:
+            vals.append(q.get(timeout=max(0.1, deadline - time.perf_counter())))
+        except _queue.Empty:
+            break
+    for p in ps:
+        p.join(timeout=5.0)
+        if p.is_alive():
+            p.terminate()
+    return sum(vals)
+
+
 def aggregate_bw(nproc: int, dur: float = 4.0) -> float:
     q: mp.Queue = mp.Queue()
     ps = [mp.Process(target=_worker, args=(q, dur)) for _ in range(nproc)]
-    for p in ps:
-        p.start()
-    vals = [q.get() for _ in ps]
-    for p in ps:
-        p.join()
-    return sum(vals)
+    return _run_and_sum(ps, q, dur)
 
 
 def _cpu_worker(q, dur: float) -> None:
@@ -67,12 +86,7 @@ def aggregate_cpu(nproc: int, dur: float = 3.0) -> float:
     system rather than to the code's parallel structure."""
     q: mp.Queue = mp.Queue()
     ps = [mp.Process(target=_cpu_worker, args=(q, dur)) for _ in range(nproc)]
-    for p in ps:
-        p.start()
-    vals = [q.get() for _ in ps]
-    for p in ps:
-        p.join()
-    return sum(vals)
+    return _run_and_sum(ps, q, dur)
 
 
 def main() -> None:

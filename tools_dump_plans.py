@@ -61,6 +61,7 @@ NOTES = {
     "hll_distinct": "ONE map-side-combinable register groupBy (bounded at groups x 2^p rows); estimate math on the tiny aggregate; zero Python",
     "kl_drift": "head-restricted (group,word) count shuffle; top-N spine broadcast; exact BIGINT micro-nat sum",
     "zipf_slope": "per-group top-N via WindowGroupLimit pushdown; regression on exact integer sums, zero Python",
+    "source_overlap": "distinct (source, shingle) projection; collect_set pair generation bounded by source count; exact BIGINT intersections, one round-6 division",
 }
 
 HEADLINE = (
@@ -75,6 +76,7 @@ HEADLINE = (
     "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
     "span_scrub", "pca_power", "leak_split", "padding_waste",
     "pack_nosplit", "hll_distinct", "kl_drift", "zipf_slope",
+    "source_overlap",
 )
 
 
