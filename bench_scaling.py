@@ -193,12 +193,33 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--docs", type=int, default=16384)
     ap.add_argument("--job", choices=("flagship", "dedup"), default="flagship")
+    ap.add_argument(
+        "--tmpdir",
+        type=str,
+        default="",
+        help="reuse this work dir: if sequences.parquet/labels.parquet "
+        "already exist there (built with the SAME --docs/--job — the "
+        "fixtures are deterministic), skip the multi-minute corpus build "
+        "so a quiet measurement window is spent measuring; the package "
+        "zip is always rebuilt from the current tree",
+    )
     args = ap.parse_args()
 
-    tmp = tempfile.mkdtemp(prefix="scaling_")
+    tmp = args.tmpdir or tempfile.mkdtemp(prefix="scaling_")
+    if args.tmpdir:
+        os.makedirs(tmp, exist_ok=True)
+    seq = os.path.join(tmp, "sequences.parquet")
+    lab = os.path.join(tmp, "labels.parquet")
     if args.job == "dedup":
         seq, n_seq, n_tok = build_docs(tmp, args.docs)
         lab = seq  # unused second arg
+    elif os.path.exists(seq) and os.path.exists(lab):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(seq, columns=["n_tok"])
+        n_seq, n_tok = len(t), sum(t.column("n_tok").to_pylist())
+        print(f"reusing corpus at {tmp} ({n_seq} seqs, {n_tok} tokens)",
+              file=sys.stderr)
     else:
         seq, lab, n_seq, n_tok = build_inputs(tmp, args.docs)
     zpath = zip_pkg(tmp)
