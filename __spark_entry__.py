@@ -2201,7 +2201,11 @@ SELECT doc_id, chunk_idx, {H32.format(x='t')} AS chunk_h32,
 FROM c
 """,
         "hashed_embedding": f"""
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+WITH tok AS (SELECT doc_id, w
+      FROM (SELECT doc_id,
+              unnest(string_split(coalesce(text, ''), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''),
 slot AS (SELECT doc_id, (({h32w.replace("w", "w")}) % 64 + 64) % 64 AS i FROM tok),
 cnt AS (SELECT doc_id, i, COUNT(*) AS c FROM slot GROUP BY doc_id, i),
 m AS (SELECT doc_id, list(i ORDER BY i) AS idxs, list(c ORDER BY i) AS cs
@@ -2212,10 +2216,11 @@ arr AS (SELECT doc_id, list_transform(generate_series(0, 63),
   FROM m),
 nrm AS (SELECT doc_id, a,
     sqrt(list_sum(list_transform(a, x -> x * x))) AS norm FROM arr)
-SELECT doc_id,
-  CAST(len(list_filter(a, x -> x > 0)) AS INT) AS nnz,
-  round(list_sum(list_transform(a, x -> x / norm)), 6) AS e_sum
-FROM nrm
+SELECT d.doc_id,
+  CAST(coalesce(len(list_filter(n.a, x -> x > 0)), 0) AS INT) AS nnz,
+  coalesce(round(list_sum(list_transform(n.a, x -> x / n.norm)), 6), 0.0)
+    AS e_sum
+FROM documents d LEFT JOIN nrm n USING (doc_id)
 """,
         "decontaminate": """
 WITH sh AS (
@@ -2518,8 +2523,10 @@ v AS (SELECT word, id FROM (
   SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) AS id FROM c)
   WHERE id <= 20),
 w AS (SELECT doc_id, CAST(i AS INT) AS pos, ws[i] AS word
-      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      LATERAL UNNEST(generate_series(1, len(ws))) AS g(i)),
+      FROM (SELECT doc_id,
+              string_split(coalesce(text, ''), ' ') AS ws FROM documents),
+      LATERAL UNNEST(generate_series(1, len(ws))) AS g(i)
+      WHERE ws[i] <> ''),
 j AS (SELECT w.doc_id, w.pos, coalesce(v.id, 0) AS id
       FROM w LEFT JOIN v USING (word)),
 e AS (SELECT doc_id,
@@ -2527,11 +2534,11 @@ e AS (SELECT doc_id,
         COUNT(*) AS n_ids,
         SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS n_unk
       FROM j GROUP BY doc_id)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(n_ids AS BIGINT) AS n_ids,
-  CAST(n_unk AS BIGINT) AS n_unk,
-  {H32.format(x='ids_s')} AS ids_h32
-FROM e
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(coalesce(e.n_ids, 0) AS BIGINT) AS n_ids,
+  CAST(coalesce(e.n_unk, 0) AS BIGINT) AS n_unk,
+  {H32.format(x="coalesce(e.ids_s, '')")} AS ids_h32
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
 """,
         "bpe_merges": DT.bpe_sql(6),
         "bpe_encode": DT.bpe_encode_sql(6),
@@ -2903,17 +2910,20 @@ WITH w AS MATERIALIZED (
   FROM documents),
 occ AS MATERIALIZED (
   SELECT doc_id, i AS pos,
-    {H32.format(x="array_to_string(list_slice(ws, i, i+7), ' ')")} AS h
+    {H32.format(x="array_to_string(list_slice(ws, i, i+7), ' ')")} AS h,
+    {DT.H32HI.format(x="array_to_string(list_slice(ws, i, i+7), ' ')")} AS h2
   FROM w, LATERAL UNNEST(generate_series(1, len(ws) - 7)) AS g(i)
   WHERE len(ws) >= 8),
 st AS MATERIALIZED (
-  SELECT h, COUNT(*) AS cnt, MIN(doc_id) AS cdoc FROM occ GROUP BY h),
+  SELECT h, h2, COUNT(*) AS cnt, MIN(doc_id) AS cdoc
+  FROM occ GROUP BY h, h2),
 st2 AS MATERIALIZED (
-  SELECT o.h, MIN(o.pos) AS cpos
-  FROM occ o JOIN st ON o.h = st.h AND o.doc_id = st.cdoc GROUP BY o.h),
+  SELECT o.h, o.h2, MIN(o.pos) AS cpos
+  FROM occ o JOIN st ON o.h = st.h AND o.h2 = st.h2 AND o.doc_id = st.cdoc
+  GROUP BY o.h, o.h2),
 dup AS (
   SELECT o.doc_id, o.pos
-  FROM occ o JOIN st USING (h) JOIN st2 USING (h)
+  FROM occ o JOIN st USING (h, h2) JOIN st2 USING (h, h2)
   WHERE st.cnt >= 2 AND NOT (o.doc_id = st.cdoc AND o.pos = st2.cpos)),
 m AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM dup GROUP BY doc_id),
 j AS (SELECT w.doc_id, w.ws,

@@ -161,7 +161,11 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 def lang_id(text: Column) -> Column:
     """argmax language; 'und' (undetermined) when all scores are zero.
-    Deterministic tie-break by (score desc, lang asc)."""
+    Deterministic tie-break by (score desc, lang DESC) — array_max on
+    struct(score, lang) compares fields in order, so equal scores pick
+    the lexicographically LAST language code. The direction is
+    arbitrary for a heuristic tie; what matters (and what the DuckDB
+    twin mirrors) is that it is total and deterministic."""
     scores = lang_scores(text)
     pairs = F.array(
         *[

@@ -158,7 +158,15 @@ def doc_profile_fused(
         for pdf in batches:
             rows = []
             for i in range(len(pdf)):
-                toks = np.asarray(pdf["tokens"].iloc[i], dtype=np.float64)
+                raw = pdf["tokens"].iloc[i]
+                # NULL tokens quarantine as 'empty' like the expression
+                # twin reject_reason_col — never a np.asarray TypeError
+                # that kills the whole profiling stage on one bad row
+                toks = (
+                    np.zeros(0, dtype=np.float64)
+                    if raw is None
+                    else np.asarray(raw, dtype=np.float64)
+                )
                 x = toks / token_scale
                 n = len(x)
                 if n == 0:

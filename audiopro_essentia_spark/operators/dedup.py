@@ -445,6 +445,16 @@ def simhash_neardup_pairs(
     carrying both signatures for the Hamming verify (star-capped past
     `max_bucket` — star pairs still Hamming-verified, so an oversized
     bucket degrades recall linearly, never correctness)."""
+    if max_hamming >= 4:
+        # pigeonhole holds only below the chunk count: at Hamming 4 a
+        # pair can differ in one bit per 16-bit chunk and share NO
+        # bucket, silently violating the advertised recall contract
+        # (same fail-loud rule as make_minhash_band_udf's divisibility
+        # check)
+        raise ValueError(
+            f"max_hamming must be < 4 (4 x 16-bit chunk pigeonhole); "
+            f"got {max_hamming}"
+        )
     sig = (
         _spread(df)
         .select(
@@ -889,26 +899,32 @@ def span_scrub(
 
     Semantics (identical in the DuckDB twin; 1-based positions because
     DuckDB lists are 1-based):
-      occurrence table: (doc, pos, h32(span)) for every n-word window;
+      occurrence table: (doc, pos, h64(span)) for every n-word window,
+      h64 = BOTH 32-bit halves of one md5 (the duplicate_span_stats /
+      simhash64 trick) — span_scrub DELETES text, and a single 32-bit
+      key collides for ~116 span pairs per 10^6 distinct spans
+      (birthday bound), silently removing innocent words at corpus
+      scale;
       canonical occurrence of a span = lexicographic min (doc, pos);
       a doc's masked word set = union of [pos, pos+n) over its
       NON-canonical occurrences of spans with count >= 2;
       scrub_text = the unmasked words rejoined.
 
-    Scale shape: occurrences shuffle ONCE on the 32-bit span hash
+    Scale shape: occurrences shuffle ONCE on the 64-bit span key
     (linear in corpus words); canonical+count is one aggregate on that
     shuffle; only docs owning a non-canonical duplicate occurrence carry
     rows in the sparse mask table joined back (semi-join shape); the
     mask application is a narrow per-row array expression, O(W * dup
     starts). No self-join, no all-pairs."""
-    from audiopro_essentia_spark.functions.text import portable_hash32
+    from audiopro_essentia_spark.functions.text import (
+        portable_hash32,
+        portable_hash32_hi,
+    )
 
     ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                   lambda w: w != "")
     base = df.select(F.col(id_col), ws.alias("_ws"))
-    span_h = lambda i: portable_hash32(
-        F.concat_ws(" ", F.slice(F.col("_ws"), i, n))
-    )
+    span_txt = lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, n))
     occ = (
         base.where(F.size("_ws") >= n)
         .select(
@@ -916,18 +932,27 @@ def span_scrub(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
-                    lambda i: F.struct(i.alias("pos"), span_h(i).alias("h")),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        portable_hash32(span_txt(i)).alias("h"),
+                        portable_hash32_hi(span_txt(i)).alias("h2"),
+                    ),
                 )
             ).alias("_sp"),
         )
-        .select(F.col(id_col), F.col("_sp.pos").alias("pos"), F.col("_sp.h").alias("h"))
+        .select(
+            F.col(id_col),
+            F.col("_sp.pos").alias("pos"),
+            F.col("_sp.h").alias("h"),
+            F.col("_sp.h2").alias("h2"),
+        )
     )
-    stats = occ.groupBy("h").agg(
+    stats = occ.groupBy("h", "h2").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("canon"),
     )
     dup = (
-        occ.join(stats, "h")
+        occ.join(stats, ["h", "h2"])
         .where(
             (F.col("cnt") >= 2)
             & ~(

@@ -26,10 +26,18 @@ def hashed_doc_embedding(
     normalize: bool = True,
 ) -> DataFrame:
     """(id, embedding array<double>): hashed bag-of-words, L2-normalized
-    unless `normalize=False` (raw counts)."""
-    tok = df.select(
-        F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
+    unless `normalize=False` (raw counts).
+
+    Tokenization filters empty-string tokens (doubled spaces must not
+    add mass to hash('') — two docs differing only in spacing embed
+    identically), and docs with NULL text / no words stay in the output
+    as the ZERO vector (coverage-preserving; zero-norm vectors never
+    qualify in the downstream pair ops by the pinned contract) instead
+    of silently vanishing from the corpus fed to ANN / semantic dedup."""
+    ws = F.filter(
+        words(F.coalesce(F.col(text_col), F.lit(""))), lambda w: w != ""
     )
+    tok = df.select(F.col(id_col), F.explode(ws).alias("_w"))
     slot = tok.select(
         id_col, F.pmod(portable_hash32(F.col("_w")), F.lit(dim)).alias("_i")
     )
@@ -53,7 +61,16 @@ def hashed_doc_embedding(
         vec = F.transform(arr, lambda x: x / F.sqrt("_sq"))  # >=1 word
     else:
         vec = arr
-    return m.select(F.col(id_col), vec.alias("embedding"))
+    dense = m.select(F.col(id_col), vec.alias("embedding"))
+    zero = F.array_repeat(F.lit(0.0), dim)
+    return (
+        df.select(id_col)
+        .join(dense, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("embedding"), zero).alias("embedding"),
+        )
+    )
 
 
 def quantize_embeddings(

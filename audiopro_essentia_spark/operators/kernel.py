@@ -412,7 +412,22 @@ def make_frame_kernel(
     def _udf(wins):
         if len(wins) == 0:
             return pd.DataFrame({n: pd.Series(dtype=object) for n, _ in fields})
-        W = np.stack(wins.to_numpy())
+        vals = wins.to_numpy()
+        # NULL or wrong-length windows (outer joins / corrupt upstream
+        # writes) become all-NaN frames: the kernel's own nonfinite
+        # check then tags them ferror='nonfinite_frame' with NULL features —
+        # the documented bad-row contract — instead of np.stack killing
+        # the stage. Well-formed batches take the original zero-copy path.
+        bad = [
+            i
+            for i, v in enumerate(vals)
+            if v is None or len(v) != frame_length
+        ]
+        if bad:
+            vals = list(vals)
+            for i in bad:
+                vals[i] = np.full(frame_length, np.nan)
+        W = np.stack(vals)
         res = _kernel_batch_chunked(
             W, frame_length, sample_rate, token_scale, feats, nm, chroma_band
         )

@@ -113,7 +113,16 @@ def shard_manifest(
 
     `boundaries` is emitted as an 'offset:id,offset:id,...' string
     ordered by (offset, id) rather than an array-of-structs column, so
-    the DuckDB twin (string_agg ... ORDER BY) is byte-identical."""
+    the DuckDB twin (string_agg ... ORDER BY) is byte-identical.
+
+    CONTRACT: a manifest row exists only for shards in which >= 1
+    document STARTS. A document longer than shard_tokens spans
+    interior shards that get no row of their own — those shards are
+    fully covered by the straddler and a loader reconstructs them from
+    the PREVIOUS manifest row's last boundary entry plus that doc's
+    token count (the straddle counter marks the handoff). Consumers
+    must therefore iterate shard ids from pack_shards (dense) rather
+    than assume manifest rows are gap-free."""
     p = pack_shards(df, count_col, shard_tokens, id_col, n_buckets)
     bounds = F.transform(
         F.sort_array(

@@ -124,8 +124,13 @@ def extract_rhythm(
         for pdf in batches:
             out = []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                # NULL tokens -> empty doc (tempo 0, no beats), never a
+                # np.asarray TypeError killing the stage on one bad row
+                # (same contract as fused.py's raw-is-None guard)
                 tempo, tempo_acf, beats = detect_beats(
-                    np.asarray(tokens, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64)
+                    if tokens is None
+                    else np.asarray(tokens, dtype=np.int64),
                     sample_rate, frame_length, hop, token_scale,
                 )
                 out.append(
@@ -157,7 +162,16 @@ def extract_rhythm_chunked(
 
     def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("chunk_idx")
-        toks = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tokens"]])
+        # NULL chunks contribute nothing (the unsplit-doc equivalence is
+        # over well-formed chunks; a corrupt NULL must not kill the stage)
+        toks = np.concatenate(
+            [np.zeros(0, dtype=np.int64)]
+            + [
+                np.asarray(t, dtype=np.int64)
+                for t in pdf["tokens"]
+                if t is not None
+            ]
+        )
         tempo, tempo_acf, beats = detect_beats(
             toks, sample_rate, frame_length, hop, token_scale
         )

@@ -499,11 +499,12 @@ def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
     corpus_vec: str = "embedding",
-    seed: int = 42,
 ) -> tuple[DataFrame, np.ndarray]:
-    """IVF coarse quantizer: deterministic centroid sample (seeded corpus
-    rows), assign every vector to its nearest centroid in one narrow Arrow
-    map pass (broadcast centroid matrix; no shuffle, no expression chain).
+    """IVF coarse quantizer: deterministic centroid sample (md5-ordered
+    corpus rows — content-addressed, NOT seeded; a seed param here would
+    be dead API, the sample depends only on the data), assign every
+    vector to its nearest centroid in one narrow Arrow map pass
+    (broadcast centroid matrix; no shuffle, no expression chain).
     Returns (corpus + cluster_id, centroids).
 
     distinct=False in the sample keeps the original recipe (and its
@@ -528,14 +529,14 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
-    seed: int = 42,
 ) -> DataFrame:
     """IVF search: each query probes its nprobe nearest centroid lists,
     exact cosine re-rank inside the probed cells. The probe side
     (queries x nprobe rows) is broadcast, so the corpus is never shuffled;
     with nprobe == n_centroids this degenerates to exact brute force
-    (used as the driver-oracle configuration)."""
-    assigned, centroids = ivf_assign(corpus, n_centroids, corpus_vec, seed)
+    (used as the driver-oracle configuration). The quantizer is
+    content-addressed (md5 sample) — no seed parameter by design."""
+    assigned, centroids = ivf_assign(corpus, n_centroids, corpus_vec)
     probe_udf = _nearest_centroids_udf(centroids, min(nprobe, len(centroids)))
     q = queries.select(
         F.col(query_id),

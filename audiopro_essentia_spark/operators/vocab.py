@@ -68,6 +68,13 @@ def encode_documents(
 ) -> DataFrame:
     """text -> array<int> of vocab ids in word order (OOV -> UNK_ID).
 
+    Tokenization matches build_vocab exactly: empty-string tokens from
+    doubled/leading/trailing spaces are FILTERED, not encoded — '' is
+    never in any vocab, so leaving them in would inflate UNK counts and
+    break the decode round-trip on spacing alone. Docs with NULL text
+    or no words stay in the output with ids = [] (posexplode_outer
+    keeps them through the one broadcast join), never silently vanish.
+
     posexplode keeps the position; array_sort on (pos, id) structs
     reassembles order after the doc_id shuffle without a per-group
     sort-within-window.
@@ -76,16 +83,27 @@ def encode_documents(
     the hint forces driver collection, so an UNBOUNDED web-scale vocab
     (hundreds of millions of distinct tokens) must pass broadcast=False
     to degrade to an ordinary shuffled join instead of a driver OOM."""
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda w: w != "",
+    )
+    # posexplode_OUTER keeps a zero-word doc as one (NULL pos, NULL word)
+    # row, so coverage survives the single broadcast join (no second
+    # spine join that would plan as a SortMergeJoin); collect_list skips
+    # the NULL struct, leaving ids = [] for that doc.
     words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+        F.col(id_col), F.posexplode_outer(ws).alias("pos", "word")
     )
     tagged = words.join(
         _maybe_broadcast(vocab.select("word", "id"), broadcast), "word", "left"
     ).select(
         id_col,
-        F.struct(
-            F.col("pos"), F.coalesce(F.col("id"), F.lit(UNK_ID)).alias("id")
+        F.when(
+            F.col("pos").isNotNull(),
+            F.struct(
+                F.col("pos"),
+                F.coalesce(F.col("id"), F.lit(UNK_ID)).alias("id"),
+            ),
         ).alias("pw"),
     )
     return (

@@ -1,0 +1,103 @@
+"""Corrupt-input hardening contracts (late-r4 review pass): one bad row
+must never kill a distributed stage, and it must land in the SAME
+bad-row channel the equivalent expression path uses ('empty' quarantine,
+ferror tagging, zero vector, empty ids) — never silently vanish."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_doc_profile_fused_null_tokens_quarantines_as_empty(spark):
+    """NULL tokens must match the expression twin reject_reason_col
+    (tokens IS NULL -> 'empty'), not TypeError inside mapInPandas."""
+    from audiopro_essentia_spark.operators.aggregates import (
+        doc_profile_fused,
+    )
+
+    df = spark.createDataFrame(
+        [("d0", [1000, -2000, 3000] * 200, 600, "s"), ("d1", None, 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    rows = {r.doc_id: r for r in doc_profile_fused(df).collect()}
+    assert rows["d1"].reject_reason == "empty"
+    assert rows["d1"].signal_energy == 0.0
+    assert rows["d0"].reject_reason in (None, "too_short")
+
+
+def test_rhythm_null_tokens_is_empty_doc_not_crash(spark):
+    from audiopro_essentia_spark.operators.rhythm import extract_rhythm
+
+    df = spark.createDataFrame(
+        [("d0", [1000, -1000] * 4096), ("d1", None)],
+        "doc_id string, tokens array<int>",
+    )
+    rows = {r.doc_id: r for r in extract_rhythm(df).collect()}
+    assert rows["d1"].tempo == 0.0 and rows["d1"].n_beats == 0
+    assert "d0" in rows  # well-formed doc unaffected
+
+
+def test_kernel_null_window_gets_ferror_not_crash(spark):
+    """A NULL or wrong-length window row becomes an all-NaN frame and
+    rides the kernel's existing bad-input contract (ferror='nonfinite_frame',
+    NULL features) instead of np.stack killing the stage."""
+    from audiopro_essentia_spark.operators.kernel import make_frame_kernel
+
+    udf, feats = make_frame_kernel(
+        frame_length=8, sample_rate=100, features=("rms", "spectral_centroid")
+    )
+    df = spark.createDataFrame(
+        [(0, [1000] * 8), (1, None), (2, [2000] * 5)],
+        "i long, window array<int>",
+    ).select("i", udf(F.col("window")).alias("k"))
+    rows = {r.i: r.k for r in df.collect()}
+    assert rows[1]["ferror"] == "nonfinite_frame" and rows[1]["rms"] is None
+    assert rows[2]["ferror"] == "nonfinite_frame"
+    assert rows[0]["ferror"] is None and rows[0]["rms"] is not None
+
+
+def test_simhash_max_hamming_pigeonhole_guard(spark):
+    from audiopro_essentia_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(df, max_hamming=4)
+
+
+def test_encode_documents_spacing_and_null_text(spark):
+    """'' tokens are filtered like build_vocab does (a doubled space
+    must not encode as UNK), and a NULL-text doc stays in the output
+    with empty ids instead of vanishing."""
+    from audiopro_essentia_spark.operators.vocab import (
+        UNK_ID,
+        build_vocab,
+        encode_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a  b"), (2, None)],
+        "doc_id long, text string",
+    )
+    v = build_vocab(df, max_vocab=10)
+    enc = {r.doc_id: r.ids for r in encode_documents(df, v).collect()}
+    assert enc[0] == enc[1]  # spacing-invariant
+    assert UNK_ID not in enc[1]
+    assert enc[2] == []  # NULL text preserved as empty, not dropped
+
+
+def test_hashed_embedding_spacing_and_null_text(spark):
+    from audiopro_essentia_spark.operators.featurize import (
+        hashed_doc_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a  b"), (2, None)],
+        "doc_id long, text string",
+    )
+    emb = {
+        r.doc_id: r.embedding
+        for r in hashed_doc_embedding(df, dim=16).collect()
+    }
+    assert emb[0] == emb[1]  # spacing-invariant
+    assert emb[2] == [0.0] * 16  # NULL text -> zero vector, not dropped
