@@ -2132,9 +2132,11 @@ WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '),
   w -> length(w)) AS toks FROM documents),
 m AS (SELECT doc_id, toks, len(list_distinct(toks)) AS vocab FROM t)
 SELECT doc_id,
-  md5(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ','))
+  md5(array_to_string(list_transform(toks,
+      x -> coalesce(CAST(x AS VARCHAR), 'null')), ','))
     AS content_md5,
-  sha256(array_to_string(list_transform(toks, x -> CAST(x AS VARCHAR)), ','))
+  sha256(array_to_string(list_transform(toks,
+      x -> coalesce(CAST(x AS VARCHAR), 'null')), ','))
     AS content_sha256,
   CAST(len(toks) AS BIGINT) AS n_tok,
   round(CAST(len(toks) AS DOUBLE) / 44100.0, 6) AS duration_sec,

@@ -79,6 +79,16 @@ def analyze_sequences(
 
     # one vectorized pass: doc stats + quarantine verdict (A12-A14 + S2/S3)
     profile = doc_profile_fused(raw, frame_length=frame_length)
+    if out_dir:
+        # the write flow evaluates profile's mapInPandas in >= 2 plan
+        # branches (the broadcast doc_meta side of the write job AND the
+        # completion aggregate, plus any caller evaluation of
+        # doc_metadata/quarantine) — the CLAUDE.md multi-consumer rule:
+        # checkpoint the tiny one-row-per-doc output once instead of
+        # re-running a full token-decode pass per branch. Without
+        # out_dir (the bench path) there is exactly one consumer, and an
+        # eager checkpoint would only add cost.
+        profile = profile.localCheckpoint()
     quarantined = profile.filter(F.col("reject_reason").isNotNull())
     doc_meta = profile.filter(F.col("reject_reason").isNull()).drop("reject_reason")
 

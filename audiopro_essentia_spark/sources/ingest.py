@@ -65,16 +65,24 @@ def read_json_quarantine(
 ) -> tuple[DataFrame, DataFrame]:
     """Read JSON-lines with an explicit contract schema; return
     (good, quarantine) where quarantine rows carry the raw malformed line
-    in `raw` plus a constant `reject_reason`. Exactly-one-of: every input
-    line lands in good XOR quarantine.
+    in `raw` plus a constant `reject_reason`. Exactly-one-of: every
+    NON-BLANK input line lands in good XOR quarantine.
+
+    Blank/whitespace-only lines are the ONE documented divergence between
+    the modes: Spark's native JSON source (cache=True) silently skips
+    them before parsing — they land in neither branch and are invisible
+    to ingest stats — while the text path (cache=False) reads them as
+    value='' and quarantines them. Both behaviors are deterministic;
+    pipelines that must account for every physical line (strict-audit
+    ingest) should use cache=False.
 
     cache=True (default, interactive): one cached parse feeds both
     branches — see _split for the lifetime trade-off. cache=False (huge
     one-shot drops): NO cache pressure — the file is read as text and
     parsed per branch with from_json carrying the same corrupt-record
-    column (identical quarantine semantics, incl. type-mismatch rows);
-    two pushdown text scans, the right shape when each branch is written
-    out exactly once."""
+    column (identical quarantine semantics for non-blank lines, incl.
+    type-mismatch rows); two pushdown text scans, the right shape when
+    each branch is written out exactly once."""
     if cache:
         full = (
             spark.read.schema(_with_corrupt(schema))

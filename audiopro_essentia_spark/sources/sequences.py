@@ -62,6 +62,15 @@ def slice_time_range(
     (audio_loader.py:72-81). Returns (df, start_sample) — downstream frame
     times are offset by start_sample (processors.py:281-283)."""
     start_sample = int(start_sec * sample_rate) if start_sec else 0
+    if start_sample < 0 or (end_sec is not None and end_sec < 0):
+        # Spark's 1-based slice interprets a NEGATIVE start as counting
+        # from the END of the array — a negative start_sec would silently
+        # return the wrong window and shift downstream frame timestamps
+        # negative instead of failing loud
+        raise ValueError(
+            f"start_sec/end_sec must be >= 0 (got start_sec={start_sec}, "
+            f"end_sec={end_sec})"
+        )
     if start_sample == 0 and end_sec is None:
         return df, 0
     n = F.size(F.col(tokens_col))
@@ -120,7 +129,13 @@ def with_sequence_metadata(
     bits = F.when(vocab <= 1, F.lit(1)).otherwise(
         F.ceil(F.log2(vocab.cast("double"))).cast("int")
     )
-    canon = F.array_join(F.transform(toks, lambda x: x.cast("string")), ",")
+    # explicit nullReplacement: array_join SKIPS null elements by default,
+    # so [1, NULL, 2] and [1, 2] would collide to the same content digest
+    # — a content-addressed dedup/lineage corruption (the schema contract
+    # permits null elements). 'null' keeps distinct contents distinct.
+    canon = F.array_join(
+        F.transform(toks, lambda x: x.cast("string")), ",", "null"
+    )
     return df.select(
         "doc_id",
         F.md5(canon).alias("content_md5"),

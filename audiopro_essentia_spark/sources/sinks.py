@@ -203,6 +203,16 @@ class CheckpointedWriter:
                 "input already has a 'bucket' column (the writer's "
                 "reserved partition column) — drop or rename it first"
             )
+        if error_col is not None and error_col not in df.columns:
+            # the read-back tolerance below (JSON omits all-null fields)
+            # must not extend to the INPUT: a typo'd or transform-dropped
+            # error column would silently disable the error-budget gate
+            # and stamp _SUCCESS over error-laden data
+            raise ValueError(
+                f"error_col {error_col!r} is not a column of the input "
+                f"DataFrame ({df.columns}) — the error-budget gate would "
+                "be silently disabled"
+            )
         done = self.committed_buckets()
         bucketed = df.withColumn(
             "bucket", F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets))
@@ -213,7 +223,11 @@ class CheckpointedWriter:
 
         pending = sorted(set(range(self.n_buckets)) - done)
         spark = df.sparkSession
-        if self.fmt == "iceberg" and not pending:
+        if not pending:
+            # fully committed already (retried orchestration step /
+            # re-delivered epoch): NO write job — the parquet/json branch
+            # below would otherwise re-scan the whole input to write
+            # nothing
             back = None
         elif self.fmt == "iceberg":
             # manifest-level analog of the rm loop below: stale rows from a
@@ -309,6 +323,16 @@ class CheckpointedWriter:
                 f"> {error_budget_pct:.3%} (no bucket committed)"
             )
         budget = max_failures if max_failures is not None else 0
+        # ONE snapshot lookup for the whole commit loop: all pending
+        # buckets share the single append/create snapshot (one atomic
+        # commit), and querying per bucket both multiplies metadata
+        # round-trips and races a concurrent writer's later snapshot
+        # into this run's lineage
+        run_snapshot = (
+            self._latest_snapshot_id(spark)
+            if self.fmt == "iceberg" and pending
+            else None
+        )
         for b in pending:
             m = metrics[b]
             if (
@@ -329,9 +353,7 @@ class CheckpointedWriter:
                 # append/create commit (shared by all buckets it wrote —
                 # one atomic commit); parquet/json facade: a synthetic id
                 "snapshot_id": (
-                    self._latest_snapshot_id(spark)
-                    if self.fmt == "iceberg"
-                    else uuid.uuid4().hex
+                    run_snapshot if self.fmt == "iceberg" else uuid.uuid4().hex
                 ),
                 "bucket": b,
                 "row_count": m["row_count"],
@@ -351,8 +373,11 @@ class CheckpointedWriter:
             stats["total_errors"] += m["error_count"]
         success = os.path.join(self.out_dir, "_SUCCESS.json")
         if len(self.committed_buckets()) == self.n_buckets:
-            with open(success, "w") as fh:
-                json.dump(stats, fh)
+            # a no-op call on a complete dataset (committed == []) must
+            # not clobber the real run's totals with zeros
+            if stats["committed"] or not os.path.exists(success):
+                with open(success, "w") as fh:
+                    json.dump(stats, fh)
         elif os.path.exists(success):
             os.remove(success)  # partial dataset must not look complete
         return stats

@@ -177,13 +177,26 @@ def stream_to_checkpointed(
     n_buckets: int = 4,
     fmt: str = "parquet",
     output_mode: str = "append",
+    transform=None,
+    error_col: str | None = None,
+    error_budget_pct: float | None = None,
 ) -> None:
     """Drive a (bounded) stream through the foreachBatch checkpointed sink
     to completion — the streaming form of the incremental batched emission
-    (reference extractor.py:214-219 callback -> output_handler write)."""
+    (reference extractor.py:214-219 callback -> output_handler write).
+    The ONE owner of the writeStream/trigger/awaitTermination boilerplate;
+    streaming_token_pipeline parameterizes this instead of copying it."""
     q = (
         stream_df.writeStream.foreachBatch(
-            epoch_writer(out_dir, key_col, n_buckets, fmt)
+            epoch_writer(
+                out_dir,
+                key_col,
+                n_buckets,
+                fmt,
+                transform=transform,
+                error_col=error_col,
+                error_budget_pct=error_budget_pct,
+            )
         )
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
@@ -201,21 +214,27 @@ def streaming_token_pipeline(
     frame_length: int | None = None,
     hop: int | None = None,
     n_buckets: int = 4,
+    error_budget_pct: float | None = None,
 ) -> None:
     """The reference's real-time analog end-to-end: a STREAM of token
     sequences -> fused Arrow feature kernel -> resumable checkpointed
     sink, one epoch per micro-batch. Inside foreachBatch the micro-batch
     is an ordinary DataFrame, so the exact batch operators run unchanged
     — no second implementation to drift; exactly-once comes from the
-    idempotent epoch dirs (see epoch_writer)."""
+    idempotent epoch dirs (see epoch_writer). `error_budget_pct` arms the
+    same per-epoch abort gate the batch pipeline enforces (default None:
+    metrics recorded, no abort — a stream usually prefers quarantined
+    epochs over a dead query)."""
     from ..constants import FRAME_LENGTH, HOP_LENGTH
     from ..operators.fused import fused_frame_features, nest_frequency_bands
 
     fl = frame_length or FRAME_LENGTH
     hp = hop or HOP_LENGTH
 
-    handle = epoch_writer(
+    stream_to_checkpointed(
+        stream_df,
         out_dir,
+        checkpoint_dir,
         key_col="doc_id",
         n_buckets=n_buckets,
         transform=lambda bdf: nest_frequency_bands(
@@ -224,16 +243,8 @@ def streaming_token_pipeline(
             )
         ),
         error_col="ferror",
+        error_budget_pct=error_budget_pct,
     )
-
-    q = (
-        stream_df.writeStream.foreachBatch(handle)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
 
 
 def read_epochs(spark, out_dir: str) -> DataFrame:
@@ -258,7 +269,12 @@ def read_epochs(spark, out_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no committed epochs under {out_dir}")
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # allowMissingColumns: JSON epochs drop all-null columns from the
+        # inferred read-back schema (sinks.py documents the omission), so
+        # an epoch whose every row had ferror=NULL must not crash the
+        # union of a fully committed dataset — the missing column comes
+        # back as NULL
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

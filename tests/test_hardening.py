@@ -101,3 +101,87 @@ def test_hashed_embedding_spacing_and_null_text(spark):
     }
     assert emb[0] == emb[1]  # spacing-invariant
     assert emb[2] == [0.0] * 16  # NULL text -> zero vector, not dropped
+
+
+def test_writer_missing_error_col_fails_loud(spark, tmp_path):
+    """A typo'd/dropped error column must raise at write() entry — the
+    read-back tolerance (JSON null omission) must not silently disable
+    the error-budget gate on the INPUT side."""
+    from audiopro_essentia_spark.sources.sinks import CheckpointedWriter
+
+    df = spark.range(10).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("v"),
+    )
+    w = CheckpointedWriter(str(tmp_path / "o"), n_buckets=2)
+    with pytest.raises(ValueError, match="error_col"):
+        w.write(df, error_col="fError", error_budget_pct=0.1)
+
+
+def test_writer_noop_rewrite_preserves_success_stats(spark, tmp_path):
+    """write() on a fully committed dataset must be a no-op (no write
+    job) and must NOT clobber _SUCCESS.json's real totals with zeros."""
+    import json
+    import os
+
+    from audiopro_essentia_spark.sources.sinks import CheckpointedWriter
+
+    df = spark.range(40).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("v"),
+    )
+    out = str(tmp_path / "o")
+    stats1 = CheckpointedWriter(out, n_buckets=2).write(df)
+    assert stats1["total_rows"] == 40
+    stats2 = CheckpointedWriter(out, n_buckets=2).write(df)
+    assert stats2["committed"] == [] and stats2["skipped"] == [0, 1]
+    with open(os.path.join(out, "_SUCCESS.json")) as fh:
+        success = json.load(fh)
+    assert success["total_rows"] == 40  # not clobbered by the no-op call
+
+
+def test_read_epochs_tolerates_json_null_column_drift(spark, tmp_path):
+    """A JSON epoch whose every row had ferror=NULL loses the column on
+    read-back (ignoreNullFields) — the cross-epoch union must not crash."""
+    from audiopro_essentia_spark.sources.sinks import CheckpointedWriter
+    from audiopro_essentia_spark.streaming.stream_ops import read_epochs
+
+    out = str(tmp_path / "o")
+    clean = spark.range(8).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("v"),
+        F.lit(None).cast("string").alias("ferror"),
+    )
+    dirty = spark.range(8).select(
+        F.concat(F.lit("e"), F.col("id").cast("string")).alias("doc_id"),
+        F.col("id").alias("v"),
+        F.when(F.col("id") == 0, F.lit("boom")).alias("ferror"),
+    )
+    CheckpointedWriter(f"{out}/epoch=0", n_buckets=2, fmt="json").write(clean)
+    CheckpointedWriter(f"{out}/epoch=1", n_buckets=2, fmt="json").write(dirty)
+    got = read_epochs(spark, out)
+    assert got.count() == 16
+    assert "ferror" in got.columns  # missing column came back as NULL
+
+
+def test_sequence_digest_distinguishes_null_elements(spark):
+    """[1, NULL, 2] and [1, 2] must NOT collide to one content digest
+    (array_join skips nulls without an explicit nullReplacement)."""
+    from audiopro_essentia_spark.sources.sequences import (
+        with_sequence_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1, None, 2]), ("b", [1, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    got = {r.doc_id: r.content_md5 for r in with_sequence_metadata(df).collect()}
+    assert got["a"] != got["b"]
+
+
+def test_slice_time_range_negative_start_fails_loud(spark):
+    from audiopro_essentia_spark.sources.sequences import slice_time_range
+
+    df = spark.createDataFrame([("a", [1, 2, 3])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError, match="start_sec"):
+        slice_time_range(df, start_sec=-1.0)
