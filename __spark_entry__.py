@@ -1673,8 +1673,16 @@ def q_streaming_session(spark, sf_dir):
 
     ev_schema = _t(spark, sf_dir, "events").schema
     # the streaming file source wants a directory — expose the single
-    # parquet file through a temp dir symlink
-    d = tempfile.mkdtemp(prefix="stream_events_")
+    # parquet file through a symlink in a DETERMINISTIC per-sf_dir temp
+    # dir (mkdtemp-per-invocation leaked one dir per driver/bench run on
+    # the long-lived shared VM, and made the existence guard dead code)
+    import hashlib
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_events_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "events.parquet"), link)
@@ -1875,15 +1883,16 @@ FROM t
 
 def oracle_sql() -> dict[str, str]:
     h32w = H32.format(x="w")
-    sw_en = "['the','a','and','of','to','in','is','that','it','for']"
-    sw_de = "['der','die','das','und','zu','ist','nicht','ein','mit','von']"
-    sw_fr = "['le','la','et','de','un','est','pas','une','pour','que']"
-    shingle_cte = (
-        "sh AS (SELECT doc_id, array_distinct(list_transform("
-        "generate_series(1, greatest(len(string_split(text,' ')) - 2, 0)), "
-        "i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')"
-        ")) AS shingles FROM documents)"
-    )
+    # rendered from the ONE Spark source (functions.text.STOPWORDS) —
+    # hand-copied literals here desync silently when the list changes
+    from audiopro_essentia_spark.duck_twins import stopword_sql_list
+
+    sw_en = stopword_sql_list("en")
+    sw_de = stopword_sql_list("de")
+    sw_fr = stopword_sql_list("fr")
+    # the ONE shingle-projection owner (duck_twins._shingle_select_sql,
+    # twin of word_ngrams) — textual copies of the convention drift
+    shingle_cte = "sh AS (" + DT._shingle_select_sql(3, "documents") + ")"
     cos = (
         "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
@@ -2208,7 +2217,7 @@ WITH tok AS (SELECT doc_id, w
               unnest(string_split(coalesce(text, ''), ' ')) AS w
             FROM documents)
       WHERE w <> ''),
-slot AS (SELECT doc_id, (({h32w.replace("w", "w")}) % 64 + 64) % 64 AS i FROM tok),
+slot AS (SELECT doc_id, (({h32w}) % 64 + 64) % 64 AS i FROM tok),
 cnt AS (SELECT doc_id, i, COUNT(*) AS c FROM slot GROUP BY doc_id, i),
 m AS (SELECT doc_id, list(i ORDER BY i) AS idxs, list(c ORDER BY i) AS cs
       FROM cnt GROUP BY doc_id),
@@ -2224,12 +2233,9 @@ SELECT d.doc_id,
     AS e_sum
 FROM documents d LEFT JOIN nrm n USING (doc_id)
 """,
-        "decontaminate": """
+        "decontaminate": f"""
 WITH sh AS (
-  SELECT doc_id, array_distinct(list_transform(
-    generate_series(1, greatest(len(string_split(text,' ')) - 4, 0)),
-    i -> array_to_string(list_slice(string_split(text,' '), i, i+4), ' ')
-  )) AS shingles FROM documents),
+  {DT._shingle_select_sql(5, "documents")}),
 bset AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
 tsh AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0),
 shared AS (SELECT t.doc_id, COUNT(*) AS n_shared
@@ -2429,7 +2435,9 @@ WITH tok AS (SELECT doc_id, w FROM (
 wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
 total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM wc)
 SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-  round(-avg(ln(wc.c / total.n)), 6) AS avg_logloss
+  round((-(CAST(SUM(CAST(round(ln(wc.c / total.n) * 1e6) AS BIGINT))
+           AS DOUBLE) / 1e6))
+        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logloss
 FROM tok t JOIN wc USING (w) CROSS JOIN total
 GROUP BY t.doc_id
 """,
@@ -2588,7 +2596,9 @@ pq AS (
          ELSE greatest(CAST(c_all - f.c AS DOUBLE) / (n_all - n_g), 1e-06)
          END AS q
   FROM f JOIN tg USING (grp) JOIN tb USING (bucket) CROSS JOIN nt)
-SELECT grp AS source, round(SUM((p - q) * ln(p / q)), 6) AS psi
+SELECT grp AS source,
+  round(CAST(SUM(CAST(round((p - q) * ln(p / q) * 1e6) AS BIGINT))
+        AS DOUBLE) / 1e6, 6) AS psi
 FROM pq GROUP BY grp
 """,
         "temperature_sample": f"""

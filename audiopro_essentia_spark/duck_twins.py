@@ -35,6 +35,16 @@ H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 H32HI = "(('0x' || substr(md5({x}), 9, 8))::BIGINT)"
 
 
+def stopword_sql_list(lang: str) -> str:
+    """DuckDB list literal of functions.text.STOPWORDS[lang] — the ONE
+    source the Spark operators read; every twin renders from it instead
+    of hand-copying the words (a copied list desyncs silently when the
+    Spark side changes and surfaces only as an oracle hash mismatch)."""
+    from .functions.text import STOPWORDS
+
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
 def toks_cte() -> str:
     """tokens := per-word char lengths of documents.text (portable)."""
     return (
@@ -86,10 +96,12 @@ def kernel_sql(
     zero = "(" + "+".join(f"abs(wd{j})" for j in range(frame_length)) + ") = 0"
 
     fset = set(features)
-    spectral = fset & {
-        "spectral_centroid", "spectral_bandwidth", "spectral_flatness",
-        "spectral_rolloff", "mfcc", "frequency_bands",
-    }
+    # gate on the SAME set the Spark kernel gates on (kernel.py
+    # needs_spectrum) — a hand-copied subset here silently dropped
+    # chroma when it was the only spectral feature requested
+    from .constants import SPECTRAL_FEATURES
+
+    spectral = fset & SPECTRAL_FEATURES
 
     did = "CAST(doc_id AS VARCHAR) AS doc_id" if doc_id_varchar else "doc_id"
     ctes = [
@@ -195,16 +207,27 @@ def kernel_sql(
             )
         if "mfcc" in fset:
             fb, dct = c["fb"], c["dct"]
+            # mel/DCT coefficients are long-mantissa reals: string-parse
+            # them to DOUBLE (bare literals route through DECIMAL, whose
+            # ->DOUBLE conversion is 1 ulp off for many values — the
+            # CLAUDE.md CAST rule)
             mel_cols = []
             for m in range(n_mels):
-                terms = [f"s{k}*{fb[m, k]!r}" for k in range(nb) if fb[m, k] != 0]
+                terms = [
+                    f"s{k}*CAST('{fb[m, k]!r}' AS DOUBLE)"
+                    for k in range(nb)
+                    if fb[m, k] != 0
+                ]
                 mel_cols.append(
                     f"ln(({' + '.join(terms) if terms else '0.0'}) + {EPS!r}) AS lm{m}"
                 )
             ctes.append(f"mm AS MATERIALIZED (SELECT *, {', '.join(mel_cols)} FROM cc)")
             last_cte = "mm"
             for i in range(N_MFCC):
-                expr = " + ".join(f"lm{m}*{dct[i, m]!r}" for m in range(n_mels))
+                expr = " + ".join(
+                    f"lm{m}*CAST('{dct[i, m]!r}' AS DOUBLE)"
+                    for m in range(n_mels)
+                )
                 out_cols.append(nullable(f"round({expr}, 6)", f"mfcc_{i}"))
         if "chroma" in fset:
             # HPCP-shaped fold (kernel.chroma_fold, harmonics=0):
@@ -266,7 +289,9 @@ def kernel_sql(
                     terms.append(
                         f"(en{k} * (CASE WHEN {d} <= "
                         f"{float(CHROMA_WINDOW_SEMITONES)!r} "
-                        f"THEN pow(cos({whp!r} * {d}), 2) ELSE 0.0 END))"
+                        # whp = pi/2/window is long-mantissa: string-parse
+                        f"THEN pow(cos(CAST('{whp!r}' AS DOUBLE) * {d}), 2) "
+                        f"ELSE 0.0 END))"
                     )
                 raw_cols.append(f"({' + '.join(terms)}) AS cr{p}")
             ctes.append(
@@ -379,7 +404,14 @@ def _dft_parts(
     CLAUDE.md) and symmetry-snapped twiddles. ONE copy — the snapping
     rule and windowing cast must stay bit-identical across all twins."""
     c = _consts(frame_length, sample_rate, 1)
-    hann = [repr(float(v)) for v in c["hann"]]
+    # string->DOUBLE casts for every long-mantissa literal (hann,
+    # twiddles): DuckDB parses a bare decimal literal through DECIMAL,
+    # whose ->DOUBLE conversion is 1 ulp off for many 17-digit values
+    # (kernel_time_sql documents the measured case) — and on THIS path
+    # the f32 windowing cast amplifies that ulp to a full f32 ulp.
+    # Short exact literals (token_scale 64.0, snapped 0/±1) convert
+    # exactly either way.
+    hann = [f"CAST('{float(v)!r}' AS DOUBLE)" for v in c["hann"]]
     nb = len(c["freqs"])
     jj = np.arange(frame_length)
     cos_t = np.cos(-2 * np.pi * np.outer(np.arange(nb), jj) / frame_length)
@@ -394,10 +426,17 @@ def _dft_parts(
         f"AS REAL) AS DOUBLE) AS wd{j}"
         for j in range(frame_length)
     )
+    def _dl(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
     spec_cols = []
     for k in range(nb):
-        re = " + ".join(f"wd{j}*{cos_t[k, j]!r}" for j in range(frame_length))
-        im = " + ".join(f"wd{j}*{sin_t[k, j]!r}" for j in range(frame_length))
+        re = " + ".join(
+            f"wd{j}*{_dl(cos_t[k, j])}" for j in range(frame_length)
+        )
+        im = " + ".join(
+            f"wd{j}*{_dl(sin_t[k, j])}" for j in range(frame_length)
+        )
         spec_cols.append(f"sqrt(pow({re},2) + pow({im},2)) AS s{k}")
     return wd, spec_cols, nb
 
@@ -560,7 +599,12 @@ def _minhash_sig_terms(k: int) -> list[str]:
 
 
 def _minhash_banded_selects(src: str, k: int, bands: int) -> str:
-    """UNION ALL of per-band (doc_id, band, bsig) selects over `src`."""
+    """UNION ALL of per-band (doc_id, band, bsig) selects over `src`.
+    Same divisibility contract as make_minhash_band_udf: silently
+    truncating the trailing k % bands signature entries would weaken the
+    oracle's LSH recall with no error while the Spark side refuses."""
+    if bands < 1 or k % bands != 0:
+        raise ValueError(f"bands must divide k ({k} % {bands} != 0)")
     rows = k // bands
     sel = []
     for b in range(bands):
@@ -646,10 +690,7 @@ def simhash_pairs_sql(ngram: int = 2, max_hamming: int = 3) -> str:
     h_hi = H32HI.format(x="s")
     return f"""
 WITH sh AS (
-  SELECT doc_id, array_distinct(list_transform(
-    generate_series(1, greatest(len(string_split(text,' ')) - {ngram - 1}, 0)),
-    i -> array_to_string(list_slice(string_split(text,' '), i, i+{ngram - 1}), ' ')
-  )) AS shingles FROM documents
+  {_shingle_select_sql(ngram, "documents")}
 ),
 hs AS (SELECT doc_id,
   list_transform(shingles, s -> {h_lo}) AS lo,
@@ -674,11 +715,10 @@ def multimodal_sql(hist_bins: int = 16) -> str:
     hex(encode(text)) two chars at a time, so multi-byte characters hash
     into the same bins as the Spark side's np.frombuffer(uint8)."""
     width = 256 // hist_bins
-    hist = ", ".join(
-        f"round(CAST(len(list_filter(codes, c -> c // {width} = {b})) AS DOUBLE)"
-        f" / greatest(len(codes), 1), 6) AS h{b}"
-        for b in range(hist_bins)
-    )
+    # h{b} = round(p{b}, 6): CTE p already computed the identical value —
+    # re-inlining the list_filter scan here doubled the twin's dominant
+    # work (16 extra full passes over the per-byte codes list per row)
+    hist = ", ".join(f"round(p{b}, 6) AS h{b}" for b in range(hist_bins))
     probs = ", ".join(
         f"CAST(len(list_filter(codes, c -> c // {width} = {b})) AS DOUBLE)"
         f" / greatest(len(codes), 1) AS p{b}"
@@ -803,7 +843,9 @@ def lsh_ann_sql(
     bits = []
     for r, p in enumerate(planes):
         dot = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE)*{float(x)!r}"
+            # string-parse the plane coefficients (long-mantissa): bare
+            # literals route through DECIMAL with 1-ulp conversion error
+            f"CAST(embedding[{i + 1}] AS DOUBLE)*CAST('{float(x)!r}' AS DOUBLE)"
             for i, x in enumerate(p)
         )
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << r} ELSE 0 END)")
@@ -986,11 +1028,7 @@ def curate_sql(
     """Twin of plans.curate.curate_corpus: quality gate -> language filter
     -> exact-dup min-id collapse -> near-dup cluster collapse (recursive
     closure over MinHash pairs of the SURVIVING set) -> hash split."""
-    sw = {
-        "en": "['the','a','and','of','to','in','is','that','it','for']",
-        "de": "['der','die','das','und','zu','ist','nicht','ein','mit','von']",
-        "fr": "['le','la','et','de','un','est','pas','une','pour','que']",
-    }
+    sw = {lang: stopword_sql_list(lang) for lang in ("en", "de", "fr")}
     score = (
         lambda lst: "round(CAST(len(list_filter(string_split(text,' '), "
         f"w -> list_contains({lst}, w))) AS DOUBLE)"
@@ -1233,7 +1271,7 @@ agg AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_nonzero,
                SUM(pow(2.0, -reg)) AS s_present
         FROM regs GROUP BY 1),
 e AS (SELECT grp, n_nonzero,
-             (CAST({alpha_m!r} AS DOUBLE) * CAST({float(m)!r} AS DOUBLE)) /
+             (CAST('{alpha_m!r}' AS DOUBLE) * CAST({float(m)!r} AS DOUBLE)) /
                (s_present + CAST({m} - n_nonzero AS DOUBLE)) AS raw,
              CAST({m} - n_nonzero AS DOUBLE) AS vz
       FROM agg)

@@ -440,13 +440,17 @@ def source_drift_psi(
             .alias("q"),
         )
     )
+    # each PSI term is rounded ONCE to integer micro-nats and the terms
+    # sum as exact BIGINTs (the bigram_surprisal/DSIR/KL rule: an
+    # engine-order float sum exposed to the oracle hash can flip a
+    # round-6 boundary with partitioning); one final division
+    term = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")) * F.lit(1e6)
+    ).cast("long")
     return (
         joined.groupBy("grp")
         .agg(
-            F.round(
-                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
-                6,
-            ).alias("psi")
+            F.round(F.sum(term).cast("double") / F.lit(1e6), 6).alias("psi")
         )
         .select(F.col("grp").alias(group_col), "psi")
     )

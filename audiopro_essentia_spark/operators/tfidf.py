@@ -165,7 +165,13 @@ def unigram_surprisal(
     High surprisal = rare-token soup (noise, boilerplate hashes); low =
     repetitive/common text. Scale shape: one (word) count aggregate with
     map-side combine, a broadcast one-row total, then a shuffle join of
-    the token stream back on word and a per-doc mean — all linear."""
+    the token stream back on word and a per-doc mean — all linear.
+
+    Determinism: each token's ln P(w) is rounded ONCE to integer
+    micro-nats and summed as exact BIGINTs (the bigram_surprisal/DSIR
+    rule — avg() exposes an engine/partitioning-dependent float
+    accumulation order to the round-6 oracle hash); the mean is one
+    final division of exact integers."""
     tok = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
     ).where(F.col("_w") != "")
@@ -175,12 +181,20 @@ def unigram_surprisal(
     # heaviest intermediate
     total = wc.agg(F.sum("_c").cast("double").alias("_n"))
     scored = tok.join(wc, "_w").crossJoin(F.broadcast(total))
+    term = F.round(F.log(F.col("_c") / F.col("_n")) * F.lit(1e6)).cast("long")
     return (
         scored.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.round(-F.avg(F.log(F.col("_c") / F.col("_n"))), 6).alias(
-                "avg_logloss"
-            ),
+            F.sum(term).alias("_sm"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.round(
+                -(F.col("_sm").cast("double") / F.lit(1e6))
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("avg_logloss"),
         )
     )
