@@ -31,7 +31,10 @@ pattern the near-dup demos use, constructed identically in the oracle.
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from audiopro_essentia_spark.functions.text import portable_hash32
+from audiopro_essentia_spark.functions.text import (
+    nonempty_words,
+    portable_hash32,
+)
 
 TERMINAL_PUNCT = (".", "!", "?", '"')
 
@@ -42,7 +45,7 @@ def synthesize_lines(text: Column, words_per_line: int = 10) -> Column:
     lines, and a chunk receives a trailing '.' iff
     portable_hash32(chunk) % 3 != 0 (so ~2/3 of lines end in terminal
     punctuation). Pure expressions, exact DuckDB twin."""
-    ws = F.filter(F.split(F.coalesce(text, F.lit("")), " "), lambda w: w != "")
+    ws = nonempty_words(text, null_as_empty=True)
     n_lines = F.ceil(F.size(ws) / F.lit(float(words_per_line))).cast("int")
     raw = lambda i: F.concat_ws(
         " ", F.slice(ws, (i - F.lit(1)) * words_per_line + F.lit(1), words_per_line)
@@ -60,7 +63,7 @@ def synthesize_lines(text: Column, words_per_line: int = 10) -> Column:
 
 def c4_line_keep(line: Column, min_words_per_line: int = 5) -> Column:
     """The C4 per-line predicate (see module docstring)."""
-    n_words = F.size(F.filter(F.split(line, " "), lambda w: w != ""))
+    n_words = F.size(nonempty_words(line))
     last = F.substring(line, -1, 1)
     return (
         (n_words >= min_words_per_line)

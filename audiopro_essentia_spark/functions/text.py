@@ -30,6 +30,16 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def nonempty_words(text: Column, null_as_empty: bool = False) -> Column:
+    """filter(words(text), w != '') — THE nonempty tokenization predicate
+    (doubled/leading/trailing spaces yield '' entries that must not count
+    as words). One owner; hand-copies of this filter drifted across five
+    modules before it existed. null_as_empty=True additionally coalesces
+    NULL text to '' (an empty array instead of NULL)."""
+    src = F.coalesce(text, F.lit("")) if null_as_empty else text
+    return F.filter(words(src), lambda w: w != F.lit(""))
+
+
 def token_lengths(text: Column) -> Column:
     """tokens := per-word character lengths — the deterministic, SQL-portable
     derivation of an array<int> payload from a text column (used by the

@@ -633,9 +633,9 @@ def tokenizer_fertility(
     single IEEE divisions of those exact integers, so the DuckDB twin
     matches bit-for-bit. NULL sources aggregate under the '__none__'
     sentinel instead of vanishing into a NULL group key."""
-    from ..functions.text import bpe_ish_token_count, words as _words
+    from ..functions.text import bpe_ish_token_count, nonempty_words
 
-    ws = F.filter(_words(F.col(text_col)), lambda w: w != F.lit(""))
+    ws = nonempty_words(F.col(text_col))
     per_doc = df.select(
         F.coalesce(F.col(group_col), F.lit("__none__")).alias(group_col),
         F.size(ws).cast("long").alias("_nw"),

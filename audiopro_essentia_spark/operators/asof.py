@@ -72,6 +72,13 @@ def asof_join(
             f"right_values/matched_ts collide with left columns: {sorted(clash)}; "
             "rename or pass explicit right_values"
         )
+    if matched_ts_col in right_values:
+        # would emit two columns with the same name (union path) or
+        # duplicate pandas labels feeding merge_asof (cogroup path)
+        raise ValueError(
+            f"right_values contains {matched_ts_col!r}, which is also the "
+            "matched-timestamp output column; rename one of them"
+        )
     # a right row with NULL ts can never be a valid as-of match — without
     # this filter the union path's NULLS-FIRST sort would forward-fill it
     # into every left row before the first real right row (silent wrong

@@ -82,7 +82,15 @@ def power_iteration(
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1 (got {n_iter})")
-    v = df.select(quantized_vec(F.col(vec_col), scale).alias("v"))
+    # NULL / wrong-length rows are EXCLUDED up front: F.sum would skip a
+    # NULL row's contribution while F.count(F.lit(1)) still counted it,
+    # silently biasing mean_s (and a short array would throw
+    # ArrayIndexOutOfBounds from element_at under ANSI mid-aggregate).
+    # A no-op on well-formed corpora, so the SQL twin is unchanged.
+    valid = df.where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    )
+    v = valid.select(quantized_vec(F.col(vec_col), scale).alias("v"))
     if n_iter > 1:
         # each iteration is one aggregate pass over v; persisting the
         # quantized projection trades one materialization for n_iter-1

@@ -42,8 +42,16 @@ def make_spectrum_udf(
         # same pocketfft per-row algorithm, bit-identical output)
         from .kernel import KERNEL_CHUNK
 
-        vals = [None if w is None else w for w in windows]
-        idx = [i for i, w in enumerate(vals) if w is not None]
+        vals = list(windows)
+        # wrong-length windows (a framing/flux frame_length mismatch)
+        # must not kill the stage in np.stack — they yield a NULL
+        # spectrum like NULL windows do (the kernel sibling's NaN-fill
+        # hardening, adapted: flux's contract is NULL row, not ferror)
+        idx = [
+            i
+            for i, w in enumerate(vals)
+            if w is not None and len(w) == len(hann)
+        ]
         out = [None] * len(vals)
         for c0 in range(0, len(idx), KERNEL_CHUNK):
             chunk = idx[c0 : c0 + KERNEL_CHUNK]

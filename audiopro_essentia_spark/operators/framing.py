@@ -56,6 +56,13 @@ def frame_tokens(
     timestamps. time_ms = ((start + idx*H)/sr)*1000 (processors.py:281-283);
     available_ts is the frame END (leakage rule, SURVEY.md §1.3).
     """
+    if frame_length < 1 or hop < 1:
+        # hop=0 hits DIVIDE_BY_ZERO (ANSI) or an unbounded frame-index
+        # sequence deep inside the job — fail at the call site instead
+        raise ValueError(
+            f"frame_length and hop must be >= 1 "
+            f"(got frame_length={frame_length}, hop={hop})"
+        )
     t_len = trimmed_len(F.size(F.col(tokens_col)))
     nf = n_frames_col(F.size(F.col(tokens_col)), frame_length, hop)
 

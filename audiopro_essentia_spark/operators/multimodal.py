@@ -132,10 +132,12 @@ def sample_media_frames(
         "payload",
         "n_bytes",
         stride.alias("_stride"),
-        F.posexplode(
+        # explode of 0..n-1 IS the frame number (posexplode's pos and
+        # value were identical by construction — one redundant column)
+        F.explode(
             F.sequence(F.lit(0), F.lit(n_frames - 1))
-        ).alias("frame_no", "_i"),
-    ).withColumn("_off", F.col("_i") * F.col("_stride") + 1)
+        ).alias("frame_no"),
+    ).withColumn("_off", F.col("frame_no") * F.col("_stride") + 1)
     # only frames fully inside the payload (tail truncation, same rule as
     # the token framing)
     inside = F.col("_off") + frame_bytes - 1 <= F.col("n_bytes")

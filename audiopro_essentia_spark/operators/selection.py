@@ -38,10 +38,10 @@ Scale design (both):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import portable_hash32, words
+from ..functions.text import nonempty_words, portable_hash32
 from .skew import capped_top_n
 
 # Smoothing for the bucket distributions. alpha=0.5 (Jeffreys) keeps
@@ -58,7 +58,7 @@ _MICRO = 1e6
 def _doc_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, feat): unigrams + adjacent-bigram strings, empties dropped.
     Bigrams via zip_with(ws[:-1], ws[1:]) — one pass, no posexplode."""
-    ws = F.filter(words(F.col(text_col)), lambda w: w != F.lit(""))
+    ws = nonempty_words(F.col(text_col))
     unis = df.select(F.col(id_col), F.explode(ws).alias("feat"))
     n = F.size(ws)
     bis = df.select(
@@ -121,17 +121,30 @@ def dsir_importance(
         F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_np"),
         F.sum(F.when(F.col("_is_tgt"), 0).otherwise(1)).alias("_nq"),
     )
-    totals = fb.agg(
-        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_tp"),
-        F.sum(F.when(F.col("_is_tgt"), 0).otherwise(1)).alias("_tq"),
+    # class totals from the already-aggregated n_buckets-row table —
+    # N_p = sum over buckets of n_p exactly (BIGINT), so aggregating fb
+    # again (the previous form) was a whole extra corpus-wide
+    # explode+hash pass for the same two integers. An unpartitioned
+    # window keeps counts a SINGLE plan consumer (a second branch would
+    # duplicate the bucket exchange in the static plan): moving the
+    # n_buckets-row table to one partition is deliberate and tiny —
+    # the same pattern as pack_shards' bucket-offset table.
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     ab = float(alpha) * n_buckets
-    lr = counts.crossJoin(F.broadcast(totals)).select(
+    lr = counts.select(
         "_b",
         F.round(
             (
-                F.log((F.col("_np") + alpha) / (F.col("_tp") + ab))
-                - F.log((F.col("_nq") + alpha) / (F.col("_tq") + ab))
+                F.log(
+                    (F.col("_np") + alpha)
+                    / (F.sum("_np").over(wall) + ab)
+                )
+                - F.log(
+                    (F.col("_nq") + alpha)
+                    / (F.sum("_nq").over(wall) + ab)
+                )
             )
             * _MICRO
         )
@@ -189,7 +202,7 @@ def bm25_topk(
     probe); the final per-query top-k runs through the two-phase salted
     window so a hot query never serializes on one reducer.
     """
-    ws = F.filter(words(F.col(text_col)), lambda w: w != F.lit(""))
+    ws = nonempty_words(F.col(text_col))
     toks = docs.select(
         F.col(id_col), F.size(ws).alias("_dl"), F.explode(ws).alias("term")
     )
@@ -201,7 +214,7 @@ def bm25_topk(
     qterms = queries.select(
         "query_id",
         F.explode(
-            F.filter(words(F.col("query")), lambda w: w != F.lit(""))
+            nonempty_words(F.col("query"))
         ).alias("term"),
     ).distinct()
     qterm_set = qterms.select("term").distinct()

@@ -59,6 +59,10 @@ def with_rolling(
     (inclusive of current) — the lag/lead/rolling surface of the north rule.
     Hop/window analog: window_rows=F//H reproduces the reference's
     overlapping-frame coverage at the row level."""
+    if window_rows < 1:
+        # rowsBetween(1, 0) is an inverted frame that fails deep in
+        # Catalyst analysis with a confusing error — fail at the call site
+        raise ValueError(f"window_rows must be >= 1 (got {window_rows})")
     w = _w(key_cols, order_col).rowsBetween(-(window_rows - 1), 0)
     p = prefix or f"{value_col}_roll{window_rows}"
     fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
@@ -122,16 +126,21 @@ def sessionize(
     beat segmentation, utils/audio.py:79-91). session_id is 0-based per key.
 
     Two window passes over ONE shuffle+sort (same partitioning/ordering, so
-    Spark reuses the sort)."""
-    w = _w(key_cols, ts_col)
-    prev = F.lag(ts_col).over(w)  # gap depends on ts only; ties => gap 0, stable
-    gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
-        prev.cast("timestamp")
-    )
+    Spark reuses the sort).
+
+    The window ORDERS BY the same cast-to-micros expression the gap is
+    measured on — ordering by the raw column while measuring cast values
+    silently scrambles sessions for any ts representation whose raw sort
+    is not chronological (e.g. numeric-epoch strings: '999999' sorts
+    after '1000000'). Identical ordering for timestamp-typed input."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(ts_us)
+    prev_us = F.lag(ts_us).over(w)  # gap depends on ts only; ties => gap 0
+    gap = ts_us - prev_us
     is_new = F.when(
-        prev.isNull() | (gap > F.lit(_gap_us(gap_seconds))), F.lit(1)
+        prev_us.isNull() | (gap > F.lit(_gap_us(gap_seconds))), F.lit(1)
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
+    run = Window.partitionBy(*key_cols).orderBy(ts_us).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return df.withColumn(session_col, F.sum(is_new).over(run) - 1)
@@ -176,13 +185,14 @@ def session_tempo(
     extra shuffle that re-derived what the lag already knew."""
     from .aggregates import tempo_from_boundaries_expr
 
-    w = _w(key_cols, ts_col)
-    prev = F.lag(ts_col).over(w)
-    gap = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
-        prev.cast("timestamp")
-    )
+    # order by the SAME cast-to-micros expression the gap is measured on
+    # (see sessionize)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(ts_us)
+    prev_us = F.lag(ts_us).over(w)
+    gap = ts_us - prev_us
     boundaries = df.withColumn(
-        "_is_new", prev.isNull() | (gap > F.lit(_gap_us(gap_seconds)))
+        "_is_new", prev_us.isNull() | (gap > F.lit(_gap_us(gap_seconds)))
     ).filter(F.col("_is_new"))
     bounds = boundaries.groupBy(*key_cols).agg(
         F.sort_array(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import words
+from ..functions.text import nonempty_words, words
 
 
 def tfidf_top_terms(
@@ -85,7 +85,7 @@ def bigram_surprisal(
     partitioning-dependent, integer sums are not, so the score is
     bit-stable at any scale; the single float division by n_bigrams
     happens once per doc on the exact integer sum."""
-    cw = F.filter(words(F.col(text_col)), lambda x: x != "")
+    cw = nonempty_words(F.col(text_col))
     base = df.select(F.col(id_col), cw.alias("_ws"))
     n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
     bg = base.select(

@@ -185,3 +185,72 @@ def test_slice_time_range_negative_start_fails_loud(spark):
     df = spark.createDataFrame([("a", [1, 2, 3])], "doc_id string, tokens array<int>")
     with pytest.raises(ValueError, match="start_sec"):
         slice_time_range(df, start_sec=-1.0)
+
+
+def test_sessionize_orders_by_measured_time_not_raw_column(spark):
+    """Gap measurement and window ordering must use the SAME cast-to-
+    micros expression: numeric-epoch strings sort lexicographically
+    ('999999' > '1000000') and previously scrambled sessions."""
+    from audiopro_essentia_spark.operators.temporal import sessionize
+
+    rows = [("u", "1970-01-01 00:00:09"), ("u", "1970-01-01 00:00:10"),
+            ("u", "1970-01-01 02:00:00")]
+    df = spark.createDataFrame(rows, "user_id string, ts string")
+    out = sessionize(df, ("user_id",), "ts", gap_seconds=1800).collect()
+    by_ts = {r.ts: r.session_id for r in out}
+    assert by_ts["1970-01-01 00:00:09"] == by_ts["1970-01-01 00:00:10"] == 0
+    assert by_ts["1970-01-01 02:00:00"] == 1
+
+
+def test_asof_rejects_matched_ts_in_right_values(spark):
+    from audiopro_essentia_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 9, 5)], "k long, label_ts long, matched_ts long"
+    )
+    with pytest.raises(ValueError, match="matched_ts"):
+        asof_join(left, right, on=("k",), left_ts="ts", right_ts="label_ts")
+
+
+def test_flux_wrong_length_window_yields_null_not_crash(spark):
+    from audiopro_essentia_spark.operators.flux import spectral_flux
+
+    rows = [("d", 0, [1000] * 8), ("d", 1, [2000] * 5), ("d", 2, [3000] * 8)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, frame_idx int, window array<int>"
+    )
+    out = spectral_flux(df, frame_length=8).collect()
+    assert len(out) == 3  # no crash, every frame row survives
+
+
+def test_framing_and_rolling_param_guards(spark):
+    from audiopro_essentia_spark.operators.framing import frame_tokens
+    from audiopro_essentia_spark.operators.temporal import with_rolling
+
+    df = spark.createDataFrame(
+        [("d", [1, 2, 3, 4])], "doc_id string, tokens array<int>"
+    )
+    with pytest.raises(ValueError, match="hop"):
+        frame_tokens(df, frame_length=2, hop=0)
+    tdf = spark.createDataFrame([("d", 1, 1.0)], "doc_id string, ts int, x double")
+    with pytest.raises(ValueError, match="window_rows"):
+        with_rolling(tdf, "x", ("doc_id",), "ts", window_rows=0)
+
+
+def test_power_iteration_excludes_null_and_ragged_rows(spark):
+    """A NULL or short embedding must not bias mean_s (sum skips it,
+    count used to include it) nor crash element_at under ANSI."""
+    from audiopro_essentia_spark.operators.decomp import power_iteration
+
+    clean = [(i, [float(i), float(-i), 1.0, 0.5]) for i in range(1, 9)]
+    df_clean = spark.createDataFrame(
+        clean, "vec_id long, embedding array<double>"
+    )
+    dirty = clean + [(100, None), (101, [1.0, 2.0])]
+    df_dirty = spark.createDataFrame(
+        dirty, "vec_id long, embedding array<double>"
+    )
+    w_clean = power_iteration(df_clean, dim=4, n_iter=1)
+    w_dirty = power_iteration(df_dirty, dim=4, n_iter=1)
+    assert w_dirty == w_clean  # corrupt rows contribute nothing
