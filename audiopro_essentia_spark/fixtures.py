@@ -41,9 +41,21 @@ def make_sequences(
 ) -> pa.Table:
     """Build the sequences table as a pyarrow Table.
 
-    profile='tiny': the 8 deterministic edge docs (unit tests).
-    profile='small'/'bench': n_docs docs, n_tok ~ U[2048, 2*avg_n_tok-2048],
-    plus the 4 special edge rows (all-zero, clipping, empty, hot-key long doc).
+    profile='tiny': the 8 deterministic edge docs (unit tests) PLUS the
+    4 special edge rows (all-zero, clipping, empty, hot-key long doc) —
+    the edge rows exist in the TINY profile only.
+    profile='small'/'bench': n_docs random docs,
+    n_tok ~ U[2048, 2*avg_n_tok-2048], NO edge rows — deliberately: the
+    bench corpus is the recorded-throughput input (seed 42,
+    267,216,271 tokens at the headline geometry) and must stay
+    byte-stable across rounds; quarantine/ferror/skew paths are
+    exercised by the tiny profile and the unit suite, not at bench
+    scale.
+
+    Generated token domain is [-32768, 32766] (rng.integers' exclusive
+    upper bound — kept as-is for the same byte-stability reason); the
+    maximum value 32767 appears via the tiny profile's clipping edge
+    doc.
     """
     rng = np.random.default_rng(SEED)
     doc_ids: list[str] = []

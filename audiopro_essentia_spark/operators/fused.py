@@ -100,15 +100,14 @@ def fused_frame_features(
                     # the same row via framing's F.size filter.
                     continue
                 toks = np.asarray(raw)
-                if toks.dtype == object:
-                    # a null ELEMENT inside the array surfaces as an
-                    # object-dtype array; astype would throw an opaque
-                    # TypeError deep in the kernel — name the contract
-                    raise ValueError(
-                        "tokens array with NULL elements for doc_id="
-                        f"{pdf['doc_id'].iloc[i]!r} (contract: array<int> "
-                        "values must be non-null)"
-                    )
+                # NULL ELEMENTS inside the array: pyarrow converts a
+                # list<int> with nulls to a float64 array carrying NaN
+                # (measured — NOT an object-dtype array, so a dtype check
+                # here would be dead code). The NaN flows into the kernel
+                # where the nonfinite check tags every frame of the doc
+                # ferror='nonfinite_frame' with NULL features — per-frame
+                # quarantine, same channel as non-finite input, and the
+                # doc profile marks the doc 'nonfinite'.
                 n = len(toks) - (len(toks) % 2)  # odd-trim
                 if n < frame_length:
                     continue

@@ -196,8 +196,11 @@ def chroma_fold(
             # of a 12-pass loop — ~12x less transcendental work; this
             # IS the kernel's hot path at F=2048.
             lo = np.minimum(np.floor(smod), 11.0)
-            hi_f = np.where(lo >= 11.0, 0.0, lo + 1.0)
-            for pc_f in (lo, hi_f):
+            # pc_hi, NOT hi_f: that name is the chroma upper FREQUENCY
+            # gate in the enclosing scope — shadowing it here is a
+            # wrong-variable trap for any future edit below this loop
+            pc_hi = np.where(lo >= 11.0, 0.0, lo + 1.0)
+            for pc_f in (lo, pc_hi):
                 d = np.abs(smod - pc_f)
                 d = np.minimum(d, 12.0 - d)
                 w = np.cos(w_half_pi * d) ** 2
@@ -262,12 +265,15 @@ def _kernel_batch(
     # and re-reads 4 MB per 256-chunk); same f64 values to ~1 ulp — the
     # oracle gate is allclose/round-6, which already absorbs
     # accumulation-order differences (the DuckDB twin sums in a different
-    # order than pocketfft to begin with).
-    rms = np.sqrt(np.einsum("bf,bf->b", W64, W64) / float(frame_length))
-    if "rms" in fset:
-        out["rms"] = rms
-    if "volume" in fset:
-        out["volume"] = 20.0 * np.log10(rms + EPS)
+    # order than pocketfft to begin with). Gated on the feature set
+    # (P1/P2 pushdown): a spectral-only request must not pay a full W64
+    # pass for a discarded rms.
+    if fset & {"rms", "volume"}:
+        rms = np.sqrt(np.einsum("bf,bf->b", W64, W64) / float(frame_length))
+        if "rms" in fset:
+            out["rms"] = rms
+        if "volume" in fset:
+            out["volume"] = 20.0 * np.log10(rms + EPS)
     if "zero_crossing_rate" in fset:
         sb = np.signbit(X)
         out["zero_crossing_rate"] = np.mean(sb[:, 1:] != sb[:, :-1], axis=1)

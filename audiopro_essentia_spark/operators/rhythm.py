@@ -25,10 +25,16 @@ re-specification of multi-feature beat tracking over a token signal:
      re-estimation, utils/audio.py:82-89), else 0.0
      (controller.py:179-184).
 
-Exactness note (why the DuckDB twin can hash-match): energies, fluxes,
-and autocorrelation terms are sums/products of rationals with
-power-of-two denominators whose numerators stay far below 2^52, so every
-engine computes bit-identical values in ANY summation order.
+Exactness note (why the DuckDB twin can hash-match): energies and fluxes
+are sums of rationals with power-of-two denominators whose numerators
+stay far below 2^52 — bit-identical in ANY summation order. The
+AUTOCORRELATION stage is weaker: flux PRODUCTS need up to ~2x the flux
+bit-width, so the r[L] sums round, and np.dot's BLAS accumulation order
+differs from the twin's sequential sum. Cross-engine argmax therefore
+agrees except when two lags are mathematically tied within ~1 ulp (an
+exactly periodic signal engineered to tie) — not exercised by the
+fixtures, and a 1-ulp r difference cannot move argmax otherwise. The
+downstream round-6 outputs are stable for any untied corpus.
 
 The same algorithm exists in the numpy oracle (oracle_rhythm) for parity
 tests. Per-doc state never crosses docs — one shuffle on doc_id, then pure

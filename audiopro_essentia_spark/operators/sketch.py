@@ -58,7 +58,12 @@ def hll_registers(
     — the only shuffle; register count per group is bounded by 2^p.
 
     Mergeability: registers from disjoint shards/epochs union via
-    groupBy(grp, reg_idx).agg(max(reg)) — no raw-data re-read."""
+    groupBy(grp, reg_idx).agg(max(reg)) — no raw-data re-read.
+
+    NULL values are IGNORED (COUNT(DISTINCT) semantics): md5(NULL) would
+    otherwise create a phantom NULL-register row that count() counts but
+    the dyadic sum skips, biasing the estimate. A group whose values are
+    all NULL therefore emits no row."""
     if not 7 <= p <= 16:
         # the m >= 128 alpha constant below is wrong for smaller m
         # (Flajolet et al. tabulate alpha_16/32/64 separately)
@@ -67,7 +72,8 @@ def hll_registers(
     h = portable_hash32(value)
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     return (
-        df.select(
+        df.where(value.isNotNull())
+        .select(
             g.alias("grp"),
             F.shiftright(h, width).cast("int").alias("reg_idx"),
             _rho(h.bitwiseAND(F.lit((1 << width) - 1)), width).alias("_rho"),

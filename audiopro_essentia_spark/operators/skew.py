@@ -63,16 +63,19 @@ def salted_agg(
         final_aggs.append(F.sum("_cnt").alias("n_rows"))
     out = partial.groupBy(*key_cols).agg(*final_aggs)
     for c in sums:
-        if counts:
-            # SQL-AVG semantics: sum over NON-NULL count (NULL when the
-            # group has no non-null values, exactly like F.avg)
-            out = out.withColumn(
-                f"avg_{c}",
-                F.when(
-                    F.col(f"_nncnt_{c}") > 0,
-                    F.col(f"sum_{c}") / F.col(f"_nncnt_{c}"),
-                ),
-            )
+        # SQL-AVG semantics: sum over the per-column NON-NULL count
+        # (NULL when the group has no non-null values, exactly like
+        # F.avg). Unconditional: avg derives from _nncnt (always
+        # computed), NOT from the counts=True row count — gating it on
+        # `counts` silently dropped the documented avg columns while
+        # still paying for their partial aggregates
+        out = out.withColumn(
+            f"avg_{c}",
+            F.when(
+                F.col(f"_nncnt_{c}") > 0,
+                F.col(f"sum_{c}") / F.col(f"_nncnt_{c}"),
+            ),
+        )
     return out.drop(*[f"_nncnt_{c}" for c in sums])
 
 

@@ -254,3 +254,35 @@ def test_power_iteration_excludes_null_and_ragged_rows(spark):
     w_clean = power_iteration(df_clean, dim=4, n_iter=1)
     w_dirty = power_iteration(df_dirty, dim=4, n_iter=1)
     assert w_dirty == w_clean  # corrupt rows contribute nothing
+
+
+def test_hll_ignores_null_values(spark):
+    """COUNT(DISTINCT) semantics: NULL values contribute no register —
+    previously md5(NULL) made a phantom row that count() counted but the
+    dyadic sum skipped, biasing the estimate."""
+    from audiopro_essentia_spark.operators.sketch import hll_distinct
+
+    rows = [("a", "x"), ("a", "y"), ("a", None), ("b", None)]
+    df = spark.createDataFrame(rows, "source string, w string")
+    got = {r.source: r for r in hll_distinct(df, F.col("w"), p=7).collect()}
+    assert "b" not in got  # all-NULL group emits no row
+    clean = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], "source string, w string"
+    )
+    want = hll_distinct(clean, F.col("w"), p=7).collect()[0]
+    assert got["a"].estimate == want.estimate
+    assert got["a"].n_reg_nonzero == want.n_reg_nonzero
+
+
+def test_salted_agg_avg_without_counts(spark):
+    """avg_<c> derives from the per-column non-null count and must be
+    emitted whenever sums are requested — counts=False used to silently
+    drop the documented avg columns while still computing their partial
+    aggregates."""
+    from audiopro_essentia_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", 3.0), ("k", None)], "g string, v double"
+    )
+    out = salted_agg(df, ("g",), sums=("v",), counts=False).collect()[0]
+    assert out.sum_v == 4.0 and out.avg_v == 2.0  # SQL AVG: non-null mean
