@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# synthesized sequences scale per SF tier: ~8k tokens/doc average
+# synthesized sequences scale per SF tier: ~32k tokens/doc average
+# (avg_n_tok=32768 in run_token_pipeline — recorded in the cache marker)
 N_DOCS = {"sf0.001": 64, "sf0.01": 256, "sf0.1": 1024}
 
 # max allowed max/min spread across timed samples of one measurement;
@@ -138,11 +139,22 @@ def run_token_pipeline(spark, tmp_dir: str, n_docs: int) -> dict:
     from audiopro_essentia_spark.plans.pipeline import analyze_sequences
 
     seq_path = os.path.join(tmp_dir, "sequences.parquet")
-    if not os.path.exists(seq_path):
+    # completion marker written LAST: guarding on sequences.parquet alone
+    # bricked the cache if a prior run died between the two writes, and
+    # said nothing about the corpus params (the marker records them, so a
+    # param drift rebuilds instead of silently benchmarking a stale corpus)
+    params = f"n_docs={n_docs},avg_n_tok=32768,per_doc=5,profile=bench"
+    marker = os.path.join(tmp_dir, "_complete")
+    fresh = (
+        os.path.exists(marker) and open(marker).read().strip() == params
+    )
+    if not fresh:
         tbl = make_sequences(n_docs=n_docs, profile="bench", avg_n_tok=32768)
         pq.write_table(tbl, seq_path, row_group_size=32)
         ids = tbl.column("doc_id").to_pylist()
         pq.write_table(make_labels(ids, per_doc=5), os.path.join(tmp_dir, "labels.parquet"))
+        with open(marker, "w") as fh:
+            fh.write(params)
 
     seqs_meta = spark.read.parquet(seq_path)
     n_seq = seqs_meta.count()
@@ -257,7 +269,12 @@ def main() -> None:
         from tools_bw_profile import aggregate_bw
 
         bw_agg8 = round(aggregate_bw(8, dur=2.0), 2)
-    except Exception:
+    except Exception as e:
+        # conservative: without the aggregate probe the detector degrades
+        # to the single-thread signal r4 measured reading 'quiet' while
+        # the 8-proc bus was crushed — so a missing probe must mark the
+        # artifact contended, never silently clean
+        print(f"WARN: aggregate_bw probe failed ({e!r})", file=sys.stderr)
         bw_agg8 = None
     out = {
         "metric": "tokens/sec feature-engineering throughput (flagship token pipeline) + headline query wall-clock",
@@ -272,7 +289,8 @@ def main() -> None:
         # tokens/sec is NOT comparable to quiet-window records when true
         # (the bandwidth-bound kernel slows 3-4x; light queries don't)
         "bandwidth_contended": min(bw_pre, bw_post) < BW_CONTENDED_GBPS
-        or (bw_agg8 is not None and bw_agg8 < 6.0),
+        or bw_agg8 is None  # probe failure -> conservative contended
+        or bw_agg8 < 6.0,
         "pipeline": pipe,
         "cpus": CPUS,
     }

@@ -53,6 +53,22 @@ def canon(v):
             return (0, "num", round(float(v), 9))
     except ImportError:
         pass
+    if isinstance(v, dict):
+        # DuckDB structs fetch as dicts; Spark Rows are tuple subclasses
+        # and hit the list branch — canonicalize BOTH to the sorted
+        # (key, value) form so struct columns compare by content instead
+        # of always mismatching (or TypeError-ing inside sorted())
+        return (
+            0,
+            "struct",
+            tuple((k, canon(x)) for k, x in sorted(v.items())),
+        )
+    if hasattr(v, "asDict"):  # pyspark Row (incl. nested struct values)
+        return (
+            0,
+            "struct",
+            tuple((k, canon(x)) for k, x in sorted(v.asDict().items())),
+        )
     if isinstance(v, (list, tuple)):
         return (0, "list", tuple(canon(x) for x in v))
     return (0, type(v).__name__, v)
@@ -81,8 +97,12 @@ def type_problems(res):
     bad = []
     for col, typ in zip(res.columns, res.types):
         t = str(typ).upper()
-        if t.startswith("LIST") or t.startswith("STRUCT"):
-            continue  # element values are compared recursively by canon()
+        # DuckDB renders list types as 'DOUBLE[]', structs as
+        # 'STRUCT(...)' — element values are compared recursively by
+        # canon(), so these are not dtype hazards themselves (their
+        # ELEMENT types would be, but fetchall already normalizes them)
+        if t.endswith("[]") or t.startswith("STRUCT") or t.startswith("LIST"):
+            continue
         if t not in _SAFE_DUCK_TYPES:
             bad.append(f"{col}:{t}")  # HUGEINT, DECIMAL(...), UHUGEINT, ...
     return bad
@@ -107,8 +127,9 @@ def compare_one(spark, con, name, qfn, sql, sf_dir):
         a = rows_to_set([c.lower() for c in scols], srows)
         b = rows_to_set([c.lower() for c in dcols], drows)
         if a != b:
-            diff_a = [r for r in a if r not in set(b)][:3]
-            diff_b = [r for r in b if r not in set(a)][:3]
+            sb, sa = set(b), set(a)  # hoisted: per-row set() was O(n^2)
+            diff_a = [r for r in a if r not in sb][:3]
+            diff_b = [r for r in b if r not in sa][:3]
             problems.append(f"values: spark-only={diff_a} duck-only={diff_b}")
     return problems, len(srows)
 
@@ -123,13 +144,23 @@ def main():
     con = duck_con(sf_dir)
     qs = E.queries()
     oracles = E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd query name must not produce a silent 'ALL OK []'
+        print(f"UNKNOWN query names (not in queries()): {sorted(unknown)}")
+        return 2
     failed = []
     for name, qfn in qs.items():
         if only and name not in only:
             continue
         if name not in oracles:
             try:
-                n = qfn(spark, sf_dir).count()
+                df = qfn(spark, sf_dir)
+                # noop write forces EVERY column: count() would let
+                # Catalyst prune a broken Python-UDF subtree and print a
+                # vacuous green (the CLAUDE.md count() trap)
+                df.write.format("noop").mode("overwrite").save()
+                n = df.count()
                 print(f"  {name:<20} rows-only: {n} rows")
             except Exception as e:
                 print(f"  {name:<20} ERROR {type(e).__name__}: {str(e)[:200]}")
