@@ -977,6 +977,61 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct(bg, F.col("bigram"), group_col="source", p=7)
 
 
+CMS_D, CMS_W = 3, 256
+CMS_QUERY_WORDS = (
+    # audit terms spanning the corpus frequency range, plus two absent
+    # tokens (their exact count is 0; any nonzero estimate is pure
+    # collision overcount — the one-sided error made visible)
+    "join", "hash", "vector", "window", "spark", "merge", "filter",
+    "stream", "batch", "group", "table", "key", "zzqx", "notaword9",
+)
+
+
+def q_cms_freq(spark, sf_dir):
+    """Sketching: per-source Count-Min frequency estimates for a fixed
+    audit-term list vs their exact counts (operators/sketch.py
+    cms_registers/cms_estimate) — the mergeable FREQUENCY monitor next
+    to hll_distinct's cardinality sketch. The register build is the only
+    corpus-scale pass (ONE map-side-combinable groupBy, <= sources*d*w
+    rows out); the exact-count companion runs on the broadcast-filtered
+    audit terms only, never the full vocabulary. d=3/w=256 is sized so
+    the demo shows real collisions (overcount > 0 on some terms) while
+    the min-over-rows bound stays obviously tight; estimates are exact
+    BIGINTs end-to-end, so the twin is hash-identical by construction."""
+    from audiopro_essentia_spark.operators.sketch import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    tok = d.select(
+        F.coalesce(F.col("source").cast("string"), F.lit("__null__")).alias(
+            "source"
+        ),
+        F.explode(ws).alias("word"),
+    )
+    regs = cms_registers(
+        tok, F.col("word"), group_col="source", d=CMS_D, w=CMS_W
+    )
+    qdf = spark.createDataFrame([(w,) for w in CMS_QUERY_WORDS], "word string")
+    est = cms_estimate(regs, qdf, query_col="word", d=CMS_D, w=CMS_W)
+    exact = (
+        tok.where(F.col("word").isin(*CMS_QUERY_WORDS))
+        .groupBy(F.col("source").alias("grp"), "word")
+        .agg(F.count(F.lit(1)).alias("_exact"))
+    )
+    return est.join(exact, ["grp", "word"], "left").select(
+        F.col("grp").alias("source"),
+        "word",
+        F.col("cms_count").cast("long").alias("cms_count"),
+        F.coalesce(F.col("_exact"), F.lit(0)).cast("long").alias("exact_count"),
+        (F.col("cms_count") - F.coalesce(F.col("_exact"), F.lit(0)))
+        .cast("long")
+        .alias("overcount"),
+    )
+
+
 def q_kl_drift(spark, sf_dir):
     """Monitoring: per-source lexical KL divergence vs the rest of the
     corpus over the global top-500 words, each term rounded once to
@@ -1745,7 +1800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- core framing / temporal / join surface -------------------
         "pit_assembly": q_pit_assembly,
         # -- kernel / spectral surface (f32 path touched in r4) --------
-        "kernel_features": q_kernel_features,
         "kernel_full_geometry": q_kernel_full_geometry,
         "mfcc_delta": q_mfcc_delta,
         "seq_metadata": q_seq_metadata,
@@ -1764,6 +1818,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_drift": q_kl_drift,
         "zipf_slope": q_zipf_slope,
         "source_overlap": q_source_overlap,
+        # late-r4: cms_freq's slot came from kernel_features (r1+r3
+        # double-green; the r4 kernel memory path stays driver-checked
+        # in-window via fused_pipeline / kernel_full_geometry /
+        # mfcc_delta / spectral_flux / spectral_contrast)
+        "cms_freq": q_cms_freq,
         # -- round-4 promotions (single driver check, r2 only) --------
         "tfidf": q_tfidf,
         "repetition": q_repetition,
@@ -1806,7 +1865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # resolved as environment in BENCH/BASELINE.md), kmeans /
         # pack_shards (r2 rows-green + r3 hash-green), rhythm (r1+r3
         # double-green; its flux/onset path is untouched by the r4
-        # kernel-batch changes — slot yielded to source_overlap)
+        # kernel-batch changes — slot yielded to source_overlap),
+        # kernel_features (r1+r3 double-green — slot yielded to
+        # cms_freq; the r4 kernel rewrite keeps five in-window rows)
+        "kernel_features": q_kernel_features,
         "rhythm": q_rhythm,
         "incremental_dedup": q_incremental_dedup,
         "kmeans": q_kmeans,
@@ -2288,6 +2350,7 @@ SELECT * FROM (
         "kmeans": DT.kmeans_sql(k=8, dim=64),
         "semantic_dedup": DT.semantic_dedup_sql(k=8, dim=64, threshold=0.95),
         "hll_distinct": DT.hll_sql(p=7),
+        "cms_freq": DT.cms_sql(words=CMS_QUERY_WORDS, d=CMS_D, w=CMS_W),
         "source_overlap": DT.source_overlap_sql(ngram=3),
         "kl_drift": DT.kl_sql(top_n=500),
         "zipf_slope": DT.zipf_sql(top_n=200),

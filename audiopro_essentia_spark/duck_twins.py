@@ -1285,6 +1285,57 @@ FROM e
 """
 
 
+def cms_sql(
+    words: tuple[str, ...],
+    d: int = 3,
+    w: int = 256,
+    table: str = "documents",
+) -> str:
+    """Twin of operators/sketch.cms_registers + cms_estimate over
+    per-source WORDS, joined with the exact counts of the audit terms
+    (q_cms_freq). Every quantity is an exact BIGINT — the same portable
+    md5 hash halves (h_j = hash32(j || ':' || word) % w, hv >= 0 so
+    `%` == Spark pmod), register sums, and min-over-rows estimate — so
+    the hash match needs no rounding at all. COUNT(*)/SUM casts to
+    BIGINT per the HUGEINT rule."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2 (got d={d}, w={w})")
+    qvals = ", ".join("('" + x.replace("'", "''") + "')" for x in words)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w <> ''),
+js AS (SELECT CAST(unnest(generate_series(0, {d - 1})) AS INT) AS row_j),
+regs AS MATERIALIZED (
+  SELECT grp, row_j,
+         CAST(('0x' || substr(md5(CAST(row_j AS VARCHAR) || ':' || word), 1, 8))::BIGINT
+              % {w} AS INT) AS col,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok CROSS JOIN js GROUP BY 1, 2, 3),
+qs AS (SELECT * FROM (VALUES {qvals}) AS q(word)),
+probes AS (
+  SELECT q.word, j.row_j,
+         CAST(('0x' || substr(md5(CAST(j.row_j AS VARCHAR) || ':' || q.word), 1, 8))::BIGINT
+              % {w} AS INT) AS col
+  FROM qs q CROSS JOIN js j),
+spine AS (SELECT DISTINCT grp FROM regs),
+est AS (
+  SELECT s.grp, p.word,
+         CAST(MIN(coalesce(r.cnt, 0)) AS BIGINT) AS cms_count
+  FROM spine s CROSS JOIN probes p
+  LEFT JOIN regs r ON r.grp = s.grp AND r.row_j = p.row_j AND r.col = p.col
+  GROUP BY 1, 2),
+exact AS (
+  SELECT grp, word, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok WHERE word IN (SELECT word FROM qs) GROUP BY 1, 2)
+SELECT est.grp AS source, est.word, est.cms_count,
+       coalesce(exact.exact_count, CAST(0 AS BIGINT)) AS exact_count,
+       CAST(est.cms_count - coalesce(exact.exact_count, 0) AS BIGINT) AS overcount
+FROM est LEFT JOIN exact ON est.grp = exact.grp AND est.word = exact.word
+"""
+
+
 def kl_sql(top_n: int = 500, eps: float = 1e-9, table: str = "documents") -> str:
     """Twin of aggregates.source_kl_divergence: per-source lexical KL vs
     rest-of-corpus over the global top-N words; per-term micro-nat

@@ -1,4 +1,5 @@
-"""Deterministic cardinality sketching — HyperLogLog over a portable hash.
+"""Deterministic mergeable sketches over a portable hash — HyperLogLog
+(cardinality) and Count-Min (frequency).
 
 The missing sketch family for a 100-TB curation pipeline: exact
 `COUNT(DISTINCT)` over web-scale token streams needs a full shuffle of
@@ -43,6 +44,128 @@ def _rho(rem: Column, width: int) -> Column:
         F.when(rem == 0, F.lit(width + 1))
         .otherwise(F.lit(width + 1) - F.length(F.bin(rem)))
         .cast("int")
+    )
+
+
+def cms_registers(
+    df: DataFrame,
+    value: Column,
+    group_col: str = "source",
+    d: int = 4,
+    w: int = 1024,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Count-Min Sketch register table: (grp, row_j, col, cnt) — the
+    mergeable FREQUENCY companion of hll_registers (cardinality). Each
+    occurrence of `value` adds its weight (default 1) to counter
+    (j, h_j(value) mod w) for j in 0..d-1; estimates are one-sided
+    (never under the true count — Cormode & Muthukrishnan 2005, "An
+    improved data stream summary: the count-min sketch and its
+    applications").
+
+    Scale shape: the d-row expansion happens BEFORE the hash aggregate,
+    so Spark's map-side partial aggregation collapses each task's
+    contribution to <= n_groups*d*w rows — the only shuffle carries
+    bounded sketch state, never the vocabulary (contrast an exact
+    per-word count: a full-vocab shuffle at 100 TB). Sketches from
+    disjoint shards/epochs merge by register-wise SUM (counts are
+    linear), so per-shard sketches union without re-reading data.
+
+    Determinism: h_j = portable 32-bit md5 of `j || ':' || value`
+    (byte-identical in DuckDB), column via integer mod — every register
+    is an exact BIGINT; no float enters the sketch at all.
+
+    NULL values are IGNORED (the hll_registers contract): a NULL
+    occurrence is not a countable item, and md5(NULL) would silently
+    drop the row anyway — filtered explicitly so the semantics are
+    declared, not incidental."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2 (got d={d}, w={w})")
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    wt = (weight if weight is not None else F.lit(1)).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_j"),
+                F.pmod(
+                    portable_hash32(
+                        F.concat(F.lit(f"{j}:"), value.cast("string"))
+                    ),
+                    F.lit(w),
+                )
+                .cast("int")
+                .alias("col"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.where(value.isNotNull())
+        .select(g.alias("grp"), wt.alias("_wt"), F.explode(rows).alias("_rc"))
+        .groupBy("grp", F.col("_rc.row_j").alias("row_j"), F.col("_rc.col").alias("col"))
+        .agg(F.sum("_wt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    registers: DataFrame,
+    queries: DataFrame,
+    query_col: str = "word",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates from a cms_registers table: for every
+    (grp, query) pair, estimate = min over the d rows of the counter the
+    query hashes into (absent counter = 0). Output:
+    (grp, query_col, cms_count).
+
+    `queries` is a small candidate list (audit terms, per-partition local
+    heavy-hitter union, a benchmark's eval vocabulary) — it expands to
+    d rows per term, crosses the DISTINCT group spine from the sketch,
+    and probes with one equi-join against the bounded register table, so
+    the probe cost is O(groups * d * |queries|) regardless of corpus
+    size. d and w must match the sketch's build parameters — a mismatch
+    probes the wrong registers and silently inflates estimates, so they
+    are explicit arguments, not defaults read off the table."""
+    if d < 1 or w < 2:
+        raise ValueError(f"need d >= 1 and w >= 2 (got d={d}, w={w})")
+    # the register table is consumed by TWO plan branches (the group
+    # spine and the probe join); without lineage truncation each branch
+    # re-runs the full corpus sketch pass — measured as a second
+    # FileScan+explode+aggregate in the physical plan (the CLAUDE.md
+    # multi-consumer rule). The sketch is bounded at groups*d*w rows,
+    # so the lazy checkpoint costs nothing next to the scan it removes;
+    # callers probing an already-materialized (persisted/read-back)
+    # sketch pay one no-op truncation.
+    registers = registers.localCheckpoint(eager=False)
+    qv = F.col(query_col).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_j"),
+                F.pmod(
+                    portable_hash32(F.concat(F.lit(f"{j}:"), qv)), F.lit(w)
+                )
+                .cast("int")
+                .alias("col"),
+            )
+            for j in range(d)
+        ]
+    )
+    probes = queries.where(qv.isNotNull()).select(
+        qv.alias(query_col), F.explode(rows).alias("_rc")
+    )
+    spine = registers.select("grp").distinct()
+    expanded = spine.crossJoin(F.broadcast(probes)).select(
+        "grp",
+        query_col,
+        F.col("_rc.row_j").alias("row_j"),
+        F.col("_rc.col").alias("col"),
+    )
+    return (
+        expanded.join(registers, ["grp", "row_j", "col"], "left")
+        .groupBy("grp", query_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_count"))
     )
 
 

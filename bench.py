@@ -118,6 +118,7 @@ BENCH_QUERIES = (
     "shard_manifest",
     "pack_nosplit",
     "hll_distinct",
+    "cms_freq",
     "kl_drift",
     "zipf_slope",
     "source_overlap",

@@ -235,3 +235,101 @@ def test_null_source_sentinel_in_monitoring_ops(spark):
         ).collect()
     }
     assert kl == zs == hl == {"__null__", "s1"}
+
+
+# ---------------------------------------------------------------- CMS ----
+
+
+def _mirror_cms(pairs, d, w):
+    """pairs: list of (grp, value). Mirrors cms_registers op-for-op."""
+    regs: dict[tuple, int] = {}
+    for g, v in pairs:
+        for j in range(d):
+            col = _h32(f"{j}:{v}") % w
+            regs[(g, j, col)] = regs.get((g, j, col), 0) + 1
+    return regs
+
+
+def test_cms_registers_match_python_mirror(spark):
+    from audiopro_essentia_spark.operators.sketch import cms_registers
+
+    pairs = [(f"g{i % 3}", f"word{i % 40}") for i in range(400)]
+    df = spark.createDataFrame(pairs, "source string, v string")
+    got = {
+        (r.grp, r.row_j, r.col): r.cnt
+        for r in cms_registers(df, F.col("v"), d=3, w=64).collect()
+    }
+    assert got == _mirror_cms(pairs, 3, 64)
+
+
+def test_cms_estimate_one_sided_and_tight(spark):
+    """CMS guarantee: estimate >= exact for every queried item, and with
+    w comfortably above the distinct count the min-over-d-rows estimate
+    is exact unless the mirror shows a collision in ALL d rows."""
+    from audiopro_essentia_spark.operators.sketch import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    d_rows, w = 4, 512
+    pairs = [("g", f"w{i % 25}") for i in range(250)]  # 10 each
+    exact = {f"w{i}": 10 for i in range(25)}
+    exact["absent"] = 0
+    df = spark.createDataFrame(pairs, "source string, v string")
+    regs = cms_registers(df, F.col("v"), d=d_rows, w=w)
+    qdf = spark.createDataFrame(
+        [(q,) for q in exact], "word string"
+    )
+    got = {
+        r.word: r.cms_count
+        for r in cms_estimate(regs, qdf, d=d_rows, w=w).collect()
+    }
+    mirror = _mirror_cms(pairs, d_rows, w)
+    for q, true_c in exact.items():
+        est = got[q]
+        assert est >= true_c  # one-sided, always
+        mirror_est = min(
+            mirror.get(("g", j, _h32(f"{j}:{q}") % w), 0)
+            for j in range(d_rows)
+        )
+        assert est == mirror_est  # and exactly the sketch's answer
+
+
+def test_cms_registers_merge_by_sum(spark):
+    """Counts are linear: per-shard sketches union by register-wise SUM
+    (the CMS analog of HLL's register-wise max)."""
+    from audiopro_essentia_spark.operators.sketch import cms_registers
+
+    a = [("g", f"t{i % 7}") for i in range(70)]
+    b = [("g", f"t{i % 11}") for i in range(110)]
+    df_a = spark.createDataFrame(a, "source string, v string")
+    df_b = spark.createDataFrame(b, "source string, v string")
+    df_u = spark.createDataFrame(a + b, "source string, v string")
+    merged = (
+        cms_registers(df_a, F.col("v"), d=2, w=32)
+        .unionByName(cms_registers(df_b, F.col("v"), d=2, w=32))
+        .groupBy("grp", "row_j", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_registers(df_u, F.col("v"), d=2, w=32)
+    got = {(r.row_j, r.col): r.cnt for r in merged.collect()}
+    want = {(r.row_j, r.col): r.cnt for r in whole.collect()}
+    assert got == want
+
+
+def test_cms_null_values_ignored_and_param_guards(spark):
+    from audiopro_essentia_spark.operators.sketch import (
+        cms_estimate,
+        cms_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", None), ("g", "a")], "source string, v string"
+    )
+    regs = cms_registers(df, F.col("v"), d=2, w=16)
+    total = sum(r.cnt for r in regs.collect())
+    assert total == 2 * 2  # two non-NULL occurrences x d rows
+    with pytest.raises(ValueError, match="d >= 1"):
+        cms_registers(df, F.col("v"), d=0, w=16)
+    with pytest.raises(ValueError, match="d >= 1"):
+        cms_estimate(regs, df.select(F.col("v").alias("word")), d=2, w=1)

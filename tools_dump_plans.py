@@ -59,6 +59,7 @@ NOTES = {
     "padding_waste": "ONE map-side-combinable groupBy over a 2-column scan; all pad math is exact integer expressions inside the aggregate",
     "pack_nosplit": "bucket-aligned greedy fold: ONE shuffle into id buckets + ONE FlatMapGroupsInPandas; no global state, no prefix-sum chain",
     "hll_distinct": "ONE map-side-combinable register groupBy (bounded at groups x 2^p rows); estimate math on the tiny aggregate; zero Python",
+    "cms_freq": "ONE map-side-combinable (grp,row,col) register groupBy (bounded at groups x d x w rows); audit-term probe is a broadcast d-row expansion against the bounded register table; exact-count companion runs only on the broadcast-filtered terms; all-integer, zero Python",
     "kl_drift": "head-restricted (group,word) count shuffle; top-N spine broadcast; exact BIGINT micro-nat sum",
     "zipf_slope": "per-group top-N via WindowGroupLimit pushdown; regression on exact integer sums, zero Python",
     "source_overlap": "distinct (source, shingle) projection; collect_set pair generation bounded by source count; exact BIGINT intersections, one round-6 division",
@@ -76,7 +77,7 @@ HEADLINE = (
     "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
     "span_scrub", "pca_power", "leak_split", "padding_waste",
     "pack_nosplit", "hll_distinct", "kl_drift", "zipf_slope",
-    "source_overlap",
+    "source_overlap", "cms_freq",
 )
 
 
