@@ -121,3 +121,48 @@ def test_msgpack_rejects_deep_nesting_and_bad_map_keys():
     # spec-legal map with an (unhashable) array key -> contract ValueError
     with pytest.raises(ValueError, match="map key"):
         unpackb(b"\x81\x90\xc0")
+
+
+def test_msgpack_property_roundtrip_and_fuzz():
+    """Property layer over the spec-pinned cases: (a) packb/unpackb is the
+    identity on arbitrary nested values built from every supported type;
+    (b) unpackb on arbitrary byte strings either decodes or raises the
+    documented ValueError — never IndexError/struct.error/RecursionError
+    (the quarantine contract callers rely on)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from audiopro_essentia_spark.functions.msgpack import packb, unpackb
+
+    scalars = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(1 << 63), max_value=(1 << 64) - 1),
+        st.floats(allow_nan=False),  # NaN != NaN breaks equality, not codec
+        st.text(max_size=80),
+        st.binary(max_size=80),
+    )
+    nested = st.recursive(
+        scalars,
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=6),
+            st.dictionaries(st.text(max_size=10), kids, max_size=6),
+        ),
+        max_leaves=25,
+    )
+
+    @settings(max_examples=150, suppress_health_check=[HealthCheck.too_slow])
+    @given(nested)
+    def roundtrip(v):
+        assert unpackb(packb(v)) == v
+
+    @settings(max_examples=300)
+    @given(st.binary(min_size=1, max_size=60))
+    def fuzz(raw):
+        try:
+            unpackb(raw)
+        except ValueError:
+            pass  # the one documented failure mode
+
+    roundtrip()
+    fuzz()
