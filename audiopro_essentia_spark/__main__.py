@@ -100,6 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     from .plans.pipeline import analyze_sequences
+    from .process import graceful_shutdown
     from .session import get_spark
     from .sources.sinks import CheckpointedWriter, validate_output_path
 
@@ -123,19 +124,24 @@ def main(argv: list[str] | None = None) -> int:
     # plumbed through), so the CLI inherits concrete per-file lineage and
     # the completion check instead of re-implementing the write block
     frame_fmt = "parquet" if args.format == "msgpack" else args.format
-    res = analyze_sequences(
-        spark,
-        args.input,
-        features=features,
-        frame_length=args.frame_length,
-        hop=args.hop,
-        start_sec=args.start,
-        end_sec=args.end,
-        out_dir=out_dir,
-        n_buckets=args.n_buckets,
-        fmt=frame_fmt,
-        error_budget_pct=args.error_budget_pct,
-    )
+    # SIGTERM/SIGINT stop the run at the writer's next atomic-commit
+    # boundary (reference utils/process.py graceful_shutdown): committed
+    # buckets stay durable, re-running the same CLI line resumes the rest
+    with graceful_shutdown() as stop_event:
+        res = analyze_sequences(
+            spark,
+            args.input,
+            features=features,
+            frame_length=args.frame_length,
+            hop=args.hop,
+            start_sec=args.start,
+            end_sec=args.end,
+            out_dir=out_dir,
+            n_buckets=args.n_buckets,
+            fmt=frame_fmt,
+            error_budget_pct=args.error_budget_pct,
+            stop_event=stop_event,
+        )
     stats = res["write_stats"]
     writer = CheckpointedWriter.from_meta(out_dir)
     if args.format == "msgpack":
@@ -147,6 +153,7 @@ def main(argv: list[str] | None = None) -> int:
     summary = {
         "output": out_dir,
         "format": args.format,
+        "stopped": stats.get("stopped", False),
         "committed": stats["committed"],
         "skipped": stats["skipped"],
         "total_rows": stats["total_rows"],

@@ -51,6 +51,7 @@ def analyze_sequences(
     fused: bool = True,
     cache_input: bool = False,
     min_partitions: int | None = None,
+    stop_event=None,
 ) -> dict[str, DataFrame]:
     """Build (and optionally write) the full analysis over a sequences table.
 
@@ -154,6 +155,10 @@ def analyze_sequences(
             # carries source file + snapshot id + row counts), not just
             # the root path; capped so one commit JSON stays small
             input_files=sorted(raw.inputFiles())[:1000],
+            # cooperative shutdown (process.graceful_shutdown): honored
+            # at the writer's atomic-commit boundaries; a stopped run is
+            # resumable exactly-once
+            stop_event=stop_event,
         )
         # completion check (reference extractor.py:285-289: warn < 97%):
         # expected frames from the accepted docs' n_tok via the count formula

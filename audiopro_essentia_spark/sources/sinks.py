@@ -177,6 +177,7 @@ class CheckpointedWriter:
         error_budget_pct: float | None = None,
         input_files: list[str] | None = None,
         max_failures: int | None = None,
+        stop_event=None,
     ) -> dict:
         """Write all pending (uncommitted) buckets in ONE partitionBy job,
         then ONE read-back aggregation for per-bucket row/error/category
@@ -194,6 +195,15 @@ class CheckpointedWriter:
         - an individual over-budget bucket is NOT committed (its data dir
           is uncommitted and will be rewritten idempotently on resume);
           more than max_failures such buckets aborts the job.
+
+        stop_event (anything with `is_set() -> bool`, e.g. the event
+        yielded by process.graceful_shutdown): a cooperative shutdown
+        request, honored at the two clean boundaries — before the write
+        job is launched, and between atomic bucket commits. Buckets
+        committed before the stop are durable exactly-once; the rest
+        stay uncommitted and the next write() resumes them idempotently
+        (reference utils/process.py:14-50 stop-flag contract). A stopped
+        run returns stats with stopped=True and never stamps _SUCCESS.
         """
         if "bucket" in df.columns:
             # silently overwriting a user column named 'bucket' would
@@ -214,6 +224,18 @@ class CheckpointedWriter:
                 "be silently disabled"
             )
         done = self.committed_buckets()
+        if stop_event is not None and stop_event.is_set():
+            # shutdown requested before any work: no Spark job, nothing
+            # committed — the caller's next run picks up where the last
+            # COMPLETED write left off
+            return {
+                "committed": [],
+                "skipped": sorted(done),
+                "failed_buckets": [],
+                "total_rows": 0,
+                "total_errors": 0,
+                "stopped": True,
+            }
         bucketed = df.withColumn(
             "bucket", F.pmod(F.hash(F.col(self.key_col)), F.lit(self.n_buckets))
         )
@@ -310,6 +332,7 @@ class CheckpointedWriter:
             "failed_buckets": [],
             "total_rows": 0,
             "total_errors": 0,
+            "stopped": False,
         }
         g_rows = sum(m["row_count"] for m in metrics.values())
         g_err = sum(m["error_count"] for m in metrics.values())
@@ -334,6 +357,12 @@ class CheckpointedWriter:
             else None
         )
         for b in pending:
+            if stop_event is not None and stop_event.is_set():
+                # clean boundary between atomic commits: what's committed
+                # stays; the rest (data already written, marker absent) is
+                # invisible and rewritten idempotently on resume
+                stats["stopped"] = True
+                break
             m = metrics[b]
             if (
                 error_budget_pct is not None

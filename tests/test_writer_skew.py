@@ -326,3 +326,71 @@ def test_salted_broadcast_join_plan_is_broadcast(spark):
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+class _StopAfter:
+    """Fake stop event: is_set() turns True after n checks — drives the
+    writer to a deterministic stop point without real signals (the
+    writer's contract is anything with is_set())."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def is_set(self):
+        self.n -= 1
+        return self.n < 0
+
+
+def test_writer_stop_event_between_commits_resumes_exactly_once(
+    spark, small_df, tmp_path
+):
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(out, n_buckets=4)
+    # checks: 1 before the write job + 1 per bucket commit -> n=2 stops
+    # after exactly ONE bucket committed
+    stats = w.write(small_df, stop_event=_StopAfter(2))
+    assert stats["stopped"] is True
+    assert len(stats["committed"]) == 1
+    assert not os.path.exists(os.path.join(out, "_SUCCESS.json"))
+    # resume with no stop: remaining three buckets commit, the stopped
+    # run's bucket is skipped untouched, read-back is exactly-once
+    stats2 = CheckpointedWriter(out, n_buckets=4).write(small_df)
+    assert stats2["stopped"] is False
+    assert sorted(stats2["committed"] + stats["committed"]) == [0, 1, 2, 3]
+    assert stats2["skipped"] == stats["committed"]
+    back = w.read(spark)
+    assert back.count() == 1000
+    assert back.select("doc_id", "v").distinct().count() == 1000
+    assert os.path.exists(os.path.join(out, "_SUCCESS.json"))
+
+
+def test_writer_stop_event_preset_runs_no_job(spark, small_df, tmp_path):
+    out = str(tmp_path / "out")
+    w = CheckpointedWriter(out, n_buckets=4)
+    ev = _StopAfter(0)  # already set
+    stats = w.write(small_df, stop_event=ev)
+    assert stats == {
+        "committed": [],
+        "skipped": [],
+        "failed_buckets": [],
+        "total_rows": 0,
+        "total_errors": 0,
+        "stopped": True,
+    }
+    # no Spark job ran: the (eagerly created) data dir has no bucket output
+    assert os.listdir(os.path.join(out, "data")) == []
+
+
+def test_graceful_shutdown_signal_sets_event_and_restores_handlers():
+    import signal
+
+    from audiopro_essentia_spark.process import graceful_shutdown
+
+    prev_term = signal.getsignal(signal.SIGTERM)
+    prev_int = signal.getsignal(signal.SIGINT)
+    with graceful_shutdown() as stop:
+        assert not stop.is_set()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert stop.wait(5.0)  # handler set the flag, process survived
+    assert signal.getsignal(signal.SIGTERM) is prev_term
+    assert signal.getsignal(signal.SIGINT) is prev_int
