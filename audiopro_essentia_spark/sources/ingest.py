@@ -130,8 +130,11 @@ def read_csv_quarantine(
 
 
 def ingest_stats(good: DataFrame, bad: DataFrame) -> dict:
-    """One-pass counts for lineage/monitoring (cached parse, so these two
-    counts do not re-read the source)."""
+    """Counts for lineage/monitoring. With the default cache=True readers
+    both counts share the one cached parse; on the cache=False JSON path
+    each count is its own text scan — by design (that mode trades two
+    pushdown scans for zero cache pressure), so call this only when the
+    audit is worth the extra pass."""
     n_good, n_bad = good.count(), bad.count()
     total = n_good + n_bad
     return {
