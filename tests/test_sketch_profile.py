@@ -333,3 +333,66 @@ def test_cms_null_values_ignored_and_param_guards(spark):
         cms_registers(df, F.col("v"), d=0, w=16)
     with pytest.raises(ValueError, match="d >= 1"):
         cms_estimate(regs, df.select(F.col("v").alias("word")), d=2, w=1)
+
+
+def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
+    """Integration pin of the sketches' mergeability claims on the REAL
+    streaming path: per-micro-batch HLL registers merged by max and CMS
+    registers merged by sum must equal the batch sketch over the whole
+    stream — the per-shard/epoch union contract both operators document,
+    exercised through foreachBatch instead of a hand-split DataFrame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from audiopro_essentia_spark.operators.sketch import cms_registers
+
+    rows = [(f"s{i % 3}", f"w{i % 50}") for i in range(600)]
+    tbl = pa.table(
+        {"source": [r[0] for r in rows], "v": [r[1] for r in rows]}
+    )
+    src = tmp_path / "stream"
+    src.mkdir()
+    pq.write_table(tbl.slice(0, 300), str(src / "p0.parquet"))
+    pq.write_table(tbl.slice(300), str(src / "p1.parquet"))
+    batch = spark.read.parquet(str(src))
+
+    got_hll, got_cms, epochs = [], [], []
+
+    def sink(bdf, eid):
+        epochs.append(eid)
+        got_hll.extend(hll_registers(bdf, F.col("v"), p=8).collect())
+        got_cms.extend(
+            cms_registers(bdf, F.col("v"), d=2, w=64).collect()
+        )
+
+    q = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert len(epochs) == 2  # the merge below must span real epochs
+
+    from collections import defaultdict
+
+    mh: dict = defaultdict(int)
+    for r in got_hll:
+        k = (r.grp, r.reg_idx)
+        mh[k] = max(mh[k], r.reg)
+    mc: dict = defaultdict(int)
+    for r in got_cms:
+        mc[(r.grp, r.row_j, r.col)] += r.cnt
+    want_h = {
+        (r.grp, r.reg_idx): r.reg
+        for r in hll_registers(batch, F.col("v"), p=8).collect()
+    }
+    want_c = {
+        (r.grp, r.row_j, r.col): r.cnt
+        for r in cms_registers(batch, F.col("v"), d=2, w=64).collect()
+    }
+    assert dict(mh) == want_h
+    assert dict(mc) == want_c
