@@ -405,6 +405,14 @@ def source_drift_psi(
         df.select(g.alias("grp"), b)
         .groupBy("grp", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # counts is the ONE corpus-scale shuffle and every downstream
+        # node (spine distinct, the left join, tot_g/tot_b/n_tot, the
+        # PSI fold) consumes it — without truncation each consumer
+        # re-ran the full corpus scan+aggregate (8 FileScans in the
+        # measured plan). The table is bounded at n_groups x n_buckets
+        # rows, so the lazy checkpoint is free next to the passes it
+        # removes; values are unchanged.
+        .localCheckpoint(eager=False)
     )
     spine = (
         counts.select("grp")
@@ -493,18 +501,45 @@ def source_kl_divergence(
         g.alias("grp"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     ).where(F.col("word") != "")
+    # three corpus passes TOTAL, each truncated where it becomes
+    # bounded: without the checkpoints every downstream consumer
+    # (spine, full, tot_g, n_tot, the term fold, the final join) re-ran
+    # the whole scan+explode subtree — 16 FileScans in the measured
+    # plan, i.e. 16 corpus passes at 100 TB for one monitor row per
+    # source. head is <= top_n rows, counts <= n_groups * top_n;
+    # checkpointing them is free next to the passes it removes.
     head = (
         tok.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
         .orderBy(F.desc("c_all"), F.asc("word"))
         .limit(top_n)
+        .localCheckpoint(eager=False)
     )
     counts = (
         tok.join(F.broadcast(head.select("word")), "word")
         .groupBy("grp", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    spine = tok.select("grp").distinct().crossJoin(F.broadcast(head))
+    # group spine without a third explode: a source has a row in tok
+    # iff at least one of its docs has a nonempty word — the same set,
+    # from a narrow scan (NULL text: size(NULL)=-1, excluded, matching
+    # explode-of-NULL; '' splits to [''] which filters empty)
+    has_word = (
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        )
+        > 0
+    )
+    # n_groups rows; checkpointed for the same reason — full's four
+    # consumers otherwise re-ran this narrow scan each
+    groups = (
+        df.where(has_word)
+        .select(g.alias("grp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spine = groups.crossJoin(F.broadcast(head))
     full = spine.join(counts, ["grp", "word"], "left").select(
         "grp",
         "word",

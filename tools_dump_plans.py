@@ -58,9 +58,10 @@ NOTES = {
     "leak_split": "near-dup clusters (min-label propagation, localCheckpoint-truncated) -> split keyed on CLUSTER id: sparse cluster table joins broadcast; the split is a narrow content-hash predicate",
     "padding_waste": "ONE map-side-combinable groupBy over a 2-column scan; all pad math is exact integer expressions inside the aggregate",
     "pack_nosplit": "bucket-aligned greedy fold: ONE shuffle into id buckets + ONE FlatMapGroupsInPandas; no global state, no prefix-sum chain",
+    "drift_psi": "ONE map-side-combinable (group,bucket) count shuffle, checkpoint-truncated at its n_groups x n_buckets output (spine/totals/PSI-fold consumers re-ran the corpus aggregate per reference before — 8 FileScans measured); exact micro-nat sum",
     "hll_distinct": "ONE map-side-combinable register groupBy (bounded at groups x 2^p rows); estimate math on the tiny aggregate; zero Python",
     "cms_freq": "ONE map-side-combinable (grp,row,col) register groupBy (bounded at groups x d x w rows); audit-term probe is a broadcast d-row expansion against the bounded register table; exact-count companion runs only on the broadcast-filtered terms; all-integer, zero Python",
-    "kl_drift": "head-restricted (group,word) count shuffle; top-N spine broadcast; exact BIGINT micro-nat sum",
+    "kl_drift": "THREE corpus passes total (global head count, head-restricted (group,word) count, narrow group spine), each checkpoint-truncated at its bounded output — downstream consumers re-ran the full scan+explode subtree per reference before (16 FileScans measured); exact BIGINT micro-nat sum",
     "zipf_slope": "per-group top-N via WindowGroupLimit pushdown; regression on exact integer sums, zero Python",
     "source_overlap": "distinct (source, shingle) projection; collect_set pair generation bounded by source count; exact BIGINT intersections, one round-6 division",
 }
