@@ -7,14 +7,22 @@ CLAUDE.md: ~8 concurrent workers saturate the shared VM) on identical
 input; efficiency = (T_N / T_4N) / (cores_4N / cores_N).
 
 Self-gating (the CLAUDE.md measurement rules, enforced in the artifact
-itself, not just by the operator): per-arm spread (max/min run time) > 2
-marks the session a steal episode; the AGGREGATE bandwidth probe at the
+itself, not just by the operator): the AGGREGATE bandwidth probe at the
 run's worker count (tools_bw_profile.aggregate_bw — the single-thread
-probe can read quiet while the multi-worker bus is crushed) is taken
-before AND after the runs. The JSON line carries `clean` = spreads <= 2
-AND both aggregate probes >= 5 GB/s; the markdown section is labeled
-accordingly. A contaminated run is still RECORDED (history the judge
-reads) but self-identifies as discard-grade.
+probe can read quiet while the multi-worker bus is crushed) is taken as
+a CHAIN — before the first run and after every run — so each individual
+run carries its own (pre, post) bus bracket. The bus on this host flaps
+on ~5-minute timescales, shorter than a full 6-run session, so
+session-level pre/post gating almost never passes even when most runs
+were quiet; per-run bracketing lets a partially-quiet window still
+yield admissible evidence. `clean` = each arm has >= 2 bracket-clean
+runs (the min-of-2 rule) AND the clean-run spread (max/min) <= 2 in
+each arm (catches CPU-steal episodes the bus probe can't see); the
+headline efficiency is then min-of-clean-runs per arm. A bracket can
+only miss contention that starts AND ends inside one ~10-35s run —
+far shorter than the observed flap period. A contaminated run is still
+RECORDED (history the judge reads) but self-identifies as
+discard-grade.
 
 Usage:  python bench_scaling.py [--n 2 --xn 8 --runs 3 --tmpdir DIR]
 Writes BENCH/BASELINE.md and prints one JSON line.
@@ -244,44 +252,81 @@ def main() -> None:
         probe_results[cores] = res["sec"]
         print(f"probe local[{cores}]: {res['sec']:.2f}s", file=sys.stderr)
 
-    # aggregate DRAM bandwidth AT the measured worker count, before and
-    # after (episodes arrive mid-session; the single-thread probe alone
-    # is documented-insufficient — it can read ~6 GB/s while the 8-proc
-    # aggregate is crushed <1). Probe count capped at 8: the bus
-    # saturates there and 8x256MiB keeps the probe itself cheap.
+    # aggregate DRAM bandwidth AT the measured worker count as a CHAIN —
+    # one probe before the first run, one after every run — so each run
+    # gets its own (pre, post) bus bracket (episodes arrive mid-session;
+    # the single-thread probe alone is documented-insufficient — it can
+    # read ~6 GB/s while the 8-proc aggregate is crushed <1). Probe count
+    # capped at 8: the bus saturates there and 8x256MiB keeps the probe
+    # itself cheap (~3.5s — 7 probes add ~25s to a ~9-minute session).
     from tools_bw_profile import aggregate_bw
 
     agg_n = min(args.xn, 8)
-    agg_pre = round(aggregate_bw(agg_n, dur=3.0), 2)
+    BW_QUIET = 5.0  # GB/s; contended episodes read <1-5, quiet >= 9
+
+    def _agg_probe() -> float:
+        return round(aggregate_bw(agg_n, dur=3.0), 2)
 
     # interleave N / 4N runs so slow drift in shared-host CPU (steal time)
     # hits both levels equally
-    all_times = {args.n: [], args.xn: []}
+    all_runs = {args.n: [], args.xn: []}
+    bw = _agg_probe()
+    agg_pre = bw
     for r in range(args.runs):
         for cores in (args.n, args.xn):
+            pre = bw
             res = run_once(f"local[{cores}]", zpath, jobfile, seq, lab)
-            all_times[cores].append(res["sec"])
+            bw = _agg_probe()
+            rec = {
+                "sec": res["sec"],
+                "bw_pre": pre,
+                "bw_post": bw,
+                "bracket_clean": min(pre, bw) >= BW_QUIET,
+            }
+            all_runs[cores].append(rec)
             print(f"local[{cores}] run {r + 1}: {res['sec']:.2f}s "
-                  f"({res['frames']} frames)", file=sys.stderr)
-    agg_post = round(aggregate_bw(agg_n, dur=3.0), 2)
-    results = {
-        cores: {
+                  f"({res['frames']} frames) bus {pre}/{bw} GB/s "
+                  f"{'ok' if rec['bracket_clean'] else 'BUS'}",
+                  file=sys.stderr)
+    agg_post = bw
+
+    def _arm(recs: list) -> dict:
+        times = [r["sec"] for r in recs]
+        clean_times = [r["sec"] for r in recs if r["bracket_clean"]]
+        return {
             "median_sec": statistics.median(times),
             "min_sec": min(times),
             "times": [round(t, 2) for t in times],
             "spread": round(max(times) / min(times), 2),
             "tokens_per_sec": round(n_tok / min(times), 1),
+            "brackets": [[r["bw_pre"], r["bw_post"]] for r in recs],
+            "clean_times": [round(t, 2) for t in clean_times],
+            "clean_min_sec": min(clean_times) if clean_times else None,
+            "clean_spread": (round(max(clean_times) / min(clean_times), 2)
+                             if clean_times else None),
         }
-        for cores, times in all_times.items()
-    }
+
+    results = {cores: _arm(recs) for cores, recs in all_runs.items()}
     max_spread = max(v["spread"] for v in results.values())
-    contended = min(agg_pre, agg_post) < 5.0
-    clean = max_spread <= 2.0 and not contended
+    contended = any(not r["bracket_clean"]
+                    for recs in all_runs.values() for r in recs)
+    # evidence basis: min over bracket-clean runs, requiring >= 2 clean
+    # runs per arm (min-of-2 rule) with clean-run spread <= 2 (CPU-steal
+    # guard); fall back to all-run minima (record-only) otherwise
+    clean = all(
+        len(v["clean_times"]) >= 2 and v["clean_spread"] <= 2.0
+        for v in results.values()
+    )
+    basis = "bracket-clean runs" if clean else "all runs (record only)"
 
     # min-of-k: the standard capability estimator on shared hosts with CPU
     # steal — medians embed neighbor noise, minima approximate true speed
-    t_n = results[args.n]["min_sec"]
-    t_4n = results[args.xn]["min_sec"]
+    if clean:
+        t_n = results[args.n]["clean_min_sec"]
+        t_4n = results[args.xn]["clean_min_sec"]
+    else:
+        t_n = results[args.n]["min_sec"]
+        t_4n = results[args.xn]["min_sec"]
     core_ratio = args.xn / args.n
     speedup = t_n / t_4n
     efficiency = speedup / core_ratio
@@ -300,20 +345,32 @@ def main() -> None:
         "pass": efficiency >= 0.8,
         "probe": {str(k): round(v, 2) for k, v in probe_results.items()},
         # self-gating (CLAUDE.md measurement rules): a ratio is EVIDENCE
-        # only when clean — spreads <= 2 (no steal episode) and the
-        # aggregate bus probe quiet before and after
+        # only when clean — each arm has >= 2 bus-bracket-clean runs and
+        # the clean-run spread <= 2 (no steal episode); the headline
+        # value is then min-of-clean-runs per arm
         "max_spread": max_spread,
         "agg_bw_gbps": {"procs": agg_n, "pre": agg_pre, "post": agg_post},
+        "basis": basis,
         "contended": contended,
         "clean": clean,
     }
     print(json.dumps(summary))
 
+    def _runs_line(cores: int) -> str:
+        recs = all_runs[cores]
+        return ", ".join(
+            f"{r['sec']:.2f}s (bus {r['bw_pre']}/{r['bw_post']} "
+            f"{'ok' if r['bracket_clean'] else 'BUS'})"
+            for r in recs
+        )
+
     gate_line = (
-        f"- gates: max per-arm spread {max_spread:.2f} "
-        f"({'ok' if max_spread <= 2.0 else 'STEAL EPISODE'}), "
-        f"aggregate bus C({agg_n}) pre/post {agg_pre}/{agg_post} GB/s "
-        f"({'quiet' if not contended else 'CONTENDED'}) -> "
+        f"- per-run bus brackets C({agg_n}) GB/s — "
+        f"local[{args.n}]: {_runs_line(args.n)}; "
+        f"local[{args.xn}]: {_runs_line(args.xn)}\n"
+        f"- gates: basis = {basis}; clean-run spreads "
+        f"{results[args.n]['clean_spread']}/{results[args.xn]['clean_spread']} "
+        f"(rule <= 2.0, >= 2 clean runs per arm) -> "
         f"{'CLEAN — admissible evidence' if clean else 'NOT CLEAN — record only, discard as evidence (CLAUDE.md rule)'}\n"
     )
 
@@ -354,19 +411,19 @@ def main() -> None:
     if os.path.exists(md):
         import time as _time
 
-        bw = _memory_bandwidth_probe()
+        bw1 = _memory_bandwidth_probe()
         body = (
             f"\n## Flagship scaling remeasurement "
             f"({_time.strftime('%Y-%m-%d %H:%M')} window, "
-            f"single-thread copy bandwidth {bw:.1f} GB/s)\n\n"
+            f"single-thread copy bandwidth {bw1:.1f} GB/s)\n\n"
             f"Same protocol/job/input as the headline section "
             f"(seed 42, {n_seq} sequences, {n_tok:,} tokens).\n\n"
-            f"- local[{args.n}]: min {t_n:.2f}s, "
-            f"{results[args.n]['tokens_per_sec']:,} tokens/sec "
-            f"(runs: {results[args.n]['times']})\n"
-            f"- local[{args.xn}]: min {t_4n:.2f}s, "
-            f"{results[args.xn]['tokens_per_sec']:,} tokens/sec "
-            f"(runs: {results[args.xn]['times']})\n"
+            f"- local[{args.n}]: {basis} min {t_n:.2f}s, "
+            f"{n_tok / t_n:,.1f} tokens/sec "
+            f"(all runs: {results[args.n]['times']})\n"
+            f"- local[{args.xn}]: {basis} min {t_4n:.2f}s, "
+            f"{n_tok / t_4n:,.1f} tokens/sec "
+            f"(all runs: {results[args.xn]['times']})\n"
             f"- speedup {speedup:.3f}x over {core_ratio:.0f}x cores -> "
             f"**scaling efficiency {efficiency:.3f}** "
             f"(gate >= 0.8: {'PASS' if efficiency >= 0.8 else 'FAIL'})\n"
