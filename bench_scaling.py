@@ -175,7 +175,15 @@ def zip_pkg(tmp: str) -> str:
     return zpath
 
 
-def run_once(master: str, zpath: str, jobfile: str, seq: str, lab: str) -> dict:
+def run_once(master: str, zpath: str, jobfile: str, seq: str, lab: str,
+             cores: int | None = None) -> dict:
+    """Submit the job once. `master` is local[c] (worker threads in the
+    driver JVM) or local-cluster[c,1,mem] (c REAL executor JVMs with netty
+    shuffle + actual --py-files distribution — the closest this sandbox
+    gets to 'N executors'). `cores` sets shuffle partitions when the
+    master string isn't the simple local[c] form."""
+    if cores is None:
+        cores = int(master[master.find("[") + 1:-1])
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or "spark-submit"), "spark-submit"
     )
@@ -185,13 +193,15 @@ def run_once(master: str, zpath: str, jobfile: str, seq: str, lab: str) -> dict:
         "--py-files", zpath,
         "--conf", "spark.sql.session.timeZone=UTC",
         "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", f"spark.sql.shuffle.partitions={master[master.find('[')+1:-1]}",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
         "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.ui.enabled=false",
         "--driver-memory", "8g",
         jobfile, seq, lab,
     ]
+    if master.startswith("local-cluster"):
+        cmd[len(cmd) - 3:len(cmd) - 3] = ["--conf", "spark.executor.memory=3g"]
     env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1")
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env)
@@ -212,6 +222,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--docs", type=int, default=16384)
     ap.add_argument("--job", choices=("flagship", "dedup"), default="flagship")
+    ap.add_argument(
+        "--cluster", action="store_true",
+        help="use local-cluster[c,1,4096] masters (c separate executor "
+        "JVMs, netty shuffle, real --py-files distribution) instead of "
+        "local[c] worker threads — the literal 'N vs 4N executors' form "
+        "of the north rule")
     ap.add_argument(
         "--tmpdir",
         type=str,
@@ -246,11 +262,15 @@ def main() -> None:
     with open(jobfile, "w") as f:
         f.write(JOB_DEDUP if args.job == "dedup" else JOB)
 
+    def _master(cores: int) -> str:
+        return (f"local-cluster[{cores},1,4096]" if args.cluster
+                else f"local[{cores}]")
+
     probe_results = {}
     for cores in [int(c) for c in args.probe.split(",") if c]:
-        res = run_once(f"local[{cores}]", zpath, jobfile, seq, lab)
+        res = run_once(_master(cores), zpath, jobfile, seq, lab, cores=cores)
         probe_results[cores] = res["sec"]
-        print(f"probe local[{cores}]: {res['sec']:.2f}s", file=sys.stderr)
+        print(f"probe {_master(cores)}: {res['sec']:.2f}s", file=sys.stderr)
 
     # aggregate DRAM bandwidth AT the measured worker count as a CHAIN —
     # one probe before the first run, one after every run — so each run
@@ -275,7 +295,8 @@ def main() -> None:
     for r in range(args.runs):
         for cores in (args.n, args.xn):
             pre = bw
-            res = run_once(f"local[{cores}]", zpath, jobfile, seq, lab)
+            res = run_once(_master(cores), zpath, jobfile, seq, lab,
+                           cores=cores)
             bw = _agg_probe()
             rec = {
                 "sec": res["sec"],
@@ -284,7 +305,7 @@ def main() -> None:
                 "bracket_clean": min(pre, bw) >= BW_QUIET,
             }
             all_runs[cores].append(rec)
-            print(f"local[{cores}] run {r + 1}: {res['sec']:.2f}s "
+            print(f"{_master(cores)} run {r + 1}: {res['sec']:.2f}s "
                   f"({res['frames']} frames) bus {pre}/{bw} GB/s "
                   f"{'ok' if rec['bracket_clean'] else 'BUS'}",
                   file=sys.stderr)
@@ -332,7 +353,8 @@ def main() -> None:
     efficiency = speedup / core_ratio
 
     summary = {
-        "metric": f"scaling efficiency ({args.job} job, N -> 4N cores, identical input)",
+        "metric": f"scaling efficiency ({args.job} job, N -> 4N "
+                  f"{'executors (local-cluster, separate executor JVMs)' if args.cluster else 'cores'}, identical input)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "n_cores": args.n,
@@ -366,8 +388,8 @@ def main() -> None:
 
     gate_line = (
         f"- per-run bus brackets C({agg_n}) GB/s — "
-        f"local[{args.n}]: {_runs_line(args.n)}; "
-        f"local[{args.xn}]: {_runs_line(args.xn)}\n"
+        f"{_master(args.n)}: {_runs_line(args.n)}; "
+        f"{_master(args.xn)}: {_runs_line(args.xn)}\n"
         f"- gates: basis = {basis}; clean-run spreads "
         f"{results[args.n]['clean_spread']}/{results[args.xn]['clean_spread']} "
         f"(rule <= 2.0, >= 2 clean runs per arm) -> "
@@ -418,10 +440,10 @@ def main() -> None:
             f"single-thread copy bandwidth {bw1:.1f} GB/s)\n\n"
             f"Same protocol/job/input as the headline section "
             f"(seed 42, {n_seq} sequences, {n_tok:,} tokens).\n\n"
-            f"- local[{args.n}]: {basis} min {t_n:.2f}s, "
+            f"- {_master(args.n)}: {basis} min {t_n:.2f}s, "
             f"{n_tok / t_n:,.1f} tokens/sec "
             f"(all runs: {results[args.n]['times']})\n"
-            f"- local[{args.xn}]: {basis} min {t_4n:.2f}s, "
+            f"- {_master(args.xn)}: {basis} min {t_4n:.2f}s, "
             f"{n_tok / t_4n:,.1f} tokens/sec "
             f"(all runs: {results[args.xn]['times']})\n"
             f"- speedup {speedup:.3f}x over {core_ratio:.0f}x cores -> "
