@@ -236,7 +236,21 @@ def main() -> None:
     per_query: dict[str, float] = {}
     steal_suspect: list[str] = []
     total = pipe["pipeline_sec"]
-    for name in BENCH_QUERIES:
+    # SPARK_GRAFT_BENCH_QUERIES: comma-sep subset of BENCH_QUERIES to
+    # time ("" = pipeline only). Lets a probe-gated watcher capture a
+    # clean flagship record inside a short quiet window on a host whose
+    # bus flaps faster than the ~5-minute full sweep. Default (unset)
+    # runs the full list — the driver's per-round BENCH artifact is
+    # unaffected.
+    _env = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = (
+        tuple(n for n in _env.split(",") if n) if _env is not None
+        else BENCH_QUERIES
+    )
+    unknown = [n for n in names if n not in BENCH_QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown bench queries: {unknown}")
+    for name in names:
         _noop_sink(qs[name](spark, SF_DIR))  # warmup: workers/JIT/page cache
         times: list[float] = []
         # min-of-2, plus up to 2 retries while the sample spread says a
