@@ -283,7 +283,17 @@ def main() -> None:
     try:
         from tools_bw_profile import aggregate_bw
 
-        bw_agg8 = round(aggregate_bw(8, dur=2.0), 2)
+        # settle 3s, probe twice 3s apart, take MAX: Spark's own teardown
+        # afterglow (memory release / worker exits) crushes an immediate
+        # probe to 1-2 GB/s for ~2-4s even on a quiet bus (measured),
+        # while a real neighbor episode is sustained for minutes — so
+        # max-of-2 spaced probes still detects genuine contention but
+        # never false-flags our own cleanup
+        time.sleep(3.0)
+        _p1 = aggregate_bw(8, dur=2.0)
+        time.sleep(3.0)
+        _p2 = aggregate_bw(8, dur=2.0)
+        bw_agg8 = round(max(_p1, _p2), 2)
     except Exception as e:
         # conservative: without the aggregate probe the detector degrades
         # to the single-thread signal r4 measured reading 'quiet' while

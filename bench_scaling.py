@@ -285,7 +285,21 @@ def main() -> None:
     BW_QUIET = 5.0  # GB/s; contended episodes read <1-5, quiet >= 9
 
     def _agg_probe() -> float:
-        return round(aggregate_bw(agg_n, dur=3.0), 2)
+        # Spark teardown afterglow: for ~2-4s after a job/JVM exits,
+        # memory release (munmap/TLB shootdowns across 32 cores) crushes
+        # the probe to 1-2 GB/s even on a quiet bus (measured: 1.26
+        # immediately, 17+ two seconds later, os.sync() a no-op). Settle
+        # 3s, probe twice 3s apart, take MAX: our own afterglow fades in
+        # seconds, a real neighbor episode is sustained for minutes, so
+        # max-of-2 still reads low under genuine contention but never
+        # false-flags our own cleanup as a neighbor.
+        import time as _t
+
+        _t.sleep(3.0)
+        p1 = aggregate_bw(agg_n, dur=3.0)
+        _t.sleep(3.0)
+        p2 = aggregate_bw(agg_n, dur=3.0)
+        return round(max(p1, p2), 2)
 
     # interleave N / 4N runs so slow drift in shared-host CPU (steal time)
     # hits both levels equally
