@@ -704,6 +704,83 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 """
 
 
+def edit_neardup_sql(
+    ngram: int = 2,
+    max_hamming: int = 3,
+    max_dist: int = 8,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of dedup.edit_neardup_pairs: the exact simhash pair
+    set (simhash_pairs_sql — provably identical to the Spark side's
+    chunk-blocked candidates at hamming <= 3) joined back to text and
+    verified with unbounded levenshtein(a, b) <= max_dist (the Spark
+    side's bounded threshold form keeps exactly this set with identical
+    distances)."""
+    if table != "documents":
+        raise ValueError("simhash_pairs_sql chain is documents-table only")
+    cand = simhash_pairs_sql(ngram=ngram, max_hamming=max_hamming)
+    return f"""
+WITH cand AS ({cand})
+SELECT c.id_a, c.id_b, c.hamming,
+  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM cand c
+JOIN {table} a ON CAST(a.doc_id AS BIGINT) = c.id_a
+JOIN {table} b ON CAST(b.doc_id AS BIGINT) = c.id_b
+WHERE levenshtein(a.text, b.text) <= {max_dist}
+"""
+
+
+def gopher_sql(
+    min_words: int = 50, max_words: int = 100_000, table: str = "documents"
+) -> str:
+    """DuckDB twin of cleaning.gopher_quality — identical exact-BIGINT
+    counts, round-6 ratios, and rule booleans compared on the ROUNDED
+    values (so the keep verdict is cross-engine deterministic)."""
+    stopwords = ", ".join(
+        f"'{s}'" for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+    list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '') AS ws
+  FROM {table}),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(coalesce(list_sum(list_transform(ws, w -> CAST(length(w) AS BIGINT))), 0) AS BIGINT) AS sum_chars,
+    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+    CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ell,
+    string_split(t, chr(10)) AS lines,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    CAST(len(list_filter([{stopwords}], s -> list_contains(ws, s))) AS BIGINT) AS n_stop
+  FROM base),
+m2 AS (
+  SELECT m.*, CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l -> left(l, 1) IN ('•', '-', '*'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l -> right(l, 3) = '...')) AS BIGINT) AS n_ell_end
+  FROM m),
+r AS (
+  SELECT doc_id, n_words, n_stop,
+    round(CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(sum_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END, 6) AS mean_word_len,
+    round(CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_hash AS DOUBLE) / CAST(n_words AS DOUBLE) END, 6) AS hash_ratio,
+    round(CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_ell AS DOUBLE) / CAST(n_words AS DOUBLE) END, 6) AS ellipsis_ratio,
+    round(CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_line_ratio,
+    round(CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_ratio,
+    round(CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END, 6) AS alpha_word_ratio
+  FROM m2)
+SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+  bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+  n_stop AS n_stopwords,
+  CASE WHEN n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3
+        AND alpha_word_ratio >= 0.8 AND n_stop >= 2
+   THEN 1 ELSE 0 END AS keep
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal twin (operators/multimodal.py, portable media_type)
 # ---------------------------------------------------------------------------

@@ -61,6 +61,124 @@ def synthesize_lines(text: Column, words_per_line: int = 10) -> Column:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+BULLET_PREFIXES = ("•", "-", "*")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher quality-rule document filter (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    Appendix A1.1) — the named heuristic set most public LLM corpus
+    pipelines (MassiveText, RefinedWeb, Dolma) apply before any learned
+    classifier. One row per document with the measured signals and the
+    composite `keep` verdict:
+
+      - word count in [min_words, max_words]
+      - mean word length in [3, 10] characters
+      - '#'-to-word and '...'-to-word symbol ratios <= 0.1
+      - <= 90% of lines starting with a bullet ('•', '-', '*')
+      - <= 30% of lines ending with an ellipsis
+      - >= 80% of words containing at least one alphabetic character
+      - at least 2 distinct Gopher stop words present
+        (the / be / to / of / and / that / have / with)
+
+    This is the corpus-quality analog of the reference's load-time
+    signal-integrity gates (reference:
+    src/audiopro/audio/audio_loader.py:40-58 — reject malformed payload
+    before feature work), as a named published rule set.
+
+    Scale shape: ONE whole-stage-codegen projection over the documents
+    scan — no UDF, no shuffle; `keep` filters compose with Catalyst
+    pushdown. Cross-engine determinism: every ratio is round-6 of an
+    exact-BIGINT division and every rule compares the ROUNDED value, so
+    the DuckDB twin reproduces both the doubles and the booleans
+    bit-for-bit."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = nonempty_words(F.col(text_col), null_as_empty=True)
+    n_words = F.size(ws).cast("long")
+    sum_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
+    )
+    mean_wl = F.round(
+        F.coalesce(
+            F.try_divide(sum_chars.cast("double"), n_words.cast("double")),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    # greedy left-to-right '...' count — replace() is non-regex in both
+    # engines, so '....' counts one ellipsis in both
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    ratio_w = lambda n: F.round(
+        F.coalesce(
+            F.try_divide(n.cast("double"), n_words.cast("double")), F.lit(0.0)
+        ),
+        6,
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")  # split('') = [''] -> always >= 1
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.substring(l, 1, 1).isin(*BULLET_PREFIXES))
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: F.substring(l, -3, 3) == "...")
+    ).cast("long")
+    ratio_l = lambda n: F.round(
+        F.try_divide(n.cast("double"), n_lines.cast("double")), 6
+    )
+    n_alpha = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    # per-literal membership probe (NOT array_intersect — its dedup
+    # semantics differ across engines; this form is identical in both)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(ws, s),
+        )
+    ).cast("long")
+    hash_ratio = ratio_w(n_hash)
+    ell_ratio = ratio_w(n_ell)
+    bullet_ratio = ratio_l(n_bullet)
+    ell_line_ratio = ratio_l(n_ell_end)
+    alpha_ratio = ratio_w(n_alpha)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (hash_ratio <= 0.1)
+        & (ell_ratio <= 0.1)
+        & (bullet_ratio <= 0.9)
+        & (ell_line_ratio <= 0.3)
+        & (alpha_ratio >= 0.8)
+        & (n_stop >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        hash_ratio.alias("hash_ratio"),
+        ell_ratio.alias("ellipsis_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ell_line_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_stopwords"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def c4_line_keep(line: Column, min_words_per_line: int = 5) -> Column:
     """The C4 per-line predicate (see module docstring)."""
     n_words = F.size(nonempty_words(line))

@@ -504,6 +504,57 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def edit_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 8,
+    max_hamming: int = 3,
+    ngram: int = 2,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Edit-distance-verified near-duplicate pairs: simhash chunk
+    blocking (the candidates-then-verify recall contract of
+    simhash_neardup_pairs) followed by an exact BOUNDED Levenshtein
+    verify — the character-level complement of the token-level
+    (minhash/jaccard) and semantic (embedding) near-dup family. Catches
+    the template/boilerplate near-dups token-set measures under-rate:
+    two docs differing by a handful of character edits anywhere.
+
+    Output: (id_a, id_b, hamming, edit_dist) for candidate pairs with
+    Hamming(simhash) <= max_hamming AND Levenshtein <= max_dist.
+
+    100-TB shape: candidates come from simhash_neardup_pairs' single
+    Arrow eval + single (chunk, value) bucket shuffle — full TEXT never
+    rides that shuffle; only the sparse candidate ids equi-join text
+    back (one join per side, broadcast or sort-merge as AQE decides).
+    The verify uses Spark's bounded Levenshtein (threshold=max_dist),
+    which abandons a pair once the bound is provably exceeded —
+    O(max_dist * len) per pair instead of O(len^2) — entirely JVM-side.
+    DuckDB twin: same simhash chunk self-join + unbounded
+    levenshtein(a, b) <= max_dist (identical kept set and distances)."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0; got {max_dist}")
+    cand = simhash_neardup_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        ngram=ngram,
+        max_bucket=max_bucket,
+    )
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), int(max_dist))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", "hamming", dist.alias("edit_dist"))
+        # bounded levenshtein returns -1 past the threshold
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -631,31 +682,58 @@ def source_ngram_overlap(
     shingle: (src_a < src_b, n_common, n_a, n_b, jaccard round-6).
     Zero-overlap pairs are omitted (their jaccard is exactly 0).
 
-    100-TB shape: distinct (source, shingle) projection -> ONE shingle
-    groupBy whose per-group state is bounded by the SOURCE COUNT (tiny),
-    pair explosion bounded by n_sources^2 per shingle, one
-    (src_a, src_b) count aggregate, broadcast size join. The corpus is
-    never self-joined; shingles use the same word_ngrams/_shingle twin
-    convention as MinHash."""
+    100-TB shape: ONE corpus-scale shuffle total — explode straight into
+    the per-shingle groupBy (collect_set dedups (source, shingle)
+    map-side exactly like the old separate .distinct() pass did, without
+    paying its extra full-volume exchange), per-group state bounded by
+    the SOURCE COUNT (tiny). Each shingle group then emits BOTH kinds of
+    increment through one narrow explode — a (src, NULL) size increment
+    per member source and a (src_a, src_b) pair increment per unordered
+    shared pair (bounded by n_sources^2 per shingle) — so per-source
+    distinct-shingle counts and pair intersections come out of a single
+    count aggregate instead of two separately-shuffled ones. That count
+    table is bounded (n_sources + n_sources^2 rows) and lazily
+    checkpointed because two consumers split it below; broadcast size
+    join closes the matrix. The corpus is never self-joined; shingles
+    use the same word_ngrams/_shingle twin convention as MinHash."""
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    sh = df.select(
-        g.alias("grp"),
-        F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
-    ).distinct()
-    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    pairs = (
-        sh.groupBy("gram")
+    gs = (
+        df.select(
+            g.alias("grp"),
+            F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
+        )
+        .groupBy("gram")
         .agg(F.sort_array(F.collect_set("grp")).alias("gs"))
-        .filter(F.size("gs") > 1)
-        # n_sources is tiny, so the cap never engages — all unordered pairs
-        .select(F.explode(_bucket_pairs(F.col("gs"), 1_000_000)).alias("p"))
+    )
+    null_b = F.lit(None).cast("string")
+    counts = (
+        gs.select(
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.col("gs"),
+                        lambda s: F.struct(
+                            s.alias("id_a"), null_b.alias("id_b")
+                        ),
+                    ),
+                    # n_sources is tiny, so the cap never engages — all
+                    # unordered pairs of the sorted set
+                    _bucket_pairs(F.col("gs"), 1_000_000),
+                )
+            ).alias("p")
+        )
         .groupBy(
             F.col("p.id_a").alias("src_a"), F.col("p.id_b").alias("src_b")
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
-    sa = sizes.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b"))
+    sizes = counts.filter(F.col("src_b").isNull())
+    pairs = counts.filter(F.col("src_b").isNotNull()).withColumnRenamed(
+        "cnt", "n_common"
+    )
+    sa = sizes.select(F.col("src_a").alias("src_a"), F.col("cnt").alias("n_a"))
+    sb = sizes.select(F.col("src_a").alias("src_b"), F.col("cnt").alias("n_b"))
     return (
         pairs.join(F.broadcast(sa), "src_a")
         .join(F.broadcast(sb), "src_b")

@@ -63,7 +63,7 @@ NOTES = {
     "cms_freq": "ONE map-side-combinable (grp,row,col) register groupBy (bounded at groups x d x w rows); audit-term probe is a broadcast d-row expansion against the bounded register table; exact-count companion runs only on the broadcast-filtered terms; all-integer, zero Python",
     "kl_drift": "THREE corpus passes total (global head count, head-restricted (group,word) count, narrow group spine), each checkpoint-truncated at its bounded output — downstream consumers re-ran the full scan+explode subtree per reference before (16 FileScans measured); exact BIGINT micro-nat sum",
     "zipf_slope": "per-group top-N via WindowGroupLimit pushdown; regression on exact integer sums, zero Python",
-    "source_overlap": "distinct (source, shingle) projection; collect_set pair generation bounded by source count; exact BIGINT intersections, one round-6 division",
+    "source_overlap": "ONE corpus-scale shuffle (explode straight into the per-shingle collect_set groupBy — map-side set dedup replaces the old separate .distinct() pass, whose sizes branch re-scanned the corpus); size + pair increments emitted from one narrow explode into a single count aggregate, checkpoint-truncated at its bounded n_sources^2 output; exact BIGINT intersections, one round-6 division",
 }
 
 HEADLINE = (
