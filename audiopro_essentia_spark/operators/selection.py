@@ -206,11 +206,6 @@ def bm25_topk(
     toks = docs.select(
         F.col(id_col), F.size(ws).alias("_dl"), F.explode(ws).alias("term")
     )
-    # _dl is constant within a doc; min() (not first()) keeps the
-    # aggregate order-insensitive and mirrors the DuckDB twin exactly
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl")
-    )
     qterms = queries.select(
         "query_id",
         F.explode(
@@ -218,10 +213,21 @@ def bm25_topk(
         ).alias("term"),
     ).distinct()
     qterm_set = qterms.select("term").distinct()
-    # tf rows restricted to query terms FIRST (the inverted-index probe):
-    # everything downstream — including document frequency — is then
-    # bounded by |query terms| x matching docs, never the whole vocab
-    tfq = tf.join(F.broadcast(qterm_set), "term")
+    # the inverted-index probe runs BELOW the tf aggregate: term is a
+    # grouping key, so broadcast-filtering the exploded tokens first
+    # yields bit-identical (doc, term) counts while the corpus-wide
+    # groupBy shrinks to matching tokens only (Catalyst will not push a
+    # broadcast join under an aggregate on its own — measured: the old
+    # tf-then-join form shuffled every (doc, term) pair of the corpus).
+    # Everything downstream — including document frequency — is bounded
+    # by |query terms| x matching docs, never the whole vocab.
+    # _dl is constant within a doc; min() (not first()) keeps the
+    # aggregate order-insensitive and mirrors the DuckDB twin exactly
+    tfq = (
+        toks.join(F.broadcast(qterm_set), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl"))
+    )
     # df(t) = #docs containing t = tf rows per term (tf is distinct on
     # (doc, term)); computed on the probed subset, the result is
     # |query terms| rows -> broadcast straight back

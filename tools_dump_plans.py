@@ -64,6 +64,7 @@ NOTES = {
     "kl_drift": "THREE corpus passes total (global head count, head-restricted (group,word) count, narrow group spine), each checkpoint-truncated at its bounded output — downstream consumers re-ran the full scan+explode subtree per reference before (16 FileScans measured); exact BIGINT micro-nat sum",
     "zipf_slope": "per-group top-N via WindowGroupLimit pushdown; regression on exact integer sums, zero Python",
     "source_overlap": "ONE corpus-scale shuffle (explode straight into the per-shingle collect_set groupBy — map-side set dedup replaces the old separate .distinct() pass, whose sizes branch re-scanned the corpus); size + pair increments emitted from one narrow explode into a single count aggregate, checkpoint-truncated at its bounded n_sources^2 output; exact BIGINT intersections, one round-6 division",
+    "bm25": "inverted-index probe BELOW the tf aggregate: broadcast query-term filter on the exploded tokens BEFORE the (doc,term) groupBy (term is a grouping key, so counts are bit-identical; Catalyst will not push a broadcast join under an aggregate on its own) — the corpus-wide shuffle shrinks to matching tokens; df/idf on the probed subset; salted two-phase top-k",
 }
 
 HEADLINE = (
@@ -78,7 +79,7 @@ HEADLINE = (
     "bpe_encode", "drift_psi", "pit_assembly", "c4_clean", "epoch_shuffle",
     "span_scrub", "pca_power", "leak_split", "padding_waste",
     "pack_nosplit", "hll_distinct", "kl_drift", "zipf_slope",
-    "source_overlap", "cms_freq",
+    "source_overlap", "cms_freq", "bm25",
 )
 
 
