@@ -730,6 +730,56 @@ WHERE levenshtein(a.text, b.text) <= {max_dist}
 """
 
 
+def lq_quantiles_sql(
+    qs: tuple = (0.5, 0.9, 0.99), table: str = "documents"
+) -> str:
+    """DuckDB twin of sketch.lq_registers + lq_quantiles over
+    tokens-per-doc (nonempty word count) per source: identical exact
+    log2 buckets (length(bin(v)) - 1 — no float log2), exact BIGINT
+    registers, IEEE ceil rank, and the same two-level round-6
+    interpolation expression."""
+    q_rows = ", ".join(f"(CAST('{float(q)!r}' AS DOUBLE))" for q in qs)
+    return f"""
+WITH vals AS (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp,
+    CAST(len(list_filter(string_split(coalesce(text, ''), ' '), w -> w <> '')) AS BIGINT) AS v
+  FROM {table}),
+b AS (
+  SELECT grp, v,
+    CASE WHEN v IS NOT NULL AND v >= 1
+         THEN CAST(length(bin(v)) - 1 AS INT) ELSE -1 END AS bucket
+  FROM vals),
+reg AS (
+  SELECT grp, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(v) AS vmin, MAX(v) AS vmax
+  FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bucket, cnt, vmin, vmax,
+    SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_before
+  FROM reg WHERE bucket >= 0),
+totals AS (
+  SELECT grp,
+    CAST(SUM(CASE WHEN bucket >= 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_good,
+    CAST(SUM(CASE WHEN bucket < 0 THEN cnt ELSE 0 END) AS BIGINT) AS n_bad
+  FROM reg GROUP BY 1),
+ranks AS (
+  SELECT grp, q, n_good, n_bad,
+    greatest(CAST(ceil(q * CAST(n_good AS DOUBLE)) AS BIGINT), 1) AS rank
+  FROM totals, (SELECT * FROM (VALUES {q_rows}) AS t(q)))
+SELECT r.grp, r.q, r.rank, r.n_good, r.n_bad,
+  round(CAST(c.vmin AS DOUBLE) +
+        round(CAST(c.vmax - c.vmin AS DOUBLE)
+              * CAST(r.rank - c.cum_before - 1 AS DOUBLE)
+              / CAST(greatest(c.cnt - 1, 1) AS DOUBLE), 6), 6) AS est
+FROM ranks r
+LEFT JOIN cum c ON c.grp = r.grp
+  AND c.cum_before < r.rank AND r.rank <= c.cum
+"""
+
+
 def gopher_sql(
     min_words: int = 50, max_words: int = 100_000, table: str = "documents"
 ) -> str:

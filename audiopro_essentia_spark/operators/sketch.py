@@ -242,3 +242,145 @@ def hll_distinct(
         F.col("n_nonzero").cast("long").alias("n_reg_nonzero"),
         F.round(est, 6).alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# log-histogram quantile sketch (the quantile member of the mergeable
+# monitoring trio: HLL = cardinality, CMS = frequency, LQ = quantiles)
+# ---------------------------------------------------------------------------
+
+
+def lq_registers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+) -> DataFrame:
+    """Mergeable log2-bucket quantile registers over a positive-integer
+    measure (tokens per doc, bytes per doc, frames per sequence) — the
+    DDSketch idea (Masson et al. 2019, VLDB: relative-error quantiles
+    from log-width buckets that merge by register addition) instantiated
+    at gamma=2 with EXACT integer boundaries so it is deterministic and
+    byte-identical cross-engine:
+
+      bucket(v) = floor(log2(v)) = length(bin(v)) - 1   for v >= 1
+      (the HLL `_rho` trick — bin() exists in BOTH engines and emits no
+      leading zeros; no float log2 misrounding near powers of two),
+      bucket -1 collects the excluded rows (NULL or v < 1) so data
+      quality is visible, never silently dropped.
+
+    Register row: (grp, bucket, cnt, vmin, vmax) — all exact BIGINT.
+    Shard/epoch sketches merge by (SUM cnt, MIN vmin, MAX vmax) on the
+    same key, the streaming-accumulation contract HLL (max) and CMS
+    (sum) already pin.
+
+    100-TB shape: ONE map-side-combinable groupBy bounded at
+    groups x 65 rows — quantile monitoring of a web-scale column for
+    the cost of a count(*)."""
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    v = F.col(value_col).cast("long")
+    good = v.isNotNull() & (v >= 1)
+    bucket = F.when(good, F.length(F.bin(v)) - 1).otherwise(F.lit(-1))
+    return (
+        df.select(
+            g.alias("grp"), v.alias("_v"), bucket.cast("int").alias("bucket")
+        )
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("_v").alias("vmin"),
+            F.max("_v").alias("vmax"),
+        )
+    )
+
+
+def lq_quantiles(
+    registers: DataFrame,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from an lq_registers table:
+    (grp, q, rank, n_good, n_bad, est).
+
+    rank = ceil(q * n_good) clamped to >= 1 (1-based; an exact integer
+    from one IEEE multiply + ceil, deterministic in both engines); the
+    owning bucket is the first whose cumulative count reaches rank;
+    within the bucket the estimate interpolates linearly between the
+    bucket's TRUE vmin/vmax (exact integers carried by the register):
+
+      est = vmin + round6( (vmax-vmin) * (rank-cum_before-1)
+                            / max(cnt-1, 1) )
+
+    — exact whenever the owning bucket is a single value or constant
+    (vmin == vmax), and never off by more than the bucket width
+    (relative error <= 2x worst-case, far less with interpolation).
+    Every input to the one double multiply/divide is an exact BIGINT,
+    so the round-6 value is engine-independent.
+
+    Cost: windows + joins over the register table only
+    (groups x 65 rows) — never touches the corpus."""
+    from pyspark.sql import Window
+
+    reg = registers.filter(F.col("bucket") >= 0)
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = reg.select(
+        "grp",
+        "bucket",
+        "cnt",
+        "vmin",
+        "vmax",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    totals = registers.groupBy("grp").agg(
+        F.sum(F.when(F.col("bucket") >= 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("bucket") < 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+    )
+    ranks = totals.select(
+        "grp",
+        "n_good",
+        "n_bad",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).select(
+        "grp",
+        "q",
+        "n_good",
+        "n_bad",
+        F.greatest(
+            F.ceil(F.col("q") * F.col("n_good").cast("double")), F.lit(1)
+        )
+        .cast("long")
+        .alias("rank"),
+    )
+    est = (
+        F.col("vmin").cast("double")
+        + F.round(
+            (F.col("vmax") - F.col("vmin")).cast("double")
+            * (F.col("rank") - F.col("cum_before") - 1).cast("double")
+            / F.greatest(F.col("cnt") - 1, F.lit(1)).cast("double"),
+            6,
+        )
+    )
+    return (
+        ranks.join(
+            cum,
+            (ranks.grp == cum.grp)
+            & (F.col("cum_before") < F.col("rank"))
+            & (F.col("rank") <= F.col("cum")),
+            "left",
+        )
+        .select(
+            ranks.grp.alias("grp"),
+            "q",
+            "rank",
+            "n_good",
+            "n_bad",
+            F.round(est, 6).alias("est"),
+        )
+    )

@@ -396,3 +396,133 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
     }
     assert dict(mh) == want_h
     assert dict(mc) == want_c
+
+
+# ---------------------------------------------------------------------------
+# log-histogram quantile sketch (LQ)
+# ---------------------------------------------------------------------------
+
+
+def _lq_mirror_registers(rows):
+    """python mirror of lq_registers over (grp, v) rows."""
+    from collections import defaultdict
+
+    reg = defaultdict(lambda: [0, None, None])
+    for g, v in rows:
+        b = v.bit_length() - 1 if (v is not None and v >= 1) else -1
+        r = reg[(g, b)]
+        r[0] += 1
+        if v is not None:
+            r[1] = v if r[1] is None else min(r[1], v)
+            r[2] = v if r[2] is None else max(r[2], v)
+    return {k: tuple(v) for k, v in reg.items()}
+
+
+LQ_ROWS = [
+    ("a", 1), ("a", 2), ("a", 3), ("a", 7), ("a", 8), ("a", 1000),
+    ("b", 5), ("b", 5), ("b", 5),
+    ("c", 0), ("c", -3), ("c", None),   # all excluded -> n_good 0
+    ("a", None), ("a", 0),
+]
+
+
+def test_lq_registers_match_mirror(spark):
+    from audiopro_essentia_spark.operators.sketch import lq_registers
+
+    df = spark.createDataFrame(LQ_ROWS, "source string, v long")
+    got = {
+        (r.grp, r.bucket): (r.cnt, r.vmin, r.vmax)
+        for r in lq_registers(df, "v").collect()
+    }
+    assert got == _lq_mirror_registers(LQ_ROWS)
+    # exact log2 boundaries: 7 -> bucket 2, 8 -> bucket 3
+    assert ("a", 2) in got and ("a", 3) in got
+
+
+def test_lq_shard_merge_equals_whole(spark):
+    """The streaming/shard accumulation contract: per-shard register
+    tables merged by (SUM cnt, MIN vmin, MAX vmax) equal the whole-input
+    sketch — same contract HLL (max) and CMS (sum) pin."""
+    from collections import defaultdict
+
+    from audiopro_essentia_spark.operators.sketch import lq_registers
+
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", (i * 37) % 2000 + 1) for i in range(500)],
+        "source string, v long",
+    )
+    whole = {
+        (r.grp, r.bucket): (r.cnt, r.vmin, r.vmax)
+        for r in lq_registers(df, "v").collect()
+    }
+    merged = defaultdict(lambda: [0, None, None])
+    for k in range(4):
+        shard = lq_registers(df.filter(F.col("v") % 4 == k), "v")
+        for r in shard.collect():
+            m = merged[(r.grp, r.bucket)]
+            m[0] += r.cnt
+            m[1] = r.vmin if m[1] is None else min(m[1], r.vmin)
+            m[2] = r.vmax if m[2] is None else max(m[2], r.vmax)
+    assert {k: tuple(v) for k, v in merged.items()} == whole
+
+
+def test_lq_quantiles_exact_cases(spark):
+    from audiopro_essentia_spark.operators.sketch import (
+        lq_quantiles,
+        lq_registers,
+    )
+
+    df = spark.createDataFrame(LQ_ROWS, "source string, v long")
+    out = {
+        (r.grp, r.q): (r.rank, r.n_good, r.n_bad, r.est)
+        for r in lq_quantiles(lq_registers(df, "v")).collect()
+    }
+    # constant group: every quantile is exactly 5 (vmin == vmax bucket)
+    assert out[("b", 0.5)] == (2, 3, 0, 5.0)
+    assert out[("b", 0.99)] == (3, 3, 0, 5.0)
+    # all-bad group: rank clamps to 1, no owning bucket -> est NULL
+    assert out[("c", 0.5)] == (1, 0, 3, None)
+    # group a: n_good 6, n_bad 2; p50 -> rank 3 -> bucket 1 ([2,3], second
+    # of 2 values) -> est 3.0 exactly
+    assert out[("a", 0.5)] == (3, 6, 2, 3.0)
+    # p99 -> rank 6 -> singleton bucket 9 -> exact 1000
+    assert out[("a", 0.99)] == (6, 6, 2, 1000.0)
+
+
+def test_lq_twin_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    from audiopro_essentia_spark import duck_twins as DT
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.sketch import (
+        lq_quantiles,
+        lq_registers,
+    )
+
+    docs = [
+        (0, "src1", "a b c d e"),
+        (1, "src1", "a b"),
+        (2, "src1", " ".join(f"w{i}" for i in range(37))),
+        (3, "src2", "x"),
+        (4, "src2", ""),
+        (5, "src2", None),
+        (6, None, "y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    v = F.size(nonempty_words(F.col("text"), null_as_empty=True))
+    got = sorted(
+        map(
+            tuple,
+            lq_quantiles(
+                lq_registers(df.withColumn("v", v), "v")
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "source", "text"]),
+    )
+    want = sorted(map(tuple, con.sql(DT.lq_quantiles_sql()).fetchall()))
+    assert got == want
