@@ -348,7 +348,11 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
 
     rows = [(f"s{i % 3}", f"w{i % 50}") for i in range(600)]
     tbl = pa.table(
-        {"source": [r[0] for r in rows], "v": [r[1] for r in rows]}
+        {
+            "source": [r[0] for r in rows],
+            "v": [r[1] for r in rows],
+            "n": [(i * 13) % 2000 + 1 for i in range(600)],
+        }
     )
     src = tmp_path / "stream"
     src.mkdir()
@@ -356,7 +360,9 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
     pq.write_table(tbl.slice(300), str(src / "p1.parquet"))
     batch = spark.read.parquet(str(src))
 
-    got_hll, got_cms, epochs = [], [], []
+    from audiopro_essentia_spark.operators.sketch import lq_registers
+
+    got_hll, got_cms, got_lq, epochs = [], [], [], []
 
     def sink(bdf, eid):
         epochs.append(eid)
@@ -364,6 +370,7 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
         got_cms.extend(
             cms_registers(bdf, F.col("v"), d=2, w=64).collect()
         )
+        got_lq.extend(lq_registers(bdf, "n").collect())
 
     q = (
         spark.readStream.schema(batch.schema)
@@ -396,6 +403,18 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
     }
     assert dict(mh) == want_h
     assert dict(mc) == want_c
+    # LQ merges by (SUM cnt, MIN vmin, MAX vmax) on (grp, bucket)
+    ml: dict = defaultdict(lambda: [0, None, None])
+    for r in got_lq:
+        m = ml[(r.grp, r.bucket)]
+        m[0] += r.cnt
+        m[1] = r.vmin if m[1] is None else min(m[1], r.vmin)
+        m[2] = r.vmax if m[2] is None else max(m[2], r.vmax)
+    want_l = {
+        (r.grp, r.bucket): (r.cnt, r.vmin, r.vmax)
+        for r in lq_registers(batch, "n").collect()
+    }
+    assert {k: tuple(v) for k, v in ml.items()} == want_l
 
 
 # ---------------------------------------------------------------------------
