@@ -187,3 +187,105 @@ def test_edit_neardup_rejects_negative_bound(spark):
     df = spark.createDataFrame(EDIT_DOCS, "doc_id long, text string")
     with pytest.raises(ValueError):
         edit_neardup_pairs(df, max_dist=-1)
+
+
+def _fuzz_docs(n=200, seed=11):
+    """Deterministic messy corpus: bullets, newlines, '#'/'...' runs,
+    digit words, stopwords, doubled spaces, empties, NULLs — the
+    twin-drift hazard surface for the staged r5 queries."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = (
+        ["the", "be", "to", "of", "and", "that", "have", "with"]
+        + [f"word{i}" for i in range(30)]
+        + ["123", "9#9", "x...", "#", "...", "-", "•", "*", "a" * 15, ""]
+    )
+    docs = []
+    for i in range(n):
+        if i % 37 == 0:
+            docs.append((i, None))
+            continue
+        k = rng.randint(0, 60)
+        words = [rng.choice(vocab) for _ in range(k)]
+        sep = lambda: rng.choice([" ", " ", " ", "  ", "\n", "\n- ", "\n• "])
+        text = ""
+        for j, w in enumerate(words):
+            text += (sep() if j else "") + w
+        if rng.random() < 0.3:
+            text += rng.choice(["...", "\n...", " ..."])
+        docs.append((i, text))
+    return docs
+
+
+def test_gopher_and_lq_twins_on_fuzz_corpus(spark):
+    """Cross-engine equality on a deterministic fuzz corpus — the
+    strongest drift pin for the staged twins (a python mirror would
+    itself diverge on round-half ties; Spark vs DuckDB is the contract
+    the driver oracle actually checks)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.sketch import (
+        lq_quantiles,
+        lq_registers,
+    )
+
+    docs = _fuzz_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+
+    got_g = sorted(
+        map(tuple, gopher_quality(df, min_words=5, max_words=100).collect())
+    )
+    want_g = sorted(
+        map(
+            tuple,
+            con.sql(DT.gopher_sql(min_words=5, max_words=100)).fetchall(),
+        )
+    )
+    assert got_g == want_g
+
+    # lq twin groups by source — derive one from doc_id
+    sourced = [
+        (i, f"s{i % 4}" if i % 11 else None, t) for i, t in docs
+    ]
+    df2 = spark.createDataFrame(sourced, "doc_id long, source string, text string")
+    con2 = duckdb.connect()
+    con2.register(
+        "documents",
+        pd.DataFrame(sourced, columns=["doc_id", "source", "text"]),
+    )
+    v = F.size(nonempty_words(F.col("text"), null_as_empty=True))
+    got_l = sorted(
+        map(
+            tuple,
+            lq_quantiles(
+                lq_registers(df2.withColumn("v", v), "v")
+            ).collect(),
+        )
+    )
+    want_l = sorted(
+        map(tuple, con2.sql(DT.lq_quantiles_sql()).fetchall())
+    )
+    assert got_l == want_l
+
+
+def test_edit_neardup_twin_on_fuzz_corpus(spark):
+    import pandas as pd
+
+    docs = [(i, t) for i, t in _fuzz_docs(n=60, seed=23)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming, r.edit_dist)
+        for r in edit_neardup_pairs(df, max_dist=12).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = sorted(
+        map(tuple, con.sql(DT.edit_neardup_sql(max_dist=12)).fetchall())
+    )
+    assert got == want
