@@ -1758,6 +1758,164 @@ def q_streaming_session(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-5 window candidates (NOT in queries() yet): the 50-query driver
+# window is fully allocated to never-/single-checked rows (see CLAUDE.md),
+# so these three ship now with the full driver contract — query fn +
+# DuckDB oracle — exercised by tests/test_gopher_edit.py through the same
+# compare_one() harness, and r5 wiring moves them into queries()/
+# oracle_sql() verbatim while demoting then-double-green rows.
+# ---------------------------------------------------------------------------
+
+
+def q_staged_gopher(spark, sf_dir):
+    """Cleaning: Gopher A1.1 quality rules (Rae et al. 2021) over a
+    doc_id-keyed rule-exercising corpus: the c4_clean lined demo plus a
+    stop-word tail line, with %29 docs rewritten to all-bullet lines,
+    %13 docs to all-ellipsis-ended lines, %11 docs given a '########'
+    hash word; min/max word bounds chosen so BOTH word-count bounds
+    fire on the 10-99-word fixtures (functions/cleaning.py
+    gopher_quality)."""
+    from audiopro_essentia_spark.functions.cleaning import (
+        gopher_quality,
+        synthesize_lines,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lined = F.concat(
+        synthesize_lines(F.col("text")), F.lit("\nthe and that have with")
+    )
+    lines = F.split(lined, "\n")
+    bullets = F.array_join(
+        F.transform(lines, lambda l: F.concat(F.lit("- "), l)), "\n"
+    )
+    ellip = F.array_join(
+        F.transform(lines, lambda l: F.concat(l, F.lit("..."))), "\n"
+    )
+    txt = (
+        F.when(F.col("doc_id") % 29 == 0, bullets)
+        .when(F.col("doc_id") % 13 == 0, ellip)
+        .when(F.col("doc_id") % 11 == 0, F.concat(lined, F.lit(" ########")))
+        .otherwise(lined)
+    )
+    return gopher_quality(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), txt.alias("text")),
+        min_words=20,
+        max_words=90,
+    )
+
+
+def q_staged_edit_neardup(spark, sf_dir):
+    """Dedup: edit-distance-verified near-dup pairs over the corpus plus
+    perturbed twins (doc_id %% 41 docs re-issued as id+1e6 with the last
+    character flipped — a 1-edit near-dup whose shingle set differs in
+    one 2-gram; operators/dedup.py edit_neardup_pairs). length >= 1
+    guard mirrors the twin: left(text, length-1) has DIVERGENT
+    negative-length semantics across engines (DuckDB trims from the
+    right, Spark returns '')."""
+    from audiopro_essentia_spark.operators.dedup import edit_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pert = d.filter(
+        (F.col("doc_id") % 41 == 0)
+        & F.col("text").isNotNull()
+        & (F.length("text") >= 1)
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("left(text, length(text) - 1)"), F.lit("X")
+        ).alias("text"),
+    )
+    return edit_neardup_pairs(d.unionByName(pert), max_dist=3).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+    )
+
+
+def q_staged_lq_quantiles(spark, sf_dir):
+    """Monitoring: per-source tokens-per-doc quantiles (p50/p90/p99) from
+    the mergeable log-histogram sketch — exact log2 buckets, interpolated
+    estimates, n_bad visibility (operators/sketch.py lq_registers +
+    lq_quantiles)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.sketch import (
+        lq_quantiles,
+        lq_registers,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    v = F.size(nonempty_words(F.col("text"), null_as_empty=True))
+    return lq_quantiles(lq_registers(d.withColumn("v", v), "v"))
+
+
+def _staged_gopher_sql() -> str:
+    from audiopro_essentia_spark.duck_twins import H32, gopher_sql
+
+    demo = f"""
+WITH w AS (SELECT doc_id,
+        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      FROM documents),
+ln AS (SELECT doc_id, (CASE WHEN len(ws) < 1 THEN ''
+    ELSE array_to_string(list_transform(
+      list_transform(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
+      c -> c || CASE WHEN {H32.format(x='c')} % 3 <> 0 THEN '.' ELSE '' END),
+      chr(10)) END) || chr(10) || 'the and that have with' AS lined
+  FROM w)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE
+    WHEN doc_id % 29 = 0 THEN array_to_string(
+      list_transform(string_split(lined, chr(10)), l -> '- ' || l), chr(10))
+    WHEN doc_id % 13 = 0 THEN array_to_string(
+      list_transform(string_split(lined, chr(10)), l -> l || '...'), chr(10))
+    WHEN doc_id % 11 = 0 THEN lined || ' ########'
+    ELSE lined END AS text
+  FROM ln"""
+    return gopher_sql(min_words=20, max_words=90, table=f"({demo}) AS t2")
+
+
+def _staged_edit_neardup_sql() -> str:
+    from audiopro_essentia_spark.duck_twins import simhash_pairs_sql
+
+    cand = simhash_pairs_sql(ngram=2, max_hamming=3, table="docs_p")
+    return f"""
+WITH docs_p AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000, left(text, length(text) - 1) || 'X'
+  FROM documents
+  WHERE doc_id % 41 = 0 AND text IS NOT NULL AND length(text) >= 1),
+cand AS ({cand})
+SELECT c.id_a, c.id_b, c.hamming,
+  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM cand c
+JOIN docs_p a ON a.doc_id = c.id_a
+JOIN docs_p b ON b.doc_id = c.id_b
+WHERE levenshtein(a.text, b.text) <= 3
+"""
+
+
+def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "gopher_quality": q_staged_gopher,
+        "edit_neardup": q_staged_edit_neardup,
+        "lq_quantiles": q_staged_lq_quantiles,
+    }
+
+
+def _staged_oracle_sql() -> dict[str, str]:
+    from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
+
+    return {
+        "gopher_quality": _staged_gopher_sql(),
+        "edit_neardup": _staged_edit_neardup_sql(),
+        "lq_quantiles": lq_quantiles_sql(),
+    }
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: derived tokens -> framing -> per-frame rms/volume
     -> doc-stat broadcast enrichment."""

@@ -668,7 +668,9 @@ FROM documents n WHERE n.doc_id % {mod} = 0
 """
 
 
-def simhash_pairs_sql(ngram: int = 2, max_hamming: int = 3) -> str:
+def simhash_pairs_sql(
+    ngram: int = 2, max_hamming: int = 3, table: str = "documents"
+) -> str:
     """DuckDB twin of simhash_neardup_pairs: 64-bit SimHash from the same
     portable md5 halves (lo = hex 1-8, hi = hex 9-16 of ONE digest), bit j set
     iff sum over distinct shingles of (+1 if bit j else -1) > 0; pairs by
@@ -690,7 +692,7 @@ def simhash_pairs_sql(ngram: int = 2, max_hamming: int = 3) -> str:
     h_hi = H32HI.format(x="s")
     return f"""
 WITH sh AS (
-  {_shingle_select_sql(ngram, "documents")}
+  {_shingle_select_sql(ngram, table)}
 ),
 hs AS (SELECT doc_id,
   list_transform(shingles, s -> {h_lo}) AS lo,
@@ -716,9 +718,7 @@ def edit_neardup_sql(
     verified with unbounded levenshtein(a, b) <= max_dist (the Spark
     side's bounded threshold form keeps exactly this set with identical
     distances)."""
-    if table != "documents":
-        raise ValueError("simhash_pairs_sql chain is documents-table only")
-    cand = simhash_pairs_sql(ngram=ngram, max_hamming=max_hamming)
+    cand = simhash_pairs_sql(ngram=ngram, max_hamming=max_hamming, table=table)
     return f"""
 WITH cand AS ({cand})
 SELECT c.id_a, c.id_b, c.hamming,

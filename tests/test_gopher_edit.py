@@ -289,3 +289,43 @@ def test_edit_neardup_twin_on_fuzz_corpus(spark):
         map(tuple, con.sql(DT.edit_neardup_sql(max_dist=12)).fetchall())
     )
     assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_staged_driver_entries_oracle_green(spark, sf_dir):
+    """The three r5 window candidates run through the SAME compare
+    harness the driver uses (tests/driver_compare.compare_one) against
+    their staged oracles on the real fixture tables — r5 wiring moves
+    these entries into queries()/oracle_sql() verbatim."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_staged",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    E = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(E)
+    from driver_compare import compare_one, duck_con
+
+    qs = E._staged_queries()
+    sqls = E._staged_oracle_sql()
+    assert set(qs) == set(sqls)
+    con = duck_con(sf_dir)
+    bad = {}
+    n_rows = {}
+    for name, qfn in qs.items():
+        problems, n = compare_one(spark, con, name, qfn, sqls[name], sf_dir)
+        if problems:
+            bad[name] = problems
+        n_rows[name] = n
+    assert bad == {}
+    # non-vacuous: the gopher/lq demos cover every doc/source; the
+    # edit-neardup perturbed twins must actually surface pairs
+    assert n_rows["gopher_quality"] >= 50
+    assert n_rows["lq_quantiles"] >= 3
+    assert n_rows["edit_neardup"] >= 1
