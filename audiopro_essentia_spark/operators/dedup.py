@@ -994,15 +994,16 @@ def span_scrub(
     rows in the sparse mask table joined back (semi-join shape); the
     mask application is a narrow per-row array expression, O(W * dup
     starts). No self-join, no all-pairs."""
-    from audiopro_essentia_spark.functions.text import (
-        portable_hash32,
-        portable_hash32_hi,
-    )
-
     ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                   lambda w: w != "")
     base = df.select(F.col(id_col), ws.alias("_ws"))
     span_txt = lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, n))
+    # ONE md5 hex per span inside the transform lambda; the two 32-bit
+    # halves split in the outer (codegen) projection. Higher-order-
+    # function lambdas are interpreted per element with NO common-
+    # subexpression elimination, so calling portable_hash32 and
+    # portable_hash32_hi there computed the digest — and the concat_ws
+    # slice feeding it — twice per span (same h/h2 values either way).
     occ = (
         base.where(F.size("_ws") >= n)
         .select(
@@ -1011,9 +1012,7 @@ def span_scrub(
                 F.transform(
                     F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
                     lambda i: F.struct(
-                        i.alias("pos"),
-                        portable_hash32(span_txt(i)).alias("h"),
-                        portable_hash32_hi(span_txt(i)).alias("h2"),
+                        i.alias("pos"), F.md5(span_txt(i)).alias("hx")
                     ),
                 )
             ).alias("_sp"),
@@ -1021,8 +1020,12 @@ def span_scrub(
         .select(
             F.col(id_col),
             F.col("_sp.pos").alias("pos"),
-            F.col("_sp.h").alias("h"),
-            F.col("_sp.h2").alias("h2"),
+            F.conv(F.substring(F.col("_sp.hx"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+            F.conv(F.substring(F.col("_sp.hx"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("h2"),
         )
     )
     stats = occ.groupBy("h", "h2").agg(
