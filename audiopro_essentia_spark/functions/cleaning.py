@@ -50,14 +50,26 @@ def synthesize_lines(text: Column, words_per_line: int = 10) -> Column:
     raw = lambda i: F.concat_ws(
         " ", F.slice(ws, (i - F.lit(1)) * words_per_line + F.lit(1), words_per_line)
     )
-    line = lambda i: F.concat(
-        raw(i),
-        F.when(F.pmod(portable_hash32(raw(i)), F.lit(3)) != 0, F.lit(".")).otherwise(
+    # two-stage transform: materialize each raw chunk ONCE, then decorate.
+    # The one-stage form re-evaluated the concat_ws slice per reference
+    # (once for the text, once inside the hash) — HOF lambdas get no
+    # common-subexpression elimination. Identical output.
+    line = lambda c: F.concat(
+        c,
+        F.when(F.pmod(portable_hash32(c), F.lit(3)) != 0, F.lit(".")).otherwise(
             F.lit("")
         ),
     )
     return F.when(n_lines < 1, F.lit("")).otherwise(
-        F.array_join(F.transform(F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))), line), "\n")
+        F.array_join(
+            F.transform(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))), raw
+                ),
+                line,
+            ),
+            "\n",
+        )
     )
 
 
