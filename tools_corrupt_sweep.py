@@ -130,7 +130,14 @@ def main():
     violations, ok, loud = [], [], []
     try:
         spark = get_spark(master="local[8]", app_name="corrupt-sweep")
-        for name, qfn in E.queries().items():
+        # staged (pre-window) driver entries sweep too — they carry the
+        # same contract and enter queries() at the next rotation
+        all_queries = dict(E.queries())
+        all_queries.update(
+            {f"staged:{k}": v
+             for k, v in getattr(E, "_staged_queries", dict)().items()}
+        )
+        for name, qfn in all_queries.items():
             try:
                 df = qfn(spark, args.dst)
                 df.write.format("noop").mode("overwrite").save()
