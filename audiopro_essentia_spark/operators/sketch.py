@@ -316,9 +316,15 @@ def lq_quantiles(
     so the round-6 value is engine-independent.
 
     Cost: windows + joins over the register table only
-    (groups x 65 rows) — never touches the corpus."""
+    (groups x 65 rows) — never touches the corpus MORE THAN ONCE: the
+    register table is lazily checkpointed here because two plan branches
+    consume it (the cumulative walk and the good/bad totals) and
+    Catalyst pushes the bucket>=0 filter below one branch's aggregate,
+    making the two subtrees differ so ReusedExchange cannot fire
+    (measured: 2 FileScans without the checkpoint, 1 with)."""
     from pyspark.sql import Window
 
+    registers = registers.localCheckpoint(eager=False)
     reg = registers.filter(F.col("bucket") >= 0)
     w = (
         Window.partitionBy("grp")
