@@ -324,6 +324,11 @@ def lq_quantiles(
     (measured: 2 FileScans without the checkpoint, 1 with)."""
     from pyspark.sql import Window
 
+    if not qs or any(not (0.0 < float(q) <= 1.0) for q in qs):
+        # q > 1 would silently emit an est-NULL row (rank past every
+        # bucket) and an empty qs an empty frame — fail loud instead,
+        # the hop=0 / p-bounds guard discipline
+        raise ValueError(f"qs must be nonempty with 0 < q <= 1; got {qs!r}")
     registers = registers.localCheckpoint(eager=False)
     reg = registers.filter(F.col("bucket") >= 0)
     w = (

@@ -545,3 +545,16 @@ def test_lq_twin_matches_duckdb(spark):
     )
     want = sorted(map(tuple, con.sql(DT.lq_quantiles_sql()).fetchall()))
     assert got == want
+
+
+def test_lq_quantiles_q_bounds(spark):
+    from audiopro_essentia_spark.operators.sketch import (
+        lq_quantiles,
+        lq_registers,
+    )
+
+    df = spark.createDataFrame([("a", 5)], "source string, v long")
+    reg = lq_registers(df, "v")
+    for bad in ((), (0.0,), (1.5,), (-0.1,)):
+        with pytest.raises(ValueError):
+            lq_quantiles(reg, qs=bad)
