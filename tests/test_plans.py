@@ -274,3 +274,55 @@ def test_fertility_single_exchange_zero_python(spark):
     simple = buf.getvalue()
     assert simple.count("Exchange") == 1
     assert "ArrowEvalPython" not in simple and "BatchEvalPython" not in simple
+
+
+def test_gopher_zero_shuffle_pruned_scan(spark):
+    """gopher_quality is ONE codegen projection: zero Exchange, zero
+    Python, and the scan reads only (doc_id, text)."""
+    from audiopro_essentia_spark.functions.cleaning import gopher_quality
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    df = gopher_quality(d)
+    plan = plan_of(df)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in simple
+    assert "ArrowEvalPython" not in simple and "BatchEvalPython" not in simple
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan
+    for col in ("lang", "source", "n_chars"):
+        assert col not in scan, scan
+
+
+def test_lq_register_aggregate_is_single_pass(spark):
+    """lq_quantiles over lq_registers touches the corpus ONCE: the
+    bounded register table is checkpoint-truncated because its two
+    consumers (cumulative walk + totals) would otherwise re-run the
+    corpus aggregate (bucket>=0 pushes below one branch's aggregate, so
+    ReusedExchange cannot fire)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.sketch import (
+        lq_quantiles,
+        lq_registers,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    v = F.size(nonempty_words(F.col("text"), null_as_empty=True))
+    out = lq_quantiles(lq_registers(d.withColumn("v", v), "v"))
+    out.collect()
+    simple = out._jdf.queryExecution().executedPlan().toString()
+    # post-checkpoint plan: all downstream work reads the checkpointed
+    # registers — the parquet scan ran exactly once, at materialization
+    assert "FileScan" not in simple
+
+
+def test_edit_neardup_single_arrow_eval_no_text_in_buckets(spark):
+    """edit_neardup_pairs: ONE Arrow eval (the simhash signature);
+    the bucket shuffle carries (id, sig) structs — full text joins back
+    only for the sparse candidates."""
+    from audiopro_essentia_spark.operators.dedup import edit_neardup_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    out = edit_neardup_pairs(d, max_dist=4)
+    simple = out._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("ArrowEvalPython") == 1
+    assert "levenshtein" in simple
