@@ -488,20 +488,27 @@ def simhash_neardup_pairs(
         .agg(F.sort_array(F.collect_list("m")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    cand = (
+    # popcount verify BEFORE the distinct: most bucket-mates share a
+    # 16-bit chunk without being near-dups (common-vocab corpora), so
+    # filtering first shrinks the distinct's exchange to qualifying
+    # pairs only — and the shuffled rows carry (id_a, id_b, hamming)
+    # instead of two ids plus two 64-bit signatures. A pair can still
+    # surface from up to 4 chunks, so the distinct remains required;
+    # hamming is deterministic per pair, so distinct-after-filter is
+    # set-identical to the old filter-after-distinct.
+    hamming = F.bit_count(
+        F.col("p.id_a.sig").bitwiseXOR(F.col("p.id_b.sig"))
+    )
+    return (
         buckets.select(F.explode(_bucket_pairs(F.col("ms"), max_bucket)).alias("p"))
         .select(
             F.col("p.id_a.id").alias("id_a"),
             F.col("p.id_b.id").alias("id_b"),
-            F.col("p.id_a.sig").alias("sig_a"),
-            F.col("p.id_b.sig").alias("sig_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 def edit_neardup_pairs(
