@@ -117,8 +117,28 @@ def fused_frame_features(
                     # needs no extra scan or join. SAME threshold constant
                     # as reject_reason_col — a literal here would let the
                     # quarantine table and the fused output disagree.
-                    x = toks.astype(np.float64) / token_scale
-                    if float(np.dot(x, x)) <= MIN_SIGNAL_ENERGY:
+                    # Integer fast path: for int token arrays the squared
+                    # sum is EXACT in int64 (|tok| <= 32768 -> tok^2 <=
+                    # 2^30; overflow would need ~2^33 tokens), so the old
+                    # full-array astype(f64)+divide copy — pure DRAM
+                    # traffic on the kernel's hot path — collapses to one
+                    # read-only dot and a single division (strictly
+                    # tighter rounding than divide-then-pairwise-sum; a
+                    # doc can flip only with true energy within one ulp
+                    # of the threshold, i.e. integer energy at exactly
+                    # ~1073.74 — fixtures sit at 0 or thousands above).
+                    # float64 arrays (pyarrow NULL-element NaN) keep the
+                    # f64 path: NaN energy fails the <= and rides the
+                    # nonfinite ferror channel unchanged.
+                    if np.issubdtype(toks.dtype, np.integer):
+                        t64 = toks.astype(np.int64, copy=False)
+                        energy = float(np.dot(t64, t64)) / (
+                            token_scale * token_scale
+                        )
+                    else:
+                        x = toks.astype(np.float64) / token_scale
+                        energy = float(np.dot(x, x))
+                    if energy <= MIN_SIGNAL_ENERGY:
                         continue
                 wins = np.lib.stride_tricks.sliding_window_view(
                     toks[:n], frame_length
