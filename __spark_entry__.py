@@ -1852,6 +1852,61 @@ def q_staged_lq_quantiles(spark, sf_dir):
     return lq_quantiles(lq_registers(d.withColumn("v", v), "v"))
 
 
+BLOOM_M, BLOOM_K = 131072, 3
+
+
+def q_staged_bloom(spark, sf_dir):
+    """Sketching: Bloom-filter seen-set membership — the MEMBERSHIP
+    member of the mergeable sketch family (HLL cardinality / CMS
+    frequency / LQ quantiles / Bloom membership) and the
+    incremental-dedup prefilter shape: the filter over the OLD corpus's
+    distinct 3-gram shingles (even-numbered sources) is ~16 KB of
+    registers that probe ALL distinct corpus shingles without ever
+    shuffling the key universe; hits alone would proceed to the exact
+    semi-join. Output (shingle, in_build, bloom_hit): no false negatives
+    by construction (in_build=1 -> bloom_hit=1, pytest-pinned), ~1%
+    visible false positives at m=128Ki/k=3. All exact integer bit ops —
+    the twin is hash-identical with no rounding anywhere
+    (operators/sketch.py bloom_registers / bloom_probe)."""
+    from audiopro_essentia_spark.functions.text import word_ngrams
+    from audiopro_essentia_spark.operators.sketch import (
+        bloom_probe,
+        bloom_registers,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    parity = F.substring(F.col("source").cast("string"), 4, 8).cast("int")
+    flags = (
+        d.select(
+            F.when(parity % 2 == 0, 1).otherwise(0).alias("is_build"),
+            F.explode(word_ngrams(F.col("text"), n=3)).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.max("is_build").cast("int").alias("in_build"))
+        # three plan branches consume the shingle-flag table (register
+        # build, probe set, final join-back) — truncate lineage once so
+        # the corpus shingle pass runs once (CLAUDE.md multi-consumer
+        # rule); the table is bounded by the distinct-shingle count
+        .localCheckpoint(eager=False)
+    )
+    build = flags.where(F.col("in_build") == 1).select(
+        F.lit("corpus").alias("grp_const"), "shingle"
+    )
+    regs = bloom_registers(
+        build, F.col("shingle"), group_col="grp_const", m_bits=BLOOM_M, k=BLOOM_K
+    )
+    probed = bloom_probe(
+        regs,
+        flags.select("shingle"),
+        query_col="shingle",
+        m_bits=BLOOM_M,
+        k=BLOOM_K,
+    )
+    return probed.join(flags, "shingle").select(
+        "shingle", "in_build", "bloom_hit"
+    )
+
+
 def _staged_gopher_sql() -> str:
     from audiopro_essentia_spark.duck_twins import H32, gopher_sql
 
@@ -1903,6 +1958,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_staged_gopher,
         "edit_neardup": q_staged_edit_neardup,
         "lq_quantiles": q_staged_lq_quantiles,
+        "bloom_membership": q_staged_bloom,
     }
 
 
@@ -1913,6 +1969,9 @@ def _staged_oracle_sql() -> dict[str, str]:
         "gopher_quality": _staged_gopher_sql(),
         "edit_neardup": _staged_edit_neardup_sql(),
         "lq_quantiles": lq_quantiles_sql(),
+        "bloom_membership": DT.bloom_membership_sql(
+            ngram=3, m_bits=BLOOM_M, k=BLOOM_K
+        ),
     }
 
 

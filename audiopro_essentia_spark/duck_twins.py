@@ -1577,3 +1577,68 @@ FROM pr
 JOIN sz sa ON pr.src_a = sa.grp
 JOIN sz sb ON pr.src_b = sb.grp
 """
+
+
+def bloom_membership_sql(
+    ngram: int = 3,
+    m_bits: int = 131072,
+    k: int = 3,
+    table: str = "documents",
+) -> str:
+    """Twin of operators/sketch.bloom_registers + bloom_probe over the
+    seen-set prefilter demo (q_staged_bloom): a Bloom of the EVEN-source
+    distinct word-ngram shingles probed by EVERY distinct corpus shingle.
+    Mirrors the Spark tree op-for-op: the word_ngrams/_shingle projection,
+    position h_j = portable md5 of `j || ':' || shingle` mod m (hv >= 0 so
+    `%` == Spark pmod), word = pos >> 5, mask = 1 << (pos & 31) packed at
+    32 bits/BIGINT word (masks <= 2^31 never touch the sign bit in either
+    engine), BIT_OR register fold, and min-over-k probe — every quantity
+    an exact BIGINT, no rounding anywhere. The `spine` cross join mirrors
+    bloom_probe's DISTINCT-grp spine: with an EMPTY register table Spark
+    emits zero probe rows (no group exists), while a bare LEFT JOIN here
+    would emit all-zero hits — the spine keeps the degenerate case
+    identical."""
+    # TRY_CAST mirrors Spark's silent-NULL cast ('src-less' or NULL
+    # sources parse to NULL -> parity CASE falls to 0 in BOTH engines;
+    # a plain CAST would raise a DuckDB Conversion Error on '')
+    parity = "TRY_CAST(substr(CAST(source AS VARCHAR), 4, 8) AS INT)"
+    h = "(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || shingle), 1, 8))::BIGINT)"
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT shingle, MAX(is_build) AS in_build
+  FROM (
+    SELECT CASE WHEN {parity} % 2 = 0 THEN 1 ELSE 0 END AS is_build,
+           unnest(array_distinct(list_transform(
+             generate_series(1,
+               greatest(len(string_split(text, ' ')) - {ngram - 1}, 0)),
+             i -> array_to_string(
+               list_slice(string_split(text, ' '), i, i + {ngram - 1}), ' ')
+           ))) AS shingle
+    FROM {table})
+  GROUP BY 1),
+js AS (SELECT CAST(unnest(generate_series(0, {k - 1})) AS INT) AS j),
+bpos AS (
+  SELECT {h} % {m_bits} AS pos
+  FROM (SELECT shingle FROM sh WHERE in_build = 1) b CROSS JOIN js),
+regs AS MATERIALIZED (
+  SELECT pos >> 5 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos & 31 AS INT)) AS bits
+  FROM bpos GROUP BY 1),
+spine AS (SELECT DISTINCT 1 AS one FROM regs),
+qpos AS (
+  SELECT sh.shingle, {h} % {m_bits} AS pos
+  FROM sh CROSS JOIN js),
+hits AS (
+  SELECT q.shingle,
+         MIN(CASE WHEN (coalesce(r.bits, 0)
+                        & (CAST(1 AS BIGINT) << CAST(q.pos & 31 AS INT)))
+                       = (CAST(1 AS BIGINT) << CAST(q.pos & 31 AS INT))
+                  THEN 1 ELSE 0 END) AS bloom_hit
+  FROM qpos q CROSS JOIN spine s
+  LEFT JOIN regs r ON r.word_idx = (q.pos >> 5)
+  GROUP BY 1)
+SELECT sh.shingle,
+       CAST(sh.in_build AS INT) AS in_build,
+       CAST(h2.bloom_hit AS INT) AS bloom_hit
+FROM sh JOIN hits h2 ON sh.shingle = h2.shingle
+"""

@@ -245,6 +245,167 @@ def hll_distinct(
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (the MEMBERSHIP member of the mergeable sketch family:
+# HLL = cardinality, CMS = frequency, LQ = quantiles, Bloom = membership)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_check(m_bits: int, k: int) -> None:
+    if k < 1 or m_bits < 32 or m_bits % 32 != 0:
+        # 32-bit word packing: bit positions 0..31 keep every mask
+        # <= 2^31 — strictly positive in BIGINT in BOTH engines, so no
+        # sign-bit semantics enter the twin (1<<63 flips the sign in
+        # Spark and overflow-errors in DuckDB; packing at 32 sidesteps
+        # the divergence entirely for a 2x register-count cost)
+        raise ValueError(
+            f"need k >= 1 and m_bits a positive multiple of 32 "
+            f"(got m_bits={m_bits}, k={k})"
+        )
+
+
+def _bloom_word_mask(value: Column, j: int, m_bits: int) -> Column:
+    """(word_idx, mask) struct for hash j of `value`: position
+    h_j = portable_hash32(j || ':' || value) mod m_bits (the CMS row-hash
+    recipe), word = pos >> 5, mask = 1 << (pos & 31) — all exact integer
+    shift/mask ops, byte-identical in DuckDB."""
+    pos = F.pmod(
+        portable_hash32(F.concat(F.lit(f"{j}:"), value.cast("string"))),
+        F.lit(m_bits),
+    )
+    return F.struct(
+        F.shiftright(pos, 5).cast("int").alias("word_idx"),
+        # python-side F.shiftleft only takes a LITERAL shift count —
+        # shifting by a column routes through the SQL function registry
+        F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            (pos.bitwiseAND(F.lit(31))).cast("int"),
+        ).alias("mask"),
+    )
+
+
+def bloom_registers(
+    df: DataFrame,
+    value: Column,
+    group_col: str = "source",
+    m_bits: int = 131072,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom filter register table: (grp, word_idx, bits) with the m_bits
+    filter packed 32 bits per BIGINT word (sparse — absent words are
+    zero; the probe side fills them). The membership member of the
+    mergeable sketch family (Bloom 1970, "Space/time trade-offs in hash
+    coding with allowable errors"): a seen-set over a 100-TB corpus is a
+    few hundred KB of registers instead of a full shuffle of the key
+    universe, which is exactly the incremental-dedup prefilter shape —
+    probe the Bloom first, pay the exact semi-join only for hits.
+
+    Scale shape: the k-hash expansion happens BEFORE the hash aggregate,
+    so map-side partial aggregation collapses each task's contribution to
+    <= n_groups * m_bits/32 rows — the only shuffle carries bounded
+    sketch state, never the key universe. Sketches from disjoint
+    shards/epochs merge by register-wise BIT_OR (set union is bit union),
+    the same accumulation contract as HLL (max) / CMS (sum) / LQ
+    (sum,min,max).
+
+    Determinism: position j = portable md5 hash of `j || ':' || value`
+    mod m_bits (the CMS recipe, byte-identical in DuckDB); word/bit via
+    integer shift/mask; registers are exact BIGINTs < 2^32 — no float
+    enters the sketch, and no mask touches the BIGINT sign bit in either
+    engine (see _bloom_check).
+
+    NULL values are IGNORED (the hll/cms contract): a NULL occurrence is
+    not a storable key, and md5(NULL) would silently drop the row anyway
+    — filtered explicitly so the semantics are declared."""
+    _bloom_check(m_bits, k)
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    probes = F.array(*[_bloom_word_mask(value, j, m_bits) for j in range(k)])
+    return (
+        df.where(value.isNotNull())
+        .select(g.alias("grp"), F.explode(probes).alias("_wm"))
+        .groupBy("grp", F.col("_wm.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("_wm.mask")).alias("bits"))
+    )
+
+
+def bloom_probe(
+    registers: DataFrame,
+    queries: DataFrame,
+    query_col: str = "word",
+    m_bits: int = 131072,
+    k: int = 3,
+) -> DataFrame:
+    """Membership probes against a bloom_registers table: for every
+    (grp, query) pair, bloom_hit = 1 iff ALL k probe bits are set
+    (absent register word = 0 -> miss). Output: (grp, query_col,
+    bloom_hit int). No false negatives by construction; false positives
+    at the standard (1 - e^{-kn/m})^k rate.
+
+    `queries` is the candidate side (new-batch keys probing the seen-set,
+    an audit list): it expands to k rows per key, crosses the DISTINCT
+    group spine, and probes with one equi-join against the bounded
+    register table — O(groups * k * |queries|) regardless of the size of
+    the corpus the sketch was built from. m_bits and k must match the
+    build parameters (the cms_estimate rule: a mismatch probes the wrong
+    registers and silently degrades to noise, so they are explicit)."""
+    _bloom_check(m_bits, k)
+    # two plan branches consume the register table (group spine + probe
+    # join) — without lineage truncation each branch re-runs the full
+    # corpus build pass (the CLAUDE.md multi-consumer rule); the sketch
+    # is bounded at groups * m_bits/32 rows so the checkpoint is cheap
+    registers = registers.localCheckpoint(eager=False)
+    qv = F.col(query_col).cast("string")
+    probe_arr = F.array(*[_bloom_word_mask(qv, j, m_bits) for j in range(k)])
+    probes = queries.where(qv.isNotNull()).select(
+        qv.alias(query_col), F.explode(probe_arr).alias("_wm")
+    )
+    spine = registers.select("grp").distinct()
+    expanded = spine.crossJoin(F.broadcast(probes)).select(
+        "grp",
+        query_col,
+        F.col("_wm.word_idx").alias("word_idx"),
+        F.col("_wm.mask").alias("mask"),
+    )
+    hit_j = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+        == F.col("mask")
+    )
+    return (
+        expanded.join(registers, ["grp", "word_idx"], "left")
+        .groupBy("grp", query_col)
+        .agg(
+            F.min(F.when(hit_j, 1).otherwise(0)).cast("int").alias("bloom_hit")
+        )
+    )
+
+
+def bloom_stats(
+    registers: DataFrame,
+    m_bits: int = 131072,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group filter health: (grp, n_bits_set, fill_ratio, fpp_est)
+    — fill = popcount sum / m (bit_count exists in BOTH engines on
+    BIGINT), fpp_est = fill^k by EXPLICIT repeated multiplication (k
+    exact IEEE multiplies mirror 1:1 in the twin; pow() may differ in
+    the last ulp cross-engine), both round-6. The saturation monitor: a
+    fill ratio past ~0.5 means the filter is undersized for the stream
+    it absorbed and the false-positive rate is drifting up."""
+    _bloom_check(m_bits, k)
+    fill = F.sum(F.bit_count(F.col("bits"))).cast("double") / F.lit(
+        float(m_bits)
+    )
+    fpp = fill
+    for _ in range(k - 1):
+        fpp = fpp * fill
+    return registers.groupBy("grp").agg(
+        F.sum(F.bit_count(F.col("bits"))).cast("long").alias("n_bits_set"),
+        F.round(fill, 6).alias("fill_ratio"),
+        F.round(fpp, 6).alias("fpp_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # log-histogram quantile sketch (the quantile member of the mergeable
 # monitoring trio: HLL = cardinality, CMS = frequency, LQ = quantiles)
 # ---------------------------------------------------------------------------

@@ -329,3 +329,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["gopher_quality"] >= 50
     assert n_rows["lq_quantiles"] >= 3
     assert n_rows["edit_neardup"] >= 1
+    # one row per distinct corpus shingle; build side is ~10k of them
+    assert n_rows["bloom_membership"] >= 1000

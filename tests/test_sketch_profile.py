@@ -360,9 +360,12 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
     pq.write_table(tbl.slice(300), str(src / "p1.parquet"))
     batch = spark.read.parquet(str(src))
 
-    from audiopro_essentia_spark.operators.sketch import lq_registers
+    from audiopro_essentia_spark.operators.sketch import (
+        bloom_registers,
+        lq_registers,
+    )
 
-    got_hll, got_cms, got_lq, epochs = [], [], [], []
+    got_hll, got_cms, got_lq, got_bloom, epochs = [], [], [], [], []
 
     def sink(bdf, eid):
         epochs.append(eid)
@@ -371,6 +374,9 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
             cms_registers(bdf, F.col("v"), d=2, w=64).collect()
         )
         got_lq.extend(lq_registers(bdf, "n").collect())
+        got_bloom.extend(
+            bloom_registers(bdf, F.col("v"), m_bits=512, k=3).collect()
+        )
 
     q = (
         spark.readStream.schema(batch.schema)
@@ -415,6 +421,145 @@ def test_sketch_registers_merge_across_streaming_epochs(spark, tmp_path):
         for r in lq_registers(batch, "n").collect()
     }
     assert {k: tuple(v) for k, v in ml.items()} == want_l
+    # Bloom merges by register-wise BIT_OR (set union is bit union)
+    mb: dict = defaultdict(int)
+    for r in got_bloom:
+        mb[(r.grp, r.word_idx)] |= r.bits
+    want_b = {
+        (r.grp, r.word_idx): r.bits
+        for r in bloom_registers(batch, F.col("v"), m_bits=512, k=3).collect()
+    }
+    assert dict(mb) == want_b
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership)
+# ---------------------------------------------------------------------------
+
+
+def _mirror_bloom_regs(values, m_bits, k):
+    """python mirror of bloom_registers (single group)."""
+    words: dict[int, int] = {}
+    for v in values:
+        for j in range(k):
+            pos = _h32(f"{j}:{v}") % m_bits
+            words[pos >> 5] = words.get(pos >> 5, 0) | (1 << (pos & 31))
+    return words
+
+
+def _mirror_bloom_hit(words, q, m_bits, k):
+    for j in range(k):
+        pos = _h32(f"{j}:{q}") % m_bits
+        if not (words.get(pos >> 5, 0) >> (pos & 31)) & 1:
+            return 0
+    return 1
+
+
+def test_bloom_registers_and_probe_match_mirror(spark):
+    from audiopro_essentia_spark.operators.sketch import (
+        bloom_probe,
+        bloom_registers,
+    )
+
+    build = [f"key{i}" for i in range(500)]
+    df = spark.createDataFrame(
+        [(v, "g") for v in build * 2],  # duplicates are idempotent (OR)
+        "v string, source string",
+    )
+    m_bits, k = 8192, 3
+    regs = bloom_registers(df, F.col("v"), m_bits=m_bits, k=k)
+    got = {r.word_idx: r.bits for r in regs.collect()}
+    want = _mirror_bloom_regs(build, m_bits, k)
+    assert got == want
+    # with 1500 uniform bit draws over 8192 positions, bit 31 of some
+    # word is set with overwhelming probability — the sign-safe masking
+    # claim is exercised, not just asserted
+    assert any(b >> 31 for b in got.values())
+    assert all(0 < b < (1 << 32) for b in got.values())
+    probes = build[:100] + [f"absent{i}" for i in range(2000)]
+    qdf = spark.createDataFrame([(q,) for q in probes], "word string")
+    hits = {
+        r.word: r.bloom_hit
+        for r in bloom_probe(regs, qdf, m_bits=m_bits, k=k).collect()
+    }
+    assert hits == {
+        q: _mirror_bloom_hit(want, q, m_bits, k) for q in probes
+    }
+    # no false negatives, and the false-positive rate is in the
+    # theoretical band: fill = 1-exp(-kn/m) = 0.168 -> fpp ~ 0.47%
+    assert all(hits[q] == 1 for q in build[:100])
+    n_fp = sum(hits[q] for q in probes[100:])
+    assert n_fp / 2000 < 0.03
+
+
+def test_bloom_registers_merge_by_bit_or(spark):
+    from audiopro_essentia_spark.operators.sketch import bloom_registers
+
+    a = [f"x{i}" for i in range(400)]
+    b = [f"x{i}" for i in range(250, 700)]  # overlapping shard
+    mk = lambda vs: spark.createDataFrame(  # noqa: E731
+        [(v, "g") for v in vs], "v string, source string"
+    )
+    merged = (
+        bloom_registers(mk(a), F.col("v"), m_bits=4096, k=2)
+        .unionByName(bloom_registers(mk(b), F.col("v"), m_bits=4096, k=2))
+        .groupBy("grp", "word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    whole = bloom_registers(mk(a + b), F.col("v"), m_bits=4096, k=2)
+    got = {r.word_idx: r.bits for r in merged.collect()}
+    want = {r.word_idx: r.bits for r in whole.collect()}
+    assert got == want  # register-wise OR IS the union filter
+
+
+def test_bloom_stats_match_mirror(spark):
+    from audiopro_essentia_spark.operators.sketch import (
+        bloom_registers,
+        bloom_stats,
+    )
+
+    build = [f"v{i}" for i in range(300)]
+    df = spark.createDataFrame(
+        [(v, "g") for v in build], "v string, source string"
+    )
+    m_bits, k = 4096, 3
+    st = bloom_stats(
+        bloom_registers(df, F.col("v"), m_bits=m_bits, k=k), m_bits, k
+    ).collect()[0]
+    words = _mirror_bloom_regs(build, m_bits, k)
+    n_set = sum(bin(b).count("1") for b in words.values())
+    fill = n_set / float(m_bits)
+    assert st.n_bits_set == n_set
+    assert st.fill_ratio == round(fill, 6)
+    assert st.fpp_est == round(fill * fill * fill, 6)
+
+
+def test_bloom_param_guards_and_null(spark):
+    from audiopro_essentia_spark.operators.sketch import (
+        bloom_probe,
+        bloom_registers,
+        bloom_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "g"), (None, "g")], "v string, source string"
+    )
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_registers(df, F.col("v"), m_bits=100, k=2)
+    with pytest.raises(ValueError, match="k >= 1"):
+        bloom_registers(df, F.col("v"), m_bits=64, k=0)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_stats(df, m_bits=0, k=1)
+    regs = bloom_registers(df, F.col("v"), m_bits=64, k=2)
+    # NULL build values are ignored: exactly the 'a' bits are set
+    assert sum(bin(r.bits).count("1") for r in regs.collect()) == 2
+    with pytest.raises(ValueError, match="k >= 1"):
+        bloom_probe(regs, df.select(F.col("v").alias("word")), m_bits=48, k=1)
+    # NULL probe values are dropped, not emitted as phantom rows
+    hits = bloom_probe(
+        regs, df.select(F.col("v").alias("word")), m_bits=64, k=2
+    ).collect()
+    assert [(r.word, r.bloom_hit) for r in hits] == [("a", 1)]
 
 
 # ---------------------------------------------------------------------------
