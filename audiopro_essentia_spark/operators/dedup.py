@@ -173,6 +173,55 @@ def minhash_band_signatures(
     ).select(id_col, F.posexplode("bsigs").alias("band", "bsig"))
 
 
+def seen_set_bloom(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable Bloom pair for incremental dedup: (digest_regs,
+    band_regs) — membership filters over the corpus's exact md5 digests
+    and its (band:bsig) LSH keys (operators/sketch.bloom_registers).
+
+    This is the production seen-set artifact: built ONCE per corpus
+    epoch (or OR-merged forward as increments commit — bit union is the
+    register merge), persisted next to the minhash_band_signatures
+    index, and broadcast to every increment. m_bits=2^20 is 32 K
+    BIGINT words (~256 KB) — comfortably broadcastable at any corpus
+    size; size m to ~10 bits/key for ~1% false positives at your key
+    count (fill monitoring: sketch.bloom_stats)."""
+    dig = corpus.select(
+        F.lit("seen").alias("_g"), F.md5(F.col(text_col)).alias("_v")
+    )
+    bnd = minhash_band_signatures(corpus, text_col, id_col, k, bands, ngram).select(
+        F.lit("seen").alias("_g"),
+        F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bsig")).alias("_v"),
+    )
+    from .sketch import bloom_registers
+
+    return (
+        bloom_registers(dig, F.col("_v"), "_g", m_bits, n_hashes),
+        bloom_registers(bnd, F.col("_v"), "_g", m_bits, n_hashes),
+    )
+
+
+def _bloom_hit_keys(
+    regs: DataFrame, keys: DataFrame, key_col: str, m_bits: int, n_hashes: int
+) -> DataFrame:
+    """Distinct key values whose Bloom probe hits (candidate survivors)."""
+    from .sketch import bloom_probe
+
+    return (
+        bloom_probe(regs, keys, key_col, m_bits, n_hashes)
+        .where(F.col("bloom_hit") == 1)
+        .select(key_col)
+    )
+
+
 def incremental_dedup_flags(
     new: DataFrame,
     corpus: DataFrame,
@@ -181,6 +230,9 @@ def incremental_dedup_flags(
     k: int = 32,
     bands: int = 8,
     ngram: int = 3,
+    bloom: tuple[DataFrame, DataFrame] | None = None,
+    bloom_m_bits: int = 1 << 20,
+    bloom_n_hashes: int = 3,
 ) -> DataFrame:
     """Dedup a NEW batch against an existing corpus — the production
     incremental pattern (daily increments never re-pair the whole corpus).
@@ -190,14 +242,41 @@ def incremental_dedup_flags(
     the 16-byte digest); dup_near = >=1 MinHash band collision with the
     corpus signature index (left-semi equi-join on (band, bsig) — in
     production the right side is the materialized minhash_band_signatures
-    table, so the increment-side cost is O(|new|), not O(|corpus|))."""
+    table, so the increment-side cost is O(|new|), not O(|corpus|)).
+
+    `bloom` (optional): the seen_set_bloom register pair, prefiltering
+    BOTH semi-joins — only keys the Bloom flags as possibly-seen enter
+    the exact joins, so on a typical increment (dup rate a few %) the
+    join-side traffic drops to the hit fraction while the ~KB register
+    tables ride a broadcast. The exact semi-joins stay AUTHORITATIVE for
+    survivors: Bloom false positives are eliminated there, and false
+    negatives don't exist by construction, so the output is IDENTICAL
+    with and without the prefilter (pytest-pinned). bloom_m_bits /
+    bloom_n_hashes must match the build (the cms_estimate/bloom_probe
+    parameter-mismatch rule)."""
     nh = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
     ch = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
-    exact_ids = nh.join(ch, "_h", "left_semi").select(id_col)
     ns = minhash_band_signatures(new, text_col, id_col, k, bands, ngram)
+    if bloom is not None:
+        dig_regs, band_regs = bloom
+        nh_probe = _bloom_hit_keys(
+            dig_regs, nh.select("_h"), "_h", bloom_m_bits, bloom_n_hashes
+        )
+        nh_cand = nh.join(F.broadcast(nh_probe), "_h", "left_semi")
+        nk = ns.select(
+            "*",
+            F.concat(F.col("band").cast("string"), F.lit(":"), F.col("bsig")).alias("_bk"),
+        )
+        ns_probe = _bloom_hit_keys(
+            band_regs, nk.select("_bk"), "_bk", bloom_m_bits, bloom_n_hashes
+        )
+        ns_cand = nk.join(F.broadcast(ns_probe), "_bk", "left_semi").drop("_bk")
+    else:
+        nh_cand, ns_cand = nh, ns
+    exact_ids = nh_cand.join(ch, "_h", "left_semi").select(id_col)
     cs = minhash_band_signatures(corpus, text_col, id_col, k, bands, ngram)
     near_ids = (
-        ns.join(
+        ns_cand.join(
             cs.select("band", "bsig").distinct(), ["band", "bsig"], "left_semi"
         )
         .select(id_col)

@@ -461,6 +461,48 @@ def test_incremental_dedup_flags_planted(spark, docs):
     assert got[900003] == (0, 0)   # fresh doc: clean
 
 
+def test_incremental_dedup_bloom_prefilter_identical(spark, docs):
+    """The seen-set Bloom prefilter must not change a single flag: no
+    false negatives by construction, and false positives die in the
+    authoritative exact semi-joins. Pinned on a batch large enough to
+    carry exact dups, near dups, AND many clean docs (the population the
+    prefilter actually removes), at a deliberately tiny m (high FP rate
+    — the identity must hold even on a saturated filter)."""
+    from audiopro_essentia_spark.operators.dedup import (
+        incremental_dedup_flags,
+        seen_set_bloom,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 == 1).limit(60)
+    # plant one exact dup and one near dup from the corpus side
+    planted_src = corpus.limit(2).collect()
+    planted = spark.createDataFrame(
+        [
+            (900011, planted_src[0].text),
+            (900012, planted_src[1].text + " zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    new = new.select("doc_id", "text").unionByName(planted)
+    base = {
+        r.doc_id: (r.dup_exact, r.dup_near)
+        for r in incremental_dedup_flags(new, corpus, k=16, bands=4).collect()
+    }
+    assert base[900011] == (1, 1)
+    assert base[900012][1] == 1
+    for m_bits in (1 << 14, 256):  # sane size AND a saturated filter
+        regs = seen_set_bloom(corpus, k=16, bands=4, m_bits=m_bits, n_hashes=3)
+        got = {
+            r.doc_id: (r.dup_exact, r.dup_near)
+            for r in incremental_dedup_flags(
+                new, corpus, k=16, bands=4,
+                bloom=regs, bloom_m_bits=m_bits, bloom_n_hashes=3,
+            ).collect()
+        }
+        assert got == base
+
+
 def test_normalize_text_collapses_variants(spark):
     from audiopro_essentia_spark.functions.text import normalize_text
 
