@@ -326,3 +326,32 @@ def test_edit_neardup_single_arrow_eval_no_text_in_buckets(spark):
     simple = out._jdf.queryExecution().executedPlan().toString()
     assert simple.count("ArrowEvalPython") == 1
     assert "levenshtein" in simple
+
+
+def test_bloom_probe_zero_python_registers_broadcast(spark):
+    """bloom_membership: zero Python anywhere (hash/shift/mask/bit_or
+    are all JVM expressions), the bounded register table rides a
+    BroadcastHashJoin at the probe, and the only nested-loop node is
+    the 1-row group-spine cross broadcast (the documented acceptable
+    BNLJ shape) — the probe side never shuffles on the key universe."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_bloomplan",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "__spark_entry__.py",
+        ),
+    )
+    E = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(E)
+    df = E._staged_queries()["bloom_membership"](spark, SF)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in simple
+    assert "BatchEvalPython" not in simple
+    assert "CartesianProduct" not in simple
+    # probe join + final flag join-back both broadcast
+    assert simple.count("BroadcastHashJoin") >= 2
+    # spine cross: exactly one BNLJ and it must be the Cross build
+    assert simple.count("BroadcastNestedLoopJoin") == 1
