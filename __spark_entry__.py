@@ -1907,6 +1907,78 @@ def q_staged_bloom(spark, sf_dir):
     )
 
 
+def q_staged_interval_join(spark, sf_dir):
+    """Joins: point-in-interval containment join (temporal.interval_join)
+    — every event joined to its enclosing 30-min-gap session via the
+    bucket-equi-join shape (intervals exploded onto hour buckets, ONE
+    hash shuffle per side, residual BETWEEN inside the join) instead of
+    the BroadcastNestedLoop Spark plans for a bare theta-join. Sessions
+    come from session_stats over the same stream, so every event matches
+    exactly its own session (rows == events — the self-consistency the
+    oracle pins); NULL-ts rows are filtered BEFORE sessionization on
+    both engines (Spark windows sort NULLS FIRST, DuckDB NULLS LAST —
+    an unfiltered NULL would silently shift every lag chain)."""
+    from audiopro_essentia_spark.operators.temporal import (
+        interval_join,
+        session_stats,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+    )
+    ses = session_stats(ev, ("user_id",), "ts", gap_seconds=1800.0)
+    out = interval_join(
+        ev,
+        ses,
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        key_cols=("user_id",),
+        bucket_seconds=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("duration_us").cast("long").alias("duration_us"),
+    )
+
+
+def _staged_interval_join_sql() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+s0 AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s1 AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM s0),
+ses AS (
+  SELECT user_id, session_id,
+         MIN(us) AS su, MAX(us) AS eu,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s1 GROUP BY 1, 2)
+SELECT e.event_id, e.user_id,
+       CAST(ses.session_id AS BIGINT) AS session_id,
+       ses.n_events,
+       CAST(ses.eu - ses.su AS BIGINT) AS duration_us
+FROM e JOIN ses
+  ON e.user_id = ses.user_id AND e.us BETWEEN ses.su AND ses.eu
+"""
+
+
 def _staged_gopher_sql() -> str:
     from audiopro_essentia_spark.duck_twins import H32, gopher_sql
 
@@ -1959,6 +2031,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_neardup": q_staged_edit_neardup,
         "lq_quantiles": q_staged_lq_quantiles,
         "bloom_membership": q_staged_bloom,
+        "interval_join": q_staged_interval_join,
     }
 
 
@@ -1972,6 +2045,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "bloom_membership": DT.bloom_membership_sql(
             ngram=3, m_bits=BLOOM_M, k=BLOOM_K
         ),
+        "interval_join": _staged_interval_join_sql(),
     }
 
 

@@ -209,3 +209,98 @@ def session_tempo(
         # would otherwise be re-inlined per element (CLAUDE.md trap)
         tempo_from_boundaries_expr(F.col("boundaries_sec"), assume_sorted=True),
     )
+
+
+def _bucket_of(us: Column, bucket_us: int) -> Column:
+    """Exact FLOOR division of a micros BIGINT by the bucket width:
+    (us - pmod(us, B)) / B — the numerator is an exact multiple of B and
+    the quotient is far below 2^53, so the one double division is exact.
+    A bare floor(us / B) would ride a rounded double quotient whose ulp
+    closes in on 1/B as the epoch grows; pmod keeps it exact for any
+    epoch (and is true floor semantics for pre-1970 negatives too)."""
+    b = F.lit(bucket_us)
+    return ((us - F.pmod(us, b)) / b).cast("long")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    key_cols: tuple[str, ...] = (),
+    bucket_seconds: float = 3600.0,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """Point-in-interval (range containment) join: one output row per
+    (point, interval) pair with key equality and
+    start <= ts <= end (inclusive bounds) — the temporal-containment
+    member of the join family next to as-of (latest <=, operators/
+    asof.py) and the time axis of the kernel's frequency-band
+    containment (J3). The reference engine assigns each frame to its
+    enclosing analysis window by direct indexing (single-process); at
+    corpus scale the same containment must be a JOIN, and Spark plans a
+    bare theta-join (ts BETWEEN start AND end) as BroadcastNestedLoop —
+    a scan of every interval per point, quadratic at 100 TB.
+
+    Bucket-equi-join shape instead: both sides map time onto
+    bucket_seconds-wide integer buckets — points to ONE bucket,
+    intervals EXPLODED to every bucket they overlap — so the pair space
+    collapses to a hash equi-join on (*key_cols, bucket) whose residual
+    BETWEEN runs inside the join. A matching pair meets in EXACTLY one
+    bucket (the point's), so no de-duplication pass is needed — the
+    explode multiplies only the interval side, by
+    ceil(duration/bucket) rows. Pick bucket_seconds near the typical
+    interval duration: larger buckets cut replication but admit more
+    non-matching bucket-mates into the residual filter.
+
+    Guards (the hop=0 / pack-shards discipline): bucket_seconds must be
+    positive; an interval spanning > max_span_buckets buckets fails
+    LOUD at execution (a malformed open-ended interval would otherwise
+    silently explode the build side) — raise the cap deliberately for
+    genuinely long intervals. Rows with NULL ts never match (NULL
+    bucket); intervals with NULL or inverted bounds (end < start)
+    contain no point by definition and are dropped, not raised — the
+    well-defined containment semantics of an empty interval.
+
+    100-TB shape: ONE hash shuffle per side on (*key_cols, bucket) —
+    co-partitionable with an upstream sessionize/session_stats that
+    already shuffled on the keys; never a nested-loop scan."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    if max_span_buckets < 1:
+        raise ValueError(
+            f"max_span_buckets must be >= 1, got {max_span_buckets}"
+        )
+    bucket_us = int(round(bucket_seconds * 1e6))
+    if bucket_us < 1:
+        raise ValueError(
+            f"bucket_seconds={bucket_seconds} rounds below 1 microsecond"
+        )
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pts = points.withColumn("_ivb", _bucket_of(ts_us, bucket_us))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    b0, b1 = _bucket_of(s_us, bucket_us), _bucket_of(e_us, bucket_us)
+    span = b1 - b0 + 1
+    guarded = F.when(
+        span > F.lit(max_span_buckets),
+        F.raise_error(
+            F.format_string(
+                "interval spans %s buckets > max_span_buckets=%s "
+                "(start=%s end=%s bucket_seconds=%s)",
+                span.cast("string"),
+                F.lit(str(max_span_buckets)),
+                F.col(start_col).cast("string"),
+                F.col(end_col).cast("string"),
+                F.lit(str(bucket_seconds)),
+            )
+        ).cast("long"),
+    ).otherwise(b1)
+    iv = intervals.where(
+        s_us.isNotNull() & e_us.isNotNull() & (e_us >= s_us)
+    ).withColumn("_ivb", F.explode(F.sequence(b0, guarded)))
+    joined = pts.join(iv, [*key_cols, "_ivb"], "inner").where(
+        (ts_us >= s_us) & (ts_us <= e_us)
+    )
+    return joined.drop("_ivb")

@@ -331,3 +331,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["edit_neardup"] >= 1
     # one row per distinct corpus shingle; build side is ~10k of them
     assert n_rows["bloom_membership"] >= 1000
+    # every event lands in exactly its own session: rows == events
+    assert n_rows["interval_join"] >= 500

@@ -112,3 +112,146 @@ def test_session_stats_counts(spark, events):
     # durations non-negative, ends >= starts
     bad = st.filter(F.col("session_end") < F.col("session_start")).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# interval (point-in-range containment) join
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def test_interval_join_containment_semantics(spark):
+    """Inclusive bounds, overlapping intervals multiply, disjoint and
+    inverted/NULL intervals never match, NULL ts never matches — all
+    with an interval spanning MANY buckets (small bucket_seconds) so
+    the explode path is the one under test."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from audiopro_essentia_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 00:00:00")),   # == start boundary
+            (2, "u", _ts("2024-01-01 00:30:00")),   # inside A, inside B
+            (3, "u", _ts("2024-01-01 01:00:00")),   # == A end boundary
+            (4, "u", _ts("2024-01-01 05:00:00")),   # outside everything
+            (5, "v", _ts("2024-01-01 00:30:00")),   # right key, other user
+            (6, "u", None),                          # NULL ts
+        ],
+        "pid long, user string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("A", "u", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+            ("B", "u", _ts("2024-01-01 00:20:00"), _ts("2024-01-01 02:00:00")),
+            ("C", "u", _ts("2024-01-01 03:00:00"), _ts("2024-01-01 02:00:00")),  # inverted
+            ("D", "u", None, _ts("2024-01-01 01:00:00")),  # NULL bound
+            ("E", "v", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+        ],
+        "iid string, user string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            pts, ivs, "ts", "s", "e", key_cols=("user",), bucket_seconds=60.0
+        ).collect()
+    )
+    assert got == [
+        (1, "A"),            # start-inclusive
+        (2, "A"), (2, "B"),  # overlap multiplies
+        (3, "A"), (3, "B"),  # end-inclusive for A, interior for B
+        (5, "E"),            # key equality respected
+    ]
+
+
+def test_interval_join_matches_naive_theta_join(spark):
+    """Property pin: the bucketized join equals the naive theta-join on
+    a random-ish planted set, across bucket widths straddling the
+    interval durations (every interval meets each matching point in
+    exactly one bucket — no dup rows, no misses)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from audiopro_essentia_spark.operators.temporal import interval_join
+
+    base = _ts("2024-01-01 00:00:00")
+    import datetime as dt
+
+    pts = spark.createDataFrame(
+        [(i, f"u{i % 3}", base + dt.timedelta(seconds=(i * 137) % 7200))
+         for i in range(200)],
+        "pid long, user string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(j, f"u{j % 3}",
+          base + dt.timedelta(seconds=(j * 311) % 6000),
+          base + dt.timedelta(seconds=(j * 311) % 6000 + 50 + (j * 97) % 900))
+         for j in range(60)],
+        "iid long, user string, s timestamp, e timestamp",
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(
+            ivs,
+            (pts.user == ivs.user) & (pts.ts >= ivs.s) & (pts.ts <= ivs.e),
+        ).collect()
+    )
+    assert naive  # non-vacuous
+    for bucket in (30.0, 300.0, 7200.0):
+        got = sorted(
+            (r.pid, r.iid)
+            for r in interval_join(
+                pts, ivs, "ts", "s", "e",
+                key_cols=("user",), bucket_seconds=bucket,
+            ).collect()
+        )
+        assert got == naive, bucket
+
+
+def test_interval_join_guards(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException  # noqa: F401
+
+    from audiopro_essentia_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"))], "pid long, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), _ts("2024-06-01 00:00:00"))],
+        "iid long, s timestamp, e timestamp",
+    )
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=0)
+    with pytest.raises(ValueError, match="max_span_buckets"):
+        interval_join(pts, ivs, "ts", "s", "e", max_span_buckets=0)
+    # a ~5-month interval on 60 s buckets blows the span cap LOUD
+    with pytest.raises(Exception, match="max_span_buckets"):
+        interval_join(
+            pts, ivs, "ts", "s", "e",
+            bucket_seconds=60.0, max_span_buckets=1000,
+        ).collect()
+
+
+def test_interval_join_plan_is_hash_join_not_nested_loop(spark):
+    """The whole point of the bucket shape: Spark plans the containment
+    as a hash equi-join, never BroadcastNestedLoop/Cartesian."""
+    from audiopro_essentia_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", _ts("2024-01-01 00:00:00"))],
+        "pid long, user string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [("A", "u", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"))],
+        "iid string, user string, s timestamp, e timestamp",
+    )
+    out = interval_join(pts, ivs, "ts", "s", "e", key_cols=("user",))
+    simple = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert ("BroadcastHashJoin" in simple) or ("SortMergeJoin" in simple)
