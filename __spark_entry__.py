@@ -1949,6 +1949,67 @@ def q_staged_interval_join(spark, sf_dir):
     )
 
 
+def q_staged_time_rolling(spark, sf_dir):
+    """Windows: trailing TIME-range rolling features as-of each event
+    (temporal.with_time_rolling) — events-per-user count and exact-cents
+    value sum over the last 10 min and 1 h, the feature-store primitive
+    row-based rolling cannot express on irregular event spacing. Zero
+    leakage (frame upper bound = current ts; same-ts peers are included
+    in BOTH engines — the SQL RANGE CURRENT ROW peer rule matches the
+    asof <=-availability convention). Value summed as round(value*100)
+    BIGINT cents (the money-sum rule: double SUM order is
+    engine-dependent; integer cents are exact). ONE shuffle + ONE sort
+    serves all four feature columns."""
+    from audiopro_essentia_spark.operators.temporal import with_time_rolling
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    out = with_time_rolling(
+        ev,
+        "cents",
+        ("user_id",),
+        "ts",
+        horizons_seconds=(600.0, 3600.0),
+        aggs=("count", "sum"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("cents_count_600s").cast("long").alias("n_600s"),
+        F.col("cents_sum_600s").cast("long").alias("sum_cents_600s"),
+        F.col("cents_count_3600s").cast("long").alias("n_3600s"),
+        F.col("cents_sum_3600s").cast("long").alias("sum_cents_3600s"),
+    )
+
+
+def _staged_time_rolling_sql() -> str:
+    return """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+SELECT event_id, user_id,
+       CAST(COUNT(cents) OVER w6 AS BIGINT) AS n_600s,
+       CAST(SUM(cents) OVER w6 AS BIGINT) AS sum_cents_600s,
+       CAST(COUNT(cents) OVER w36 AS BIGINT) AS n_3600s,
+       CAST(SUM(cents) OVER w36 AS BIGINT) AS sum_cents_3600s
+FROM e
+WINDOW
+  w6 AS (PARTITION BY user_id ORDER BY us
+         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW),
+  w36 AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _staged_interval_join_sql() -> str:
     return """
 WITH e AS (
@@ -2032,6 +2093,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lq_quantiles": q_staged_lq_quantiles,
         "bloom_membership": q_staged_bloom,
         "interval_join": q_staged_interval_join,
+        "time_rolling": q_staged_time_rolling,
     }
 
 
@@ -2046,6 +2108,7 @@ def _staged_oracle_sql() -> dict[str, str]:
             ngram=3, m_bits=BLOOM_M, k=BLOOM_K
         ),
         "interval_join": _staged_interval_join_sql(),
+        "time_rolling": _staged_time_rolling_sql(),
     }
 
 

@@ -304,3 +304,72 @@ def interval_join(
         (ts_us >= s_us) & (ts_us <= e_us)
     )
     return joined.drop("_ivb")
+
+
+def with_time_rolling(
+    df: DataFrame,
+    value_col: str,
+    key_cols: tuple[str, ...],
+    ts_col: str,
+    horizons_seconds: tuple[float, ...] = (3600.0,),
+    aggs: tuple[str, ...] = ("count", "sum"),
+    prefix: str | None = None,
+) -> DataFrame:
+    """Trailing TIME-range rolling aggregates as-of each row — the
+    feature-store primitive the row-based with_rolling cannot express
+    on irregularly spaced events: for each horizon H, aggregate the
+    rows of the same key with ts in [row_ts - H, row_ts] (inclusive
+    both ends, the asof_join <=-availability convention). Zero temporal
+    leakage by construction: the frame's upper bound is the current
+    row's timestamp.
+
+    One hash shuffle + ONE in-partition sort serves every
+    (horizon, agg) column — all windows share the same partitioning and
+    the same unix_micros ordering, so Spark reuses the Exchange+Sort
+    (the sessionize/silence_segments shuffle-sharing shape).
+
+    Column naming: `<value>_<agg>_<H>s` (H as an integer second count
+    when exact, else the raw float). NULL-ts rows sort into one frame
+    group and poison range frames — filter them upstream (the
+    sessionize NULLS FIRST/LAST cross-engine hazard); NULL values
+    simply don't contribute (count counts rows via count(value) only
+    when value is non-null — the SQL convention both engines share).
+
+    Float-sum caution (the BM25/DSIR/monitor discipline): sum/avg over
+    DOUBLE expose engine/partitioning-dependent accumulation order —
+    for oracle-checked pipelines, round the value to an exact integer
+    unit FIRST (cents, micro-units) and sum that."""
+    if not horizons_seconds:
+        raise ValueError("horizons_seconds must be nonempty")
+    fns = {"count": F.count, "sum": F.sum, "min": F.min, "max": F.max,
+           "avg": F.avg, "stddev": F.stddev}
+    bad = [a for a in aggs if a not in fns]
+    if bad:
+        raise ValueError(f"unknown aggs {bad}; supported: {sorted(fns)}")
+    # materialize the ordering expression ONCE as a named column:
+    # ordering each window by the unix_micros EXPRESSION makes every
+    # withColumn project a fresh `_w0#N` alias, so no two Window nodes
+    # share a sort key — CollapseWindow can't merge them and
+    # EnsureRequirements can't elide the sorts (measured: 8 Sort nodes
+    # for 8 feature columns; 1 after this)
+    out = df.withColumn(
+        "_tr_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    for h in horizons_seconds:
+        h_us = int(round(float(h) * 1e6))
+        if h_us < 1:
+            raise ValueError(
+                f"horizon {h} s rounds below 1 microsecond"
+            )
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("_tr_us")
+            .rangeBetween(-h_us, 0)
+        )
+        label = str(int(h)) if float(h) == int(h) else str(h)
+        p = prefix or value_col
+        for a in aggs:
+            out = out.withColumn(
+                f"{p}_{a}_{label}s", fns[a](value_col).over(w)
+            )
+    return out.drop("_tr_us")

@@ -333,3 +333,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["bloom_membership"] >= 1000
     # every event lands in exactly its own session: rows == events
     assert n_rows["interval_join"] >= 500
+    # one feature row per (non-NULL-ts) event
+    assert n_rows["time_rolling"] >= 500

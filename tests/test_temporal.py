@@ -255,3 +255,77 @@ def test_interval_join_plan_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
     assert ("BroadcastHashJoin" in simple) or ("SortMergeJoin" in simple)
+
+
+# ---------------------------------------------------------------------------
+# trailing time-range rolling features (with_time_rolling)
+# ---------------------------------------------------------------------------
+
+
+def test_time_rolling_matches_mirror_with_boundaries_and_ties(spark):
+    """Frame = [ts - H, ts] inclusive both ends, and same-ts rows are
+    PEERS (each appears in the other's frame — the SQL RANGE CURRENT
+    ROW rule; availability is <=, the asof convention)."""
+    import datetime as dt
+
+    from audiopro_essentia_spark.operators.temporal import with_time_rolling
+
+    base = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [
+        (1, "u", base, 10),
+        (2, "u", base + dt.timedelta(seconds=60), 20),     # exactly H back from #4
+        (3, "u", base + dt.timedelta(seconds=90), None),   # NULL value in-frame
+        (4, "u", base + dt.timedelta(seconds=120), 40),
+        (5, "u", base + dt.timedelta(seconds=120), 50),    # tie with #4
+        (6, "u", base + dt.timedelta(seconds=300), 60),    # everything aged out
+        (7, "v", base + dt.timedelta(seconds=120), 70),    # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, user string, ts timestamp, v long"
+    )
+    got = {
+        r.pid: (r.v_count_60s, r.v_sum_60s)
+        for r in with_time_rolling(
+            df, "v", ("user",), "ts", horizons_seconds=(60.0,)
+        ).collect()
+    }
+    assert got == {
+        1: (1, 10),
+        2: (2, 30),        # 60 s back is INCLUSIVE of row 1
+        3: (1, 20),        # frame [30,90]: only row 2; count(v) skips own NULL
+        4: (3, 110),       # rows 2..5: NULL row contributes nothing; tie peer 5 COUNTS
+        5: (3, 110),       # identical frame to its peer
+        6: (1, 60),
+        7: (1, 70),
+    }
+
+
+def test_time_rolling_guards_and_shared_shuffle(spark):
+    import datetime as dt
+
+    import pytest
+
+    from audiopro_essentia_spark.operators.temporal import with_time_rolling
+
+    base = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+    df = spark.createDataFrame(
+        [(i, "u", base + dt.timedelta(seconds=i), i) for i in range(10)],
+        "pid long, user string, ts timestamp, v long",
+    )
+    with pytest.raises(ValueError, match="nonempty"):
+        with_time_rolling(df, "v", ("user",), "ts", horizons_seconds=())
+    with pytest.raises(ValueError, match="unknown aggs"):
+        with_time_rolling(df, "v", ("user",), "ts", aggs=("median",))
+    with pytest.raises(ValueError, match="microsecond"):
+        with_time_rolling(df, "v", ("user",), "ts", horizons_seconds=(1e-9,))
+    # every (horizon, agg) column rides ONE Exchange and ONE Sort —
+    # identical partitioning+ordering lets Spark fuse all the windows
+    out = with_time_rolling(
+        df, "v", ("user",), "ts",
+        horizons_seconds=(5.0, 60.0), aggs=("count", "sum", "min", "max"),
+    )
+    simple = out._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("Exchange") == 1
+    # "Sort" alone also matches the per-Window sortOrder detail text —
+    # count physical Sort NODES
+    assert simple.count("- Sort [") == 1
