@@ -125,25 +125,35 @@ def sessionize(
     to the previous event exceeds `gap_seconds` (the distributed analog of
     beat segmentation, utils/audio.py:79-91). session_id is 0-based per key.
 
-    Two window passes over ONE shuffle+sort (same partitioning/ordering, so
-    Spark reuses the sort).
+    Two window passes over ONE shuffle+sort: the cast-to-micros ordering
+    value is materialized ONCE as a named column — ordering each window
+    by the EXPRESSION hands every extracted window its own `_w0#N`
+    alias, so the two Window nodes don't share a sort key and the lag
+    pass and the running sum each pay a full Sort (measured: 2 Sort
+    nodes before, 1 after — the with_time_rolling alias trap; this
+    function's old docstring CLAIMED the sort was reused, and wasn't).
 
-    The window ORDERS BY the same cast-to-micros expression the gap is
-    measured on — ordering by the raw column while measuring cast values
-    silently scrambles sessions for any ts representation whose raw sort
-    is not chronological (e.g. numeric-epoch strings: '999999' sorts
-    after '1000000'). Identical ordering for timestamp-typed input."""
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    w = Window.partitionBy(*key_cols).orderBy(ts_us)
+    The windows order by the same micros value the gap is measured on —
+    ordering by the raw column while measuring cast values silently
+    scrambles sessions for any ts representation whose raw sort is not
+    chronological (e.g. numeric-epoch strings: '999999' sorts after
+    '1000000'). Identical ordering for timestamp-typed input."""
+    tagged = df.withColumn(
+        "_sess_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    ts_us = F.col("_sess_us")
+    w = Window.partitionBy(*key_cols).orderBy("_sess_us")
     prev_us = F.lag(ts_us).over(w)  # gap depends on ts only; ties => gap 0
     gap = ts_us - prev_us
     is_new = F.when(
         prev_us.isNull() | (gap > F.lit(_gap_us(gap_seconds))), F.lit(1)
     ).otherwise(F.lit(0))
-    run = Window.partitionBy(*key_cols).orderBy(ts_us).rowsBetween(
+    run = Window.partitionBy(*key_cols).orderBy("_sess_us").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return df.withColumn(session_col, F.sum(is_new).over(run) - 1)
+    return tagged.withColumn(session_col, F.sum(is_new).over(run) - 1).drop(
+        "_sess_us"
+    )
 
 
 def session_stats(

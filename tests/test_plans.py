@@ -355,3 +355,23 @@ def test_bloom_probe_zero_python_registers_broadcast(spark):
     assert simple.count("BroadcastHashJoin") >= 2
     # spine cross: exactly one BNLJ and it must be the Cross build
     assert simple.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_sessionize_shares_one_sort(spark):
+    """sessionize's lag pass and running-sum pass share ONE physical
+    Sort: the micros ordering value is a named column, not a per-window
+    re-projected expression (the with_time_rolling alias trap — 2 Sort
+    nodes before the fix)."""
+    import datetime as dt
+
+    from audiopro_essentia_spark.operators.temporal import sessionize
+
+    base = dt.datetime.fromisoformat("2024-01-01 00:00:00")
+    df = spark.createDataFrame(
+        [(i, "u", base + dt.timedelta(seconds=i * 100)) for i in range(10)],
+        "pid long, user string, ts timestamp",
+    )
+    out = sessionize(df, ("user",), "ts", 300.0)
+    simple = out._jdf.queryExecution().executedPlan().toString()
+    assert simple.count("- Sort [") == 1
+    assert simple.count("Exchange") == 1
