@@ -270,3 +270,118 @@ def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
     ).collect()
     assert sorted(r.text for r in out) == ["alpha", "beta", "gamma"]
     assert {r.doc_id for r in out if r.text == "alpha"} == {1}  # first wins
+
+
+def test_streaming_bloom_seen_set_carries_across_epochs(spark, tmp_path):
+    """Production dedup-on-ingest with the Bloom seen-set as EPOCH
+    STATE: each micro-batch probes its digests against the persisted
+    register table, only possibly-seen keys touch the exact digest
+    index, then the batch's own registers OR-merge forward. Pins (a)
+    the streamed epoch-1 dup flags equal the batch-mode
+    incremental-dedup digest flags, and (b) the carried register state
+    after both epochs equals the one-shot Bloom over everything —
+    through a REAL foreachBatch stream with parquet-persisted state,
+    not a hand-split DataFrame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from audiopro_essentia_spark.operators.dedup import incremental_dedup_flags
+    from audiopro_essentia_spark.operators.sketch import (
+        bloom_probe,
+        bloom_registers,
+    )
+
+    M, K = 4096, 3
+    epoch0 = [(i, f"seen doc number {i} content") for i in range(40)]
+    epoch1 = (
+        [(100 + i, f"fresh doc number {i} content") for i in range(20)]
+        + [(200, "seen doc number 7 content"),   # exact dup of epoch 0
+           (201, "seen doc number 31 content")]  # exact dup of epoch 0
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    for name, rows in (("e0", epoch0), ("e1", epoch1)):
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}),
+            str(src / f"{name}.parquet"),
+        )
+    regs_dir = str(tmp_path / "bloom_state")
+    idx_dir = str(tmp_path / "digest_index")
+    flags: dict[int, list] = {}
+
+    def handler(bdf, eid):
+        nh = bdf.select("doc_id", F.md5("text").alias("_h"))
+        have_state = os.path.isdir(regs_dir)
+        if have_state:
+            regs = spark.read.parquet(regs_dir)
+            hit = (
+                bloom_probe(regs, nh.select("_h"), "_h", M, K)
+                .where(F.col("bloom_hit") == 1)
+                .select("_h")
+            )
+            cand = nh.join(F.broadcast(hit), "_h", "left_semi")
+            idx = spark.read.parquet(idx_dir)
+            dups = set(
+                r.doc_id
+                for r in cand.join(idx, "_h", "left_semi").collect()
+            )
+        else:
+            dups = set()
+        flags[int(eid)] = sorted(dups)
+        mine = bloom_registers(
+            nh.select(F.lit("seen").alias("_g"), "_h"), F.col("_h"), "_g", M, K
+        )
+        merged = (
+            spark.read.parquet(regs_dir).unionByName(mine)
+            .groupBy("grp", "word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+            if have_state
+            else mine
+        )
+        merged.localCheckpoint().write.mode("overwrite").parquet(regs_dir + "_next")
+        # atomic-enough swap for a test: write aside, then point reads at it
+        spark.read.parquet(regs_dir + "_next").write.mode("overwrite").parquet(regs_dir)
+        nh.select("_h").write.mode("append").parquet(idx_dir)
+
+    ev = spark.read.parquet(str(src))
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert len(flags) == 2
+    # file order: Spark lists e0 before e1 (lexicographic); epoch 0 sees
+    # no state, epoch 1 must flag exactly the two planted dups
+    assert flags[0] == []
+    assert flags[1] == [200, 201]
+    # streamed flags == batch-mode digest flags over the same split
+    e0 = spark.createDataFrame(epoch0, "doc_id long, text string")
+    e1 = spark.createDataFrame(epoch1, "doc_id long, text string")
+    batch = {
+        r.doc_id
+        for r in incremental_dedup_flags(e1, e0, k=8, bands=2).collect()
+        if r.dup_exact == 1
+    }
+    assert set(flags[1]) == batch
+    # carried state == one-shot Bloom over every doc seen
+    all_docs = e0.unionByName(e1)
+    want = {
+        (r.grp, r.word_idx): r.bits
+        for r in bloom_registers(
+            all_docs.select(
+                F.lit("seen").alias("_g"), F.md5("text").alias("_h")
+            ),
+            F.col("_h"), "_g", M, K,
+        ).collect()
+    }
+    got = {
+        (r.grp, r.word_idx): r.bits
+        for r in spark.read.parquet(regs_dir).collect()
+    }
+    assert got == want
