@@ -1875,7 +1875,13 @@ def q_staged_bloom(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    parity = F.substring(F.col("source").cast("string"), 4, 8).cast("int")
+    # try_cast, not cast: ANSI mode (the Spark 4 default, on in
+    # session.py) THROWS on a non-numeric source suffix — the twin's
+    # TRY_CAST already assumed silent-NULL parity (fixture sources are
+    # all srcN, which masked this until an adversarial re-check)
+    parity = F.substring(F.col("source").cast("string"), 4, 8).try_cast(
+        "int"
+    )
     flags = (
         d.select(
             F.when(parity % 2 == 0, 1).otherwise(0).alias("is_build"),
