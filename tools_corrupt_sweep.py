@@ -107,6 +107,35 @@ def build_corrupt_dir(src, dst):
         ),
         os.path.join(dst, "embeddings.parquet"),
     )
+
+    # events: NULL ts, NULL user_id, NULL value, NULL event_type — the
+    # temporal family (sessionize/asof/rolling/interval/time_rolling)
+    # was never swept until the ANSI try_cast find showed fixture-shaped
+    # inputs mask real crash paths
+    ev = pq.read_table(os.path.join(dst, "events.parquet"))
+    vc = {c: ev.column(c).to_pylist() for c in ev.column_names}
+    vb = {c: vc[c][0] for c in vc}
+    vmx = max(vc["event_id"])
+
+    def add_event(eid, **over):
+        for c in vc:
+            if c == "event_id":
+                vc[c].append(eid)
+            elif c in over:
+                vc[c].append(over[c])
+            else:
+                vc[c].append(vb[c])
+
+    add_event(vmx + 1, ts=None)
+    add_event(vmx + 2, user_id=None)
+    add_event(vmx + 3, value=None)
+    add_event(vmx + 4, event_type=None)
+    pq.write_table(
+        pa.table(
+            {c: pa.array(v, ev.schema.field(c).type) for c, v in vc.items()}
+        ),
+        os.path.join(dst, "events.parquet"),
+    )
     return len(cols["doc_id"]), len(ec["vec_id"])
 
 
