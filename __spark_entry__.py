@@ -2092,6 +2092,25 @@ WHERE levenshtein(a.text, b.text) <= 3
 """
 
 
+def q_staged_pq_ann(spark, sf_dir):
+    """Similarity: product-quantization ADC top-k (operators/pq) — the
+    memory-scale member of the ANN family (brute / sign-LSH / IVF / PQ):
+    vectors live as m_sub small integer codes (8 bytes vs 256 at dim-64
+    f32), query distance is m_sub table lookups. Codebook = md5-ordered
+    distinct init + ONE Lloyd refinement with exact round(v*1e9) BIGINT
+    sums (partition-order-free), so the trained codebook — and therefore
+    codes, ADC distances, and ranks — is bit-identical to the DuckDB
+    twin (duck_twins.pq_ann_sql), which replays the whole chain."""
+    from audiopro_essentia_spark.operators.pq import pq_codebook, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook = pq_codebook(emb, m_sub=8, k=16, iters=1)
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, q, codebook, k_top=10)
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gopher_quality": q_staged_gopher,
@@ -2100,6 +2119,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_staged_bloom,
         "interval_join": q_staged_interval_join,
         "time_rolling": q_staged_time_rolling,
+        "pq_ann": q_staged_pq_ann,
     }
 
 
@@ -2115,6 +2135,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         ),
         "interval_join": _staged_interval_join_sql(),
         "time_rolling": _staged_time_rolling_sql(),
+        "pq_ann": DT.pq_ann_sql(m_sub=8, k=16, dim=64, n_queries=4, k_top=10),
     }
 
 

@@ -1642,3 +1642,112 @@ SELECT sh.shingle,
        CAST(h2.bloom_hit AS INT) AS bloom_hit
 FROM sh JOIN hits h2 ON sh.shingle = h2.shingle
 """
+
+
+def pq_ann_sql(
+    m_sub: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    n_queries: int = 4,
+    k_top: int = 10,
+    table: str = "embeddings",
+) -> str:
+    """Twin of operators/pq (pq_codebook iters=1 -> pq_topk): product-
+    quantization ADC top-k, reproducing the WHOLE chain — md5-ordered
+    distinct init (SAMPLE_KEY), one Lloyd refinement per subspace with
+    exact round(v*1e9) BIGINT sums (partition-order-free on both
+    engines), re-encode under the updated codebook, and the per-(query,
+    vector) ADC fold — bit-identically:
+
+    - every subspace distance is list_sum over generate_series(1, ds) in
+      index order == the UDF's plane-by-plane `acc += diff*diff`
+      (sequential, full-f64; the semantic_dedup fold recipe), so argmin
+      + lowest-code tie-break agree exactly;
+    - the centroid update is (CAST(s AS DOUBLE) / cnt) / 1e9 == python
+      (float(s)/float(cnt))/1e9 — one IEEE division each;
+    - the final ADC distance folds the m_sub subspace distances in
+      subspace order (list(sd ORDER BY m) -> list_sum == F.aggregate's
+      sequential 0.0-seeded fold; +0.0 seed is exact on sums of
+      squares), rounded to 6;
+    - rank = row_number by (adist ASC, vec_id ASC), the ANN family
+      tie-break.
+
+    Empty Lloyd cells keep their init centroid (LEFT JOIN + coalesce ==
+    the newC.copy() rule). NULL / wrong-length vectors are excluded up
+    front, mirroring the encode UDF's NULL-codes -> isNotNull filter."""
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    ds = dim // m_sub
+    key = SAMPLE_KEY.format(v="emb")
+    gs = f"generate_series(1, {ds})"
+    sc9 = "CAST(1000000000.0 AS DOUBLE)"
+
+    def assign(cb: str) -> str:
+        return f"""
+  SELECT vec_id, m, code FROM (
+    SELECT ev.vec_id, {cb}.m, {cb}.code,
+      row_number() OVER (PARTITION BY ev.vec_id, {cb}.m ORDER BY
+        list_sum(list_transform({gs},
+          j -> (ev.v[{cb}.m * {ds} + j] - {cb}.sc[j])
+             * (ev.v[{cb}.m * {ds} + j] - {cb}.sc[j]))) ASC,
+        {cb}.code ASC) AS rn
+    FROM ev CROSS JOIN {cb})
+  WHERE rn = 1"""
+
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM {table}
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}),
+init AS MATERIALIZED (
+  SELECT CAST(rn - 1 AS INT) AS code,
+         list_transform(emb, x -> CAST(x AS DOUBLE)) AS c
+  FROM (
+    SELECT emb, row_number() OVER (ORDER BY {key}) AS rn
+    FROM (SELECT DISTINCT embedding AS emb FROM {table}
+          WHERE embedding IS NOT NULL AND len(embedding) = {dim}))
+  WHERE rn <= {k}),
+ms AS (SELECT CAST(unnest(generate_series(0, {m_sub - 1})) AS INT) AS m),
+cb0 AS MATERIALIZED (
+  SELECT ms.m, init.code,
+         list_transform({gs}, j -> init.c[ms.m * {ds} + j]) AS sc
+  FROM init CROSS JOIN ms),
+a0 AS MATERIALIZED ({assign("cb0")}),
+agg AS MATERIALIZED (
+  SELECT a0.m, a0.code, g.j,
+    sum(CAST(round(ev.v[a0.m * {ds} + g.j] * {sc9}) AS BIGINT)) AS s,
+    count(*) AS cnt
+  FROM a0 JOIN ev USING (vec_id)
+  CROSS JOIN LATERAL UNNEST({gs}) AS g(j)
+  GROUP BY a0.m, a0.code, g.j),
+upd AS MATERIALIZED (
+  SELECT m, code,
+         list((CAST(s AS DOUBLE) / cnt) / {sc9} ORDER BY j) AS sc
+  FROM agg GROUP BY m, code),
+cb1 AS MATERIALIZED (
+  SELECT cb0.m, cb0.code, coalesce(upd.sc, cb0.sc) AS sc
+  FROM cb0 LEFT JOIN upd ON cb0.m = upd.m AND cb0.code = upd.code),
+enc AS MATERIALIZED ({assign("cb1")}),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, v FROM ev WHERE vec_id < {n_queries}),
+pair AS MATERIALIZED (
+  SELECT q.query_id, e.vec_id, e.m,
+    list_sum(list_transform({gs},
+      j -> (q.v[e.m * {ds} + j] - cb1.sc[j])
+         * (q.v[e.m * {ds} + j] - cb1.sc[j]))) AS sd
+  FROM q CROSS JOIN enc e
+  JOIN cb1 ON cb1.m = e.m AND cb1.code = e.code),
+ad AS (
+  SELECT query_id, vec_id,
+         round(list_sum(list(sd ORDER BY m)), 6) AS adist
+  FROM pair GROUP BY query_id, vec_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       adist,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+  FROM ad)
+WHERE rank <= {k_top}
+"""

@@ -1,0 +1,219 @@
+"""Product-quantization ANN (operators/pq): numpy mirrors of the encode /
+Lloyd-update / ADC-top-k chain, the NULL/ragged exclusion contract, guard
+raises, and plan pins (one Arrow eval per UDF stage, WindowGroupLimit on
+the rank filter). Cross-engine equality with duck_twins.pq_ann_sql is
+covered by the staged driver-contract compare in test_gopher_edit.py."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from audiopro_essentia_spark.operators.pq import (
+    pq_codebook,
+    pq_encode,
+    pq_topk,
+)
+
+DIM, M_SUB, DS, K = 8, 2, 4, 4
+
+
+def _corpus_rows(n=40):
+    """Deterministic dim-8 vectors with spread-out values (no natural
+    argmin ties except the ones tests construct deliberately)."""
+    rng = np.random.RandomState(7)
+    vs = np.round(rng.uniform(-1, 1, size=(n, DIM)), 4)
+    return [(i, [float(x) for x in vs[i]]) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        _corpus_rows(), "vec_id long, embedding array<double>"
+    )
+
+
+def _np_encode(v, C):
+    m_sub, k, ds = C.shape
+    codes = []
+    for m in range(m_sub):
+        acc = np.zeros(k)
+        for j in range(ds):
+            d = v[m * ds + j] - C[m, :, j]
+            acc += d * d
+        codes.append(int(np.argmin(acc)))
+    return codes
+
+
+def _np_adc(qv, codes, C):
+    m_sub, k, ds = C.shape
+    tot = 0.0
+    for m in range(m_sub):
+        acc = 0.0
+        for j in range(ds):
+            d = qv[m * ds + j] - C[m, codes[m], j]
+            acc += d * d
+        tot += acc
+    return round(tot, 6)
+
+
+def test_init_codebook_is_sliced_md5_sample(corpus):
+    """iters=0 returns the raw init: k md5-ordered distinct vectors,
+    each sliced into its m_sub subvectors (codebook[m][c] = row c's m-th
+    slice — the same k rows seed every subspace)."""
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=0)
+    assert C.shape == (M_SUB, K, DS)
+    rows = {tuple(r) for _, r in _corpus_rows()}
+    for c in range(K):
+        full = tuple(
+            float(x) for m in range(M_SUB) for x in C[m, c]
+        )
+        assert full in rows  # every init centroid IS a corpus vector
+
+
+def test_encode_matches_numpy_argmin(corpus):
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=1)
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(corpus, C).select("vec_id", "codes").collect()
+    }
+    for vid, v in _corpus_rows():
+        assert got[vid] == _np_encode(np.array(v), C), vid
+
+
+def test_lloyd_update_is_exact_scaled_integer_mean(corpus):
+    """One refinement: each non-empty cell's centroid equals the exact
+    (sum of round(v*1e9) BIGINTs / count) / 1e9 over its assigned
+    subvectors — bit-for-bit, no partition-order float summation."""
+    C0 = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=0)
+    C1 = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=1)
+    cells: dict[tuple[int, int], list[np.ndarray]] = {}
+    for _, v in _corpus_rows():
+        v = np.array(v)
+        for m, code in enumerate(_np_encode(v, C0)):
+            cells.setdefault((m, code), []).append(v[m * DS : (m + 1) * DS])
+    for m in range(M_SUB):
+        for code in range(K):
+            members = cells.get((m, code))
+            if not members:
+                # empty cell keeps its init centroid exactly
+                assert (C1[m, code] == C0[m, code]).all(), (m, code)
+                continue
+            s = np.sum(
+                [np.round(v * 1e9).astype(np.int64) for v in members], axis=0
+            )
+            want = np.array(
+                [(float(si) / float(len(members))) / 1e9 for si in s]
+            )
+            assert (C1[m, code] == want).all(), (m, code)
+
+
+def test_empty_cell_keeps_init_centroid(spark):
+    """Two vectors sharing subspace-0 exactly: the argmin tie breaks to
+    the LOWEST code, so the higher code's subspace-0 cell is empty after
+    assignment and must keep its init value."""
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0, 5.0, 5.0, 5.0, 5.0]),
+        (1, [1.0, 1.0, 1.0, 1.0, 9.0, 9.0, 9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C0 = pq_codebook(df, m_sub=M_SUB, k=2, iters=0)
+    C1 = pq_codebook(df, m_sub=M_SUB, k=2, iters=1)
+    # subspace 0: both init subvectors are [1,1,1,1] -> both corpus rows
+    # tie -> code 0 wins both; cell (0, 1) is empty
+    assert (C0[0, 0] == C0[0, 1]).all()
+    assert (C1[0, 1] == C0[0, 1]).all()
+    # and the winning cell's mean is the (identical) subvector itself
+    assert (C1[0, 0] == C0[0, 0]).all()
+    # subspace 1: each vector assigns to its own subvector (distance 0)
+    assert (C1[1] == C0[1]).all()
+
+
+def test_topk_matches_numpy_adc(corpus):
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=1)
+    q = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r["query_id"], r["vec_id"], r["adist"], r["rank"])
+        for r in pq_topk(corpus, q, C, k_top=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    codes = {vid: _np_encode(np.array(v), C) for vid, v in _corpus_rows()}
+    want = []
+    for qid, qv in _corpus_rows()[:3]:
+        dists = sorted(
+            ((_np_adc(np.array(qv), codes[vid], C), vid) for vid in codes),
+            key=lambda t: (t[0], t[1]),
+        )[:5]
+        want.extend((qid, vid, d, i + 1) for i, (d, vid) in enumerate(dists))
+    assert got == sorted(want, key=lambda t: (t[0], t[3]))
+
+
+def test_null_and_ragged_vectors_excluded(spark):
+    """NULL and wrong-dimension vectors: NULL codes from encode, never a
+    search result, never a training crash; zero vectors encode normally
+    (PQ is plain L2 — no norm division)."""
+    rows = _corpus_rows() + [(100, None), (101, [1.0, 2.0]), (102, [0.0] * DIM)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = pq_codebook(df, m_sub=M_SUB, k=K, iters=1)  # must not crash
+    coded = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(df, C).select("vec_id", "codes").collect()
+    }
+    assert coded[100] is None and coded[101] is None
+    assert coded[102] == _np_encode(np.zeros(DIM), C)
+    q = df.where(F.col("vec_id").isin(0, 100, 101)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(df, q, C, k_top=3).collect()
+    assert {r["query_id"] for r in out} == {0}  # corrupt queries dropped
+    assert all(r["vec_id"] not in (100, 101) for r in out)
+
+
+def test_guards(corpus, spark):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(corpus, m_sub=3, k=2)
+    with pytest.raises(ValueError, match="bad PQ params"):
+        pq_codebook(corpus, m_sub=2, k=0)
+    with pytest.raises(ValueError, match="distinct vectors"):
+        pq_codebook(corpus, m_sub=2, k=1000)
+    dup = spark.createDataFrame(
+        [(i, [1.0] * DIM) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="distinct vectors"):
+        pq_codebook(dup, m_sub=2, k=2)  # 10 rows, 1 distinct vector
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=1)
+    with pytest.raises(ValueError, match="k_top"):
+        pq_topk(corpus, corpus, C, k_top=0)
+    with pytest.raises(ValueError, match="codebook must be"):
+        pq_encode(corpus, np.zeros((2, 3)))
+
+
+def test_plan_pins(corpus):
+    """encode = exactly ONE ArrowEvalPython; topk = exactly two (corpus
+    encode + query LUT), rank filter pushes down as WindowGroupLimit,
+    and the corpus side is never shuffled (the only exchange feeds the
+    per-query window partitioning)."""
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=0)
+
+    def plan(df) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    assert plan(pq_encode(corpus, C)).count("ArrowEvalPython") == 1
+    q = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = plan(pq_topk(corpus, q, C, k_top=5))
+    assert p.count("ArrowEvalPython") == 2, p
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # queries broadcast, corpus stays put
