@@ -217,3 +217,105 @@ def test_plan_pins(corpus):
     assert p.count("ArrowEvalPython") == 2, p
     assert "WindowGroupLimit" in p, p
     assert "BroadcastNestedLoopJoin" in p, p  # queries broadcast, corpus stays put
+
+
+def test_rerank_matches_numpy_exact_l2(corpus):
+    """rerank=R: ADC shortlists R, exact sequential-fold squared L2
+    re-ranks — mirror the two stages in numpy index-order."""
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=1)
+    q = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r["query_id"], r["vec_id"], r["adist"], r["rank"])
+        for r in pq_topk(corpus, q, C, k_top=5, rerank=15)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    rows = _corpus_rows()
+    codes = {vid: _np_encode(np.array(v), C) for vid, v in rows}
+    vecs = {vid: np.array(v) for vid, v in rows}
+
+    def seq_sqdist(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return round(acc, 6)
+
+    want = []
+    for qid, qv in rows[:3]:
+        qv = np.array(qv)
+        short = sorted(
+            ((_np_adc(qv, codes[vid], C), vid) for vid in codes),
+            key=lambda t: (t[0], t[1]),
+        )[:15]
+        exact = sorted(
+            ((seq_sqdist(qv, vecs[vid]), vid) for _, vid in short),
+            key=lambda t: (t[0], t[1]),
+        )[:5]
+        want.extend((qid, vid, d, i + 1) for i, (d, vid) in enumerate(exact))
+    assert got == sorted(want, key=lambda t: (t[0], t[3]))
+
+
+def test_rerank_guard(corpus):
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=0)
+    with pytest.raises(ValueError, match="rerank"):
+        pq_topk(corpus, corpus, C, k_top=10, rerank=5)
+
+
+def test_recall_harness_matches_numpy(corpus):
+    """pq_recall == the numpy-computed recall exactly, and the re-ranked
+    recall dominates pure ADC (the measured remedy: on structureless
+    uniform vectors pure ADC ordering is poor — ~0.29 mean recall@10 on
+    the dim-64 fixture corpus — and exact re-rank of an ADC shortlist
+    recovers it, 0.83 at R=100/n=500)."""
+    from audiopro_essentia_spark.operators.pq import pq_recall
+
+    C = pq_codebook(corpus, m_sub=M_SUB, k=K, iters=1)
+    q = corpus.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = _corpus_rows()
+    codes = {vid: _np_encode(np.array(v), C) for vid, v in rows}
+    vecs = {vid: np.array(v) for vid, v in rows}
+
+    def np_recall(qid, rerank):
+        qv = vecs[qid]
+        exact = {
+            vid
+            for _, vid in sorted(
+                ((round(((qv - vecs[v]) ** 2).sum(), 6), v) for v in vecs),
+                key=lambda t: (t[0], t[1]),
+            )[:5]
+        }
+        adc = sorted(
+            ((_np_adc(qv, codes[v], C), v) for v in vecs),
+            key=lambda t: (t[0], t[1]),
+        )
+        if rerank is None:
+            got = {v for _, v in adc[:5]}
+        else:
+            got = {
+                v
+                for _, v in sorted(
+                    (
+                        (round(((qv - vecs[v]) ** 2).sum(), 6), v)
+                        for _, v in adc[:rerank]
+                    ),
+                    key=lambda t: (t[0], t[1]),
+                )[:5]
+            }
+        return round(len(exact & got) / 5, 6)
+
+    for rerank in (None, 15):
+        got = {
+            r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+            for r in pq_recall(corpus, q, C, k_top=5, rerank=rerank).collect()
+        }
+        assert set(got) == set(range(5))
+        for qid in range(5):
+            assert got[qid][0] == 5
+            assert got[qid][2] == np_recall(qid, rerank), (qid, rerank)
+    adc_mean = sum(np_recall(i, None) for i in range(5)) / 5
+    rr_mean = sum(np_recall(i, 15) for i in range(5)) / 5
+    assert rr_mean >= adc_mean
