@@ -24,7 +24,7 @@ driver's oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import portable_hash32, portable_hash32_hi, word_ngrams
@@ -1074,12 +1074,21 @@ def span_scrub(
       NON-canonical occurrences of spans with count >= 2;
       scrub_text = the unmasked words rejoined.
 
-    Scale shape: occurrences shuffle ONCE on the 64-bit span key
-    (linear in corpus words); canonical+count is one aggregate on that
-    shuffle; only docs owning a non-canonical duplicate occurrence carry
-    rows in the sparse mask table joined back (semi-join shape); the
-    mask application is a narrow per-row array expression, O(W * dup
-    starts). No self-join, no all-pairs."""
+    Scale shape: ONE pass over the text builds the occurrence table
+    (one md5 per span), occurrences shuffle ONCE on the 64-bit span key
+    (linear in corpus words), and per-occurrence count + canonical come
+    from an unbounded WINDOW over that one shuffle — no stats side at
+    all, so nothing to broadcast (the old aggregate-then-join form made
+    Catalyst either broadcast a distinct-spans table that is itself
+    corpus-scale, or run the text scan + md5 explode TWICE as separate
+    map stages; measured 3.14 s -> 1.63 s min-of-4 at sf0.1). Only docs
+    owning a non-canonical duplicate occurrence carry rows in the
+    sparse mask table joined back (semi-join shape); the mask
+    application is a narrow per-row array expression, O(W * dup
+    starts). No self-join, no all-pairs. A pathologically hot span
+    sorts into one window partition — the same residency any
+    co-partitioned join of raw occurrences would have; the window's
+    per-partition sort is the SMJ sort it replaces."""
     ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                   lambda w: w != "")
     base = df.select(F.col(id_col), ws.alias("_ws"))
@@ -1114,13 +1123,15 @@ def span_scrub(
             .alias("h2"),
         )
     )
-    stats = occ.groupBy("h", "h2").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("canon"),
+    w = Window.partitionBy("h", "h2")
+    flagged = occ.select(
+        id_col,
+        "pos",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).over(w).alias("canon"),
     )
     dup = (
-        occ.join(stats, ["h", "h2"])
-        .where(
+        flagged.where(
             (F.col("cnt") >= 2)
             & ~(
                 (F.col(id_col) == F.col(f"canon.{id_col}"))
