@@ -854,16 +854,23 @@ def duplicate_span_stats(
     its text occurs in >=2 DISTINCT documents. Output per doc:
     (doc_id, n_spans, n_dup_spans, dup_ratio round-6).
 
-    Scale design: explode (narrow) + hash-agg on the span hash for
-    per-span document frequency + an equi-join back on the span hash +
-    final hash-agg on doc_id. No self-join, no cross product, and the
-    docfreq side carries COUNTS only (never collect_list), so a span
-    occurring in millions of docs is just a hot hash-agg key with
-    map-side partial aggregation — it cannot straggle or OOM. The join
-    broadcasts while the distinct-span table is small and degrades to a
-    sort-merge join at scale; the span text itself never shuffles. Pure
-    JVM expressions (portable md5-prefix hash), so DuckDB runs the
-    identical computation as the oracle.
+    Scale design (the span_scrub one-pass window shape): ONE corpus
+    scan + explode builds the span table; a map-side-combinable
+    groupBy on (doc, span) collapses within-doc repeats while KEEPING
+    their count (this subsumes the old separate `.distinct()` pass);
+    per-span document frequency is then count(*) over a WINDOW
+    partitioned by the span key — the deduped rows ARE one row per
+    (doc, span), so no docfreq side exists to aggregate separately and
+    join back (the old aggregate-then-join form re-ran the scan +
+    explode + md5 as a second map stage because the distinct's
+    exchange keys on (doc, h, h2), never reusable for the (h, h2)
+    join). Final hash-agg on doc_id. No self-join, no cross product,
+    and the span text itself never shuffles. A span occurring in
+    millions of docs puts its distinct-doc rows in one window
+    partition — the same residency the old sort-merge join gave that
+    key's probe side; the window's sort is the SMJ sort it replaces.
+    Pure JVM expressions (portable md5-prefix hash), so DuckDB runs
+    the identical computation as the oracle.
 
     The span key is BOTH 32-bit halves of one md5 (64 effective bits,
     the simhash64 trick): at ~10^9 distinct spans a single 32-bit key
@@ -890,19 +897,25 @@ def duplicate_span_stats(
             F.concat_ws(" ", F.slice("_ws", F.col("_i") * span_words + 1, span_words))
         ).alias("_h2"),
     )
-    # per-span document frequency on DISTINCT (doc, span) first so a span
+    # collapse within-doc repeats but KEEP their multiplicity, so a span
     # repeated inside one doc does not count as cross-doc duplication
-    span_df = (
-        spans.distinct()
-        .groupBy("_h", "_h2")
-        .agg(F.count(F.lit(1)).alias("_docfreq"))
+    # while n_spans still counts every raw span
+    per_doc = spans.groupBy(id_col, "_h", "_h2").agg(
+        F.count(F.lit(1)).alias("_n_in_doc")
+    )
+    w = Window.partitionBy("_h", "_h2")
+    flagged = per_doc.select(
+        id_col,
+        "_n_in_doc",
+        F.count(F.lit(1)).over(w).alias("_docfreq"),
     )
     return (
-        spans.join(span_df, ["_h", "_h2"])
-        .groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_docfreq") >= 2).cast("long")).alias("n_dup_spans"),
+            F.sum("_n_in_doc").alias("n_spans"),
+            F.sum(
+                F.col("_n_in_doc") * (F.col("_docfreq") >= 2).cast("long")
+            ).alias("n_dup_spans"),
         )
         .select(
             id_col,
