@@ -56,14 +56,45 @@ def quantized_vec(col, scale: int):
 
 
 def _dot_literal(vcol, w: list):
-    """Exact integer dot(v, w) with w embedded as literals. zip_with
-    evaluates `vcol` once (array_repeat/zip_with rule, CLAUDE.md)."""
-    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-    return F.aggregate(
-        F.zip_with(vcol, warr, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    """Exact integer dot(v, w) with w embedded as literals, as a flat
+    multiply-add chain: element_at(v, i) * w_i terms summed left to
+    right. Higher-order-function lambdas (the old aggregate(zip_with(..))
+    form) are interpreted per element with no codegen — 2d interpreted
+    lambda frames plus a zipped-array allocation per ROW — while the
+    chain stays inside whole-stage codegen (measured: the dominant cost
+    of the pca_power passes). Integer adds are order-free, so the value
+    is bit-identical; NULL rows still yield NULL (NULL propagates
+    through every + in the chain exactly as it poisoned the fold).
+
+    `vcol` MUST be a cheap reference (an attribute, not an expression
+    tree): it is referenced len(w) times, and Catalyst re-inlines
+    expression arguments per reference (the array_repeat/zip_with rule,
+    CLAUDE.md). Rows shorter than len(w) must be excluded upstream —
+    element_at is out-of-bounds-strict under ANSI."""
+    expr = None
+    for i, x in enumerate(w):
+        t = F.element_at(vcol, i + 1) * F.lit(int(x)).cast("long")
+        expr = t if expr is None else expr + t
+    return expr if expr is not None else F.lit(0).cast("long")
+
+
+def _dot_quantized_inline(col, w: list, scale: int):
+    """dot(quantize(col), w) with per-element quantization INLINE in each
+    chain term — passing quantized_vec(col) to _dot_literal would
+    re-inline the whole d-element transform per term (d^2 interpreted
+    evals). round/cast run once per term here, the same per-element
+    count as the transform, but in codegen. try_element_at gives NULL
+    past the end, so short rows yield NULL exactly like zip_with's
+    NULL-padding poisoned the old fold (and NULL arrays stay NULL)."""
+    expr = None
+    for i, x in enumerate(w):
+        q = F.round(
+            F.try_element_at(col, F.lit(i + 1)).cast("double")
+            * F.lit(float(scale))
+        ).cast("long")
+        t = q * F.lit(int(x)).cast("long")
+        expr = t if expr is None else expr + t
+    return expr if expr is not None else F.lit(0).cast("long")
 
 
 def power_iteration(
@@ -145,7 +176,7 @@ def project_component(
     out_col: str = "pc1_proj",
 ) -> DataFrame:
     """Per-row exact integer projection score dot(quantize(v), w)."""
-    v = quantized_vec(F.col(vec_col), scale)
     return df.select(
-        *[F.col(c) for c in id_cols], _dot_literal(v, w).alias(out_col)
+        *[F.col(c) for c in id_cols],
+        _dot_quantized_inline(F.col(vec_col), w, scale).alias(out_col),
     )
