@@ -508,8 +508,19 @@ def ivf_assign(
     Returns (corpus + cluster_id, centroids).
 
     distinct=False in the sample keeps the original recipe (and its
-    DuckDB oracle twin) bit-stable; kmeans_lite uses the distinct form."""
+    DuckDB oracle twin) bit-stable; kmeans_lite uses the distinct form.
+
+    Fewer than n_centroids sampled vectors is fine (IVF degrades to
+    fewer lists), but ZERO is fail-loud: an all-NULL or empty vector
+    column would otherwise surface as a raw numpy AxisError from the
+    centroid normalization deep inside the assign UDF (found by the
+    empty-input sweep, tools_empty_sweep.py)."""
     sample = _md5_sample(corpus, corpus_vec, n_centroids, distinct=False)
+    if sample.shape[0] == 0:
+        raise ValueError(
+            "ivf_assign needs >= 1 non-NULL corpus vector to sample "
+            "centroids, found 0"
+        )
     udf = _nearest_centroids_udf(sample, 1)
     return (
         corpus.withColumn(

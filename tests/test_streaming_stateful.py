@@ -73,6 +73,21 @@ def test_ivf_assign_clusters(spark):
         assert int(np.argmin(1.0 - sims)) == r.cluster_id, r.vec_id
 
 
+def test_ivf_assign_empty_corpus_fails_loud(spark):
+    """Zero sampleable vectors (empty table / all-NULL column) must raise
+    the NAMED guard, not a numpy AxisError from inside the assign UDF
+    (found by tools_empty_sweep.py)."""
+    from audiopro_essentia_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for bad in (
+        emb.limit(0),
+        emb.select("vec_id", F.lit(None).cast("array<float>").alias("embedding")),
+    ):
+        with pytest.raises(ValueError, match="ivf_assign needs >= 1"):
+            ivf_assign(bad, n_centroids=4)
+
+
 def test_foreachbatch_checkpointed_sink_exactly_once(spark, tmp_path):
     """Streaming -> CheckpointedWriter via foreachBatch: complete output,
     restart yields nothing new, and a re-delivered epoch (crash between
