@@ -541,15 +541,18 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_normalized_dedup(spark, sf_dir):
-    """Canonical-form dedup: C4-style normalization (lower / strip punct /
-    collapse whitespace) before the exact md5 hash-agg, so case and
-    punctuation variants collapse. The corpus is unioned with an
+    """Canonical-form dedup: C4-style normalization (ASCII case fold /
+    strip punct / collapse whitespace) before the exact md5 hash-agg, so
+    case and punctuation variants collapse. The corpus is unioned with an
     upper-cased twin of every doc (id + 1e6) — raw exact dedup would keep
-    both, normalized dedup collapses each pair to its min-id canonical."""
+    both, normalized dedup collapses each pair to its min-id canonical.
+    The twin construction uses the same portable ASCII translate as
+    normalize_text (upper() itself diverges cross-engine on unicode —
+    see normalize_text's docstring)."""
     d = _t(spark, sf_dir, "documents")
     up = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.upper(F.col("text")).alias("text"),
+        F.translate(F.col("text"), T.ASCII_LOWER, T.ASCII_UPPER).alias("text"),
     )
     u = d.select("doc_id", "text").unionByName(up)
     n = u.select("doc_id", T.normalize_text(F.col("text")).alias("ntext"))
@@ -2693,10 +2696,14 @@ WHERE d.doc_id % 97 <> 0
 WITH u AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, upper(text) FROM documents),
+  SELECT doc_id + 1000000,
+         translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ') FROM documents),
 n AS (
   SELECT doc_id,
-    trim(regexp_replace(regexp_replace(lower(text),
+    trim(regexp_replace(regexp_replace(
+         translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         'abcdefghijklmnopqrstuvwxyz'),
          '[.,;:!?''"()\[\]{}]', '', 'g'), '\s+', ' ', 'g')) AS ntext
   FROM u)
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,

@@ -1118,9 +1118,13 @@ FROM a1 LEFT JOIN dropped USING (vec_id)
 
 def media_frames_sql(n_frames: int = 4, frame_bytes: int = 64) -> str:
     """DuckDB twin of multimodal.sample_media_frames: byte-true slices via
-    hex(encode(text)) surgery (DuckDB md5 takes VARCHAR only; decode of a
-    from_hex slice reproduces the exact payload bytes for UTF-8-aligned
-    offsets — the fixture corpus is ASCII, so every offset aligns)."""
+    hex(encode(text)) surgery. frame_md5 hashes the UPPERCASE-HEX
+    rendering of the slice (2 hex chars per byte — substr on hx IS the
+    byte slice), matching Spark's md5(hex(substring(payload,...)))
+    exactly for ARBITRARY bytes. The old form decode()d a from_hex slice
+    back to VARCHAR to satisfy md5(VARCHAR) — that validates UTF-8, and
+    a slice boundary splitting a multibyte character crashed the oracle
+    (unicode parity sweep find)."""
     h32 = H32.format(x="text")
     return f"""
 WITH m AS (
@@ -1138,7 +1142,7 @@ fr AS (
 )
 SELECT doc_id, media_type, frame_no,
   CAST(byte_offset AS BIGINT) AS byte_offset,
-  md5(decode(from_hex(substr(hx, 2*byte_offset - 1, 2*{frame_bytes})))) AS frame_md5
+  md5(substr(hx, 2*byte_offset - 1, 2*{frame_bytes})) AS frame_md5
 FROM fr WHERE byte_offset + {frame_bytes} - 1 <= n_bytes
 """
 

@@ -224,12 +224,31 @@ def raw_word_ngrams(text: Column, n: int = 2) -> Column:
     )
 
 
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalize_text(text: Column) -> Column:
-    """Canonical form for dedup: lowercase, strip punctuation, collapse
-    whitespace runs, trim — the C4-style normalization that lets exact
-    dedup catch case/punctuation variants. Pure JVM expressions; the exact
-    same regex steps exist in DuckDB for the oracle."""
-    t = F.lower(text)
+    """Canonical form for dedup: ASCII-fold case, strip punctuation,
+    collapse whitespace runs, trim — the C4-style normalization that lets
+    exact dedup catch case/punctuation variants.
+
+    Case folding is deliberately ASCII-ONLY (translate A-Z -> a-z), not
+    lower(): this string feeds a CONTENT-ADDRESSED KEY (md5 -> dedup
+    group), and full Unicode casing is neither cross-engine- nor
+    cross-version-stable — Java lowercases with context rules and
+    expansions (final sigma 'ΟΔΟΣ' -> 'οδος', 'İ' -> 'i'+U+0307) while
+    DuckDB/utf8proc applies per-code-point simple mappings ('İ' -> 'i',
+    'Σ' -> 'σ' everywhere), and the Unicode casing tables themselves
+    change between releases, so a full-cased key silently RE-KEYS an
+    entire corpus after a JDK/ICU upgrade (found by the unicode parity
+    sweep, tools_unicode_sweep.py: Spark and DuckDB grouped the Turkish-
+    and Greek-cased docs differently). translate() is per-code-point in
+    both engines, so the key is bit-stable by construction; non-Latin
+    case variants intentionally do NOT merge — pre-fold upstream if your
+    corpus needs ICU semantics. The \\s and punctuation classes are
+    ASCII in both engines' regex dialects (Java default + RE2)."""
+    t = F.translate(text, ASCII_UPPER, ASCII_LOWER)
     t = F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}]", "")
     t = F.regexp_replace(t, r"\s+", " ")
     return F.trim(t)

@@ -116,9 +116,19 @@ def sample_media_frames(
     """Frame-sampling over opaque binary payloads — the video
     frame-extraction analog: n_frames evenly-strided byte windows per
     payload, each fingerprinted. Pure JVM expressions (sequence/explode/
-    substring/md5 on binary) — NO Python in this path; a real decoder
+    substring/hex/md5 on binary) — NO Python in this path; a real decoder
     would replace the slice with a keyframe extractor, everything else
-    (stride plan, schema, checksums) is the production shape."""
+    (stride plan, schema, checksums) is the production shape.
+
+    frame_md5 = md5 of the UPPERCASE-HEX rendering of the slice bytes
+    (identical in Spark and DuckDB), NOT md5 of the raw bytes: DuckDB
+    1.x md5() only accepts VARCHAR, and the previous twin's
+    decode(from_hex(...)) round-trip VALIDATES UTF-8 — any slice
+    boundary that splits a multibyte character crashed the oracle
+    (found by the unicode parity sweep; real media bytes are not UTF-8
+    at all). Hex-of-bytes is an injective rendering, so the fingerprint
+    is equally collision-resistant and now byte-true for ARBITRARY
+    payloads on both engines."""
     if n_frames < 1 or frame_bytes < 1:
         # sequence(0, n_frames-1) DESCENDS for n_frames=0 (the Spark
         # footgun dedup/text already guard) — bogus negative offsets
@@ -147,5 +157,5 @@ def sample_media_frames(
         "media_type",
         F.col("frame_no").cast("int").alias("frame_no"),
         F.col("_off").cast("long").alias("byte_offset"),
-        F.md5(sliced).alias("frame_md5"),
+        F.md5(F.hex(sliced)).alias("frame_md5"),
     )
