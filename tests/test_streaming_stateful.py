@@ -274,6 +274,10 @@ def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
         (3, "alpha", base + dt.timedelta(seconds=30)),  # cross-batch dup
         (4, "gamma", base + dt.timedelta(seconds=30)),
     ])
+    # "first wins" below needs b0 to BE the first micro-batch: the file
+    # source orders by mtime and same-tick writes tie (listing order).
+    os.utime(src / "b0.parquet", (1_000_000_000, 1_000_000_000))
+    os.utime(src / "b1.parquet", (1_000_000_060, 1_000_000_060))
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
@@ -315,12 +319,18 @@ def test_streaming_bloom_seen_set_carries_across_epochs(spark, tmp_path):
     )
     src = tmp_path / "docs"
     src.mkdir()
-    for name, rows in (("e0", epoch0), ("e1", epoch1)):
+    for i, (name, rows) in enumerate((("e0", epoch0), ("e1", epoch1))):
+        p = src / f"{name}.parquet"
         pq.write_table(
             pa.table({"doc_id": [r[0] for r in rows],
                       "text": [r[1] for r in rows]}),
-            str(src / f"{name}.parquet"),
+            str(p),
         )
+        # FileStreamSource orders micro-batches by file MTIME, not name —
+        # two writes in the same mtime tick leave the epoch order to the
+        # directory listing (observed flipped). Pin strictly increasing
+        # mtimes so e0 is always epoch 0.
+        os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
     regs_dir = str(tmp_path / "bloom_state")
     idx_dir = str(tmp_path / "digest_index")
     flags: dict[int, list] = {}
