@@ -2114,8 +2114,32 @@ def q_staged_pq_ann(spark, sf_dir):
     return pq_topk(emb, q, codebook, k_top=10)
 
 
+def q_staged_priority_sample(spark, sf_dir):
+    """Sampling: Duffield-Lund-Thorup priority sampling — weighted
+    sampling WITHOUT replacement, k=20 per source, with unbiased
+    Horvitz-Thompson adj_weight (sum(adj_weight) estimates the
+    stratum's total weight; exact when the stratum has <= k rows).
+    The content-hash uniform makes the sample reproducible across
+    engines and corpus growth, and the whole priority chain is
+    exact-integer md5 bits through one add + two IEEE divisions, so
+    the twin is BIT-identical (no pow/ln transcendentals — the
+    temperature_sample hazard designed out). Scale: rank <= k+1 hits
+    WindowGroupLimit (each map task forwards <= k+1 rows per stratum);
+    tau rides the SAME exchange (functions/sampling.py
+    priority_sample; reference analog: the per-source cap in
+    extractor.py's batch scheduler is a uniform truncation — this is
+    its statistically honest replacement)."""
+    from audiopro_essentia_spark.functions.sampling import priority_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    return priority_sample(d, k=20)
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "priority_sample": q_staged_priority_sample,
         "gopher_quality": q_staged_gopher,
         "edit_neardup": q_staged_edit_neardup,
         "lq_quantiles": q_staged_lq_quantiles,
@@ -2130,6 +2154,7 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "priority_sample": DT.priority_sample_sql(k=20),
         "gopher_quality": _staged_gopher_sql(),
         "edit_neardup": _staged_edit_neardup_sql(),
         "lq_quantiles": lq_quantiles_sql(),

@@ -1755,3 +1755,46 @@ FROM (
   FROM ad)
 WHERE rank <= {k_top}
 """
+
+
+def priority_sample_sql(
+    k: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    stratum_col: str = "source",
+    table: str = "documents",
+    salt: str = "",
+) -> str:
+    """Twin of functions.sampling.priority_sample (Duffield-Lund-Thorup
+    priority sampling, k per stratum, Horvitz-Thompson adj_weight).
+    BIT-identical, not round-6: the priority is exact-integer md5 bits
+    through one add and two IEEE divisions (both engines correctly
+    round), and adj_weight is greatest of exact inputs. Tie-break key
+    ASC NULLS FIRST matches Spark's asc() default (DuckDB defaults
+    NULLS LAST — the interval_join lesson); a NULL key hashes as ''
+    on both sides (the hash_bucket rule)."""
+    return f"""
+WITH w AS (
+  SELECT {stratum_col} AS stratum,
+         CAST({key_col} AS BIGINT) AS key,
+         CAST({weight_col} AS BIGINT) AS weight,
+         CAST({weight_col} AS DOUBLE) /
+           ((CAST(('0x' || substr(md5(coalesce(CAST({key_col} AS VARCHAR), '') || '{salt}'), 1, 13))::BIGINT AS DOUBLE) + 1.0)
+            / 4503599627370496.0) AS priority
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0.0
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY stratum ORDER BY priority DESC, key ASC NULLS FIRST
+  ) AS rank FROM w
+), t AS (
+  SELECT * FROM r WHERE rank <= {k} + 1
+), u AS (
+  SELECT *, max(CASE WHEN rank = {k} + 1 THEN priority END)
+              OVER (PARTITION BY stratum) AS tau
+  FROM t
+)
+SELECT stratum, key, weight, CAST(rank AS INT) AS rank, priority,
+       greatest(CAST(weight AS DOUBLE), coalesce(tau, 0.0)) AS adj_weight
+FROM u WHERE rank <= {k}
+"""

@@ -11,7 +11,7 @@ decision has an exact DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import portable_hash32
@@ -299,3 +299,91 @@ def cluster_safe_split(
         )
     )
     return hash_split(j, weights, key_col=cluster_col, salt=salt, split_col=split_col)
+
+
+# 2^52 — the largest power of two whose full integer range is exact in a
+# double; 13 md5 hex chars parse to exactly this many bits on both engines
+_U52_DEN = 4503599627370496.0
+
+
+def priority_key(key: Column, weight: Column, salt: str = "") -> Column:
+    """Duffield–Lund–Thorup priority q = w / u with u uniform in (0, 1]
+    derived from the content hash (first 13 md5 hex chars = 52 exact
+    bits, u = (h+1)/2^52). Every step is exact-integer arithmetic or a
+    single IEEE-correctly-rounded double op (one add, two divides), so
+    the priority is BIT-identical in the DuckDB twin — no pow/ln
+    transcendentals whose last ulp differs across libm implementations
+    (the temperature_sample pow() hazard, designed out here).
+
+    NULL keys hash as '' (the hash_bucket rule) so a NULL-keyed row gets
+    a deterministic priority instead of silently vanishing."""
+    h52 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.coalesce(key.cast("string"), F.lit("")), F.lit(salt))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h52.cast("double") + F.lit(1.0)) / F.lit(_U52_DEN)
+    return weight.cast("double") / u
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    stratum_col: str = "source",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per stratum, with
+    unbiased Horvitz–Thompson weights: priority sampling (Duffield, Lund
+    & Thorup, JACM 2007). Each row gets priority w/u; the k largest
+    priorities per stratum are the sample; tau = the (k+1)-th priority;
+    each selected row's adjusted weight max(w, tau) makes
+    sum(adj_weight) an unbiased estimator of the stratum's total weight
+    (exactly total when the stratum has <= k rows, where tau = 0). This
+    is the corpus-scale answer to 'give me a size-k weighted sample per
+    source AND let downstream aggregates extrapolate honestly' — the
+    content-hash u makes the sample reproducible across engines, reruns,
+    and corpus growth (a doc's u never changes, so adding rows can only
+    displace it, never re-randomize it).
+
+    Scale shape: ONE shuffle on the stratum. rank <= k+1 on row_number
+    hits Spark's WindowGroupLimit, so each map task forwards at most k+1
+    rows per stratum — the shuffle carries O(partitions * k), never the
+    corpus. tau then comes from a second window over the SAME
+    partitioning on the already-bounded survivors (no extra exchange).
+
+    Rows with NULL or non-positive weight are excluded up front (their
+    inclusion probability is undefined); the caller sees them via the
+    usual quarantine path. Output: stratum, key, weight, rank,
+    priority, adj_weight."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    base = df.filter(F.col(weight_col).isNotNull() & (w > 0.0)).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("weight"),
+        priority_key(F.col(key_col), w, salt).alias("priority"),
+    )
+    win = Window.partitionBy("stratum").orderBy(
+        F.col("priority").desc(), F.col("key").asc()
+    )
+    ranked = base.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= F.lit(k + 1)
+    )
+    tau = F.max(F.when(F.col("rank") == k + 1, F.col("priority"))).over(
+        Window.partitionBy("stratum")
+    )
+    return (
+        ranked.withColumn(
+            "adj_weight",
+            F.greatest(F.col("weight").cast("double"), F.coalesce(tau, F.lit(0.0))),
+        )
+        .filter(F.col("rank") <= F.lit(k))
+        .select("stratum", "key", "weight", "rank", "priority", "adj_weight")
+    )
