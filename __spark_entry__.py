@@ -2137,9 +2137,60 @@ def q_staged_priority_sample(spark, sf_dir):
     return priority_sample(d, k=20)
 
 
+def q_staged_line_scrub(spark, sf_dir):
+    """Cleaning/dedup: CCNet/C4 corpus-frequency line scrubbing — every
+    non-empty line appearing in >= 5 distinct docs is boilerplate and is
+    removed from ALL docs (no canonical keeper; a line that common is
+    template, not content). Demo corpus: the synthesize_lines lined text
+    plus two per-source footer lines ('subscribe' / copyright), so every
+    source's footers hit doc-freq ~ docs-per-source >> 5 and get
+    scrubbed while organic lines survive. ONE corpus-scale shuffle on
+    the 64-bit line key serves both the per-(doc,line) collapse and the
+    doc-frequency window (operators/dedup.py line_scrub; reference
+    analog: the validator's template rejection in validator.py is
+    per-file — corpus-frequency needs the join)."""
+    from audiopro_essentia_spark.functions.cleaning import synthesize_lines
+    from audiopro_essentia_spark.operators.dedup import line_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    lined = F.concat(
+        synthesize_lines(F.col("text")),
+        F.lit("\n=== subscribe to "),
+        F.col("source"),
+        F.lit(" weekly ===\n(c) 2026 "),
+        F.col("source"),
+    )
+    return line_scrub(
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"), lined.alias("text")
+        ),
+        min_doc_freq=5,
+    )
+
+
+def _staged_line_scrub_sql() -> str:
+    from audiopro_essentia_spark.duck_twins import H32, line_scrub_sql
+
+    demo = f"""
+WITH w AS (SELECT doc_id, source,
+        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      FROM documents),
+ln AS (SELECT doc_id, (CASE WHEN len(ws) < 1 THEN ''
+    ELSE array_to_string(list_transform(
+      list_transform(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
+      c -> c || CASE WHEN {H32.format(x='c')} % 3 <> 0 THEN '.' ELSE '' END),
+      chr(10)) END) || chr(10) || '=== subscribe to ' || source
+    || ' weekly ===' || chr(10) || '(c) 2026 ' || source AS text
+  FROM w)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM ln"""
+    return line_scrub_sql(min_doc_freq=5, table=f"({demo}) AS t2")
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "priority_sample": q_staged_priority_sample,
+        "line_scrub": q_staged_line_scrub,
         "gopher_quality": q_staged_gopher,
         "edit_neardup": q_staged_edit_neardup,
         "lq_quantiles": q_staged_lq_quantiles,
@@ -2155,6 +2206,7 @@ def _staged_oracle_sql() -> dict[str, str]:
 
     return {
         "priority_sample": DT.priority_sample_sql(k=20),
+        "line_scrub": _staged_line_scrub_sql(),
         "gopher_quality": _staged_gopher_sql(),
         "edit_neardup": _staged_edit_neardup_sql(),
         "lq_quantiles": lq_quantiles_sql(),

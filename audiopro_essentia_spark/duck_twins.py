@@ -1798,3 +1798,53 @@ SELECT stratum, key, weight, CAST(rank AS INT) AS rank, priority,
        greatest(CAST(weight AS DOUBLE), coalesce(tau, 0.0)) AS adj_weight
 FROM u WHERE rank <= {k}
 """
+
+
+def line_scrub_sql(
+    min_doc_freq: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Twin of dedup.line_scrub (CCNet/C4 corpus-frequency line
+    scrubbing): identical 64-bit two-half md5 line keys, doc-frequency
+    over distinct (doc, line), removal everywhere (no canonical),
+    1-based positions, empty lines never counted/removed. Exact-integer
+    output + byte-exact text_clean, so no rounding anywhere.
+    array_to_string of an all-scrubbed doc's empty keep-list is NULL in
+    DuckDB (Spark array_join gives '') — coalesce per the engine-twin
+    rule."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS doc_id,
+         string_split(coalesce({text_col}, ''), chr(10)) AS ls
+  FROM {table}),
+occ AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos,
+         unnest(ls) AS line
+  FROM base),
+g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(line), 1, 8))::BIGINT AS h,
+         ('0x' || substr(md5(line), 9, 8))::BIGINT AS h2,
+         list(pos ORDER BY pos) AS poss
+  FROM occ WHERE line <> '' GROUP BY ALL),
+flagged AS (
+  SELECT doc_id, poss, count(*) OVER (PARTITION BY h, h2) AS dfq FROM g),
+mask AS (
+  SELECT doc_id, flatten(list(poss)) AS starts
+  FROM flagged WHERE dfq >= {min_doc_freq} GROUP BY doc_id),
+joined AS (
+  SELECT b.doc_id, b.ls, len(b.ls) AS n_lines,
+         coalesce(m.starts, []) AS starts
+  FROM base b LEFT JOIN mask m USING (doc_id))
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(len(list_filter(generate_series(1, n_lines),
+           i -> list_contains(starts, i))) AS BIGINT) AS n_scrubbed,
+  coalesce(array_to_string(list_transform(
+      list_filter(generate_series(1, n_lines),
+                  i -> NOT list_contains(starts, i)),
+      i -> ls[i]), chr(10)), '') AS text_clean
+FROM joined
+"""

@@ -1175,3 +1175,103 @@ def span_scrub(
             F.transform(keep_idx, lambda i: F.element_at("_ws", i)), " "
         ).alias("scrub_text"),
     )
+
+
+def line_scrub(
+    df: DataFrame,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency line (paragraph) scrubbing — the CCNet/C4
+    boilerplate rule (Wenzek et al. 2020 dedup paragraphs by hash across
+    shards; C4 drops repeated lines): any NON-EMPTY line that appears in
+    >= min_doc_freq DISTINCT documents is boilerplate (nav bars, cookie
+    banners, subscribe footers, license headers) and is removed from
+    EVERY document — unlike span_scrub there is no canonical keeper,
+    because a line that common is template, not content. Lines are
+    compared as exact byte strings (no normalization — normalize
+    upstream if wanted); empty lines are structure and are never
+    counted or removed. Doc-frequency, not occurrence count: a doc
+    repeating its own header 50 times contributes 1.
+
+    Scale shape (the span_scrub one-pass window shape at line
+    granularity): explode (doc, pos, md5-h64(line)) ONCE — the 64-bit
+    two-half key, because a 32-bit key collides for ~116 line pairs per
+    10^6 distinct lines and this operator DELETES text; groupBy
+    (doc, h, h2) collapses within-doc multiplicity while carrying the
+    bounded position list, so the ONE shuffle on the line key moves at
+    most one row per (doc, distinct line); doc-frequency is count(*)
+    over a window on that same shuffle (rows are distinct docs per
+    line — no second scan, no COUNT DISTINCT, nothing broadcast); only
+    docs owning a frequent line carry rows in the sparse mask joined
+    back. Reassembly is a narrow per-row array expression. A
+    pathologically hot line (every doc's footer) sorts into one window
+    partition — the same residency the equivalent join would have; the
+    payload behind it is one row per owning doc, not per occurrence.
+
+    Output: (id, n_lines, n_scrubbed, text_clean) for EVERY input doc
+    (NULL text behaves as '' -> one empty line, nothing scrubbed;
+    all-lines-scrubbed docs yield text_clean = '')."""
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
+    lines_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    base = df.select(F.col(id_col), lines_arr.alias("_ls"))
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode("_ls").alias("_p0", "_line"),
+    ).where(F.col("_line") != "")
+    # one md5 per distinct (doc, line); positions collapse into the group
+    g = (
+        occ.select(
+            F.col(id_col),
+            (F.col("_p0") + 1).alias("pos"),  # 1-based (the DuckDB rule)
+            F.md5("_line").alias("_hx"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.conv(F.substring("_hx", 1, 8), 16, 10).cast("long").alias("h"),
+            F.conv(F.substring("_hx", 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        # ONE corpus-scale shuffle on the line key: HashPartitioning on
+        # (h, h2) satisfies the clustering requirement of BOTH the
+        # (doc, h, h2) aggregate (subset-of-keys rule) and the (h, h2)
+        # window, so neither plans its own exchange — without this the
+        # same rows crossed the wire twice (groupBy keyed its exchange
+        # on all three columns, which the window can't reuse). Cost:
+        # the shuffle carries per-OCCURRENCE rows instead of per
+        # distinct (doc, line) — within-doc duplicate lines are the
+        # delta, negligible next to a whole second corpus shuffle.
+        .repartition(F.col("h"), F.col("h2"))
+        .groupBy(id_col, "h", "h2")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_poss"))
+    )
+    docfreq = F.count(F.lit(1)).over(Window.partitionBy("h", "h2"))
+    mask = (
+        g.withColumn("_df", docfreq)
+        .where(F.col("_df") >= min_doc_freq)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.flatten(F.collect_list("_poss"))).alias("_starts")
+        )
+    )
+    j = base.join(mask, id_col, "left").select(
+        F.col(id_col),
+        F.col("_ls"),
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")).alias(
+            "_starts"
+        ),
+    )
+    idx = F.sequence(F.lit(1), F.size("_ls"))  # split() never yields size 0
+    keep_idx = F.filter(
+        idx, lambda i: ~F.array_contains(F.col("_starts"), i)
+    )
+    return j.select(
+        F.col(id_col),
+        F.size("_ls").cast("long").alias("n_lines"),
+        (F.size("_ls") - F.size(keep_idx)).cast("long").alias("n_scrubbed"),
+        F.array_join(
+            F.transform(keep_idx, lambda i: F.element_at("_ls", i)), "\n"
+        ).alias("text_clean"),
+    )

@@ -337,3 +337,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["time_rolling"] >= 500
     # k=20 per source, 20 sources at every sf tier
     assert n_rows["priority_sample"] >= 100
+    # one row per input doc, scrubbed or not
+    assert n_rows["line_scrub"] >= 400
