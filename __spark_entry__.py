@@ -2187,10 +2187,44 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM ln"""
     return line_scrub_sql(min_doc_freq=5, table=f"({demo}) AS t2")
 
 
+def q_staged_funnel(spark, sf_dir):
+    """Temporal analytics: per-user ordered funnel over the events
+    table — signup -> view -> click -> purchase, each step the
+    earliest matching event STRICTLY AFTER the previous step, within
+    an anchored 7-day conversion window. Exact BIGINT epoch-micros
+    chains + depth, so the oracle hash is exact (no rounding). ONE
+    hash shuffle on user_id, zero Python, type filter pushed to the
+    parquet scan (operators/temporal.py funnel_steps; the ordered
+    complement of sessionize's gap-islands on the same table)."""
+    from audiopro_essentia_spark.operators.temporal import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev,
+        ("signup", "view", "click", "purchase"),
+        max_span_seconds=7 * 86400,
+    )
+
+
+def q_staged_cohort(spark, sf_dir):
+    """Temporal analytics: daily cohort-retention grid over events —
+    users cohorted by the epoch-anchored day of their first event,
+    n_active = EXACT distinct users of that cohort active at each
+    day offset, retention round-6 on exact ints. One corpus-scale
+    shuffle (window-min cohorting on user; the distinct reuses it via
+    the subset rule), one FileScan, zero Python
+    (operators/temporal.py cohort_retention)."""
+    from audiopro_essentia_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period_seconds=86400)
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
+        "funnel": q_staged_funnel,
+        "cohort_retention": q_staged_cohort,
         "gopher_quality": q_staged_gopher,
         "edit_neardup": q_staged_edit_neardup,
         "lq_quantiles": q_staged_lq_quantiles,
@@ -2207,6 +2241,11 @@ def _staged_oracle_sql() -> dict[str, str]:
     return {
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),
+        "funnel": DT.funnel_steps_sql(
+            ("signup", "view", "click", "purchase"),
+            max_span_seconds=7 * 86400,
+        ),
+        "cohort_retention": DT.cohort_retention_sql(period_seconds=86400),
         "gopher_quality": _staged_gopher_sql(),
         "edit_neardup": _staged_edit_neardup_sql(),
         "lq_quantiles": lq_quantiles_sql(),

@@ -1848,3 +1848,137 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
       i -> ls[i]), chr(10)), '') AS text_clean
 FROM joined
 """
+
+
+def funnel_steps_sql(
+    steps: tuple[str, ...],
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+) -> str:
+    """Twin of temporal.funnel_steps: per-user ordered funnel — step i
+    is the earliest event of type steps[i] STRICTLY AFTER step i-1
+    (optionally within [step_1, step_1 + span]). Exact BIGINT micros
+    end-to-end, so no rounding anywhere. Engine alignment: Spark's
+    collect_list over zero matches gives [], DuckDB's list() FILTER
+    gives NULL — both reach array_min/list_min as NULL, and a NULL
+    threshold nulls every later filter (t > NULL is NULL = dropped),
+    so the chains agree. Layered CTEs are MATERIALIZED per the
+    generated-SQL rule (DuckDB inlines plain CTEs combinatorially)."""
+    types = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    arrs = ",\n    ".join(
+        "list(us ORDER BY us) FILTER (WHERE ft = '{}') AS t{}".format(
+            s.replace("'", "''"), i
+        )
+        for i, s in enumerate(steps)
+    )
+    layers = ["SELECT *, list_min(t0) AS step_1_us FROM g"]
+    for i in range(1, len(steps)):
+        if max_span_seconds is not None:
+            span_us = int(round(max_span_seconds * 1e6))
+            cond = (
+                f"t -> t > step_{i}_us AND t <= step_1_us + {span_us}"
+            )
+        else:
+            cond = f"t -> t > step_{i}_us"
+        layers.append(
+            f"SELECT *, list_min(list_filter(t{i}, {cond})) "
+            f"AS step_{i + 1}_us FROM s{i}"
+        )
+    layer_sql = ",\n".join(
+        f"s{i + 1} AS MATERIALIZED ({q})" for i, q in enumerate(layers)
+    )
+    out_cols = ", ".join(f"step_{i + 1}_us" for i in range(len(steps)))
+    depth = " + ".join(
+        f"CAST(step_{i + 1}_us IS NOT NULL AS INT)"
+        for i in range(len(steps))
+    )
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT {user_col}, {type_col} AS ft,
+         epoch_us(CAST({ts_col} AS TIMESTAMP)) AS us
+  FROM {table}
+  WHERE {ts_col} IS NOT NULL AND {type_col} IN ({types})),
+g AS MATERIALIZED (
+  SELECT {user_col},
+    {arrs}
+  FROM ev GROUP BY {user_col}),
+{layer_sql}
+SELECT {user_col}, {out_cols}, CAST({depth} AS INT) AS depth
+FROM s{len(steps)} WHERE step_1_us IS NOT NULL
+"""
+
+
+def funnel_counts_sql(
+    steps: tuple[str, ...],
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+) -> str:
+    """Twin of temporal.funnel_counts: per-step reached counts +
+    conversion vs step 1 (ONE correctly-rounded double division per
+    row on exact BIGINT inputs, round-6 — the exact-int ratio rule)."""
+    per = funnel_steps_sql(
+        steps, table=table, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, max_span_seconds=max_span_seconds,
+    )
+    unions = "\nUNION ALL\n".join(
+        "SELECT {i} AS step, '{s}' AS step_type, "
+        "count(*) FILTER (WHERE step_{i}_us IS NOT NULL) AS n_reached "
+        "FROM per".format(i=i + 1, s=s.replace("'", "''"))
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH per AS MATERIALIZED ({per}),
+u AS ({unions})
+SELECT CAST(step AS INT) AS step, step_type,
+       CAST(n_reached AS BIGINT) AS n_reached,
+       round(CAST(n_reached AS DOUBLE)
+             / CAST(max(CASE WHEN step = 1 THEN n_reached END)
+                    OVER () AS DOUBLE), 6) AS conversion
+FROM u
+"""
+
+
+def cohort_retention_sql(
+    period_seconds: int = 7 * 86400,
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """Twin of temporal.cohort_retention: epoch-grid cohorting on exact
+    BIGINT micros with the portable pmod floor-division recipe
+    (((us % p) + p) % p mirrors Spark's pmod for any sign; the
+    subtraction makes the numerator an exact multiple of p, so the one
+    double division is exact in both engines). True COUNT via DISTINCT
+    cells; retention is one round-6 double division on exact ints."""
+    p = int(period_seconds) * 1_000_000
+    return f"""
+WITH ev AS MATERIALIZED (
+  SELECT {user_col} AS u,
+         CAST((epoch_us(CAST({ts_col} AS TIMESTAMP))
+               - (((epoch_us(CAST({ts_col} AS TIMESTAMP)) % {p}) + {p}) % {p}))
+              / {p} AS BIGINT) AS per
+  FROM {table} WHERE {ts_col} IS NOT NULL),
+frst AS MATERIALIZED (
+  SELECT u, min(per) AS cohort FROM ev GROUP BY u),
+cells AS MATERIALIZED (
+  SELECT DISTINCT ev.u, f.cohort, ev.per - f.cohort AS off
+  FROM ev JOIN frst f USING (u)),
+agg AS (
+  SELECT cohort, off, count(*) AS n_active
+  FROM cells GROUP BY cohort, off)
+SELECT CAST(cohort AS BIGINT) AS cohort_period,
+       CAST(off AS BIGINT) AS period_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(max(CASE WHEN off = 0 THEN n_active END)
+            OVER (PARTITION BY cohort) AS BIGINT) AS cohort_size,
+       round(CAST(n_active AS DOUBLE)
+             / CAST(max(CASE WHEN off = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+FROM agg
+"""

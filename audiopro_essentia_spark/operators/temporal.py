@@ -383,3 +383,207 @@ def with_time_rolling(
                 f"{p}_{a}_{label}s", fns[a](value_col).over(w)
             )
     return out.drop("_tr_us")
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered funnel analysis — for each user, the timestamp at which
+    each step of an ordered event-type sequence was FIRST completed,
+    where step i must occur STRICTLY AFTER step i-1 (one physical event
+    cannot complete two steps; two events at the same microsecond do
+    not chain — the deterministic tie rule both engines agree on).
+    step_1 anchors at the user's earliest step-1 event; with
+    max_span_seconds set, every later step must also land within
+    [step_1, step_1 + span] (the classic anchored conversion window —
+    windows never re-open on a later step-1 event; re-anchoring funnels
+    are a different, stateful operator).
+
+    The greedy earliest-chain is OPTIMAL for "did the user reach depth
+    d": taking the earliest valid event at each step only ever leaves
+    MORE room for later steps (exchange argument), so depth here equals
+    the max over all chains — no search needed.
+
+    Scale shape: filter to the funnel's event types, then ONE hash
+    shuffle on user_col into a single groupBy that collects one SORTED
+    int64-micros array per step type (map-side combinable collect;
+    NULL ts / NULL type rows drop at the filter). The chained
+    first-after-threshold recurrence is sequential state — not
+    window-expressible in one pass — but with the per-type arrays in
+    hand it is a pure array expression: step_i =
+    array_min(filter(t_i, t -> t > step_{i-1})), evaluated JVM-side
+    with NULL propagating through the chain (no event after the
+    threshold -> empty filter -> array_min NULL -> every later step
+    NULL). Zero Python, k small. Per-user state is one sorted array
+    per step type over that user's matching events — the same
+    residency any per-user ordered analysis (sessionize's sort) has;
+    cap or pre-filter bot users upstream if a key can exceed executor
+    memory.
+
+    Output: one row per user that has at least one step-1 event —
+    (user, step_1_us .. step_k_us BIGINT epoch-micros, depth INT).
+    Micros, not timestamps: exact integers survive every engine's
+    rendering/rounding (the unix_micros twin rule)."""
+    if len(steps) < 2:
+        raise ValueError(f"a funnel needs >= 2 steps, got {list(steps)}")
+    if any(s is None or s == "" for s in steps):
+        raise ValueError(f"steps must be non-empty strings, got {list(steps)}")
+    if max_span_seconds is not None and max_span_seconds <= 0:
+        raise ValueError(
+            f"max_span_seconds must be > 0, got {max_span_seconds}"
+        )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.where(
+        F.col(type_col).isin(*steps) & us.isNotNull()
+    ).select(F.col(user_col), F.col(type_col).alias("_ft"), us.alias("_us"))
+    g = ev.groupBy(user_col).agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("_ft") == F.lit(s), F.col("_us")))
+            ).alias(f"_t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # closure factories, NOT default-arg lambdas: PySpark's HOF lambda
+    # inspection counts DEFAULT parameters too, so `lambda t, p=prev:`
+    # reads as a 2-arg lambda and fails analysis
+    def _after(p: Column):
+        return lambda t: t > p
+
+    def _after_within(p: Column, c: Column):
+        return lambda t: (t > p) & (t <= c)
+
+    cols: list[Column] = [F.array_min(F.col("_t0"))]
+    for i in range(1, len(steps)):
+        prev = cols[i - 1]
+        if max_span_seconds is not None:
+            span_us = int(round(max_span_seconds * 1e6))
+            cond = _after_within(prev, cols[0] + F.lit(span_us))
+        else:
+            cond = _after(prev)
+        cols.append(F.array_min(F.filter(F.col(f"_t{i}"), cond)))
+    depth = sum((c.isNotNull().cast("int") for c in cols), F.lit(0))
+    return g.select(
+        F.col(user_col),
+        *[c.alias(f"step_{i + 1}_us") for i, c in enumerate(cols)],
+        depth.alias("depth"),
+    ).where(F.col("step_1_us").isNotNull())
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_span_seconds: float | None = None,
+) -> DataFrame:
+    """Per-step funnel conversion summary over funnel_steps: for each
+    step index, how many users reached it (their chained step_i is
+    non-NULL) and the conversion ratio vs step 1 — the number every
+    funnel dashboard draws. Reached counts are nested by construction
+    (step i+1 reached implies step i reached), so the unpivot emits
+    exact BIGINTs and ONE double division rounded once (the exact-int
+    ratio rule). Adds one tiny aggregate over funnel_steps' per-user
+    frame — at most |users| rows into a k-row result."""
+    fs = funnel_steps(
+        df, steps, user_col=user_col, ts_col=ts_col, type_col=type_col,
+        max_span_seconds=max_span_seconds,
+    )
+    per_step = fs.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.col(f"step_{i + 1}_us").isNotNull().cast("long")
+                    for i in range(len(steps))
+                ]
+            )
+        ).alias("_p0", "_reached")
+    )
+    agg = (
+        per_step.select((F.col("_p0") + 1).alias("step"), "_reached")
+        .groupBy("step")
+        .agg(F.sum("_reached").alias("n_reached"))
+    )
+    total_w = Window.partitionBy()  # k-row frame: single-partition OK
+    labels = F.array(*[F.lit(s) for s in steps])
+    return agg.select(
+        F.col("step").cast("int").alias("step"),
+        F.element_at(labels, F.col("step").cast("int")).alias("step_type"),
+        F.col("n_reached").cast("long").alias("n_reached"),
+        F.round(
+            F.col("n_reached").cast("double")
+            / F.max(F.when(F.col("step") == 1, F.col("n_reached"))).over(
+                total_w
+            ),
+            6,
+        ).alias("conversion"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention grid — users are cohorted by the calendar
+    period (width period_seconds, anchored at the epoch) of their FIRST
+    event; a cohort's retention at offset o is how many of its users
+    were active in the period o grid-steps later. The classic
+    subscription/engagement analysis, computed exactly (true COUNT
+    DISTINCT per cell, never a sketch — the cell counts feed ratios).
+
+    Scale shape: the user's first period comes from a WINDOW min over
+    user — not a groupBy + join-back, which scans the events twice and
+    (when the per-user table outgrows broadcast) shuffles twice — so
+    the corpus crosses the wire ONCE, on user; the distinct
+    (user, cohort, offset) collapse reuses that same partitioning
+    (subset-of-keys rule, no new exchange), and only the collapsed
+    at-most-one-row-per-(user, period) stream reaches the final small
+    (cohort, offset) shuffle. Cohort size rides a window over the
+    final k×o grid (tiny). Period arithmetic is the exact pmod
+    floor-division recipe (_bucket_of) on BIGINT micros — identical in
+    the DuckDB twin, no date_trunc (engine week/tz conventions differ;
+    the epoch grid is portable). NULL ts rows carry no time
+    information and are dropped visibly at the filter.
+
+    Output: (cohort_period BIGINT, period_offset BIGINT, n_active
+    BIGINT, cohort_size BIGINT, retention DOUBLE round-6) — the name
+    period_offset because bare `offset` is a reserved word in the twin
+    engine. Offset 0 is the cohort definition itself, so retention
+    there is 1.0 by construction — a cheap self-check cell."""
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be > 0, got {period_seconds}")
+    period_us = int(period_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = df.where(us.isNotNull()).select(
+        F.col(user_col), _bucket_of(us, period_us).alias("_per")
+    )
+    cohort = F.min("_per").over(Window.partitionBy(user_col))
+    cells = (
+        ev.select(
+            F.col(user_col),
+            cohort.alias("_cohort"),
+            (F.col("_per") - cohort).alias("_off"),
+        )
+        .distinct()
+        .groupBy("_cohort", "_off")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size_w = Window.partitionBy("_cohort")
+    csize = F.max(F.when(F.col("_off") == 0, F.col("n_active"))).over(size_w)
+    return cells.select(
+        F.col("_cohort").cast("long").alias("cohort_period"),
+        F.col("_off").cast("long").alias("period_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        csize.cast("long").alias("cohort_size"),
+        F.round(F.col("n_active").cast("double") / csize, 6).alias(
+            "retention"
+        ),
+    )

@@ -339,3 +339,7 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["priority_sample"] >= 100
     # one row per input doc, scrubbed or not
     assert n_rows["line_scrub"] >= 400
+    # one row per user with a signup (15 users at sf0.001)
+    assert n_rows["funnel"] >= 10
+    # daily cohort grid over a 30-day event span
+    assert n_rows["cohort_retention"] >= 25
