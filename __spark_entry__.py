@@ -2219,12 +2219,98 @@ def q_staged_cohort(spark, sf_dir):
     return cohort_retention(_t(spark, sf_dir, "events"), period_seconds=86400)
 
 
+def q_staged_cdc(spark, sf_dir):
+    """Dedup: content-defined chunking shift-robustness demo — chunk
+    every doc AND a perturbed twin with one word inserted after word 5,
+    then count per doc the multiset intersection of chunk fingerprints
+    (sum of min counts). CDC's whole point: the insertion shifts every
+    later word's POSITION but not its content, so boundaries realign
+    and most fingerprints survive — where a whole-doc digest survives
+    zero. Exact integers end-to-end (operators/dedup.py cdc_chunks;
+    Muthitacharoen et al. SOSP 2001)."""
+    from audiopro_essentia_spark.operators.dedup import cdc_chunks
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pw = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    pert = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.slice(pw, 1, 5),
+            F.lit("INSERTED"),
+            F.when(F.size(pw) > 5, F.slice(pw, 6, 1_000_000_000))
+            .otherwise(F.array().cast("array<string>")),
+        ).alias("text"),
+    )
+    ga = (
+        cdc_chunks(d, divisor=8, window_words=3)
+        .groupBy("doc_id", "chunk_md5")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    gb = (
+        cdc_chunks(pert, divisor=8, window_words=3)
+        .groupBy("doc_id", "chunk_md5")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    j = ga.join(gb, ["doc_id", "chunk_md5"], "full_outer")
+    return j.groupBy("doc_id").agg(
+        F.sum(F.coalesce("ca", F.lit(0))).cast("long").alias("n_chunks"),
+        F.sum(F.coalesce("cb", F.lit(0))).cast("long").alias("n_chunks_pert"),
+        F.sum(
+            F.least(F.coalesce("ca", F.lit(0)), F.coalesce("cb", F.lit(0)))
+        )
+        .cast("long")
+        .alias("n_shared"),
+    )
+
+
+def _staged_cdc_sql() -> str:
+    from audiopro_essentia_spark.duck_twins import cdc_chunks_sql
+
+    pert = """(
+SELECT doc_id, array_to_string(
+    list_slice(pw, 1, 5) || ['INSERTED'] ||
+    CASE WHEN len(pw) > 5 THEN list_slice(pw, 6, len(pw)) ELSE [] END,
+    ' ') AS text
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             list_filter(string_split(coalesce(text, ''), ' '),
+                         x -> x <> '') AS pw
+      FROM documents)) AS pt"""
+    orig = cdc_chunks_sql(
+        divisor=8, window_words=3,
+        table="(SELECT CAST(doc_id AS BIGINT) AS doc_id, text "
+              "FROM documents) AS ot",
+    )
+    perturbed = cdc_chunks_sql(divisor=8, window_words=3, table=pert)
+    return f"""
+WITH ca AS MATERIALIZED (
+  SELECT doc_id, chunk_md5, count(*) AS ca FROM ({orig}) GROUP BY ALL),
+cb AS MATERIALIZED (
+  SELECT doc_id, chunk_md5, count(*) AS cb FROM ({perturbed}) GROUP BY ALL),
+j AS (
+  SELECT coalesce(ca.doc_id, cb.doc_id) AS doc_id,
+         coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb
+    ON ca.doc_id = cb.doc_id AND ca.chunk_md5 = cb.chunk_md5)
+SELECT doc_id, CAST(sum(ca) AS BIGINT) AS n_chunks,
+       CAST(sum(cb) AS BIGINT) AS n_chunks_pert,
+       CAST(sum(least(ca, cb)) AS BIGINT) AS n_shared
+FROM j GROUP BY doc_id
+"""
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
         "funnel": q_staged_funnel,
         "cohort_retention": q_staged_cohort,
+        "cdc_chunks": q_staged_cdc,
         "gopher_quality": q_staged_gopher,
         "edit_neardup": q_staged_edit_neardup,
         "lq_quantiles": q_staged_lq_quantiles,
@@ -2246,6 +2332,7 @@ def _staged_oracle_sql() -> dict[str, str]:
             max_span_seconds=7 * 86400,
         ),
         "cohort_retention": DT.cohort_retention_sql(period_seconds=86400),
+        "cdc_chunks": _staged_cdc_sql(),
         "gopher_quality": _staged_gopher_sql(),
         "edit_neardup": _staged_edit_neardup_sql(),
         "lq_quantiles": lq_quantiles_sql(),

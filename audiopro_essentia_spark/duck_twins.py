@@ -1982,3 +1982,54 @@ SELECT CAST(cohort AS BIGINT) AS cohort_period,
                     OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
 FROM agg
 """
+
+
+def cdc_chunks_sql(
+    divisor: int = 16,
+    window_words: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Twin of dedup.cdc_chunks (content-defined chunking): identical
+    tokenization (space split, empties dropped), identical boundary
+    rule (hash32 of the w-shingle ENDING at i, h % divisor == 0 — the
+    hash is non-negative so bare % matches Spark's), 1-based inclusive
+    list_slice mirrors Spark's (start, length) slice, one md5 per
+    chunk. Exact integers + md5 hex strings, no rounding anywhere.
+    generate_series(a, b) with b < a is empty in DuckDB but DESCENDS in
+    Spark — both sides guard with an explicit CASE."""
+    w = int(window_words)
+    h32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+    sh = (
+        f"array_to_string(list_slice(ws, i - {w - 1}, i), ' ')"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split(coalesce({text_col}, ''), ' '),
+                     x -> x <> '') AS ws
+  FROM {table}),
+sized AS (SELECT doc_id, ws, len(ws) AS n FROM base WHERE len(ws) >= 1),
+st AS MATERIALIZED (
+  SELECT doc_id, ws, n,
+         list_prepend(1, list_transform(
+           list_filter(
+             CASE WHEN n - 1 >= {w} THEN generate_series({w}, n - 1)
+                  ELSE [] END,
+             i -> {h32.format(x=sh)} % {divisor} = 0),
+           b -> b + 1)) AS starts
+  FROM sized),
+ex AS (
+  SELECT doc_id, ws, n, starts,
+         unnest(generate_series(1, len(starts))) AS j
+  FROM st)
+SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+       CAST(starts[j] AS BIGINT) AS start_pos,
+       CAST((CASE WHEN j < len(starts) THEN starts[j + 1] - 1 ELSE n END)
+            - starts[j] + 1 AS BIGINT) AS n_words,
+       md5(array_to_string(list_slice(ws, starts[j],
+           CASE WHEN j < len(starts) THEN starts[j + 1] - 1 ELSE n END),
+           ' ')) AS chunk_md5
+FROM ex
+"""

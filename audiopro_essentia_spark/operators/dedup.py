@@ -1275,3 +1275,115 @@ def line_scrub(
             F.transform(keep_idx, lambda i: F.element_at("_ls", i)), "\n"
         ).alias("text_clean"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    divisor: int = 16,
+    window_words: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (CDC) at word granularity — the
+    rsync/LBFS technique (Muthitacharoen et al. SOSP 2001; the backbone
+    of every dedup backup store): split each doc into chunks at
+    positions the CONTENT chooses, so an edit only re-fingerprints the
+    chunk it lands in. A boundary falls AFTER word i exactly when
+    hash32 of the window_words-word shingle ENDING at i satisfies
+    h % divisor == 0; since the test looks only at local content, an
+    insertion shifts later words' positions but not their shingles —
+    the chunking realigns one boundary later and every downstream chunk
+    fingerprint is UNCHANGED. Whole-doc digests (dedup_exact) lose the
+    entire doc to a one-word edit; positional spans (span_scrub keys
+    include pos) lose everything after it; CDC loses one chunk.
+    Expected chunk length = divisor words (each position is a boundary
+    with probability 1/divisor). Deliberately UNBOUNDED (no min/max
+    chunk clamps): classic min-size suppression makes each boundary
+    depend on the previous one — a sequential recurrence — while the
+    pure form is embarrassingly position-parallel and exactly
+    reproducible in the SQL twin; a repeated boundary shingle can
+    therefore make word-sized chunks (documented, harmless: tiny
+    chunks still dedup).
+
+    Scale shape: ZERO shuffles — one narrow projection per doc
+    (tokenize; one md5 per candidate position inside the filter
+    lambda, the span_scrub one-digest discipline; starts/ends as array
+    expressions; one md5 per chunk) followed by a narrow explode.
+    Cost O(words x window_words) per doc, embarrassingly parallel;
+    every downstream use (chunk-fingerprint dedup, incremental diff)
+    is a groupBy/join on chunk_md5 the caller chooses.
+
+    Output: (id, chunk_idx 1-based INT, start_pos 1-based BIGINT,
+    n_words BIGINT, chunk_md5 of the space-rejoined chunk words).
+    Docs with zero words (NULL/empty/whitespace text) emit NO rows —
+    there is no content to chunk (document the contract; dedup_exact
+    is the right tool for empty-doc identity)."""
+    if divisor < 2:
+        raise ValueError(f"divisor must be >= 2, got {divisor}")
+    if window_words < 1:
+        raise ValueError(f"window_words must be >= 1, got {window_words}")
+    w = int(window_words)
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), ws.alias("_ws")).where(
+        F.size("_ws") >= 1
+    )
+    n = F.size("_ws")
+    # boundary candidates live in [w, n-1] (a chunk always runs to the
+    # last word; no shingle ends before w). sequence() DESCENDS when
+    # stop < start — guard to the empty array instead.
+    cand = F.when(
+        n - 1 >= w, F.sequence(F.lit(w), n - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = lambda i: F.concat_ws(
+        " ", F.slice(F.col("_ws"), i - (w - 1), w)
+    )
+    bounds = F.filter(
+        cand,
+        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(divisor)
+        == 0,
+    )
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1)
+    )
+    with_starts = base.select(
+        F.col(id_col), F.col("_ws"), starts.alias("_starts")
+    )
+    n2 = F.size("_ws")
+    chunk = lambda j: F.struct(
+        j.alias("chunk_idx"),
+        F.element_at("_starts", j).alias("start_pos"),
+        (
+            F.coalesce(F.try_element_at("_starts", j + 1) - 1, n2)
+            - F.element_at("_starts", j)
+            + 1
+        ).alias("n_words"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_ws"),
+                    F.element_at("_starts", j),
+                    F.coalesce(F.try_element_at("_starts", j + 1) - 1, n2)
+                    - F.element_at("_starts", j)
+                    + 1,
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    return with_starts.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("_starts")), chunk)
+        ).alias("_c"),
+    ).select(
+        F.col(id_col),
+        F.col("_c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_c.start_pos").cast("long").alias("start_pos"),
+        F.col("_c.n_words").cast("long").alias("n_words"),
+        F.col("_c.chunk_md5").alias("chunk_md5"),
+    )

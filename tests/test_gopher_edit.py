@@ -343,3 +343,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["funnel"] >= 10
     # daily cohort grid over a 30-day event span
     assert n_rows["cohort_retention"] >= 25
+    # one row per doc with >= 1 word
+    assert n_rows["cdc_chunks"] >= 400
