@@ -449,24 +449,39 @@ def funnel_steps(
             for i, s in enumerate(steps)
         ]
     )
-    # closure factories, NOT default-arg lambdas: PySpark's HOF lambda
-    # inspection counts DEFAULT parameters too, so `lambda t, p=prev:`
-    # reads as a 2-arg lambda and fails analysis
-    def _after(p: Column):
-        return lambda t: t > p
+    # Two hazards shape this block. (1) PySpark's HOF lambda inspection
+    # counts DEFAULT parameters, so `lambda t, p=prev:` reads as 2-arg
+    # and fails analysis — closure factories instead. (2) A lambda
+    # referencing an OUTER expression re-inlines that expression PER
+    # ELEMENT (the array_repeat rule in CLAUDE.md): filter(t_i,
+    # t -> t > prev) evaluates prev's whole chained tree for every
+    # element of t_i, making an l-step funnel O(prod |t_i|) per user —
+    # measured 0.6 s -> 2.4 s from 3 to 4 steps at sf0.1. Route the
+    # per-row scalars through zip_with(t_i, array_repeat(struct(...)))
+    # so each threshold evaluates ONCE per row per mention.
+    def _chained(t_arr: Column, pc: Column, span_us) -> Column:
+        rep = F.array_repeat(pc, F.size(t_arr))
 
-    def _after_within(p: Column, c: Column):
-        return lambda t: (t > p) & (t <= c)
+        def _pick(t, s):
+            ok = t > s.getField("p")
+            if span_us is not None:
+                ok = ok & (t <= s.getField("c"))
+            return F.when(ok, t)
 
+        return F.array_min(F.zip_with(t_arr, rep, _pick))
+
+    span_us = (
+        None
+        if max_span_seconds is None
+        else int(round(max_span_seconds * 1e6))
+    )
     cols: list[Column] = [F.array_min(F.col("_t0"))]
     for i in range(1, len(steps)):
-        prev = cols[i - 1]
-        if max_span_seconds is not None:
-            span_us = int(round(max_span_seconds * 1e6))
-            cond = _after_within(prev, cols[0] + F.lit(span_us))
-        else:
-            cond = _after(prev)
-        cols.append(F.array_min(F.filter(F.col(f"_t{i}"), cond)))
+        cap = (
+            F.lit(0) if span_us is None else cols[0] + F.lit(span_us)
+        )  # unused field when span_us is None
+        pc = F.struct(cols[i - 1].alias("p"), cap.alias("c"))
+        cols.append(_chained(F.col(f"_t{i}"), pc, span_us))
     depth = sum((c.isNotNull().cast("int") for c in cols), F.lit(0))
     return g.select(
         F.col(user_col),
