@@ -82,6 +82,21 @@ HEADLINE = (
     "source_overlap", "cms_freq", "bm25",
 )
 
+STAGED_NOTES = {
+    "priority_sample": "rank <= k+1 hits WindowGroupLimit; tau rides the SAME single exchange; zero Python",
+    "line_scrub": "ONE corpus shuffle on the 64-bit line key serves the (doc,line) collapse AND the doc-freq window; sparse mask joins back",
+    "funnel": "type filter pushed to the scan; ONE user shuffle into sorted per-type arrays; chain is zip_with(array_repeat) scalars — zero Python, zero Sort",
+    "cohort_retention": "window-min cohorting: 1 FileScan, 1 corpus shuffle on user; distinct reuses it (subset rule); grid-sized tail exchanges",
+    "cdc_chunks": "ZERO shuffles: narrow projection (one md5 per candidate position / per chunk) + narrow explode; the demo adds groupBy/join on (doc, chunk_md5)",
+    "gopher_quality": "zero Exchange, zero Python; (doc_id,text)-pruned scan",
+    "edit_neardup": "simhash 16-bit-chunk blocked candidates; Levenshtein verify only on hamming-qualified pairs",
+    "lq_quantiles": "mergeable log-histogram registers; single-pass post-checkpoint cumulative walk",
+    "bloom_membership": "broadcast probe joins against the bounded register table; single spine BNLJ is a 1-row aggregate",
+    "interval_join": "bucket-equi-join with BETWEEN residual inside the join — hash join, never BNLJ",
+    "time_rolling": "ONE Exchange + ONE Sort serves every (horizon, agg) column",
+    "pq_ann": "1 Arrow eval in encode, 2 total in search; queries broadcast with precomputed LUTs; WindowGroupLimit on the rank filter",
+}
+
 
 def main() -> None:
     import __spark_entry__ as E
@@ -97,8 +112,7 @@ def main() -> None:
         "intended at 100 TB — see the one-line note above each.",
         "",
     ]
-    for name in HEADLINE:
-        df = qs[name](spark, sf)
+    def _dump(name: str, df, note: str) -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain()
@@ -107,7 +121,17 @@ def main() -> None:
             r"CASE WHEN [^\n]{120,}", lambda m: m.group(0)[:120] + " …]", plan
         )
         plan = "\n".join(line[:200] for line in plan.splitlines())
-        out.append(f"## {name}\n\n{NOTES.get(name, '')}\n\n```\n{plan}\n```\n")
+        out.append(f"## {name}\n\n{note}\n\n```\n{plan}\n```\n")
+
+    for name in HEADLINE:
+        _dump(name, qs[name](spark, sf), NOTES.get(name, ""))
+    sqs = E._staged_queries()
+    out.append("# Staged entries (pre-window, r5 rotation roster)\n")
+    for name in sqs:
+        _dump(
+            f"staged:{name}", sqs[name](spark, sf),
+            STAGED_NOTES.get(name, ""),
+        )
     with open(os.path.join(os.path.dirname(__file__), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print("wrote PLANS.md")
