@@ -2050,18 +2050,14 @@ FROM e JOIN ses
 
 
 def _staged_gopher_sql() -> str:
-    from audiopro_essentia_spark.duck_twins import H32, gopher_sql
+    from audiopro_essentia_spark.duck_twins import gopher_sql, synth_lines_sql
 
     demo = f"""
 WITH w AS (SELECT doc_id,
         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
       FROM documents),
-ln AS (SELECT doc_id, (CASE WHEN len(ws) < 1 THEN ''
-    ELSE array_to_string(list_transform(
-      list_transform(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
-        i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
-      c -> c || CASE WHEN {H32.format(x='c')} % 3 <> 0 THEN '.' ELSE '' END),
-      chr(10)) END) || chr(10) || 'the and that have with' AS lined
+ln AS (SELECT doc_id,
+    {synth_lines_sql()} || chr(10) || 'the and that have with' AS lined
   FROM w)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE
     WHEN doc_id % 29 = 0 THEN array_to_string(
@@ -2169,19 +2165,17 @@ def q_staged_line_scrub(spark, sf_dir):
 
 
 def _staged_line_scrub_sql() -> str:
-    from audiopro_essentia_spark.duck_twins import H32, line_scrub_sql
+    from audiopro_essentia_spark.duck_twins import (
+        line_scrub_sql,
+        synth_lines_sql,
+    )
 
     demo = f"""
 WITH w AS (SELECT doc_id, source,
         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
       FROM documents),
-ln AS (SELECT doc_id, (CASE WHEN len(ws) < 1 THEN ''
-    ELSE array_to_string(list_transform(
-      list_transform(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
-        i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
-      c -> c || CASE WHEN {H32.format(x='c')} % 3 <> 0 THEN '.' ELSE '' END),
-      chr(10)) END) || chr(10) || '=== subscribe to ' || source
-    || ' weekly ===' || chr(10) || '(c) 2026 ' || source AS text
+ln AS (SELECT doc_id, {synth_lines_sql()} || chr(10) || '=== subscribe to '
+    || source || ' weekly ===' || chr(10) || '(c) 2026 ' || source AS text
   FROM w)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM ln"""
     return line_scrub_sql(min_doc_freq=5, table=f"({demo}) AS t2")
@@ -3419,12 +3413,7 @@ FROM g
 WITH w AS (SELECT doc_id,
         list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
       FROM documents),
-ln AS (SELECT doc_id, CASE WHEN len(ws) < 1 THEN ''
-    ELSE array_to_string(list_transform(
-      list_transform(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
-        i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
-      c -> c || CASE WHEN {H32.format(x='c')} % 3 <> 0 THEN '.' ELSE '' END),
-      chr(10)) END AS lined
+ln AS (SELECT doc_id, {DT.synth_lines_sql()} AS lined
   FROM w),
 t2 AS (SELECT doc_id,
     CASE WHEN doc_id % 17 = 0

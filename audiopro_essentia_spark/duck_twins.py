@@ -1921,7 +1921,12 @@ def funnel_counts_sql(
 ) -> str:
     """Twin of temporal.funnel_counts: per-step reached counts +
     conversion vs step 1 (ONE correctly-rounded double division per
-    row on exact BIGINT inputs, round-6 — the exact-int ratio rule)."""
+    row on exact BIGINT inputs, round-6 — the exact-int ratio rule).
+    Each UNION branch carries HAVING count(*) > 0: a global aggregate
+    over an EMPTY per-user frame still emits one row in SQL, but
+    Spark's groupBy over the empty exploded frame emits none — without
+    the guard the twin returned k (n_reached=0, conversion NaN) rows
+    on a corpus with no step-1 event (the empty-sweep divergence)."""
     per = funnel_steps_sql(
         steps, table=table, user_col=user_col, ts_col=ts_col,
         type_col=type_col, max_span_seconds=max_span_seconds,
@@ -1929,7 +1934,9 @@ def funnel_counts_sql(
     unions = "\nUNION ALL\n".join(
         "SELECT {i} AS step, '{s}' AS step_type, "
         "count(*) FILTER (WHERE step_{i}_us IS NOT NULL) AS n_reached "
-        "FROM per".format(i=i + 1, s=s.replace("'", "''"))
+        "FROM per HAVING count(*) > 0".format(
+            i=i + 1, s=s.replace("'", "''")
+        )
         for i, s in enumerate(steps)
     )
     return f"""
@@ -2033,3 +2040,20 @@ SELECT doc_id, CAST(j AS INT) AS chunk_idx,
            ' ')) AS chunk_md5
 FROM ex
 """
+
+
+def synth_lines_sql() -> str:
+    """The ONE DuckDB mirror of functions/cleaning.synthesize_lines
+    (10-word chunks, hash-dependent terminal dot, newline-joined),
+    expecting a column `ws` = the empties-filtered space-split words.
+    Three driver oracles (c4_clean, staged gopher_quality, staged
+    line_scrub) build their lined demo corpora from this expression —
+    interpolate it, never paste a copy: a synthesize_lines change must
+    reach every oracle or they silently diverge from the Spark side."""
+    h = H32.format(x="c")
+    return f"""(CASE WHEN len(ws) < 1 THEN ''
+    ELSE array_to_string(list_transform(
+      list_transform(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+        i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
+      c -> c || CASE WHEN {h} % 3 <> 0 THEN '.' ELSE '' END),
+      chr(10)) END)"""

@@ -1340,12 +1340,12 @@ def cdc_chunks(
     shingle = lambda i: F.concat_ws(
         " ", F.slice(F.col("_ws"), i - (w - 1), w)
     )
+    # portable_hash32: the shared low-half-md5 recipe, so a future
+    # recipe change cannot silently desync this boundary test from the
+    # DuckDB H32 template (only span ops inline it — they split TWO
+    # halves from one digest)
     bounds = F.filter(
-        cand,
-        lambda i: F.conv(F.substring(F.md5(shingle(i)), 1, 8), 16, 10)
-        .cast("long")
-        % F.lit(divisor)
-        == 0,
+        cand, lambda i: portable_hash32(shingle(i)) % F.lit(divisor) == 0
     )
     starts = F.concat(
         F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1)

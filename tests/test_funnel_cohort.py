@@ -406,3 +406,15 @@ def test_cohort_property_random_vs_mirror(spark):
         assert dgot == exp, (rows, p)
 
     run()
+
+
+def test_funnel_counts_no_step1_both_engines_empty(spark):
+    """The empty-sweep divergence: with no step-1 event anywhere, Spark's
+    groupBy over the empty per-user frame emits 0 rows — each DuckDB
+    UNION branch is a global aggregate that would emit one
+    (n_reached=0, conversion NaN) row without its HAVING count(*) > 0
+    guard. Both engines must return empty."""
+    rows = [(1, _ts(10), "view"), (2, _ts(20), "click")]
+    assert funnel_counts(_fdf(spark, rows), STEPS).count() == 0
+    dd = _duck(rows).execute(funnel_counts_sql(STEPS)).fetchdf()
+    assert len(dd) == 0

@@ -58,7 +58,15 @@ def main() -> None:
         and all(s <= MAX_SPREAD for s in spread.values()),
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    with open("BENCH/staged_quiet_timing.json", "a") as f:
+    import os
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH",
+        "staged_quiet_timing.json",
+    )  # __file__-anchored: a detached run from any cwd must not lose
+    # the record after the multi-minute measurement
+    with open(out_path, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec))
 
