@@ -156,3 +156,127 @@ def test_twin_matches_duckdb(spark):
     ).fetchdf()
     dd = dd.astype(sp.dtypes.to_dict())
     assert sp.reset_index(drop=True).equals(dd.reset_index(drop=True))
+
+
+def test_streaming_cdc_seen_chunks_across_epochs(spark, tmp_path):
+    """Incremental dedup-on-ingest with the CDC fingerprint set as
+    EPOCH STATE, through a REAL foreachBatch stream: each micro-batch
+    chunks its docs, counts per doc how many chunks the persisted set
+    has already seen, then appends its own fingerprints forward. Pins
+    (a) the streamed epoch-1 seen-counts equal the batch join over the
+    same split, (b) a SHIFTED near-copy (one word inserted mid-doc)
+    arriving in epoch 1 reads mostly-seen — the CDC property exercised
+    through ingest, where a whole-doc digest would read 0 — while a
+    fresh doc reads zero-seen, and (c) the carried set after both
+    epochs equals the one-shot distinct chunk set over everything."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    base = " ".join(WORDS[(k * 5) % 8] + str(k % 13) for k in range(120))
+    words = base.split(" ")
+    shifted = " ".join(words[:60] + ["INSERTED"] + words[60:])
+    fresh = " ".join(WORDS[(k * 3 + 1) % 8] + "x" + str(k % 7)
+                     for k in range(120))
+    epoch0 = [(i, " ".join(WORDS[(i + k) % 8] + str(k) for k in range(50)))
+              for i in range(10)] + [(99, base)]
+    epoch1 = [(200, shifted), (201, fresh)]
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, (name, rows) in enumerate((("e0", epoch0), ("e1", epoch1))):
+        p = src / f"{name}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]}),
+            str(p),
+        )
+        # pin strictly increasing mtimes (FileStreamSource epoch order)
+        os.utime(p, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    seen_dir = str(tmp_path / "chunk_state")
+    stats: dict[int, dict] = {}
+
+    def handler(bdf, eid):
+        ch = cdc_chunks(bdf, divisor=4, window_words=3)
+        if os.path.isdir(seen_dir):
+            seen = spark.read.parquet(seen_dir)
+            seen_flag = ch.join(
+                seen.withColumn("_seen", F.lit(1)), "chunk_md5", "left"
+            )
+        else:
+            seen_flag = ch.withColumn("_seen", F.lit(None).cast("int"))
+        rows = (
+            seen_flag.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("_seen", F.lit(0))).alias("n_seen"),
+            )
+            .collect()
+        )
+        stats[int(eid)] = {r.doc_id: (r.n, r.n_seen) for r in rows}
+        mine = ch.select("chunk_md5").distinct()
+        merged = (
+            spark.read.parquet(seen_dir).unionByName(mine).distinct()
+            if os.path.isdir(seen_dir)
+            else mine
+        )
+        merged.localCheckpoint().write.mode("overwrite").parquet(
+            seen_dir + "_next"
+        )
+        spark.read.parquet(seen_dir + "_next").write.mode(
+            "overwrite"
+        ).parquet(seen_dir)
+
+    ev = spark.read.parquet(str(src))
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert len(stats) == 2
+
+    # (a) streamed epoch-1 counts == the batch join over the same split
+    e0 = spark.createDataFrame(epoch0, "doc_id long, text string")
+    e1 = spark.createDataFrame(epoch1, "doc_id long, text string")
+    seen0 = cdc_chunks(e0, divisor=4, window_words=3).select(
+        "chunk_md5"
+    ).distinct()
+    batch = {
+        r.doc_id: (r.n, r.n_seen)
+        for r in cdc_chunks(e1, divisor=4, window_words=3)
+        .join(seen0.withColumn("_seen", F.lit(1)), "chunk_md5", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("_seen", F.lit(0))).alias("n_seen"),
+        )
+        .collect()
+    }
+    assert stats[1] == batch
+
+    # (b) the shifted near-copy is mostly seen; the fresh doc is not
+    n200, s200 = stats[1][200]
+    assert s200 >= n200 - 2, stats[1]
+    assert stats[1][201][1] == 0
+    # epoch 0 ran against empty state
+    assert all(s == 0 for _, s in stats[0].values())
+
+    # (c) carried set == one-shot distinct chunk set over everything
+    carried = {
+        r.chunk_md5 for r in spark.read.parquet(seen_dir).collect()
+    }
+    want = {
+        r.chunk_md5
+        for r in cdc_chunks(
+            e0.unionByName(e1), divisor=4, window_words=3
+        ).collect()
+    }
+    assert carried == want
