@@ -2298,6 +2298,21 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_staged_npmi(spark, sf_dir):
+    """Text analysis: NPMI collocation mining over the documents table
+    (Church-Hanks PMI, Bouma-normalized) — top-200 adjacent word pairs
+    by npmi at min pair count 5, every ln taken once on an exact BIGINT
+    and rounded to integer micro-nats (the DSIR/BM25/drift discipline),
+    global top-k via TakeOrderedAndProject with a (npmi DESC, w1, w2)
+    total order so the cut is deterministic cross-engine
+    (operators/tfidf.py npmi_collocations)."""
+    from audiopro_essentia_spark.operators.tfidf import npmi_collocations
+
+    return npmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, top_k=200
+    )
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "priority_sample": q_staged_priority_sample,
@@ -2305,6 +2320,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_staged_funnel,
         "cohort_retention": q_staged_cohort,
         "cdc_chunks": q_staged_cdc,
+        "npmi": q_staged_npmi,
         "gopher_quality": q_staged_gopher,
         "edit_neardup": q_staged_edit_neardup,
         "lq_quantiles": q_staged_lq_quantiles,
@@ -2327,6 +2343,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         ),
         "cohort_retention": DT.cohort_retention_sql(period_seconds=86400),
         "cdc_chunks": _staged_cdc_sql(),
+        "npmi": DT.npmi_collocations_sql(min_count=5, top_k=200),
         "gopher_quality": _staged_gopher_sql(),
         "edit_neardup": _staged_edit_neardup_sql(),
         "lq_quantiles": lq_quantiles_sql(),

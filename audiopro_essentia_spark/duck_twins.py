@@ -2057,3 +2057,59 @@ def synth_lines_sql() -> str:
         i -> array_to_string(list_slice(ws, (i-1)*10 + 1, (i-1)*10 + 10), ' ')),
       c -> c || CASE WHEN {h} % 3 <> 0 THEN '.' ELSE '' END),
       chr(10)) END)"""
+
+
+def npmi_collocations_sql(
+    min_count: int = 5,
+    top_k: int = 100,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Twin of tfidf.npmi_collocations: identical tokenization, bigram
+    construction (adjacent pairs), min_count prefilter, per-term
+    micro-nat rounding (ln on exact BIGINTs, rounded once — positive
+    values, so HALF_UP == ties-away), exact BIGINT combination, one
+    round-6 division, and the same (npmi DESC, w1, w2) total order
+    before LIMIT so the cut is deterministic in both engines."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT list_filter(string_split(coalesce({text_col}, ''), ' '),
+                     x -> x <> '') AS ws
+  FROM {table}),
+bg AS MATERIALIZED (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM base, unnest(CASE WHEN len(ws) >= 2
+                         THEN generate_series(1, len(ws) - 1)
+                         ELSE [] END) AS t(i)),
+bc AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY w1, w2),
+uc AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM base)
+  GROUP BY w),
+tot AS (
+  SELECT (SELECT sum(c) FROM uc) AS n1,
+         (SELECT sum(pair_count) FROM bc) AS n2),
+j AS (
+  SELECT b.w1, b.w2, b.pair_count, u1.c AS c1, u2.c AS c2, t.n1, t.n2,
+         CAST(round(ln(CAST(b.pair_count AS DOUBLE)) * 1e6) AS BIGINT)
+           + 2 * CAST(round(ln(CAST(t.n1 AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(u1.c AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(u2.c AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(t.n2 AS DOUBLE)) * 1e6) AS BIGINT)
+           AS pmi_micro,
+         CAST(round(ln(CAST(t.n2 AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(round(ln(CAST(b.pair_count AS DOUBLE)) * 1e6) AS BIGINT)
+           AS dn
+  FROM bc b
+  JOIN uc u1 ON u1.w = b.w1
+  JOIN uc u2 ON u2.w = b.w2
+  CROSS JOIN tot t
+  WHERE b.pair_count >= {min_count})
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(pmi_micro AS BIGINT) AS pmi_micro,
+       round(CAST(pmi_micro AS DOUBLE) / CAST(dn AS DOUBLE), 6) AS npmi
+FROM j WHERE dn > 0
+ORDER BY npmi DESC, w1, w2
+LIMIT {top_k}
+"""

@@ -198,3 +198,99 @@ def unigram_surprisal(
             ).alias("avg_logloss"),
         )
     )
+
+
+def npmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NPMI collocation mining (Church-Hanks PMI, Bouma-normalized to
+    [-1, 1]) — the phrase detector every tokenizer/vocab pipeline runs
+    before merging multiwords: rank adjacent word pairs by
+    npmi = pmi / (-ln p(xy)), pmi = ln( p(xy) / (p(x) p(y)) ), with
+    p(xy) = c_xy / N2 over bigram positions and p(x) = c_x / N1 over
+    unigram positions. Words are exact byte strings (normalize
+    upstream), the line_scrub rule.
+
+    Exactness (the DSIR/BM25/drift micro-nat discipline): every ln is
+    taken on an exact BIGINT count, rounded ONCE to integer micro-nats,
+    and combined with exact BIGINT adds —
+    pmi_micro = r(ln c_xy) + 2 r(ln N1) - r(ln c_x) - r(ln c_y)
+    - r(ln N2), denom_micro = r(ln N2) - r(ln c_xy) — so the only
+    float steps are one correctly-rounded division of two BIGINTs and
+    the round-6. Degenerate pairs with denom_micro <= 0 (a bigram that
+    IS the whole corpus) are excluded; min_count excludes the hapax
+    noise NPMI is notoriously drunk on.
+
+    Scale shape: bigram and unigram counts are map-side-combinable
+    aggregates over one explode each; the min_count filter cuts the
+    hapax tail BEFORE the two unigram joins (at web scale that is most
+    of the mass); corpus totals are 1-row broadcast aggregates; the
+    global top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    partial top-k, merged on the driver — never a full sort), with the
+    (npmi DESC, w1, w2) total order making the cut deterministic."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    cw = nonempty_words(F.col(text_col))
+    base = df.select(F.col(id_col), cw.alias("_ws"))
+    nb = F.greatest(F.size("_ws") - 1, F.lit(0))
+    bg = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_ws"), 1, nb),
+                F.slice(F.col("_ws"), 2, nb),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("_bg")
+    ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uc = base.select(F.explode("_ws").alias("_w")).groupBy("_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    n1 = uc.agg(F.sum("_c").alias("_n1"))
+    n2 = bc.agg(F.sum("pair_count").alias("_n2"))
+
+    def mnat(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+
+    j = (
+        bc.where(F.col("pair_count") >= min_count)
+        .join(uc.select(F.col("_w").alias("w1"), F.col("_c").alias("c1")), "w1")
+        .join(uc.select(F.col("_w").alias("w2"), F.col("_c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi_micro = (
+        mnat(F.col("pair_count"))
+        + F.lit(2) * mnat(F.col("_n1"))
+        - mnat(F.col("c1"))
+        - mnat(F.col("c2"))
+        - mnat(F.col("_n2"))
+    )
+    denom_micro = mnat(F.col("_n2")) - mnat(F.col("pair_count"))
+    out = j.select(
+        "w1",
+        "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        pmi_micro.alias("pmi_micro"),
+        denom_micro.alias("_dn"),
+    ).where(F.col("_dn") > 0)
+    return (
+        out.select(
+            "w1", "w2", "pair_count", "c1", "c2", "pmi_micro",
+            F.round(
+                F.col("pmi_micro").cast("double")
+                / F.col("_dn").cast("double"),
+                6,
+            ).alias("npmi"),
+        )
+        .orderBy(F.desc("npmi"), "w1", "w2")
+        .limit(top_k)
+    )

@@ -345,3 +345,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["cohort_retention"] >= 25
     # one row per doc with >= 1 word
     assert n_rows["cdc_chunks"] >= 400
+    # top-200 collocations (the sf0.001 corpus has plenty past count 5)
+    assert n_rows["npmi"] == 200
