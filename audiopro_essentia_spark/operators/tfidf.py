@@ -225,12 +225,22 @@ def npmi_collocations(
     IS the whole corpus) are excluded; min_count excludes the hapax
     noise NPMI is notoriously drunk on.
 
-    Scale shape: bigram and unigram counts are map-side-combinable
-    aggregates over one explode each; the min_count filter cuts the
-    hapax tail BEFORE the two unigram joins (at web scale that is most
-    of the mass); corpus totals are 1-row broadcast aggregates; the
-    global top-k is orderBy+limit = TakeOrderedAndProject (per-partition
-    partial top-k, merged on the driver — never a full sort), with the
+    Scale shape: THREE corpus scans total, none wasted. The first form
+    of this operator paid FIVE — Catalyst re-ran the unigram
+    explode+aggregate subtree for each of its three consumers (w1 join,
+    w2 join, N1 total) and the bigram subtree for both of its two (the
+    multi-consumer recompute rule in CLAUDE.md, no ReusedExchange
+    without identical exchange keys). Now: the corpus totals come from
+    ONE narrow two-sum aggregate (N1 = sum(size(ws)), N2 =
+    sum(max(size-1, 0)) — exactly the sums of the per-type counts, no
+    explode needed), the vocab-bounded unigram table is
+    localCheckpoint'ed once and feeds both joins, and the bigram
+    aggregate has a single consumer. Both count aggregates are
+    map-side-combinable; the min_count filter cuts the hapax tail
+    BEFORE the two unigram joins (at web scale that is most of the
+    mass); totals are 1-row broadcast aggregates; the global top-k is
+    orderBy+limit = TakeOrderedAndProject (per-partition partial top-k,
+    merged on the driver — never a full sort), with the
     (npmi DESC, w1, w2) total order making the cut deterministic."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
@@ -249,11 +259,21 @@ def npmi_collocations(
         ).alias("_bg")
     ).select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    uc = base.select(F.explode("_ws").alias("_w")).groupBy("_w").agg(
-        F.count(F.lit(1)).alias("_c")
+    # vocab-bounded; checkpointed so its TWO join consumers don't each
+    # re-run the corpus explode+aggregate (measured: 3 scans -> 1)
+    uc = (
+        base.select(F.explode("_ws").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint()
     )
-    n1 = uc.agg(F.sum("_c").alias("_n1"))
-    n2 = bc.agg(F.sum("pair_count").alias("_n2"))
+    # N1/N2 from one NARROW aggregate (no explode): the sum of unigram
+    # counts IS the total word positions, the sum of bigram counts IS
+    # the total adjacent positions — exact BIGINTs either way
+    totals = base.agg(
+        F.sum(F.size("_ws")).cast("long").alias("_n1"),
+        F.sum(F.greatest(F.size("_ws") - 1, F.lit(0))).cast("long").alias("_n2"),
+    )
 
     def mnat(c: Column) -> Column:
         return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
@@ -262,8 +282,7 @@ def npmi_collocations(
         bc.where(F.col("pair_count") >= min_count)
         .join(uc.select(F.col("_w").alias("w1"), F.col("_c").alias("c1")), "w1")
         .join(uc.select(F.col("_w").alias("w2"), F.col("_c").alias("c2")), "w2")
-        .crossJoin(F.broadcast(n1))
-        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(totals))
     )
     pmi_micro = (
         mnat(F.col("pair_count"))

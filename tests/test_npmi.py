@@ -77,9 +77,15 @@ def test_guards(spark):
 
 
 def test_plan_distributed_topk(spark):
-    """Scale pin: the global top-k is TakeOrderedAndProject (partial
+    """Scale pins: the global top-k is TakeOrderedAndProject (partial
     per-partition top-k merged on the driver), never a full Sort of the
-    filtered pair table; zero Python."""
+    filtered pair table; zero Python; and the visible plan explodes the
+    corpus exactly ONCE (bigrams — the unigram subtree runs once behind
+    the eager localCheckpoint and appears as a Scan ExistingRDD). The
+    first form paid five corpus passes: Catalyst re-ran the unigram
+    subtree for each of its three consumers and the bigram subtree for
+    both of its two (totals now come from one narrow size() aggregate,
+    the vocab table is checkpointed)."""
     plan = (
         npmi_collocations(_df(spark), min_count=3, top_k=10)
         ._jdf.queryExecution()
@@ -88,6 +94,7 @@ def test_plan_distributed_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan
+    assert plan.count("Generate explode") == 1, plan
 
 
 def test_twin_matches_duckdb(spark):

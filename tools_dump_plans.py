@@ -88,7 +88,7 @@ STAGED_NOTES = {
     "funnel": "type filter pushed to the scan; ONE user shuffle into sorted per-type arrays; chain is zip_with(array_repeat) scalars — zero Python, zero Sort",
     "cohort_retention": "window-min cohorting: 1 FileScan, 1 corpus shuffle on user; distinct reuses it (subset rule); grid-sized tail exchanges",
     "cdc_chunks": "ZERO shuffles: narrow projection (one md5 per candidate position / per chunk) + narrow explode; the demo adds groupBy/join on (doc, chunk_md5)",
-    "npmi": "map-side-combinable bigram/unigram counts; min_count prefilter BEFORE the unigram joins; 1-row totals broadcast; TakeOrderedAndProject top-k",
+    "npmi": "map-side-combinable bigram/unigram counts — 3 corpus scans, none wasted (narrow size() totals; vocab table checkpointed for its two joins); min_count prefilter BEFORE the unigram joins; TakeOrderedAndProject top-k",
     "gopher_quality": "zero Exchange, zero Python; (doc_id,text)-pruned scan",
     "edit_neardup": "simhash 16-bit-chunk blocked candidates; Levenshtein verify only on hamming-qualified pairs",
     "lq_quantiles": "mergeable log-histogram registers; single-pass post-checkpoint cumulative walk",
