@@ -2313,8 +2313,50 @@ def q_staged_npmi(spark, sf_dir):
     )
 
 
+def q_staged_allpairs(spark, sf_dir):
+    """Dedup: LOSSLESS prefix-filtered all-pairs Jaccard join (Bayardo
+    et al. WWW'07 AllPairs; operators/dedup.py allpairs_jaccard_pairs)
+    over the corpus plus perturbed twins — doc_id % 37 docs re-issued
+    as id+1e6 with ONE word appended, a near-dup at J = m/(m+1) over m
+    original shingles, so every twin with >= 9 shingles (>= 11 words)
+    qualifies at the 0.9 threshold. Pure BIGINT threshold math (micro-
+    units), exact integer inter/union, one round-6 division."""
+    from audiopro_essentia_spark.operators.dedup import allpairs_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    pert = d.filter(
+        (F.col("doc_id") % 37 == 0) & F.col("text").isNotNull()
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqxneardup")).alias("text"),
+    )
+    return allpairs_jaccard_pairs(
+        d.unionByName(pert), threshold=0.9
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        "jaccard",
+    )
+
+
+def _staged_allpairs_sql() -> str:
+    prelude = """docs_p AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 1000000, text || ' zqxneardup'
+  FROM documents WHERE doc_id % 37 = 0 AND text IS NOT NULL)"""
+    return DT.allpairs_jaccard_sql(
+        threshold=0.9, table="docs_p", prelude_cte=prelude
+    )
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "allpairs_jaccard": q_staged_allpairs,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
         "funnel": q_staged_funnel,
@@ -2335,6 +2377,7 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "allpairs_jaccard": _staged_allpairs_sql(),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),
         "funnel": DT.funnel_steps_sql(

@@ -2113,3 +2113,61 @@ FROM j WHERE dn > 0
 ORDER BY npmi DESC, w1, w2
 LIMIT {top_k}
 """
+
+
+def allpairs_jaccard_sql(
+    ngram: int = 3,
+    threshold: float = 0.8,
+    table: str = "documents",
+    prelude_cte: str = "",
+) -> str:
+    """Twin of dedup.allpairs_jaccard_pairs: identical shingling
+    (_shingle_select_sql == word_ngrams), the same (df ASC, shingle)
+    global prefix order, the same pure-BIGINT threshold math
+    (t_micro ceil-div for the prefix length — DuckDB // truncates,
+    which equals floor on these positive operands — the length filter
+    as t_micro*max <= 1e6*min, acceptance as 1e6*inter >= t_micro*union),
+    and intersection counted as shared (doc,shingle) rows (per-doc
+    shingles are DISTINCT, so the join row count IS |A intersect B|,
+    exactly what Spark's array_intersect sizes)."""
+    t_micro = round(threshold * 1e6)
+    prelude = f"{prelude_cte}," if prelude_cte else ""
+    return f"""
+WITH {prelude}
+sh AS MATERIALIZED (
+  SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS n
+  FROM ({_shingle_select_sql(ngram, table)})
+  WHERE len(shingles) > 0),
+inv AS MATERIALIZED (
+  SELECT doc_id, n, unnest(shingles) AS shingle FROM sh),
+dfreq AS MATERIALIZED (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY shingle),
+ranked AS MATERIALIZED (
+  SELECT i.doc_id, i.n, i.shingle,
+         row_number() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.dfc, i.shingle) AS rn
+  FROM inv i JOIN dfreq d USING (shingle)),
+prefix AS MATERIALIZED (
+  SELECT doc_id, n, shingle FROM ranked
+  WHERE rn <= n - (({t_micro} * n + 999999) // 1000000) + 1),
+cand AS MATERIALIZED (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM prefix a JOIN prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE {t_micro} * greatest(a.n, b.n) <= 1000000 * least(a.n, b.n)),
+ij AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN inv x ON x.doc_id = c.id_a
+  JOIN inv y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT j.id_a, j.id_b, CAST(j.n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - j.n_inter AS BIGINT) AS n_union,
+       round(CAST(j.n_inter AS DOUBLE)
+             / CAST(sa.n + sb.n - j.n_inter AS DOUBLE), 6) AS jaccard
+FROM ij j
+JOIN sh sa ON sa.doc_id = j.id_a
+JOIN sh sb ON sb.doc_id = j.id_b
+WHERE 1000000 * j.n_inter >= {t_micro} * (sa.n + sb.n - j.n_inter)
+"""

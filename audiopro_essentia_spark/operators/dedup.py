@@ -1387,3 +1387,182 @@ def cdc_chunks(
         F.col("_c.n_words").cast("long").alias("n_words"),
         F.col("_c.chunk_md5").alias("chunk_md5"),
     )
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LOSSLESS all-pairs Jaccard similarity join via prefix filtering
+    (Bayardo, Ma, Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW 2007; the SSJoin/PPJoin family) — the exact-recall counterpart
+    of ngram_jaccard_pairs' df-capped index: that cap trades recall on
+    boilerplate-only pairs for bucket safety, while the prefix filter
+    is guaranteed complete at the chosen threshold.
+
+    Principle: order every doc's distinct shingles by ONE global total
+    order (document frequency ascending, shingle string tie-break —
+    rarest first, which is what keeps buckets small) and index only the
+    first n - ceil(t*n) + 1 of them. If J(A,B) >= t then
+    |A intersect B| >= t*|A union B| >= t*max(|A|,|B|), so fewer than
+    ceil(t*n) elements of either doc can be non-shared; skipping only
+    the last ceil(t*n)-1 of each doc's ordered shingles therefore
+    cannot skip every shared shingle — any qualifying pair collides in
+    at least one prefix bucket. The candidate length filter
+    t*max(n_a,n_b) <= min(n_a,n_b) is the same bound applied to sizes.
+
+    Exactness: the threshold enters ONLY as integer micro-units
+    (t_micro = round(t*1e6)): min-overlap = ceil-div(t_micro*n, 1e6) in
+    BIGINT math, the length filter is t_micro*n_b <= 1e6*n_a, and the
+    final acceptance is 1e6*inter >= t_micro*union on exact intersect/
+    union counts — the only float in the operator is the reported
+    round-6 jaccard. threshold must be a multiple of 1e-6.
+
+    Scale shape: linear shuffles only, never a cross join — inverted
+    index -> df counts (map-side combinable) -> df join-back on the
+    SAME shingle key (subset-of-keys: the aggregate side reuses its
+    partitioning) -> per-doc regroup to slice the prefix -> per-shingle
+    prefix buckets with in-bucket (sorted-by-size) pair generation
+    under the length filter -> distinct -> exact verify join. Bucket
+    sizes are the algorithm's own lever: prefixes hold each doc's
+    RAREST shingles, so hot boilerplate shingles never index a doc
+    unless the doc is mostly boilerplate. Worst case (f near-identical
+    docs) is Theta(f^2) candidates — but so is the correct OUTPUT;
+    run exact_dedup first, as with ngram_jaccard_pairs.
+
+    Output: (id_a < id_b, n_inter, n_union exact BIGINTs, jaccard
+    round-6) for every pair with J >= threshold. Docs with zero
+    shingles (< ngram words) never pair by contract.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_micro = round(threshold * 1e6)
+    if abs(threshold * 1e6 - t_micro) > 1e-6:
+        raise ValueError(
+            f"threshold must be a multiple of 1e-6, got {threshold!r}"
+        )
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("_n", F.size("shingles").cast("long"))
+    )
+    inv = sh.select(
+        F.col(id_col), F.col("_n"), F.explode("shingles").alias("_sh")
+    )
+    dfreq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_dfc"))
+    ranked = inv.join(dfreq, "_sh")
+    # prefix_len = n - ceil(t_micro*n/1e6) + 1 in pure BIGINT math
+    # (float t*n then ceil() can land on either side of an exact integer)
+    min_ov = F.expr(f"CAST(({t_micro} * _n + 999999) div 1000000 AS BIGINT)")
+    docp = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("_dfc").alias("d"), F.col("_sh").alias("s"))
+                )
+            ).alias("_ord"),
+            F.max("_n").alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            F.slice(
+                F.transform("_ord", lambda x: x.getField("s")),
+                F.lit(1),
+                (F.col("_n") - min_ov + 1).cast("int"),
+            ).alias("_prefix"),
+        )
+    )
+    pidx = docp.select(
+        F.col(id_col), F.col("_n"), F.explode("_prefix").alias("_sh")
+    )
+    mem = F.sort_array(
+        F.collect_list(F.struct(F.col("_n").alias("n"), F.col(id_col).alias("i")))
+    )
+    # members sorted by (n, id): for pair (a at i, b after i) n_a <= n_b,
+    # so the size filter is t_micro * n_b <= 1e6 * n_a
+    pairs = F.flatten(
+        F.transform(
+            F.col("_mem"),
+            lambda a, i: F.transform(
+                F.filter(
+                    F.slice(
+                        F.col("_mem"),
+                        i + 2,
+                        F.greatest(F.size("_mem") - i - 1, F.lit(0)),
+                    ),
+                    lambda b: F.lit(t_micro) * b.getField("n")
+                    <= F.lit(1_000_000) * a.getField("n"),
+                ),
+                lambda b: F.struct(
+                    F.least(a.getField("i"), b.getField("i")).alias("id_a"),
+                    F.greatest(a.getField("i"), b.getField("i")).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        pidx.groupBy("_sh")
+        .agg(mem.alias("_mem"))
+        .filter(F.size("_mem") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("_sha"),
+        F.col("_n").alias("_na"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("_shb"),
+        F.col("_n").alias("_nb"),
+    )
+    # acceptance 1e6*inter >= t_micro*(na+nb-inter) is rewritten as
+    # inter*(1e6+t_micro) >= t_micro*(na+nb) — exact-integer-equivalent
+    # with a SINGLE mention of the intersect: Catalyst pushes this
+    # filter into the verify join's condition, and every mention
+    # re-inlines the whole O(n) array_intersect per candidate pair
+    # (the two-mention form measured 3 evals: twice in the join
+    # condition, once in the projection)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sha", "_shb")).cast("long").alias("n_inter"),
+            "_na",
+            "_nb",
+        )
+        .filter(
+            F.col("n_inter") * F.lit(1_000_000 + t_micro)
+            >= F.lit(t_micro) * (F.col("_na") + F.col("_nb"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("_na") + F.col("_nb") - F.col("n_inter")).alias("n_union"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            F.round(
+                F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -347,3 +347,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["cdc_chunks"] >= 400
     # top-200 collocations (the sf0.001 corpus has plenty past count 5)
     assert n_rows["npmi"] == 200
+    # every >=11-word perturbed twin is a J = m/(m+1) >= 0.9 pair
+    assert n_rows["allpairs_jaccard"] >= 10

@@ -89,6 +89,7 @@ STAGED_NOTES = {
     "cohort_retention": "window-min cohorting: 1 FileScan, 1 corpus shuffle on user; distinct reuses it (subset rule); grid-sized tail exchanges",
     "cdc_chunks": "ZERO shuffles: narrow projection (one md5 per candidate position / per chunk) + narrow explode; the demo adds groupBy/join on (doc, chunk_md5)",
     "npmi": "map-side-combinable bigram/unigram counts — 3 corpus scans, none wasted (narrow size() totals; vocab table checkpointed for its two joins); min_count prefilter BEFORE the unigram joins; TakeOrderedAndProject top-k",
+    "allpairs_jaccard": "LOSSLESS prefix-filtered candidates (rarest-first global order, per-doc prefix of n - ceil(t*n) + 1): linear shuffles, in-bucket pairs under the size filter, exact-integer verify — no cartesian, no Python, no recall loss",
     "gopher_quality": "zero Exchange, zero Python; (doc_id,text)-pruned scan",
     "edit_neardup": "simhash 16-bit-chunk blocked candidates; Levenshtein verify only on hamming-qualified pairs",
     "lq_quantiles": "mergeable log-histogram registers; single-pass post-checkpoint cumulative walk",
