@@ -2354,9 +2354,52 @@ def _staged_allpairs_sql() -> str:
     )
 
 
+def q_staged_zorder(spark, sf_dir):
+    """Layout: Morton / Z-order clustering key over events on
+    (user_id, event time) — the multi-column scan-pruning lever
+    (operators/layout.py; the technique behind Delta/Iceberg OPTIMIZE
+    ZORDER). Bounds are a 1-row broadcast min/max aggregate; bucketing
+    is exact fixed-width BIGINT math; the key is an unrolled shift/mask
+    interleave over the projected bucket columns — zero Python, and the
+    only float op is the pmod-exact floor division."""
+    from audiopro_essentia_spark.operators.layout import (
+        with_zorder_key,
+        zorder_bucket,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            F.col("user_id").cast("long").alias("u"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        )
+    )
+    bounds = ev.agg(
+        F.min("u").alias("ulo"),
+        F.max("u").alias("uhi"),
+        F.min("t").alias("tlo"),
+        F.max("t").alias("thi"),
+    )
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        zorder_bucket(F.col("u"), F.col("ulo"), F.col("uhi"), 16).alias(
+            "u_bucket"
+        ),
+        zorder_bucket(F.col("t"), F.col("tlo"), F.col("thi"), 16).alias(
+            "t_bucket"
+        ),
+    )
+    return with_zorder_key(b, ["u_bucket", "t_bucket"], bits=16).select(
+        "event_id", "u_bucket", "t_bucket", "z_key"
+    )
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "allpairs_jaccard": q_staged_allpairs,
+        "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
         "funnel": q_staged_funnel,
@@ -2378,6 +2421,7 @@ def _staged_oracle_sql() -> dict[str, str]:
 
     return {
         "allpairs_jaccard": _staged_allpairs_sql(),
+        "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),
         "funnel": DT.funnel_steps_sql(

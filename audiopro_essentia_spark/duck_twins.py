@@ -2171,3 +2171,41 @@ JOIN sh sa ON sa.doc_id = j.id_a
 JOIN sh sb ON sb.doc_id = j.id_b
 WHERE 1000000 * j.n_inter >= {t_micro} * (sa.n + sb.n - j.n_inter)
 """
+
+
+def zorder_key_sql(
+    bits: int = 16,
+    table: str = "events",
+) -> str:
+    """Twin of the staged zorder_key entry (operators/layout.py): the
+    same 1-row min/max bounds, the same fixed-width bucket math
+    (width = ceil-div(span, 2^bits); all operands non-negative, so
+    DuckDB's truncating // equals Spark's exact pmod floor div), and
+    the same unrolled Morton shift/mask interleave — pure BIGINT end
+    to end, no rounding anywhere."""
+    m = 1 << bits
+    terms = []
+    for i, c in enumerate(("u_bucket", "t_bucket")):
+        for j in range(bits):
+            terms.append(f"((({c} >> {j}) & 1) << {j * 2 + i})")
+    interleave = " + ".join(terms)
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT event_id, CAST(user_id AS BIGINT) AS u,
+         CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM {table} WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+bounds AS (
+  SELECT min(u) AS ulo, max(u) AS uhi, min(t) AS tlo, max(t) AS thi
+  FROM src),
+bucketed AS MATERIALIZED (
+  SELECT s.event_id,
+         (s.u - b.ulo) // (((b.uhi - b.ulo + 1) + {m - 1}) // {m})
+           AS u_bucket,
+         (s.t - b.tlo) // (((b.thi - b.tlo + 1) + {m - 1}) // {m})
+           AS t_bucket
+  FROM src s CROSS JOIN bounds b)
+SELECT event_id, CAST(u_bucket AS BIGINT) AS u_bucket,
+       CAST(t_bucket AS BIGINT) AS t_bucket,
+       CAST({interleave} AS BIGINT) AS z_key
+FROM bucketed
+"""

@@ -349,3 +349,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["npmi"] == 200
     # every >=11-word perturbed twin is a J = m/(m+1) >= 0.9 pair
     assert n_rows["allpairs_jaccard"] >= 10
+    # one z-key row per event with user+ts
+    assert n_rows["zorder_key"] >= 900

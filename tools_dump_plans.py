@@ -90,6 +90,7 @@ STAGED_NOTES = {
     "cdc_chunks": "ZERO shuffles: narrow projection (one md5 per candidate position / per chunk) + narrow explode; the demo adds groupBy/join on (doc, chunk_md5)",
     "npmi": "map-side-combinable bigram/unigram counts — 3 corpus scans, none wasted (narrow size() totals; vocab table checkpointed for its two joins); min_count prefilter BEFORE the unigram joins; TakeOrderedAndProject top-k",
     "allpairs_jaccard": "LOSSLESS prefix-filtered candidates (rarest-first global order, per-doc prefix of n - ceil(t*n) + 1): linear shuffles, in-bucket pairs under the size filter, exact-integer verify — no cartesian, no Python, no recall loss",
+    "zorder_key": "1-row broadcast bounds; fixed-width exact-BIGINT buckets; unrolled Morton shift/mask interleave in one codegen projection — zero Python; layout = ONE repartitionByRange on the key",
     "gopher_quality": "zero Exchange, zero Python; (doc_id,text)-pruned scan",
     "edit_neardup": "simhash 16-bit-chunk blocked candidates; Levenshtein verify only on hamming-qualified pairs",
     "lq_quantiles": "mergeable log-histogram registers; single-pass post-checkpoint cumulative walk",
