@@ -2396,8 +2396,44 @@ def q_staged_zorder(spark, sf_dir):
     )
 
 
+def q_staged_rrf(spark, sf_dir):
+    """Retrieval: Reciprocal Rank Fusion hybrid search (Cormack-Clarke-
+    Buettcher SIGIR'09, k=60) — BM25 lexical top-20 fused with
+    brute-force round-6-cosine top-20 over the SAME doc-id space
+    (documents.doc_id == embeddings.vec_id in the fixtures), final
+    top-10 per query. Rank-only fusion needs no score calibration;
+    contributions are exact integer micro-units (one IEEE division of
+    two exact doubles per rank, round half-away in both engines), so
+    the fused ranking is bit-stable cross-engine. Demo queries: hybrid
+    query i = BM25_QUERIES[i] text + embedding of vec i (i < 3).
+    Fusion input is bounded (|q| x 20 x 2 rows): one tiny groupBy +
+    the salted two-phase top-k (operators/selection.py rrf_fuse)."""
+    from audiopro_essentia_spark.operators.selection import bm25_topk, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    qs = spark.createDataFrame(
+        [q for q in BM25_QUERIES if q[0] < 3], "query_id int, query string"
+    )
+    lex = bm25_topk(d, qs, k=20).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank",
+    )
+    qv = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("long").alias("query_id"), "embedding"
+    )
+    dense = SIM.brute_force_topk(e, qv, k=20).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, dense], k_const=60, topk=10)
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "rrf_hybrid": q_staged_rrf,
         "allpairs_jaccard": q_staged_allpairs,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
@@ -2420,6 +2456,14 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "rrf_hybrid": DT.rrf_hybrid_sql(
+            ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES if i < 3),
+            n_dense_q=3,
+            k_lex=20,
+            k_dense=20,
+            k_const=60,
+            topk=10,
+        ),
         "allpairs_jaccard": _staged_allpairs_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
@@ -3450,35 +3494,7 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM documents d LEFT JOIN docw USING (doc_id)
 """,
         "bm25": f"""
-WITH q AS (SELECT * FROM (VALUES {', '.join(f"({i}, '{s}')" for i, s in BM25_QUERIES)})
-           AS t(query_id, query)),
-w AS (SELECT doc_id,
-        list_filter(string_split(text, ' '), x -> x <> '') AS ws
-      FROM documents),
-tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
-       FROM tok GROUP BY doc_id, term),
-qt AS (SELECT DISTINCT query_id,
-         unnest(list_filter(string_split(query, ' '), x -> x <> '')) AS term
-       FROM q),
-tfq AS MATERIALIZED (
-  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)),
-dfreq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
-stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-                 CAST(SUM(len(ws)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                   AS avgdl
-          FROM w),
-sc AS (SELECT qt.query_id, tfq.doc_id,
-         CAST(round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
-                    * tfq.tf * 2.2
-                    / (tfq.tf + 1.2 * (0.25 + (0.75 * tfq.dl) / s.avgdl))
-                    * 1e6) AS BIGINT) AS sm
-       FROM tfq JOIN qt USING (term) JOIN dfreq USING (term)
-       CROSS JOIN stats s),
-agg AS (SELECT query_id, doc_id,
-          CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
-          CAST(SUM(sm) AS BIGINT) AS score_micro
-        FROM sc GROUP BY query_id, doc_id),
+WITH {DT.bm25_ctes(', '.join(f"({i}, '{s}')" for i, s in BM25_QUERIES))},
 rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
          ORDER BY score_micro DESC, doc_id ASC) AS rank FROM agg)
 SELECT CAST(query_id AS INT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id,

@@ -2209,3 +2209,101 @@ SELECT event_id, CAST(u_bucket AS BIGINT) AS u_bucket,
        CAST({interleave} AS BIGINT) AS z_key
 FROM bucketed
 """
+
+
+def bm25_ctes(queries_values: str) -> str:
+    """CTE chain `q .. agg` producing Okapi BM25 integer-micro scores per
+    (query_id, doc_id) — the single owner of the BM25 twin shape, shared
+    by the bm25 oracle (rank + top-k tail appended there) and
+    rrf_hybrid_sql (which fuses the same `agg`). queries_values is the
+    SQL VALUES body, e.g. "(0, 'table scan filter'), (1, ...)".
+    k1=1.2 / b=0.75 are inlined exactly as operators/selection.py
+    bm25_topk folds them (k1+1 = 2.2, k1*(1-b) = 0.3 kept as
+    1.2 * (0.25 + ...) to preserve the original IEEE evaluation order)."""
+    return f"""q AS (SELECT * FROM (VALUES {queries_values})
+           AS t(query_id, query)),
+w AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents),
+tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+       FROM tok GROUP BY doc_id, term),
+qt AS (SELECT DISTINCT query_id,
+         unnest(list_filter(string_split(query, ' '), x -> x <> '')) AS term
+       FROM q),
+tfq AS MATERIALIZED (
+  SELECT tf.* FROM tf JOIN (SELECT DISTINCT term FROM qt) USING (term)),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(len(ws)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avgdl
+          FROM w),
+sc AS (SELECT qt.query_id, tfq.doc_id,
+         CAST(round(ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * tfq.tf * 2.2
+                    / (tfq.tf + 1.2 * (0.25 + (0.75 * tfq.dl) / s.avgdl))
+                    * 1e6) AS BIGINT) AS sm
+       FROM tfq JOIN qt USING (term) JOIN dfreq USING (term)
+       CROSS JOIN stats s),
+agg AS (SELECT query_id, doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+          CAST(SUM(sm) AS BIGINT) AS score_micro
+        FROM sc GROUP BY query_id, doc_id)"""
+
+
+def rrf_hybrid_sql(
+    queries_values: str,
+    n_dense_q: int = 3,
+    k_lex: int = 20,
+    k_dense: int = 20,
+    k_const: int = 60,
+    topk: int = 10,
+) -> str:
+    """Twin of the staged rrf_hybrid entry: BM25 top-k_lex lexical ranks
+    (bm25_ctes above) fused with brute-force round-6-cosine top-k_dense
+    ranks (the ann_topk twin shape) via Reciprocal Rank Fusion. Each
+    contribution is CAST(1e6 AS DOUBLE)/CAST(k+rank AS DOUBLE) — two
+    exact integers, one IEEE division, round() half-away-from-zero in
+    both engines — then exact BIGINT sums; integer constants are CAST
+    (never bare decimal literals: DuckDB parses those as DECIMAL and
+    overflows DECIMAL(18) arithmetic)."""
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
+    )
+    contrib = (
+        f"CAST(round(CAST(1000000 AS DOUBLE) / "
+        f"CAST({k_const} + rank AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH {bm25_ctes(queries_values)},
+lex AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(doc_id AS BIGINT) AS doc_id, rank
+        FROM (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_micro DESC, doc_id ASC) AS rank
+              FROM agg)
+        WHERE rank <= {k_lex}),
+dense AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                 CAST(doc_id AS BIGINT) AS doc_id, rank
+          FROM (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY {cos} DESC, b.vec_id ASC) AS rank
+                FROM embeddings a JOIN embeddings b ON true
+                WHERE a.vec_id < {n_dense_q})
+          WHERE rank <= {k_dense}),
+u AS (SELECT query_id, doc_id, {contrib} AS cm FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, {contrib} AS cm FROM dense),
+fused AS (SELECT query_id, doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_systems,
+                 CAST(SUM(cm) AS BIGINT) AS rrf_micro
+          FROM u GROUP BY query_id, doc_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+       FROM fused)
+SELECT query_id, doc_id, n_systems, rrf_micro, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= {topk}
+"""

@@ -276,3 +276,137 @@ def bm25_topk(
         "score_micro",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# RRF's rank-discount constant from the original paper (Cormack, Clarke
+# & Buettcher, SIGIR 2009): k=60 was tuned once and is the near-universal
+# default in production hybrid-search stacks.
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranked,
+    k_const: int = RRF_K,
+    topk: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query_id, doc_id, n_systems, rrf_micro, rank): Reciprocal Rank
+    Fusion (Cormack, Clarke & Buettcher, SIGIR 2009 — public formula)
+    over N independently ranked retrieval lists:
+
+        RRF(q, d) = sum over systems s of 1 / (k_const + rank_s(q, d))
+
+    The standard hybrid-retrieval combiner: fuse BM25 lexical ranks with
+    embedding-cosine ANN ranks (or any mix of rankers) using only RANK
+    positions, so wildly different score scales (integer-micro BM25 vs
+    round-6 cosine) need no calibration. A doc missing from a list simply
+    contributes nothing for it (the standard convention).
+
+    Input contract: each element of `ranked` is (query_col, id_col,
+    rank_col) with rank >= 1 and at most ONE row per (query, id) — the
+    shape every top-k in this repo emits (bm25_topk, brute_force_topk,
+    ivf_topk, lsh_topk, pq_topk). Both violations fail LOUD at execution
+    (a NULL/zero rank or a duplicated row would silently inflate the
+    fused score). Column types must already agree across lists (callers
+    cast ids once, as the driver entries do).
+
+    Exactness (the DSIR/BM25/drift micro-unit discipline): each
+    contribution is ONE IEEE division of two exactly-representable
+    doubles (1e6 / (k_const + rank)) rounded ONCE to an integer
+    micro-unit (round() on an exact double rounds decimal-half ties
+    away from zero in both Spark and DuckDB), then summed as exact
+    BIGINTs — the fused score and therefore the final ranking are
+    bit-stable across engines, partitionings, and retries. Ties in
+    rrf_micro break on id ASC.
+
+    Scale shape: the inputs are already per-query top-K lists (bounded:
+    |queries| x K x n_systems rows — never corpus-scale), so the fusion
+    is ONE map-side-combinable groupBy on (query, id) over a tiny table;
+    the final per-query top-k goes through the two-phase salted window
+    (skew.capped_top_n) like every other top-k here, so even a
+    pathological million-way fusion of one hot query never funnels
+    through a single reducer. The expensive work stays in the upstream
+    retrievers, which keep their own 100-TB shapes.
+
+    Reference analog: the reference ranks/selects features per document
+    with fixed single-signal thresholds (src/audiopro/audio/validator.py);
+    RRF is the multi-signal ensemble generalization a curation pipeline
+    needs once more than one retriever scores the same corpus.
+    """
+    ranked = list(ranked)
+    if not ranked:
+        raise ValueError("rrf_fuse needs >= 1 ranked DataFrame")
+    if k_const < 1:
+        raise ValueError(f"k_const must be >= 1, got {k_const}")
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    parts = []
+    for i, df in enumerate(ranked):
+        rnk = F.col(rank_col)
+        contrib = F.round(
+            F.lit(float(_MICRO)) / (F.lit(float(k_const)) + rnk.cast("double"))
+        ).cast("long")
+        guarded = F.when(
+            rnk.isNull() | (rnk < 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"rrf_fuse: NULL or < 1 {rank_col} in ranked list "
+                        f"{i} for {id_col}="
+                    ),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(contrib)
+        parts.append(
+            df.select(
+                F.col(query_col),
+                F.col(id_col),
+                F.lit(i).alias("_sys"),
+                guarded.alias("_c_micro"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy(query_col, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_rows"),
+        F.count_distinct("_sys").cast("long").alias("_n_sys"),
+        F.sum("_c_micro").alias("rrf_micro"),
+    )
+    # a (query, id) duplicated WITHIN one list double-counts its
+    # contribution — fail loud with the offending id rather than emit a
+    # silently inflated fusion score
+    n_sys = F.when(
+        F.col("_n_rows") != F.col("_n_sys"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "rrf_fuse: duplicate (query, id) row within one "
+                    f"ranked list for {id_col}="
+                ),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_n_rows"))
+    fused = agg.select(
+        F.col(query_col),
+        F.col(id_col),
+        n_sys.alias("n_systems"),
+        F.col("rrf_micro").cast("long").alias("rrf_micro"),
+    )
+    return capped_top_n(
+        fused,
+        n=topk,
+        group_col=query_col,
+        order_col="rrf_micro",
+        id_col=id_col,
+    ).select(
+        query_col,
+        id_col,
+        "n_systems",
+        "rrf_micro",
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -83,6 +83,7 @@ HEADLINE = (
 )
 
 STAGED_NOTES = {
+    "rrf_hybrid": "fusion input is bounded per-query top-K lists; ONE map-side-combinable groupBy on (query, id) + the salted two-phase top-k (WindowGroupLimit x4); upstream bm25/brute keep their own shapes — zero Python",
     "priority_sample": "rank <= k+1 hits WindowGroupLimit; tau rides the SAME single exchange; zero Python",
     "line_scrub": "ONE corpus shuffle on the 64-bit line key serves the (doc,line) collapse AND the doc-freq window; sparse mask joins back",
     "funnel": "type filter pushed to the scan; ONE user shuffle into sorted per-type arrays; chain is zip_with(array_repeat) scalars — zero Python, zero Sort",
