@@ -3,6 +3,11 @@ row count + column names + order-insensitive value comparison.
 
 Used by tests/test_entry.py and runnable standalone:
     python tests/driver_compare.py [sf_dir] [query ...]
+    python tests/driver_compare.py --staged [sf_dir] [query ...]
+
+--staged runs the pre-window roster (__spark_entry__._staged_queries()
+vs _staged_oracle_sql()) through the identical compare, so entries
+queued for the next driver-window rotation are one-command verifiable.
 """
 
 from __future__ import annotations
@@ -138,12 +143,14 @@ def main():
     from audiopro_essentia_spark.session import get_spark
     import __spark_entry__ as E
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--staged"]
+    staged = "--staged" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark(master="local[8]", app_name="driver-compare")
     con = duck_con(sf_dir)
-    qs = E.queries()
-    oracles = E.oracle_sql()
+    qs = E._staged_queries() if staged else E.queries()
+    oracles = E._staged_oracle_sql() if staged else E.oracle_sql()
     unknown = only - set(qs)
     if unknown:
         # a typo'd query name must not produce a silent 'ALL OK []'
