@@ -2431,8 +2431,42 @@ def q_staged_rrf(spark, sf_dir):
     return rrf_fuse([lex, dense], k_const=60, topk=10)
 
 
+def q_staged_byte_entropy(spark, sf_dir):
+    """Quality: UTF-8 byte-histogram Shannon entropy + printable ratio
+    (functions/cleaning.byte_entropy) over the corpus UNION a
+    deterministic low-entropy junk twin (repeat('z', 300), keyed
+    doc_id % 7 == 0 at id offset 9e6) so the keep verdict is exercised
+    on both sides of the low gate. Micro-nat exact-integer entropy, one
+    round-6 division; ~4.2 nats for the word-soup fixtures, 0.0 for the
+    junk rows."""
+    from audiopro_essentia_spark.functions.cleaning import byte_entropy
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    junk = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(9_000_000)).alias("doc_id"),
+        F.repeat(F.lit("z"), 300).alias("text"),
+    )
+    return byte_entropy(d.unionByName(junk))
+
+
+def _staged_byte_entropy_sql() -> str:
+    from audiopro_essentia_spark.duck_twins import byte_entropy_sql
+
+    u = (
+        "(SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT CAST(doc_id AS BIGINT) + 9000000 AS doc_id, "
+        "repeat('z', 300) AS text FROM documents "
+        "WHERE CAST(doc_id AS BIGINT) % 7 = 0) AS u"
+    )
+    return byte_entropy_sql(table=u)
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "byte_entropy": q_staged_byte_entropy,
         "rrf_hybrid": q_staged_rrf,
         "allpairs_jaccard": q_staged_allpairs,
         "zorder_key": q_staged_zorder,
@@ -2456,6 +2490,7 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "byte_entropy": _staged_byte_entropy_sql(),
         "rrf_hybrid": DT.rrf_hybrid_sql(
             ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES if i < 3),
             n_dense_q=3,

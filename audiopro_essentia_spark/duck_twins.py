@@ -2307,3 +2307,65 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, doc_id, n_systems, rrf_micro, CAST(rank AS INT) AS rank
 FROM rk WHERE rank <= {topk}
 """
+
+
+def byte_entropy_sql(
+    low: float = 2.0,
+    high: float = 5.5,
+    min_printable: float = 0.8,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Twin of cleaning.byte_entropy: identical UTF-8 byte histogram
+    (hex(encode(..)) is uppercase in both engines), identical micro-nat
+    entropy arithmetic (ln on exact BIGINT counts, rounded once,
+    combined exactly, ONE round-6 division), identical printable-byte
+    classification, and verdicts compared on the ROUNDED values. Empty
+    docs surface via the LEFT JOIN (Spark's explode_outer NULL row):
+    n_bytes 0, NULL entropy/ratio, keep false. Gate thresholds are
+    interpolated as CAST(... AS DOUBLE) (bare decimal literals parse as
+    DECIMAL in DuckDB)."""
+    return f"""
+WITH ids AS MATERIALIZED (
+  SELECT {id_col} FROM {table}),
+b AS MATERIALIZED (
+  SELECT {id_col}, hx, length(hx) // 2 AS nb
+  FROM (SELECT {id_col}, hex(encode(coalesce({text_col}, ''))) AS hx
+        FROM {table}) raw),
+e AS MATERIALIZED (
+  SELECT {id_col}, substr(hx, 2 * i - 1, 2) AS byte
+  FROM b, unnest(CASE WHEN nb >= 1 THEN generate_series(1, nb)
+                      ELSE [] END) AS t(i)),
+c AS MATERIALIZED (
+  SELECT {id_col}, byte, count(*) AS cnt FROM e GROUP BY {id_col}, byte),
+a AS MATERIALIZED (
+  SELECT {id_col},
+         CAST(sum(cnt) AS BIGINT) AS n_bytes,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6)
+                             AS BIGINT)) AS BIGINT) AS s_micro,
+         CAST(sum(CASE WHEN (('0x' || byte)::BIGINT BETWEEN 32 AND 126)
+                         OR ('0x' || byte)::BIGINT IN (9, 10, 13)
+                       THEN cnt ELSE 0 END) AS BIGINT) AS n_print
+  FROM c GROUP BY {id_col}),
+j AS (
+  SELECT d.{id_col}, coalesce(a.n_bytes, 0) AS n_bytes,
+         coalesce(a.n_distinct, 0) AS n_distinct,
+         CASE WHEN coalesce(a.n_bytes, 0) > 0 THEN round(
+           CAST(a.n_bytes * CAST(round(ln(CAST(a.n_bytes AS DOUBLE)) * 1e6)
+                                 AS BIGINT) - a.s_micro AS DOUBLE)
+           / (CAST(a.n_bytes AS DOUBLE) * 1e6), 6) END AS entropy,
+         CASE WHEN coalesce(a.n_bytes, 0) > 0 THEN round(
+           CAST(a.n_print AS DOUBLE) / CAST(a.n_bytes AS DOUBLE), 6)
+         END AS printable_ratio
+  FROM ids d LEFT JOIN a USING ({id_col}))
+SELECT {id_col}, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(n_distinct AS BIGINT) AS n_distinct, entropy, printable_ratio,
+       coalesce(n_bytes > 0
+                AND entropy >= CAST({low!r} AS DOUBLE)
+                AND entropy <= CAST({high!r} AS DOUBLE)
+                AND printable_ratio >= CAST({min_printable!r} AS DOUBLE),
+                FALSE) AS keep
+FROM j
+"""

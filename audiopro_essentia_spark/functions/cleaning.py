@@ -226,3 +226,127 @@ def c4_clean(
         ).cast("int").alias("keep"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def byte_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    low: float = 2.0,
+    high: float = 5.5,
+    min_printable: float = 0.8,
+) -> DataFrame:
+    """Shannon entropy of the UTF-8 BYTE histogram per document, plus the
+    printable-byte ratio — the classic cheap binary-junk / repetitive-
+    garbage gate (the signal behind zlib-ratio filters in CCNet-family
+    pipelines, without the codec): single-char spam sits at 0, short
+    natural text ~2.3-2.8 nats, long mixed text up to ~4.8. Valid
+    UTF-8 cannot exceed ~4.8 (multibyte lead/continuation structure),
+    so the default high gate of 5.5 only fires on byte-column payloads
+    smuggled through as mojibake strings (true binary junk pushes
+    ln(256) = 5.545); the printable gate is what catches garbled text.
+    One row per input document:
+
+      (doc_id, n_bytes, n_distinct, entropy, printable_ratio, keep)
+
+    keep = n_bytes > 0 AND low <= entropy <= high AND
+    printable_ratio >= min_printable, compared on the ROUNDED values
+    (the gopher_quality rule discipline).
+
+    Bytes, not characters: Java splits strings between UTF-16 code
+    units (an astral char becomes two surrogates) while DuckDB/utf8proc
+    splits code points — byte histograms of the UTF-8 encoding are the
+    representation both engines agree on exactly (F.hex == DuckDB hex,
+    both uppercase), and byte entropy is what actually detects binary
+    payload. Exactness (the DSIR/BM25/npmi micro-nat discipline):
+    H = ln N - (1/N) * sum_c n_c ln n_c is computed as
+    (N*r(ln N) - sum_c n_c*r(ln n_c)) / (N*1e6) with r(x) =
+    round(x*1e6) on exact BIGINT counts — every ln is taken once on an
+    exact integer, combined exactly, ONE round-6 division at the end;
+    printable_ratio is one division of two exact BIGINTs.
+
+    Scale shape: zero Python. The per-byte explode never crosses the
+    wire raw — groupBy(doc, byte) partial-aggregates map-side to at
+    most 256 rows per doc before its exchange, and the per-doc rollup
+    shuffles those compacted rows once more. Two exchanges total, both
+    post-combine; `keep` is a plain boolean column that composes with
+    Catalyst pushdown. This is the doc-payload analog of the
+    reference's load-time signal-integrity gates (reference:
+    src/audiopro/audio/audio_loader.py:40-58 — reject malformed payload
+    before feature work)."""
+    hx = F.hex(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"))
+    nb = (F.length(hx) / F.lit(2)).cast("int")
+    # sequence(1, 0) DESCENDS in Spark — guard empty docs to an empty
+    # array; explode_outer keeps them as one NULL-byte row so every doc
+    # yields exactly one output row without a second scan branch.
+    pos = F.when(nb >= 1, F.sequence(F.lit(1), nb)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    per_byte = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(pos).alias("_i"),
+            hx.alias("_hx"),
+        )
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("_i").isNotNull(),
+                # substring with a computed start: expr form (the
+                # python F.substring signature pins pos/len to ints)
+                F.expr("substring(_hx, 2 * _i - 1, 2)"),
+            ).alias("_b"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+    def mnat(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")) * F.lit(1e6)).cast("long")
+
+    v = F.conv(F.col("_b"), 16, 10).cast("int")
+    printable = (v >= 32) & (v <= 126) | v.isin(9, 10, 13)
+    zero = F.lit(0).cast("long")
+    agg = per_byte.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("_b").isNull(), zero).otherwise(F.col("_cnt"))
+        ).alias("n_bytes"),
+        F.count(F.col("_b")).alias("n_distinct"),
+        F.sum(
+            F.when(F.col("_b").isNull(), zero).otherwise(
+                F.col("_cnt") * mnat(F.col("_cnt"))
+            )
+        ).alias("_s_micro"),
+        F.sum(
+            F.when(F.col("_b").isNotNull() & printable, F.col("_cnt")).otherwise(
+                zero
+            )
+        ).alias("_n_print"),
+    )
+    n = F.col("n_bytes")
+    entropy = F.when(
+        n > 0,
+        F.round(
+            (n * mnat(n) - F.col("_s_micro")).cast("double")
+            / (n.cast("double") * F.lit(1e6)),
+            6,
+        ),
+    )
+    pratio = F.when(
+        n > 0,
+        F.round(F.col("_n_print").cast("double") / n.cast("double"), 6),
+    )
+    return agg.select(
+        F.col(id_col),
+        n.cast("long").alias("n_bytes"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        entropy.alias("entropy"),
+        pratio.alias("printable_ratio"),
+        F.coalesce(
+            (n > 0)
+            & (entropy >= F.lit(low))
+            & (entropy <= F.lit(high))
+            & (pratio >= F.lit(min_printable)),
+            F.lit(False),
+        ).alias("keep"),
+    )

@@ -351,3 +351,5 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["allpairs_jaccard"] >= 10
     # one z-key row per event with user+ts
     assert n_rows["zorder_key"] >= 900
+    # one row per doc plus one per junk twin (doc_id % 7 == 0)
+    assert n_rows["byte_entropy"] >= 550
