@@ -2464,9 +2464,42 @@ def _staged_byte_entropy_sql() -> str:
     return byte_entropy_sql(table=u)
 
 
+def _kmv_words(spark, sf_dir):
+    from audiopro_essentia_spark.functions.text import nonempty_words
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "source",
+        F.explode(nonempty_words(F.col("text"), null_as_empty=True)).alias("w"),
+    )
+
+
+def q_staged_kmv_distinct(spark, sf_dir):
+    """Sketch: per-source distinct-word-count ESTIMATE from the KMV
+    synopsis (operators/sketch.kmv_distinct, k=128) — the set-capable
+    sibling of hll_distinct: same mergeability, but the retained hash
+    values also support the pairwise overlap estimate below. Exact
+    BIGINT sketch, one IEEE division."""
+    from audiopro_essentia_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(_kmv_words(spark, sf_dir), "w", "source", k=128)
+
+
+def q_staged_kmv_jaccard(spark, sf_dir):
+    """Sketch: pairwise source-vocabulary Jaccard ESTIMATE from the
+    same KMV synopses (k=128) — answers source_overlap's question at
+    O(G^2 k) synopsis cost instead of a corpus-scale shingle shuffle
+    (the monitoring tier of the same measurement)."""
+    from audiopro_essentia_spark.operators.sketch import kmv_jaccard
+
+    return kmv_jaccard(_kmv_words(spark, sf_dir), "w", "source", k=128)
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "byte_entropy": q_staged_byte_entropy,
+        "kmv_distinct": q_staged_kmv_distinct,
+        "kmv_jaccard": q_staged_kmv_jaccard,
         "rrf_hybrid": q_staged_rrf,
         "allpairs_jaccard": q_staged_allpairs,
         "zorder_key": q_staged_zorder,
@@ -2491,6 +2524,8 @@ def _staged_oracle_sql() -> dict[str, str]:
 
     return {
         "byte_entropy": _staged_byte_entropy_sql(),
+        "kmv_distinct": DT.kmv_distinct_sql(k=128),
+        "kmv_jaccard": DT.kmv_jaccard_sql(k=128),
         "rrf_hybrid": DT.rrf_hybrid_sql(
             ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES if i < 3),
             n_dense_q=3,

@@ -2369,3 +2369,75 @@ SELECT {id_col}, CAST(n_bytes AS BIGINT) AS n_bytes,
                 FALSE) AS keep
 FROM j
 """
+
+
+KMV_WORD_ELEMENTS = """
+SELECT source AS g, unnest(list_filter(string_split(coalesce(text, ''), ' '),
+                                       x -> x <> '')) AS v
+FROM documents"""
+
+
+def _kmv_ctes(k: int, elements: str) -> str:
+    """Shared KMV CTE chain: distinct 52-bit hashes per group, ranked,
+    cut at k — mirrors sketch.kmv_sketch exactly (same md5-prefix hash,
+    same distinct-set semantics, NULL values ignored)."""
+    h52 = "(('0x' || substr(md5(v), 1, 13))::BIGINT)"
+    return f"""
+el AS MATERIALIZED ({elements}),
+dh AS MATERIALIZED (
+  SELECT DISTINCT g, {h52} AS h FROM el WHERE v IS NOT NULL),
+sk AS MATERIALIZED (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+    FROM dh) rr
+  WHERE r <= {k})"""
+
+
+def kmv_distinct_sql(
+    k: int = 256,
+    elements: str = KMV_WORD_ELEMENTS,
+    group_alias: str = "source",
+) -> str:
+    """Twin of sketch.kmv_distinct: est = (k-1)*2^52 / h_(k) as ONE
+    IEEE division of exactly-represented doubles ((k-1)*2^52 is an
+    exact integer literal interpolated below; its double cast is
+    exact), exact n_sketch when the group is under-full."""
+    full = (k - 1) * (1 << 52)
+    return f"""
+WITH {_kmv_ctes(k, elements)}
+SELECT g AS {group_alias}, CAST(count(*) AS BIGINT) AS n_sketch,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CASE WHEN count(*) < {k} THEN round(CAST(count(*) AS DOUBLE), 6)
+            ELSE round(CAST({full} AS DOUBLE) / CAST(max(h) AS DOUBLE), 6)
+       END AS est_distinct
+FROM sk GROUP BY g
+"""
+
+
+def kmv_jaccard_sql(k: int = 256, elements: str = KMV_WORD_ELEMENTS) -> str:
+    """Twin of sketch.kmv_jaccard: per pair a < b, rank the sketch
+    union's distinct hashes, cut at k, count membership in both —
+    exact integers until the one round-6 division."""
+    return f"""
+WITH {_kmv_ctes(k, elements)},
+gs AS (SELECT DISTINCT g FROM sk),
+pr AS (SELECT a.g AS src_a, b.g AS src_b FROM gs a, gs b WHERE a.g < b.g),
+u AS MATERIALIZED (
+  SELECT src_a, src_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+    SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pr p JOIN sk s ON s.g = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM pr p JOIN sk s ON s.g = p.src_b) m
+  GROUP BY src_a, src_b, h),
+cut AS (
+  SELECT * FROM (
+    SELECT u.*, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r
+    FROM u) q
+  WHERE r <= {k})
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_shared,
+       round(CAST(sum(in_a * in_b) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS jaccard_est
+FROM cut GROUP BY src_a, src_b
+"""

@@ -556,3 +556,173 @@ def lq_quantiles(
             F.round(est, 6).alias("est"),
         )
     )
+
+
+TWO_52 = 1 << 52  # 4503599627370496
+
+
+def _h52(v: Column) -> Column:
+    """First 13 hex chars of md5 as a BIGINT — 52 exact bits, the
+    priority_sample recipe (fits a double's mantissa, so the one
+    division below is IEEE-identical cross-engine)."""
+    return F.conv(F.substring(F.md5(v), 1, 13), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    k: int = 256,
+) -> DataFrame:
+    """K-Minimum-Values distinct sketch (Bar-Yossef et al. RANDOM 2002;
+    Beyer et al. SIGMOD 2007 "On synopses for distinct value
+    estimation"): per group, the k smallest DISTINCT 52-bit hashes of
+    the value column — (group, h) rows, at most k per group.
+
+    Why it exists next to HLL: same mergeability (the sketch of a
+    union is the k smallest of the union of sketches — plain set
+    union + re-rank, no register algebra), but KMV additionally
+    supports SET operations — the kmv_jaccard estimator below needs
+    the actual hash values, which HLL registers discard. Deterministic
+    and order-free: content-addressed md5 hashes, distinct-set
+    semantics (NULL values ignored, COUNT DISTINCT style — the HLL
+    rule), so the sketch is byte-identical across engines and
+    partitionings.
+
+    Scale shape: distinct-(group,h) collapses map-side before its
+    exchange; the per-group rank <= k hits WindowGroupLimit so every
+    map task forwards at most k rows per group into the group
+    exchange; downstream per-group aggregates reuse that exchange
+    (subset-of-keys rule). Two exchanges, both compacted; zero
+    Python; driver state zero (the sketch stays distributed)."""
+    if k < 2:
+        raise ValueError(f"kmv_sketch needs k >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    dh = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            _h52(F.col(value_col)).alias("h"),
+        )
+        .groupBy("g", "h")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        dh.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    k: int = 256,
+) -> DataFrame:
+    """Per-group distinct-count estimate from the KMV sketch:
+    (group, n_sketch, kth_hash, est_distinct) with
+
+        est = (k-1) * 2^52 / h_(k)        when the sketch is full,
+        est = n_sketch exactly            when the group has < k
+                                          distinct hashes.
+
+    (k-1)*2^52 is an exact BIGINT whose double cast is EXACT (k-1
+    fits the mantissa), h_(k) < 2^52 is exact, so the estimate is ONE
+    IEEE division of two exactly-represented doubles, rounded once to
+    6 places — bit-stable cross-engine (the priority_sample
+    discipline). h_(k) >= k-1 >= 1 for k >= 2 (k distinct
+    non-negative integers), so the division is total."""
+    sk = kmv_sketch(df, value_col, group_col, k)
+    agg = sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k,
+        F.round(F.col("n_sketch").cast("double"), 6),
+    ).otherwise(
+        F.round(
+            F.lit((k - 1) * TWO_52).cast("double")
+            / F.col("kth_hash").cast("double"),
+            6,
+        )
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        F.col("kth_hash").cast("long").alias("kth_hash"),
+        est.alias("est_distinct"),
+    )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise Jaccard similarity ESTIMATE between every two groups'
+    value sets, from one KMV sketch per group (Beyer et al. SIGMOD
+    2007, set-operation synopses): for a pair (a, b), take the k
+    smallest of S_a UNION S_b — the k smallest of A UNION B are
+    guaranteed to live in the sketch union (closure property) — and
+    count how many are present in BOTH sketches:
+
+        jaccard_est = |cut ∩ S_a ∩ S_b| / k_used,
+        k_used = min(k, |S_a UNION S_b|).
+
+    Output: (src_a, src_b, k_used, n_shared, jaccard_est) for every
+    group pair a < b. The estimate costs O(G^2 k) rows TOTAL — a
+    constant-size synopsis join — where the exact answer
+    (source_overlap) pays a corpus-scale shingle shuffle; this is the
+    monitoring-tier version of the same question. Exact integers
+    until ONE round-6 division.
+
+    Scale shape: the sketch is localCheckpoint'ed once (bounded G*k
+    rows) because both pair sides consume it — the multi-consumer
+    recompute rule; pair expansion broadcasts the G^2 pair list; the
+    per-pair union/rank/aggregate chain is bounded by G^2 k rows,
+    never corpus-scale. Zero Python."""
+    from pyspark.sql.window import Window
+
+    sk = kmv_sketch(df, value_col, group_col, k).localCheckpoint()
+    groups = sk.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("src_a"))
+        .crossJoin(groups.select(F.col("g").alias("src_b")))
+        .where(F.col("src_a") < F.col("src_b"))
+    )
+    ua = (
+        F.broadcast(pairs)
+        .join(sk.withColumnRenamed("g", "src_a"), "src_a")
+        .select("src_a", "src_b", "h", F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+    )
+    ub = (
+        F.broadcast(pairs)
+        .join(sk.withColumnRenamed("g", "src_b"), "src_b")
+        .select("src_a", "src_b", "h", F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("_a").alias("in_a"), F.max("_b").alias("in_b"))
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    cut = u.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= k)
+    out = cut.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_shared"),
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("k_used").cast("long").alias("k_used"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(
+            F.col("n_shared").cast("double") / F.col("k_used").cast("double"), 6
+        ).alias("jaccard_est"),
+    )

@@ -353,3 +353,6 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["zorder_key"] >= 900
     # one row per doc plus one per junk twin (doc_id % 7 == 0)
     assert n_rows["byte_entropy"] >= 550
+    # one sketch row per source; one pair row per source pair
+    assert n_rows["kmv_distinct"] == 20
+    assert n_rows["kmv_jaccard"] == 190
