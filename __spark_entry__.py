@@ -2464,6 +2464,25 @@ def _staged_byte_entropy_sql() -> str:
     return byte_entropy_sql(table=u)
 
 
+def q_staged_winnow(spark, sf_dir):
+    """Dedup: winnowing document fingerprints (Schleimer-Wilkerson-
+    Aiken SIGMOD'03 — the MOSS algorithm): k=3 word-shingle hashes,
+    window w=4, rightmost-minimum selection. The density guarantee
+    CDC chunking cannot give: any shared run of >= w+k-1 = 6 words
+    between two documents shares at least one fingerprint, with
+    expected 2/(w+1) of positions selected. Exact integers
+    end-to-end; computed position-parallel via a lag/lead run-length
+    reformulation — one exchange, one sort, ONE Window node, zero
+    Python (operators/dedup.py winnow_fingerprints; the DuckDB twin
+    is the independent direct per-window enumeration)."""
+    from audiopro_essentia_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return winnow_fingerprints(d, k_gram=3, window=4)
+
+
 def _kmv_words(spark, sf_dir):
     from audiopro_essentia_spark.functions.text import nonempty_words
 
@@ -2497,6 +2516,7 @@ def q_staged_kmv_jaccard(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "winnow_fp": q_staged_winnow,
         "byte_entropy": q_staged_byte_entropy,
         "kmv_distinct": q_staged_kmv_distinct,
         "kmv_jaccard": q_staged_kmv_jaccard,
@@ -2523,6 +2543,12 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "winnow_fp": DT.winnow_fingerprints_sql(
+            k_gram=3,
+            window=4,
+            table="(SELECT CAST(doc_id AS BIGINT) AS doc_id, text "
+            "FROM documents) AS d",
+        ),
         "byte_entropy": _staged_byte_entropy_sql(),
         "kmv_distinct": DT.kmv_distinct_sql(k=128),
         "kmv_jaccard": DT.kmv_jaccard_sql(k=128),

@@ -2441,3 +2441,50 @@ SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_used,
          AS jaccard_est
 FROM cut GROUP BY src_a, src_b
 """
+
+
+def winnow_fingerprints_sql(
+    k_gram: int = 3,
+    window: int = 4,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Twin of dedup.winnow_fingerprints — deliberately the DIRECT
+    per-window definition (enumerate every window, take the rightmost
+    minimum, DISTINCT selected positions) rather than Spark's
+    run-length reformulation: two independent algorithms agreeing pins
+    both. Identical tokenization (space split, empties dropped),
+    identical shingle hash (H32 of the space-joined k-gram, one md5
+    per position), 1-based positions, and the same short-doc edge via
+    wm = least(window, m). Exact integers end-to-end — no rounding."""
+    kk, w = int(k_gram), int(window)
+    sh = f"array_to_string(list_slice(ws, i, i + {kk - 1}), ' ')"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS doc_id,
+         list_filter(string_split(coalesce({text_col}, ''), ' '),
+                     x -> x <> '') AS ws
+  FROM {table}),
+hs AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ws) - {kk - 1}),
+                        i -> {H32.format(x=sh)}) AS hl,
+         len(ws) - {kk - 1} AS m
+  FROM base WHERE len(ws) >= {kk}),
+wins AS (
+  SELECT doc_id, hl, least({w}, m) AS wm,
+         unnest(generate_series(1, m - least({w}, m) + 1)) AS i
+  FROM hs),
+mn AS MATERIALIZED (
+  SELECT doc_id, hl, wm, i,
+         list_min(list_slice(hl, i, i + wm - 1)) AS minv
+  FROM wins),
+px AS (
+  SELECT doc_id, hl,
+         i - 1 + list_max(list_transform(generate_series(1, wm),
+             j -> CASE WHEN hl[i + j - 1] = minv THEN j ELSE 0 END)) AS pos
+  FROM mn)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, hl[pos] AS fp
+FROM px
+"""

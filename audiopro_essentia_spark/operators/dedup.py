@@ -1566,3 +1566,107 @@ def allpairs_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k_gram: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    SIGMOD 2003 — the MOSS algorithm): per document, hash every
+    k_gram-word shingle, slide a `window`-hash window over the hash
+    sequence, and select the RIGHTMOST MINIMUM of each window. The
+    selection guarantee CDC cannot give: any shared word run of at
+    least window + k_gram - 1 words between two documents shares at
+    least one fingerprint HASH (cdc_chunks realigns after edits but a
+    boundary-free region yields one giant chunk; winnowing guarantees
+    fingerprint density — at least one per window positions, expected
+    2/(window+1) of positions selected).
+
+    Sequential-looking, computed position-parallel: instead of
+    materializing per-window argmins (a per-row O(m*window) array fold
+    whose HOF lambdas re-inline the hash array per element), position
+    p is selected iff SOME valid window start i exists with p the
+    rightmost min, which reduces to run lengths:
+
+      L(p) = longest run left of p with H >= H[p]   (ties lose leftward)
+      R(p) = longest run right of p with H >  H[p]  (ties win rightward)
+      selected(p) <=> greatest(1, p-wm+1, p-L)
+                        <= least(p, m-wm+1, p+R-wm+1),  wm = least(w, m)
+
+    where the runs are capped at window-1 by a lag/lead chain over ONE
+    (doc, pos) sort. Both run caps clamp safely: an over-long run only
+    loosens a bound the window-validity clamp already enforces.
+
+    Scale shape: one narrow projection per doc (one md5 per position
+    inside a transform lambda — the cdc_chunks one-digest discipline),
+    a narrow posexplode of the hash array (no word array rides the
+    explode — and the per-doc position count m rides ALONGSIDE it as
+    size(ws)-k+1 instead of a second count window), then ONE hash
+    exchange on doc and ONE sort serving the whole lag/lead chain.
+    Zero Python, one Window node.
+
+    Output: (id, pos 1-based BIGINT, fp BIGINT). Docs with fewer than
+    k_gram words emit NO rows (no shingle exists — the cdc empty-doc
+    contract). Docs with m < window positions emit the rightmost min
+    of the single short window (standard winnowing edge)."""
+    if k_gram < 1:
+        raise ValueError(f"k_gram must be >= 1, got {k_gram}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from pyspark.sql.window import Window
+
+    kk, w = int(k_gram), int(window)
+    ws = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), ws.alias("_ws")).where(
+        F.size("_ws") >= kk
+    )
+    m_arr = F.size("_ws") - (kk - 1)
+    gram = lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, kk))
+    h_arr = F.transform(
+        F.sequence(F.lit(1), m_arr), lambda i: portable_hash32(gram(i))
+    )
+    ex = base.select(
+        F.col(id_col),
+        m_arr.cast("long").alias("_m"),
+        F.posexplode(h_arr).alias("_p0", "h"),
+    )
+    ex = ex.select(
+        F.col(id_col), "_m", (F.col("_p0") + 1).cast("long").alias("p"), "h"
+    )
+    ord_w = Window.partitionBy(id_col).orderBy("p")
+    lags = [F.lag("h", j).over(ord_w).alias(f"_l{j}") for j in range(1, w)]
+    leads = [F.lead("h", j).over(ord_w).alias(f"_f{j}") for j in range(1, w)]
+    staged = ex.select(id_col, "p", "h", "_m", *lags, *leads)
+
+    # prefix-run length: L = largest j with l1..lj ALL >= h (a gap at
+    # any jj < j breaks the run, so cond_j re-tests the full prefix —
+    # w is small, the chain stays a few comparisons). A NULL lag (doc
+    # boundary) makes the comparison NULL -> when() falls through:
+    # runs stop at the document edge exactly as they must.
+    L = F.lit(0)
+    for j in range(1, w):
+        cond = F.col(f"_l{j}") >= F.col("h")
+        for jj in range(1, j):
+            cond = cond & (F.col(f"_l{jj}") >= F.col("h"))
+        L = F.when(cond, F.lit(j)).otherwise(L)
+    R = F.lit(0)
+    for j in range(1, w):
+        cond = F.col(f"_f{j}") > F.col("h")
+        for jj in range(1, j):
+            cond = cond & (F.col(f"_f{jj}") > F.col("h"))
+        R = F.when(cond, F.lit(j)).otherwise(R)
+    wm = F.least(F.lit(w), F.col("_m"))
+    p = F.col("p")
+    selected = F.greatest(
+        F.lit(1), p - wm + 1, p - L
+    ) <= F.least(p, F.col("_m") - wm + 1, p + R - wm + 1)
+    return staged.where(selected).select(
+        F.col(id_col), p.alias("pos"), F.col("h").alias("fp")
+    )
