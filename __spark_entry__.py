@@ -2464,6 +2464,27 @@ def _staged_byte_entropy_sql() -> str:
     return byte_entropy_sql(table=u)
 
 
+def q_staged_textrank(spark, sf_dir):
+    """Text analysis: TextRank keyword extraction (Mihalcea-Tarau
+    EMNLP'04) — PageRank power iteration over the adjacent-word
+    co-occurrence graph (undirected, self-loops excluded, min edge
+    weight 2), 10 iterations, top-100 by score. The iterative-family
+    member whose state stays DISTRIBUTED (vocab-sized score table,
+    never collected — unlike kmeans/PCA driver state). Exact integer
+    micro-units end-to-end: per-edge (w*s) div W truncation before the
+    exact BIGINT sum makes every iteration bit-stable across engines
+    and partitionings; the twin unrolls one MATERIALIZED CTE layer per
+    iteration (operators/graphrank.py; duck_twins.textrank_keywords_sql)."""
+    from audiopro_essentia_spark.operators.graphrank import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"),
+        n_iter=10,
+        top_k=100,
+        min_count=2,
+    )
+
+
 def q_staged_winnow(spark, sf_dir):
     """Dedup: winnowing document fingerprints (Schleimer-Wilkerson-
     Aiken SIGMOD'03 — the MOSS algorithm): k=3 word-shingle hashes,
@@ -2516,6 +2537,7 @@ def q_staged_kmv_jaccard(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "textrank": q_staged_textrank,
         "winnow_fp": q_staged_winnow,
         "byte_entropy": q_staged_byte_entropy,
         "kmv_distinct": q_staged_kmv_distinct,
@@ -2543,6 +2565,9 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "textrank": DT.textrank_keywords_sql(
+            n_iter=10, top_k=100, min_count=2
+        ),
         "winnow_fp": DT.winnow_fingerprints_sql(
             k_gram=3,
             window=4,

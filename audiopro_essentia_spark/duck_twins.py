@@ -2488,3 +2488,60 @@ px AS (
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, hl[pos] AS fp
 FROM px
 """
+
+
+def textrank_keywords_sql(
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    top_k: int = 100,
+    min_count: int = 1,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Twin of graphrank.textrank_keywords: identical tokenization,
+    adjacent-pair edges (self-loops excluded), symmetrize-then-count,
+    and the exact-integer PageRank update UNROLLED as one materialized
+    CTE layer per iteration (the layered-kernel lesson: plain CTEs
+    re-expand combinatorially — AS MATERIALIZED on every level).
+    `//` on the all-positive BIGINTs here truncates == floors ==
+    Spark's div, so every layer is bit-identical by construction."""
+    base_micro = (100 - damping_pct) * 10_000
+    layers = []
+    for t in range(1, n_iter + 1):
+        layers.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT ew.dst AS node,
+         CAST({base_micro} + ({damping_pct} * sum((ew.w * s.s) // ew.tw))
+              // 100 AS BIGINT) AS s
+  FROM ew JOIN s{t - 1} s ON s.node = ew.src
+  GROUP BY ew.dst)"""
+        )
+    chain = ",\n".join(layers)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT list_filter(string_split(coalesce({text_col}, ''), ' '),
+                     x -> x <> '') AS ws
+  FROM {table}),
+bg AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM base, unnest(CASE WHEN len(ws) >= 2
+                         THEN generate_series(1, len(ws) - 1)
+                         ELSE [] END) AS t(i)
+  WHERE ws[i] <> ws[i + 1]),
+e AS MATERIALIZED (
+  SELECT src, dst, count(*) AS w FROM (
+    SELECT w1 AS src, w2 AS dst FROM bg
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst FROM bg) u
+  GROUP BY src, dst
+  HAVING count(*) >= {int(min_count)}),
+wt AS MATERIALIZED (SELECT src, sum(w) AS tw FROM e GROUP BY src),
+ew AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w, wt.tw FROM e JOIN wt USING (src)),
+s0 AS MATERIALIZED (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM wt),
+{chain}
+SELECT node AS word, s AS score_micro FROM s{n_iter}
+ORDER BY score_micro DESC, word
+LIMIT {int(top_k)}
+"""
