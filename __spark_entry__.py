@@ -2464,6 +2464,35 @@ def _staged_byte_entropy_sql() -> str:
     return byte_entropy_sql(table=u)
 
 
+def q_staged_auc(spark, sf_dir):
+    """Eval: exact tie-corrected Mann-Whitney ROC AUC of `value` at
+    predicting purchase events, per user-cohort (user_id % 10) — the
+    classifier-calibration primitive (which quality-score cut keeps
+    30%?). 2U is an exact BIGINT accumulated over the distinct-score
+    histogram (ties contribute the 1/2 term via doubled units), one
+    IEEE division + round-6 at the end. NULLs are pre-filtered
+    EXPLICITLY here — unfiltered NULL score/label fails loud inside
+    the operator (silently dropping rows skews the metric). Scale
+    shape: one map-side-combinable histogram aggregate, then the
+    epoch_shuffle two-phase bucketed prefix — never a corpus-scale
+    single-partition window (operators/evalmetrics.py)."""
+    from audiopro_essentia_spark.operators.evalmetrics import (
+        auc_mann_whitney,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("cohort"),
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    return auc_mann_whitney(d, "score", "label", ["cohort"])
+
+
 def q_staged_textrank(spark, sf_dir):
     """Text analysis: TextRank keyword extraction (Mihalcea-Tarau
     EMNLP'04) — PageRank power iteration over the adjacent-word
@@ -2537,6 +2566,7 @@ def q_staged_kmv_jaccard(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "auc_eval": q_staged_auc,
         "textrank": q_staged_textrank,
         "winnow_fp": q_staged_winnow,
         "byte_entropy": q_staged_byte_entropy,
@@ -2565,6 +2595,14 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "auc_eval": DT.auc_mann_whitney_sql(
+            "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, "
+            "value AS score, "
+            "CAST(event_type = 'purchase' AS BIGINT) AS label "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL AND user_id IS NOT NULL",
+            ("cohort",),
+        ),
         "textrank": DT.textrank_keywords_sql(
             n_iter=10, top_k=100, min_count=2
         ),

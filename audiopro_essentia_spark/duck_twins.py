@@ -2545,3 +2545,40 @@ SELECT node AS word, s AS score_micro FROM s{n_iter}
 ORDER BY score_micro DESC, word
 LIMIT {int(top_k)}
 """
+
+
+def auc_mann_whitney_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.auc_mann_whitney — the PLAIN one-window
+    form (bucketed two-phase prefix is order-preserving, so outputs
+    are identical). `source` must yield columns (group..., score
+    DOUBLE, label 0/1 BIGINT) already validated/filtered the way the
+    Spark entry validates. Exact BIGINT 2U, one division, round-6;
+    one-class groups get NULL auc with counts visible."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    sel = f"SELECT {gpfx}" 
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+per AS MATERIALIZED (
+  {sel}score AS s,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS neg
+  FROM base GROUP BY {gpfx}score),
+cum AS (
+  {sel}pos, neg,
+         CAST(coalesce(sum(neg) OVER ({part}ORDER BY s), 0) - neg
+              AS BIGINT) AS cneg
+  FROM per)
+{sel}CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
+         round(CAST(sum(pos * (2 * cneg + neg)) AS BIGINT)
+               / CAST(2 * sum(pos) * sum(neg) AS BIGINT), 6)
+       END AS auc
+FROM cum {grp}
+"""
