@@ -2464,6 +2464,28 @@ def _staged_byte_entropy_sql() -> str:
     return byte_entropy_sql(table=u)
 
 
+def q_staged_unimax(spark, sf_dir):
+    """Sampling: UniMax budget allocation (Chung et al. ICLR'23) —
+    split a 26k-token training budget across the 20 sources as
+    uniformly as possible, capped at 1 epoch per source: the fairness
+    fix for temperature sampling. The paper's sequential waterfall is
+    computed as a window-function closed form (capacity-ascending
+    total order, monotone capped prefix, exact-BIGINT share +
+    deterministic remainder). ONE corpus-scale pass (per-source token
+    sum); everything else is G-row-tiny (functions/sampling.py
+    unimax_allocation)."""
+    from audiopro_essentia_spark.functions.sampling import unimax_allocation
+    from audiopro_essentia_spark.functions.text import nonempty_words
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(nonempty_words(F.col("text"), null_as_empty=True)).alias(
+            "n_tokens"
+        ),
+    )
+    return unimax_allocation(d, budget_tokens=26_000, max_epochs=1)
+
+
 def q_staged_auc(spark, sf_dir):
     """Eval: exact tie-corrected Mann-Whitney ROC AUC of `value` at
     predicting purchase events, per user-cohort (user_id % 10) — the
@@ -2566,6 +2588,7 @@ def q_staged_kmv_jaccard(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "unimax": q_staged_unimax,
         "auc_eval": q_staged_auc,
         "textrank": q_staged_textrank,
         "winnow_fp": q_staged_winnow,
@@ -2595,6 +2618,7 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "unimax": DT.unimax_allocation_sql(budget_tokens=26_000, max_epochs=1),
         "auc_eval": DT.auc_mann_whitney_sql(
             "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, "
             "value AS score, "

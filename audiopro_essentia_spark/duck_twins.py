@@ -2582,3 +2582,56 @@ cum AS (
        END AS auc
 FROM cum {grp}
 """
+
+
+def unimax_allocation_sql(
+    budget_tokens: int,
+    max_epochs: int = 1,
+    source: str = (
+        "SELECT source, len(list_filter(string_split(coalesce(text, ''),"
+        " ' '), x -> x <> '')) AS n_tokens FROM documents"
+    ),
+) -> str:
+    """Twin of sampling.unimax_allocation: identical total order
+    (capacity ASC, source ASC NULLS FIRST — Spark sorts NULLs first,
+    DuckDB defaults them last), the same prefix-capped closed form,
+    exact BIGINTs with `//` == div on the all-non-negative operands.
+    `source` must yield (source, n_tokens-per-row) rows."""
+    b = int(budget_tokens)
+    return f"""
+WITH rows_in AS MATERIALIZED ({source}),
+tot AS MATERIALIZED (
+  SELECT source, CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(n_tokens, 0)) * {int(max_epochs)} AS BIGINT)
+           AS capacity
+  FROM rows_in GROUP BY source),
+ranked AS MATERIALIZED (
+  SELECT source, n_tokens, capacity,
+         row_number() OVER (ORDER BY capacity, source NULLS FIRST) AS i,
+         CAST(sum(capacity) OVER (ORDER BY capacity, source NULLS FIRST
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         count(*) OVER () AS g
+  FROM tot),
+cp AS MATERIALIZED (
+  SELECT *, capacity * (g - i + 1) <= {b} - (s - capacity) AS capped
+  FROM ranked),
+ks AS (
+  SELECT *,
+         CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+         CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) OVER ()
+              AS BIGINT) AS sk
+  FROM cp),
+al AS (
+  SELECT source, n_tokens, capacity,
+         CAST(CASE WHEN capped THEN capacity
+              ELSE ({b} - sk) // (g - k)
+                   + (CASE WHEN i - k <= ({b} - sk) % (g - k)
+                           THEN 1 ELSE 0 END)
+              END AS BIGINT) AS allocation
+  FROM ks)
+SELECT source, n_tokens, capacity, allocation,
+       CASE WHEN n_tokens > 0
+            THEN CAST((allocation * 1000000) // n_tokens AS BIGINT)
+       END AS epochs_micro
+FROM al
+"""

@@ -387,3 +387,114 @@ def priority_sample(
         .filter(F.col("rank") <= F.lit(k))
         .select("stratum", "key", "weight", "rank", "priority", "adj_weight")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 1,
+    weight_col: str = "n_tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. ICLR 2023): split a total
+    training-token budget across sources as UNIFORMLY as possible,
+    capped at max_epochs passes over each source — the fairness fix
+    for temperature sampling (which still over-weights head sources
+    and over-epochs tail ones at any tau).
+
+    The paper's sequential waterfall has a closed form this computes
+    with window functions instead of a loop: sort sources by capacity
+    c_g = n_g * max_epochs ascending (ties by source — a total
+    order), prefix-sum S_i; source i is CAPPED iff
+    c_i * (G - i + 1) <= B - S_{i-1} (cappedness is monotone along
+    this order by the standard exchange argument), so the capped set
+    is the largest satisfying prefix k*. Capped sources get c_i;
+    the m = G - k* uncapped sources split pool = B - S_{k*} as
+    share = pool div m with the remainder given to the FIRST
+    pool mod m uncapped sources in the same total order (+1 never
+    violates a cap: c_i > pool/m implies c_i >= share + 1). Every
+    quantity is an exact BIGINT — bit-stable across engines and
+    partitionings; epochs_micro = (alloc * 1e6) div n_g reports the
+    resulting per-source epoch count (NULL for zero-token sources).
+    If budget exceeds total capacity, every source caps and the
+    slack is the caller's to see as B - sum(allocation).
+
+    Scale shape: ONE map-side-combinable per-source sum is the only
+    corpus-scale pass; everything after runs on the G-row source
+    table (single-partition windows over G rows are intentional and
+    tiny — the epoch_shuffle offsets-table rule). Returns
+    (source, n_tokens, capacity, allocation, epochs_micro)."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    b = int(budget_tokens)
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.coalesce(F.col(weight_col), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    cap = totals.select(
+        F.col(source_col).alias("source"),
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(int(max_epochs)))
+        .cast("long")
+        .alias("capacity"),
+    )
+    # G-row table from here on — tiny single-partition windows by design
+    w = Window.orderBy("capacity", "source")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cap.select(
+        "source",
+        "n_tokens",
+        "capacity",
+        F.row_number().over(w).alias("_i"),
+        F.sum("capacity").over(w).alias("_s"),  # inclusive prefix S_i
+        F.count(F.lit(1)).over(wall).alias("_g"),
+    )
+    capped = ranked.select(
+        "*",
+        (
+            F.col("capacity") * (F.col("_g") - F.col("_i") + 1)
+            <= F.lit(b) - (F.col("_s") - F.col("capacity"))
+        ).alias("_capped"),
+    )
+    kstar = capped.select(
+        "*",
+        F.sum(F.when(F.col("_capped"), 1).otherwise(0))
+        .over(wall)
+        .alias("_k"),
+        F.sum(F.when(F.col("_capped"), F.col("capacity")).otherwise(0))
+        .over(wall)
+        .cast("long")
+        .alias("_sk"),
+    )
+    # share/rem only evaluate on UNCAPPED rows (CaseWhen short-circuits),
+    # where m = _g - _k > 0 by definition — no ANSI div-by-zero
+    share = F.expr(f"({b} - _sk) div (_g - _k)")
+    rem = F.expr(f"({b} - _sk) % (_g - _k)")
+    alloc = (
+        F.when(F.col("_capped"), F.col("capacity"))
+        .otherwise(
+            share + F.when(F.col("_i") - F.col("_k") <= rem, 1).otherwise(0)
+        )
+        .cast("long")
+    )
+    out = kstar.select(
+        "source",
+        "n_tokens",
+        "capacity",
+        alloc.alias("allocation"),
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "capacity",
+        "allocation",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(allocation * 1000000) div n_tokens"),
+        ).alias("epochs_micro"),
+    )
