@@ -2464,6 +2464,25 @@ def _staged_byte_entropy_sql() -> str:
     return byte_entropy_sql(table=u)
 
 
+def q_staged_pr_curve(spark, sf_dir):
+    """Eval: exact precision/recall at EVERY distinct score threshold
+    (predict purchase iff value >= v) — the operating-point view of
+    auc_eval's histogram, sharing the identical two-phase prefix
+    machinery so the extra metric costs zero new corpus passes. tp/fp
+    are exact BIGINTs; two IEEE divisions + round-6 per row
+    (operators/evalmetrics.py pr_curve)."""
+    from audiopro_essentia_spark.operators.evalmetrics import pr_curve
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    return pr_curve(d, "score", "label")
+
+
 def q_staged_unimax(spark, sf_dir):
     """Sampling: UniMax budget allocation (Chung et al. ICLR'23) —
     split a 26k-token training budget across the 20 sources as
@@ -2588,6 +2607,7 @@ def q_staged_kmv_jaccard(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pr_curve": q_staged_pr_curve,
         "unimax": q_staged_unimax,
         "auc_eval": q_staged_auc,
         "textrank": q_staged_textrank,
@@ -2618,6 +2638,12 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "pr_curve": DT.pr_curve_sql(
+            "SELECT value AS score, "
+            "CAST(event_type = 'purchase' AS BIGINT) AS label "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL"
+        ),
         "unimax": DT.unimax_allocation_sql(budget_tokens=26_000, max_epochs=1),
         "auc_eval": DT.auc_mann_whitney_sql(
             "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, "

@@ -2547,40 +2547,80 @@ LIMIT {int(top_k)}
 """
 
 
+def _score_prefix_ctes(source: str, group_cols: tuple[str, ...]) -> str:
+    """Shared CTE chain of the evalmetrics twins (auc + pr_curve) —
+    the PLAIN one-window form of operators/evalmetrics._score_prefix
+    (the bucketed two-phase prefix is order-preserving, so outputs are
+    identical). `source` must yield columns (group..., score DOUBLE,
+    label 0/1 BIGINT) already validated/filtered the way the Spark
+    entry validates. Yields `cum` = (g..., s, pos, neg, cpos, cneg)
+    with EXCLUSIVE below-prefixes of both classes."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    return f"""base AS MATERIALIZED ({source}),
+per AS MATERIALIZED (
+  SELECT {gpfx}score AS s,
+         CAST(sum(label) AS BIGINT) AS pos,
+         CAST(count(*) - sum(label) AS BIGINT) AS neg
+  FROM base GROUP BY {gpfx}score),
+cum AS MATERIALIZED (
+  SELECT {gpfx}s, pos, neg,
+         CAST(coalesce(sum(pos) OVER ({part}ORDER BY s), 0) - pos
+              AS BIGINT) AS cpos,
+         CAST(coalesce(sum(neg) OVER ({part}ORDER BY s), 0) - neg
+              AS BIGINT) AS cneg
+  FROM per)"""
+
+
 def auc_mann_whitney_sql(
     source: str,
     group_cols: tuple[str, ...] = (),
 ) -> str:
-    """Twin of evalmetrics.auc_mann_whitney — the PLAIN one-window
-    form (bucketed two-phase prefix is order-preserving, so outputs
-    are identical). `source` must yield columns (group..., score
-    DOUBLE, label 0/1 BIGINT) already validated/filtered the way the
-    Spark entry validates. Exact BIGINT 2U, one division, round-6;
-    one-class groups get NULL auc with counts visible."""
-    g = ", ".join(group_cols)
-    gpfx = f"{g}, " if group_cols else ""
-    part = f"PARTITION BY {g} " if group_cols else ""
-    grp = f"GROUP BY {g}" if group_cols else ""
-    sel = f"SELECT {gpfx}" 
+    """Twin of evalmetrics.auc_mann_whitney (contract + plain-window
+    argument: _score_prefix_ctes). Exact BIGINT 2U, one division,
+    round-6; one-class groups get NULL auc with counts visible."""
+    gpfx = (", ".join(group_cols) + ", ") if group_cols else ""
+    grp = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
     return f"""
-WITH base AS MATERIALIZED ({source}),
-per AS MATERIALIZED (
-  {sel}score AS s,
-         CAST(sum(label) AS BIGINT) AS pos,
-         CAST(count(*) - sum(label) AS BIGINT) AS neg
-  FROM base GROUP BY {gpfx}score),
-cum AS (
-  {sel}pos, neg,
-         CAST(coalesce(sum(neg) OVER ({part}ORDER BY s), 0) - neg
-              AS BIGINT) AS cneg
-  FROM per)
-{sel}CAST(sum(pos) AS BIGINT) AS n_pos,
+WITH {_score_prefix_ctes(source, group_cols)}
+SELECT {gpfx}CAST(sum(pos) AS BIGINT) AS n_pos,
        CAST(sum(neg) AS BIGINT) AS n_neg,
        CASE WHEN sum(pos) > 0 AND sum(neg) > 0 THEN
          round(CAST(sum(pos * (2 * cneg + neg)) AS BIGINT)
                / CAST(2 * sum(pos) * sum(neg) AS BIGINT), 6)
        END AS auc
 FROM cum {grp}
+"""
+
+
+def pr_curve_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.pr_curve (contract + plain-window argument:
+    _score_prefix_ctes): exact tp/fp at every distinct score
+    threshold (>= v), two divisions + round-6, recall NULL for
+    no-positive groups. `precision` is quoted — it is a type keyword
+    in DuckDB (DOUBLE PRECISION)."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    return f"""
+WITH {_score_prefix_ctes(source, group_cols)},
+tot AS (
+  SELECT {gpfx}CAST(sum(pos) AS BIGINT) AS p,
+         CAST(sum(neg) AS BIGINT) AS n
+  FROM per {f'GROUP BY {g}' if group_cols else ''})
+SELECT {gpfx}s AS score,
+       CAST(p - cpos AS BIGINT) AS tp,
+       CAST(n - cneg AS BIGINT) AS fp,
+       round(CAST(p - cpos AS BIGINT)
+             / CAST((p - cpos) + (n - cneg) AS BIGINT), 6) AS "precision",
+       CASE WHEN p > 0
+            THEN round(CAST(p - cpos AS BIGINT) / CAST(p AS BIGINT), 6)
+       END AS recall
+FROM cum {'JOIN tot USING (' + g + ')' if group_cols else 'CROSS JOIN tot'}
 """
 
 

@@ -149,3 +149,89 @@ def test_twin_equality(spark):
     ).fetchall()
     [rg] = auc_mann_whitney(_df(spark, grouped=False)).collect()
     assert (rg["n_pos"], rg["n_neg"], rg["auc"]) == tuple(wg)
+
+
+# ---- pr_curve (shares _score_prefix with auc) ----
+
+
+def _mirror_pr(pairs):
+    pos, neg = Counter(), Counter()
+    for s, y in pairs:
+        (pos if y else neg)[s] += 1
+    p, n = sum(pos.values()), sum(neg.values())
+    out, cpos, cneg = {}, 0, 0
+    for v in sorted(set(pos) | set(neg)):
+        tp, fp = p - cpos, n - cneg
+        out[v] = (
+            tp,
+            fp,
+            round(tp / (tp + fp), 6),
+            round(tp / p, 6) if p > 0 else None,
+        )
+        cpos += pos[v]
+        cneg += neg[v]
+    return out
+
+
+def test_pr_curve_mirror(spark):
+    from audiopro_essentia_spark.operators.evalmetrics import pr_curve
+
+    res = pr_curve(_df(spark), "score", "label", ["cohort"]).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["cohort"], {})[r["score"]] = (
+            r["tp"], r["fp"], r["precision"], r["recall"]
+        )
+    for g in range(4):
+        assert got[g] == _mirror_pr(_pairs(g)), g
+    # global mode + threshold monotonicity: recall non-increasing in v
+    rows = sorted(
+        pr_curve(_df(spark, grouped=False)).collect(),
+        key=lambda r: r["score"],
+    )
+    allp = [p for g in range(4) for p in _pairs(g)]
+    assert {
+        r["score"]: (r["tp"], r["fp"], r["precision"], r["recall"])
+        for r in rows
+    } == _mirror_pr(allp)
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    # lowest threshold predicts everything positive: recall 1.0
+    assert rows[0]["recall"] == 1.0
+
+
+def test_pr_curve_no_positives(spark):
+    from audiopro_essentia_spark.operators.evalmetrics import pr_curve
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0)], "score double, label long"
+    )
+    rows = pr_curve(df).collect()
+    assert [(r["tp"], r["precision"], r["recall"]) for r in rows] == [
+        (0, 0.0, None),
+        (0, 0.0, None),
+    ]
+
+
+def test_pr_curve_twin_equality(spark):
+    from audiopro_essentia_spark.duck_twins import pr_curve_sql
+    from audiopro_essentia_spark.operators.evalmetrics import pr_curve
+
+    rows = []
+    for g in range(4):
+        rows += [(g, s, y) for s, y in _pairs(g)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev(cohort BIGINT, score DOUBLE, label BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            pr_curve_sql("SELECT cohort, score, label FROM ev", ("cohort",))
+        ).fetchall()
+    )
+    got = sorted(
+        (r["cohort"], r["score"], r["tp"], r["fp"], r["precision"],
+         r["recall"])
+        for r in pr_curve(_df(spark), "score", "label", ["cohort"]).collect()
+    )
+    assert got == want
