@@ -2483,6 +2483,61 @@ def q_staged_pr_curve(spark, sf_dir):
     return pr_curve(d, "score", "label")
 
 
+def q_staged_calibration(spark, sf_dir):
+    """Eval: reliability diagram + exact Brier/ECE per user cohort —
+    is the rational probability score value/(value+100) (IEEE-
+    division-identical cross-engine, in [0,1)) CALIBRATED at
+    predicting purchase? Scores quantized ONCE to integer micro-units
+    (round ties away from zero — the sample-key recipe); every bin
+    count/gap and both summaries are exact integers until the final
+    round-6 divisions. ONE map-side-combinable groupBy(cohort, bin)
+    corpus pass, zero windows, zero Python
+    (operators/evalmetrics.py calibration_report)."""
+    from audiopro_essentia_spark.operators.evalmetrics import (
+        calibration_report,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("cohort"),
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    return calibration_report(d, "score", "label", ["cohort"], n_bins=10)
+
+
+def q_staged_ks_drift(spark, sf_dir):
+    """Drift: exact two-sample Kolmogorov-Smirnov distance of every
+    source's document-length distribution against baseline src0 — the
+    binning-free shape-drift monitor PSI can't express (drift_psi
+    needs bins fixed up front). Inclusive CDF counts are exact
+    BIGINTs; each CDF is one correctly-rounded IEEE division, so max
+    + round-6 is bit-stable cross-engine. ONE map-side-combinable
+    (source, length) histogram is the only corpus-scale pass; the
+    baseline histogram replicates at HISTOGRAM granularity; prefixes
+    run the epoch_shuffle two-phase bucketed form. NULL sources are
+    pre-filtered EXPLICITLY (unfiltered NULLs fail loud inside the
+    operator) (operators/evalmetrics.py ks_drift)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.evalmetrics import ks_drift
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(nonempty_words(F.col("text"), null_as_empty=True))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return ks_drift(d, "v", "src", "src0")
+
+
 def q_staged_unimax(spark, sf_dir):
     """Sampling: UniMax budget allocation (Chung et al. ICLR'23) —
     split a 26k-token training budget across the 20 sources as
@@ -2608,6 +2663,8 @@ def q_staged_kmv_jaccard(spark, sf_dir):
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pr_curve": q_staged_pr_curve,
+        "calibration": q_staged_calibration,
+        "ks_drift": q_staged_ks_drift,
         "unimax": q_staged_unimax,
         "auc_eval": q_staged_auc,
         "textrank": q_staged_textrank,
@@ -2643,6 +2700,23 @@ def _staged_oracle_sql() -> dict[str, str]:
             "CAST(event_type = 'purchase' AS BIGINT) AS label "
             "FROM events WHERE value IS NOT NULL "
             "AND event_type IS NOT NULL"
+        ),
+        "calibration": DT.calibration_report_sql(
+            "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, "
+            "value / (value + CAST(100 AS DOUBLE)) AS score, "
+            "CAST(event_type = 'purchase' AS BIGINT) AS label "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL AND user_id IS NOT NULL",
+            ("cohort",),
+            n_bins=10,
+        ),
+        "ks_drift": DT.ks_drift_sql(
+            "SELECT source AS src, "
+            "CAST(len(list_filter(string_split(coalesce(text, ''), ' '), "
+            "x -> x <> '')) AS DOUBLE) AS v "
+            "FROM documents WHERE source IS NOT NULL",
+            "src0",
+            group_col="src",
         ),
         "unimax": DT.unimax_allocation_sql(budget_tokens=26_000, max_epochs=1),
         "auc_eval": DT.auc_mann_whitney_sql(

@@ -2675,3 +2675,105 @@ SELECT source, n_tokens, capacity, allocation,
        END AS epochs_micro
 FROM al
 """
+
+
+def calibration_report_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    n_bins: int = 10,
+) -> str:
+    """Twin of evalmetrics.calibration_report: identical micro-unit
+    quantization (round on the exact double ties away from zero in
+    both engines — the sample-key recipe), the same exact-integer
+    bin/gap/ece/brier arithmetic (DuckDB sums promote to HUGEINT —
+    exact like Spark's DECIMAL carry), the same final divisions of
+    correctly-rounded doubles + round-6. `source` must yield
+    (group..., score DOUBLE in [0,1], label 0/1 BIGINT) already
+    validated the way the Spark entry validates."""
+    nb = int(n_bins)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    joink = (
+        f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(score * 1000000) AS BIGINT) AS m,
+         CAST(label AS BIGINT) AS y
+  FROM base),
+b AS MATERIALIZED (
+  SELECT {gpfx}CAST(least({nb} - 1, (m * {nb}) // 1000000) AS BIGINT)
+           AS bin,
+         m, y, (m - y * 1000000) AS d
+  FROM q),
+per AS MATERIALIZED (
+  SELECT {gpfx}bin,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(m) AS BIGINT) AS sm,
+         sum(d * d) AS sq
+  FROM b GROUP BY {gpfx}bin),
+tot AS (
+  SELECT {gpfx}CAST(sum(cnt) AS BIGINT) AS n_all,
+         round(CAST(sum(sq) AS DOUBLE)
+               / (CAST(sum(cnt) AS DOUBLE) * 1e12), 6) AS brier,
+         round(CAST(sum(abs(sm - n_pos * 1000000)) AS BIGINT)
+               / (CAST(sum(cnt) AS BIGINT) * 1000000), 6) AS ece
+  FROM per {grp})
+SELECT {gpfx}bin, cnt, n_pos,
+       round(sm / (cnt * 1000000), 6) AS mean_score,
+       round(n_pos / cnt, 6) AS pos_frac,
+       round(abs(sm - n_pos * 1000000) / (cnt * 1000000), 6) AS gap,
+       brier, ece
+FROM per {joink}
+"""
+
+
+def ks_drift_sql(
+    source: str,
+    baseline: str,
+    group_col: str = "grp",
+) -> str:
+    """Twin of evalmetrics.ks_drift (plain one-window form — the
+    Spark side's bucketed two-phase prefix is order-preserving, so
+    outputs are identical): exact BIGINT inclusive CDF counts over
+    the union-of-values grid (group histogram FULL OUTER JOIN the
+    per-group-replicated baseline histogram), each CDF one correctly-
+    rounded division, max + round-6. `source` must yield
+    ({group_col} VARCHAR NOT NULL, v DOUBLE not-NaN) already
+    validated the way the Spark entry validates."""
+    bl = str(baseline).replace("'", "''")
+    return f"""
+WITH src AS MATERIALIZED ({source}),
+hist AS MATERIALIZED (
+  SELECT {group_col}, v, CAST(count(*) AS BIGINT) AS c
+  FROM src GROUP BY {group_col}, v),
+base AS (SELECT v, c AS cb FROM hist WHERE {group_col} = '{bl}'),
+oth AS (SELECT {group_col}, v, c FROM hist WHERE {group_col} <> '{bl}'),
+grps AS (SELECT DISTINCT {group_col} FROM oth),
+rep AS (SELECT grps.{group_col}, base.v, base.cb FROM grps CROSS JOIN base),
+merged AS MATERIALIZED (
+  SELECT coalesce(o.{group_col}, r.{group_col}) AS {group_col},
+         coalesce(o.v, r.v) AS v,
+         CAST(coalesce(o.c, 0) AS BIGINT) AS pos,
+         CAST(coalesce(r.cb, 0) AS BIGINT) AS neg
+  FROM oth o FULL OUTER JOIN rep r
+    ON o.{group_col} = r.{group_col} AND o.v = r.v),
+cum AS MATERIALIZED (
+  SELECT {group_col}, v, pos, neg,
+         CAST(sum(pos) OVER (PARTITION BY {group_col} ORDER BY v)
+              AS BIGINT) AS cg,
+         CAST(sum(neg) OVER (PARTITION BY {group_col} ORDER BY v)
+              AS BIGINT) AS cb
+  FROM merged),
+tot AS (
+  SELECT {group_col}, CAST(sum(pos) AS BIGINT) AS n,
+         CAST(sum(neg) AS BIGINT) AS n_base
+  FROM merged GROUP BY {group_col})
+SELECT cum.{group_col} AS {group_col}, n, n_base,
+       round(max(abs(cg / n - cb / n_base)), 6) AS ks
+FROM cum JOIN tot USING ({group_col})
+GROUP BY cum.{group_col}, n, n_base
+"""

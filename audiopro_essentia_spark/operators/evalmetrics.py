@@ -40,53 +40,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _score_prefix(
-    df: DataFrame,
-    score_col: str,
-    label_col: str,
+def _hist_prefix(
+    per: DataFrame,
     g: list[str],
     n_buckets: int,
 ) -> DataFrame:
-    """(g..., _s, pos, neg, cpos, cneg): the validated distinct-score
-    histogram with EXCLUSIVE below-prefixes of both classes, computed
-    with the two-phase bucketed prefix (docstring above). The shared
-    engine of auc_mann_whitney and pr_curve."""
+    """Two-phase bucketed prefix over a pre-built distinct-value
+    histogram `per` = (g..., _s, pos, neg): returns the same rows plus
+    EXCLUSIVE below-prefixes (cpos, cneg) of both count columns,
+    ordered by _s within each group — never a corpus-scale
+    single-partition window (docstring above). Shared by
+    auc_mann_whitney / pr_curve (via _score_prefix) and ks_drift
+    (which builds its histogram from a group-vs-baseline join)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    y0 = F.col(label_col).cast("long")
-    y = (
-        F.when(
-            y0.isNull() | ~y0.isin(0, 1),
-            F.raise_error(
-                F.concat(
-                    F.lit(f"evalmetrics: NULL or non-binary {label_col}="),
-                    # concat of a NULL operand nulls the whole message
-                    F.coalesce(F.col(label_col).cast("string"), F.lit("NULL")),
-                )
-            ).cast("long"),
-        )
-        .otherwise(y0)
-        .alias("_y")
-    )
-    s0 = F.col(score_col).cast("double")
-    s = (
-        F.when(
-            s0.isNull() | F.isnan(s0),
-            F.raise_error(
-                F.lit(f"evalmetrics: NULL or NaN {score_col}")
-            ).cast("double"),
-        )
-        .otherwise(s0)
-        .alias("_s")
-    )
-    b = df.select(*g, s, y)
-    # distinct-score histogram: ONE map-side-combinable aggregate
-    per = b.groupBy(*g, "_s").agg(
-        F.sum("_y").cast("long").alias("pos"),
-        (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("neg"),
-    )
     # two consumers below (bounds + bucket join) -> checkpoint so the
-    # corpus aggregate runs once (multi-consumer recompute rule)
+    # upstream aggregate runs once (multi-consumer recompute rule)
     perc = per.localCheckpoint(eager=False)
     bounds = perc.groupBy(*g).agg(
         F.min("_s").alias("_lo"), F.max("_s").alias("_hi")
@@ -154,6 +123,54 @@ def _score_prefix(
             (F.col("_on") + F.col("_in")).cast("long").alias("cneg"),
         )
     )
+
+
+def _score_prefix(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    g: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """(g..., _s, pos, neg, cpos, cneg): the validated distinct-score
+    histogram with EXCLUSIVE below-prefixes of both classes, computed
+    with the two-phase bucketed prefix (docstring above). The shared
+    engine of auc_mann_whitney and pr_curve."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    y0 = F.col(label_col).cast("long")
+    y = (
+        F.when(
+            y0.isNull() | ~y0.isin(0, 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"evalmetrics: NULL or non-binary {label_col}="),
+                    # concat of a NULL operand nulls the whole message
+                    F.coalesce(F.col(label_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(y0)
+        .alias("_y")
+    )
+    s0 = F.col(score_col).cast("double")
+    s = (
+        F.when(
+            s0.isNull() | F.isnan(s0),
+            F.raise_error(
+                F.lit(f"evalmetrics: NULL or NaN {score_col}")
+            ).cast("double"),
+        )
+        .otherwise(s0)
+        .alias("_s")
+    )
+    b = df.select(*g, s, y)
+    # distinct-score histogram: ONE map-side-combinable aggregate
+    per = b.groupBy(*g, "_s").agg(
+        F.sum("_y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("neg"),
+    )
+    return _hist_prefix(per, g, n_buckets)
 
 
 def auc_mann_whitney(
@@ -239,4 +256,269 @@ def pr_curve(
         F.when(F.col("_p") > 0, F.round(tp / F.col("_p"), 6)).alias(
             "recall"
         ),
+    )
+
+
+_MICRO = 1_000_000
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_cols: list[str] | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(group..., bin, cnt, n_pos, mean_score, pos_frac, gap, brier,
+    ece) — the reliability diagram plus its two scalar summaries, for
+    a probabilistic score in [0, 1] (is the quality classifier's 0.8
+    actually an 80% keep-rate?).
+
+    Exactness: the score is quantized ONCE to integer micro-units
+    m = CAST(round(s * 1e6) AS BIGINT) (round on the exact double ties
+    away from zero in BOTH engines — the cross-engine sample-key
+    recipe); every downstream quantity is exact integer arithmetic on
+    m until the final round-6 divisions:
+
+      bin        = least(n_bins-1, (m * n_bins) div 1e6)
+      mean_score = sum(m) / (cnt * 1e6)
+      pos_frac   = n_pos / cnt
+      gap        = |sum(m) - n_pos * 1e6| / (cnt * 1e6)
+      brier      = sum((m - y*1e6)^2) / (N * 1e12)   [of the QUANTIZED
+                   score — self-consistent and bit-stable cross-engine]
+      ece        = sum_bins |sum(m) - n_pos*1e6| / (N * 1e6)
+
+    The per-row square is <= 1e12, so the per-bin sum is carried as
+    DECIMAL (exact to 1e30 rows); sum(m) and the ece numerator stay
+    BIGINT-exact to ~9e12 rows per group. The final divisions divide
+    one correctly-rounded double by another built from the same exact
+    integers in both engines, then round-6 — bit-stable.
+
+    NULL/NaN/out-of-[0,1] scores and NULL/non-binary labels fail LOUD
+    with the offending value (silent drops skew calibration —
+    pre-filter explicitly if exclusion is intended). Empty bins are
+    simply absent (densify downstream if a plot needs them).
+
+    Scale shape: ONE map-side-combinable groupBy(group, bin) aggregate
+    is the only corpus-scale pass; the per-group summary aggregates
+    <= n_bins rows per group and is broadcast back. Zero windows, zero
+    Python.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    g = list(group_cols or [])
+    y0 = F.col(label_col).cast("long")
+    y = (
+        F.when(
+            y0.isNull() | ~y0.isin(0, 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"calibration: NULL or non-binary {label_col}="),
+                    F.coalesce(F.col(label_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(y0)
+        .alias("_y")
+    )
+    s0 = F.col(score_col).cast("double")
+    m = (
+        F.when(
+            s0.isNull() | F.isnan(s0) | (s0 < 0) | (s0 > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"calibration: NULL/NaN/out-of-[0,1] {score_col}="
+                    ),
+                    F.coalesce(s0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(s0 * _MICRO).cast("long"))
+        .alias("_m")
+    )
+    nb = int(n_bins)
+    b = df.select(*g, m, y).select(
+        *g,
+        F.least(
+            F.lit(nb - 1).cast("long"),
+            F.expr(f"(_m * {nb}) div {_MICRO}"),
+        ).alias("bin"),
+        "_m",
+        "_y",
+        (F.col("_m") - F.col("_y") * _MICRO).alias("_d"),
+    )
+    # the ONLY corpus-scale pass — map-side combinable; 2 consumers
+    # (rows + group summary) -> checkpoint (multi-consumer rule)
+    per = b.groupBy(*g, "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum("_m").cast("long").alias("_sm"),
+        F.sum((F.col("_d") * F.col("_d")).cast("decimal(20,0)")).alias(
+            "_sq"
+        ),
+    ).localCheckpoint(eager=False)
+    gapn = F.abs(F.col("_sm") - F.col("n_pos") * _MICRO)
+    tot = per.groupBy(*g).agg(
+        F.sum("cnt").cast("long").alias("_n_all"),
+        F.sum("_sq").alias("_sq_all"),
+        F.sum(gapn).cast("long").alias("_ece_num"),
+    )
+    j = (
+        per.join(F.broadcast(tot), g)
+        if g
+        else per.crossJoin(F.broadcast(tot))
+    )
+    return j.select(
+        *g,
+        "bin",
+        "cnt",
+        "n_pos",
+        F.round(F.col("_sm") / (F.col("cnt") * _MICRO), 6).alias(
+            "mean_score"
+        ),
+        F.round(F.col("n_pos") / F.col("cnt"), 6).alias("pos_frac"),
+        F.round(gapn / (F.col("cnt") * _MICRO), 6).alias("gap"),
+        F.round(
+            F.col("_sq_all").cast("double")
+            / (F.col("_n_all").cast("double") * F.lit(1e12)),
+            6,
+        ).alias("brier"),
+        F.round(
+            F.col("_ece_num") / (F.col("_n_all") * _MICRO), 6
+        ).alias("ece"),
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    baseline,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group, n, n_base, ks) — the exact two-sample Kolmogorov-
+    Smirnov distance D = sup_v |F_g(v) - F_base(v)| of every group's
+    value distribution against one designated baseline group: the
+    distribution-shape drift monitor that PSI's fixed binning can't
+    see (drift_psi needs bins chosen up front; KS is binning-free and
+    sensitive anywhere on the CDF). Reject H0 at level alpha when
+    D > c(alpha) * sqrt((n + n_base) / (n * n_base)) — the critical-
+    value comparison is left to the caller.
+
+    Exactness: the inclusive CDF counts are exact BIGINTs from the
+    distinct-value histogram; each CDF value is ONE correctly-rounded
+    IEEE division of two exact BIGINTs, so both engines compute the
+    identical set of doubles, the identical |difference|s, the
+    identical max, and the identical round-6 — bit-stable without any
+    integer-product overflow concern.
+
+    NULL/NaN values and NULL groups fail LOUD (a silently-dropped
+    tail IS drift); a present-but-empty comparison set returns zero
+    rows; a MISSING baseline group fails loud in-plan (named guard).
+    The baseline group itself is excluded from the output (D = 0).
+
+    Scale shape: ONE map-side-combinable (group, value) histogram is
+    the only corpus-scale pass (checkpointed for its two consumers);
+    the baseline histogram is replicated per comparison group at
+    HISTOGRAM granularity (bounded by distinct values, never corpus
+    rows) via a tiny broadcast group list; prefixes run the
+    epoch_shuffle two-phase bucketed form (_hist_prefix) — never a
+    corpus-scale single-partition window.
+    """
+    gcol = F.col(group_col)
+    gv = (
+        F.when(
+            gcol.isNull(),
+            F.raise_error(
+                F.lit(f"ks_drift: NULL {group_col}")
+            ).cast("string"),
+        )
+        .otherwise(gcol.cast("string"))
+        .alias(group_col)
+    )
+    v0 = F.col(value_col).cast("double")
+    v = (
+        F.when(
+            v0.isNull() | F.isnan(v0),
+            F.raise_error(
+                F.lit(f"ks_drift: NULL or NaN {value_col}")
+            ).cast("double"),
+        )
+        .otherwise(v0)
+        .alias("_s")
+    )
+    # the ONLY corpus-scale pass; 2 consumers (baseline + others)
+    hist = (
+        df.select(gv, v)
+        .groupBy(group_col, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    base_lit = F.lit(str(baseline))
+    base = hist.filter(gcol == base_lit).select(
+        "_s", F.col("_c").alias("neg")
+    )
+    oth = hist.filter(gcol != base_lit).select(
+        group_col, "_s", F.col("_c").alias("pos")
+    )
+    grps = oth.select(group_col).distinct()
+    # baseline histogram x tiny group list: histogram-granularity
+    # replication, the broadcast side is the GROUP LIST (bounded)
+    rep = base.crossJoin(F.broadcast(grps)).select(
+        group_col, "_s", "neg"
+    )
+    merged = (
+        oth.join(rep, [group_col, "_s"], "full_outer")
+        .select(
+            group_col,
+            "_s",
+            F.coalesce(F.col("pos"), F.lit(0)).cast("long").alias("pos"),
+            F.coalesce(F.col("neg"), F.lit(0)).cast("long").alias("neg"),
+        )
+    )
+    # pre is consumed twice (totals + rows) -> checkpoint the bounded
+    # histogram-sized result; totals are tiny and broadcast back (the
+    # pr_curve pattern — never a per-group unbounded window)
+    pre = _hist_prefix(merged, [group_col], n_buckets).localCheckpoint(
+        eager=False
+    )
+    tot = pre.groupBy(group_col).agg(
+        F.sum("pos").cast("long").alias("_n"),
+        F.sum("neg").cast("long").alias("_nb"),
+    )
+    j = pre.join(F.broadcast(tot), group_col)
+    # inclusive CDF counts: exact BIGINTs; each CDF one IEEE division.
+    # try_divide: ANSI raises DIVIDE_BY_ZERO on ANY /0 (even doubles),
+    # which would preempt the NAMED missing-baseline guard below —
+    # try_divide yields NULL, max() skips it, the guard then raises.
+    # On a present baseline it is the identical correctly-rounded
+    # division, so cross-engine bit-parity is unchanged.
+    cg = (F.col("cpos") + F.col("pos")).cast("double")
+    cb = (F.col("cneg") + F.col("neg")).cast("double")
+    out = j.groupBy(group_col).agg(
+        F.max("_n").alias("n"),
+        F.max("_nb").alias("n_base"),
+        F.max(
+            F.abs(
+                F.try_divide(cg, F.col("_n").cast("double"))
+                - F.try_divide(cb, F.col("_nb").cast("double"))
+            )
+        ).alias("_d"),
+    )
+    return out.select(
+        group_col,
+        "n",
+        "n_base",
+        F.when(
+            F.col("n_base") == 0,
+            F.raise_error(
+                F.lit(
+                    f"ks_drift: baseline group {baseline!r} not found in"
+                    f" {group_col}"
+                )
+            ).cast("double"),
+        )
+        .otherwise(F.round(F.col("_d"), 6))
+        .alias("ks"),
     )
