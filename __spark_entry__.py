@@ -2660,8 +2660,43 @@ def q_staged_kmv_jaccard(spark, sf_dir):
     return kmv_jaccard(_kmv_words(spark, sf_dir), "w", "source", k=128)
 
 
+def q_staged_ranking(spark, sf_dir):
+    """Eval: exact graded ranking quality (NDCG@20 / MRR@20 / MAP@20)
+    of `value` as a relevance ranker per user cohort — does sorting a
+    cohort's events by value surface the purchases (rel 2) and clicks
+    (rel 1) first? The ranking tier of the eval family (auc grades the
+    score as a classifier; this grades the ordered LIST). Rank =
+    (value DESC, event_id ASC) — a unique sort key, so the ranking is
+    engine- and partitioning-independent; DCG discounts are exact
+    micro-unit literals computed ONCE driver-side (never log2 in SQL);
+    DCG/IDCG/AP numerators are exact BIGINTs with div == DuckDB // on
+    the non-negative operands. ONE hash exchange on the cohort key,
+    two in-partition sorts, one map-side-combinable groupBy, zero
+    Python (operators/evalmetrics.py ranking_report)."""
+    from audiopro_essentia_spark.operators.evalmetrics import ranking_report
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    d = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("cohort"),
+        F.col("value").alias("score"),
+        F.col("event_id").cast("long").alias("tie"),
+        F.when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("rel"),
+    )
+    return ranking_report(d, "score", "rel", "tie", ["cohort"], k=20)
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ranking_eval": q_staged_ranking,
         "pr_curve": q_staged_pr_curve,
         "calibration": q_staged_calibration,
         "ks_drift": q_staged_ks_drift,
@@ -2695,6 +2730,17 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "ranking_eval": DT.ranking_report_sql(
+            "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, "
+            "value AS s, CAST(event_id AS BIGINT) AS tie, "
+            "CAST(CASE event_type WHEN 'purchase' THEN 2 "
+            "WHEN 'click' THEN 1 ELSE 0 END AS BIGINT) AS rel "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL AND user_id IS NOT NULL "
+            "AND event_id IS NOT NULL",
+            ("cohort",),
+            k=20,
+        ),
         "pr_curve": DT.pr_curve_sql(
             "SELECT value AS score, "
             "CAST(event_type = 'purchase' AS BIGINT) AS label "

@@ -2624,6 +2624,66 @@ FROM cum {'JOIN tot USING (' + g + ')' if group_cols else 'CROSS JOIN tot'}
 """
 
 
+def ranking_report_sql(
+    source: str,
+    query_cols: tuple[str, ...] = (),
+    k: int = 10,
+) -> str:
+    """Twin of evalmetrics.ranking_report: identical rank derivation
+    (row_number by s DESC, tie ASC — `source` must provide a unique
+    sort key, validated Spark-side), the SAME driver-side micro-unit
+    discount literals (ndcg_weights — never log2 in SQL), exact BIGINT
+    DCG/IDCG/AP numerators with `//` == div on the non-negative
+    operands, and the same guarded final divisions + round-6. `source`
+    must yield (query..., s DOUBLE, tie, rel BIGINT in [0,30]) already
+    validated the way the Spark entry validates."""
+    from .operators.evalmetrics import ndcg_weights
+
+    kk = int(k)
+    wlit = "[" + ",".join(str(w) for w in ndcg_weights(kk)) + "]"
+    g = ", ".join(query_cols)
+    gpfx = f"{g}, " if query_cols else ""
+    part = f"PARTITION BY {g} " if query_cols else ""
+    grp = f"GROUP BY {g}" if query_cols else ""
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+ranked AS MATERIALIZED (
+  SELECT {gpfx}rel,
+         (CAST(1 AS BIGINT) << CAST(rel AS INTEGER)) - 1 AS gn,
+         row_number() OVER ({part}ORDER BY s DESC, tie) AS i,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+              OVER ({part}ORDER BY s DESC, tie ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS hits,
+         row_number() OVER ({part}ORDER BY rel DESC, tie) AS j
+  FROM base),
+agg AS (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         CAST(sum(CASE WHEN i <= {kk}
+                       THEN gn * list_extract(CAST({wlit} AS BIGINT[]),
+                                              CAST(i AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS dcg,
+         CAST(sum(CASE WHEN j <= {kk}
+                       THEN gn * list_extract(CAST({wlit} AS BIGINT[]),
+                                              CAST(j AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS idcg,
+         min(CASE WHEN i <= {kk} AND rel > 0 THEN i END) AS fr,
+         CAST(sum(CASE WHEN i <= {kk} AND rel > 0
+                       THEN (hits * 1000000) // i ELSE 0 END)
+              AS BIGINT) AS apn
+  FROM ranked {grp})
+SELECT {gpfx}n_items, n_rel,
+       CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) END AS ndcg,
+       coalesce(round(CAST(1.0 AS DOUBLE) / fr, 6),
+                CAST(0.0 AS DOUBLE)) AS mrr,
+       CASE WHEN n_rel > 0
+            THEN round((apn // least(n_rel, {kk})) / 1e6, 6)
+       END AS ap
+FROM agg
+WHERE n_items > 0
+"""
+
+
 def unimax_allocation_sql(
     budget_tokens: int,
     max_epochs: int = 1,

@@ -36,6 +36,8 @@ quality (aggregates.py trim stats); these grade the GRADERS.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -387,6 +389,175 @@ def calibration_report(
         F.round(
             F.col("_ece_num") / (F.col("_n_all") * _MICRO), 6
         ).alias("ece"),
+    )
+
+
+MAX_REL = 30  # gain = 2^rel - 1: k * (2^30) * 1e6 < 2^63 stays exact
+
+
+def ndcg_weights(k: int) -> list[int]:
+    """Micro-unit DCG position discounts w_i = round(1e6 / log2(i+1))
+    for i = 1..k, computed ONCE driver-side and embedded as literals in
+    BOTH engines (the twiddle/mel-literal rule: never call a
+    transcendental in SQL — log2 is not guaranteed identical across
+    engines, a shared literal is). Shared with duck_twins."""
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ranking_report(
+    df: DataFrame,
+    order_col: str = "score",
+    rel_col: str = "rel",
+    tie_col: str = "tie",
+    query_cols: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """(query..., n_items, n_rel, ndcg, mrr, ap) — exact graded
+    retrieval-quality metrics at cutoff k per query: the ranking tier
+    of the eval family (auc grades a score as a classifier; this
+    grades a RANKED LIST against graded relevance — the measurement
+    behind every bm25 / ANN / RRF quality claim).
+
+      rank i   = row_number by (order DESC, tie ASC) within the query
+                 — tie_col must make the sort key unique (an ambiguous
+                 ranking is engine/partitioning-dependent, so
+                 duplicate (order, tie) pairs fail LOUD)
+      gain     = 2^rel - 1  (rel an integer grade in [0, 30])
+      DCG@k    = sum_{i<=k} gain_i * w_i   [w_i = round(1e6/log2(i+1)),
+                 driver-side literals — exact BIGINT micro-units]
+      nDCG     = DCG / IDCG (IDCG over the rel-DESC ideal order; equal
+                 grades are interchangeable so ties cost nothing);
+                 NULL when the query has no relevant item
+      MRR@k    = 1 / (first rank <= k with rel > 0), 0.0 if none —
+                 one IEEE division of two small exact ints
+      AP@k     = (sum_{i<=k, rel_i>0} (1e6 * hits_i) div i)
+                   div least(n_rel, k)   [exact truncated micro-units,
+                 div == DuckDB // on non-negative operands];
+                 NULL when the query has no relevant item
+
+    NULL/NaN order values and NULL / negative / > 30 relevance grades
+    fail LOUD with the offending value (a silently-dropped candidate
+    shifts every downstream rank).
+
+    Scale shape: ranking-eval input is per-query bounded by
+    construction (candidate lists come from top-k retrieval), so the
+    per-query windows are embarrassingly parallel — ONE hash exchange
+    on the query key, two Sorts (ranked + ideal orders; row_number,
+    running hits and the dup guard share one window spec), then one
+    map-side-combinable groupBy. Zero Python, zero corpus-scale
+    single-partition windows, no joins."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = list(query_cols or [])
+    r0 = F.col(rel_col).cast("long")
+    rel = (
+        F.when(
+            r0.isNull() | (r0 < 0) | (r0 > MAX_REL),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ranking_report: NULL/negative/>{MAX_REL}"
+                        f" {rel_col}="
+                    ),
+                    F.coalesce(F.col(rel_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(r0)
+        .alias("_r")
+    )
+    s0 = F.col(order_col).cast("double")
+    s = (
+        F.when(
+            s0.isNull() | F.isnan(s0),
+            F.raise_error(
+                F.lit(f"ranking_report: NULL or NaN {order_col}")
+            ).cast("double"),
+        )
+        .otherwise(s0)
+        .alias("_s")
+    )
+    b = df.select(*g, s, F.col(tie_col).alias("_t"), rel)
+    w_rank = Window.partitionBy(*g).orderBy(
+        F.col("_s").desc(), F.col("_t").asc()
+    )
+    w_ideal = Window.partitionBy(*g).orderBy(
+        F.col("_r").desc(), F.col("_t").asc()
+    )
+    hit = (F.col("_r") > 0).cast("long")
+    dup = (F.lag("_s").over(w_rank) == F.col("_s")) & (
+        F.lag("_t").over(w_rank).eqNullSafe(F.col("_t"))
+    )
+    gain = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_r AS INT))") - 1
+    wts = F.array(*[F.lit(w).cast("long") for w in ndcg_weights(k)])
+    ranked = b.select(
+        *g,
+        "_r",
+        F.when(
+            F.coalesce(dup, F.lit(False)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ranking_report: duplicate ({order_col},"
+                        f" {tie_col}) sort key "
+                    ),
+                    F.col("_s").cast("string"),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.row_number().over(w_rank))
+        .alias("_i"),
+        F.sum(hit).over(w_rank).cast("long").alias("_hits"),
+        F.row_number().over(w_ideal).alias("_j"),
+        gain.alias("_g"),
+    )
+    in_k = F.col("_i") <= k
+    out = ranked.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum((F.col("_r") > 0).cast("long")).cast("long").alias("n_rel"),
+        F.sum(
+            F.when(in_k, F.col("_g") * F.element_at(wts, F.col("_i")))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("_dcg"),
+        F.sum(
+            F.when(
+                F.col("_j") <= k,
+                F.col("_g") * F.element_at(wts, F.col("_j")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_idcg"),
+        F.min(F.when(in_k & (F.col("_r") > 0), F.col("_i"))).alias("_fr"),
+        F.sum(
+            F.when(
+                in_k & (F.col("_r") > 0),
+                F.expr("(_hits * 1000000) div _i"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_apn"),
+    )
+    # a global aggregate over an empty frame yields one all-zero row in
+    # both engines — an eval "report" for zero candidates is noise, not
+    # a result (the funnel_counts empty-frame rule)
+    return out.where(F.col("n_items") > 0).select(
+        *g,
+        "n_items",
+        "n_rel",
+        F.when(
+            F.col("_idcg") > 0, F.round(F.col("_dcg") / F.col("_idcg"), 6)
+        ).alias("ndcg"),
+        F.when(F.col("_fr").isNotNull(), F.round(F.lit(1.0) / F.col("_fr"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+        F.when(
+            F.col("n_rel") > 0,
+            F.round(
+                F.expr(f"_apn div least(n_rel, {int(k)})") / F.lit(1e6), 6
+            ),
+        ).alias("ap"),
     )
 
 
