@@ -2660,6 +2660,35 @@ def q_staged_kmv_jaccard(spark, sf_dir):
     return kmv_jaccard(_kmv_words(spark, sf_dir), "w", "source", k=128)
 
 
+def q_staged_spearman(spark, sf_dir):
+    """Eval: exact tie-averaged Spearman rank correlation per source
+    between each document's token count and its DISTINCT-token count —
+    do length and lexical variety order the corpus the same way, and
+    does that monotone agreement drift by source? Rank-only, so any
+    monotone recalibration of either signal leaves it unchanged
+    (Pearson on raw values would not be). Doubled integer average
+    ranks come straight off the distinct-value histogram prefix
+    (exact BIGINTs), products carried exactly (DECIMAL / HUGEINT), one
+    double conversion + two IEEE sqrt + one divide + round-6. Two
+    map-side-combinable histograms + two-phase bucketed prefixes +
+    two hash join-backs + one final aggregate; zero Python
+    (operators/evalmetrics.py spearman_rho)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.evalmetrics import spearman_rho
+
+    w = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(w).cast("double").alias("x"),
+            F.size(F.array_distinct(w)).cast("double").alias("y"),
+        )
+    )
+    return spearman_rho(d, "x", "y", ["src"])
+
+
 def q_staged_ranking(spark, sf_dir):
     """Eval: exact graded ranking quality (NDCG@20 / MRR@20 / MAP@20)
     of `value` as a relevance ranker per user cohort — does sorting a
@@ -2696,6 +2725,7 @@ def q_staged_ranking(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "spearman": q_staged_spearman,
         "ranking_eval": q_staged_ranking,
         "pr_curve": q_staged_pr_curve,
         "calibration": q_staged_calibration,
@@ -2730,6 +2760,15 @@ def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
     return {
+        "spearman": DT.spearman_rho_sql(
+            "SELECT source AS src, "
+            "CAST(len(list_filter(string_split(coalesce(text, ''), ' '), "
+            "x -> x <> '')) AS DOUBLE) AS x, "
+            "CAST(len(list_distinct(list_filter(string_split("
+            "coalesce(text, ''), ' '), x -> x <> ''))) AS DOUBLE) AS y "
+            "FROM documents WHERE source IS NOT NULL",
+            ("src",),
+        ),
         "ranking_eval": DT.ranking_report_sql(
             "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, "
             "value AS s, CAST(event_id AS BIGINT) AS tie, "

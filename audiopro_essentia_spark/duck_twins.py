@@ -2624,6 +2624,58 @@ FROM cum {'JOIN tot USING (' + g + ')' if group_cols else 'CROSS JOIN tot'}
 """
 
 
+def spearman_rho_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.spearman_rho: identical doubled-integer
+    average ranks off the distinct-value histogram (plain one-window
+    inclusive prefix — the Spark side's bucketed two-phase prefix is
+    order-preserving), BIGINT products summed into HUGEINT (exact like
+    Spark's DECIMAL carry), the same single correctly-rounded double
+    conversion + two IEEE sqrt + one multiply + one divide + round-6.
+    `source` must yield (group..., x DOUBLE, y DOUBLE) already
+    validated the way the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    ug = f"({gpfx}" if group_cols else "("
+
+    def ranks(col: str, alias: str) -> str:
+        return f"""h{alias} AS MATERIALIZED (
+  SELECT {gpfx}{col}, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY {gpfx}{col}),
+r{alias} AS MATERIALIZED (
+  SELECT {gpfx}{col},
+         2 * (CAST(sum(c) OVER ({part}ORDER BY {col}) AS BIGINT) - c)
+           + c + 1 AS {alias}
+  FROM h{alias})"""
+
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+{ranks('x', 'dx')},
+{ranks('y', 'dy')},
+j AS MATERIALIZED (
+  SELECT {gpfx}dx, dy
+  FROM base JOIN rdx USING {ug}x) JOIN rdy USING {ug}y)),
+agg AS (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n,
+         sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+         sum(dx * dy) AS sxy
+  FROM j {grp})
+SELECT {gpfx}n,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       END AS rho
+FROM agg
+WHERE n > 0
+"""
+
+
 def ranking_report_sql(
     source: str,
     query_cols: tuple[str, ...] = (),

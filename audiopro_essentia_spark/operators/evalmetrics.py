@@ -392,6 +392,120 @@ def calibration_report(
     )
 
 
+def spearman_rho(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    group_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., n, rho) — exact Spearman rank correlation between
+    two value columns per group, with the standard average-rank tie
+    handling: the monotone-agreement monitor of the eval family (do
+    two quality signals ORDER the corpus the same way? — ks_drift
+    compares a signal across groups; this compares two signals on the
+    same rows, robust to any monotone recalibration that would fool
+    Pearson on raw values).
+
+    Exactness: average ranks are carried as DOUBLED integer ranks
+    d = 2*below + cnt + 1 (an exact BIGINT straight off the
+    distinct-value histogram prefix — below counts strictly-smaller
+    rows, cnt the tie class), so Pearson-on-ranks runs on exact
+    integers: per-row products are cast to DECIMAL at the sum
+    (Spark DECIMAL carry / DuckDB HUGEINT — the calibration recipe),
+    and
+
+        rho = (n*Sxy - Sx*Sy)
+              / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    is evaluated as exact integer numerator/denominators correctly
+    rounded ONCE to double, two IEEE sqrt (correctly rounded by the
+    standard in both engines), one multiply, one divide, round-6 —
+    bit-stable cross-engine and partitioning-free. Exact while
+    4n^4 < 1.7e38, i.e. up to ~1e9 rows per group (the AUC-style
+    documented bound). Constant columns (zero rank variance) give
+    NULL rho with n visible; groups need no minimum size.
+
+    NULL/NaN values fail LOUD (a silently-dropped row shifts every
+    rank below it — pre-filter explicitly if exclusion is intended).
+
+    Scale shape: two map-side-combinable (group, value) histograms
+    (bounded by distinct values), each prefixed with the epoch_shuffle
+    two-phase bucketed engine (_hist_prefix — never a corpus-scale
+    single-partition window); doubled ranks join back to rows via two
+    hash equi-joins on (group, value); ONE final map-side-combinable
+    aggregate. Three corpus-scale passes total, zero Python, zero
+    corpus-scale sorts."""
+    g = list(group_cols or [])
+
+    def _val(col: str, alias: str):
+        v0 = F.col(col).cast("double")
+        return (
+            F.when(
+                v0.isNull() | F.isnan(v0),
+                F.raise_error(
+                    F.lit(f"spearman_rho: NULL or NaN {col}")
+                ).cast("double"),
+            )
+            .otherwise(v0)
+            .alias(alias)
+        )
+
+    b = df.select(*g, _val(x_col, "_x"), _val(y_col, "_y"))
+
+    def _dranks(col: str, alias: str) -> DataFrame:
+        per = (
+            b.groupBy(*g, F.col(col).alias("_s"))
+            .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+            .withColumn("neg", F.lit(0).cast("long"))
+        )
+        pre = _hist_prefix(per, g, n_buckets)
+        return pre.select(
+            *g,
+            F.col("_s").alias(col),
+            (2 * F.col("cpos") + F.col("pos") + 1).alias(alias),
+        )
+
+    j = b.join(_dranks("_x", "_dx"), [*g, "_x"]).join(
+        _dranks("_y", "_dy"), [*g, "_y"]
+    )
+    dx, dy = F.col("_dx"), F.col("_dy")
+    agg = j.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx.cast("decimal(20,0)")).alias("_sx"),
+        F.sum(dy.cast("decimal(20,0)")).alias("_sy"),
+        F.sum((dx * dx).cast("decimal(20,0)")).alias("_sxx"),
+        F.sum((dy * dy).cast("decimal(20,0)")).alias("_syy"),
+        F.sum((dx * dy).cast("decimal(20,0)")).alias("_sxy"),
+    )
+    d38 = "decimal(38,0)"
+    nn = F.col("n").cast(d38)
+    num = nn * F.col("_sxy").cast(d38) - F.col("_sx").cast(d38) * F.col(
+        "_sy"
+    ).cast(d38)
+    den1 = nn * F.col("_sxx").cast(d38) - F.col("_sx").cast(d38) * F.col(
+        "_sx"
+    ).cast(d38)
+    den2 = nn * F.col("_syy").cast(d38) - F.col("_sy").cast(d38) * F.col(
+        "_sy"
+    ).cast(d38)
+    return agg.where(F.col("n") > 0).select(
+        *g,
+        "n",
+        F.when(
+            (den1 > 0) & (den2 > 0),
+            F.round(
+                num.cast("double")
+                / (
+                    F.sqrt(den1.cast("double"))
+                    * F.sqrt(den2.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("rho"),
+    )
+
+
 MAX_REL = 30  # gain = 2^rel - 1: k * (2^30) * 1e6 < 2^63 stays exact
 
 
