@@ -2660,6 +2660,37 @@ def q_staged_kmv_jaccard(spark, sf_dir):
     return kmv_jaccard(_kmv_words(spark, sf_dir), "w", "source", k=128)
 
 
+def q_staged_lang_kappa(spark, sf_dir):
+    """Eval: exact Cohen's kappa per source between the lang_id
+    heuristic's prediction and the fixture's ground-truth lang column
+    — chance-corrected agreement, the honest version of 'accuracy'
+    when the label distribution is skewed (a majority-class guesser
+    scores high po; kappa discounts exactly that). Multi-class
+    confusion (en/de/fr/und predictions vs en/de/fr/es/zh truth) via
+    ONE map-side-combinable groupBy(src, a, b) corpus pass; marginal
+    chance products exact HUGEINT/DECIMAL; one correctly-rounded
+    division + round-6 per output column. NULL text/lang/source
+    pre-filtered EXPLICITLY (unfiltered NULL labels fail loud inside
+    the operator) (operators/evalmetrics.py cohen_kappa;
+    functions/text.py lang_id)."""
+    from audiopro_essentia_spark.operators.evalmetrics import cohen_kappa
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("text").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            F.col("source").alias("src"),
+            T.lang_id(F.col("text")).alias("a"),
+            F.col("lang").alias("b"),
+        )
+    )
+    return cohen_kappa(d, "a", "b", ["src"])
+
+
 def q_staged_spearman(spark, sf_dir):
     """Eval: exact tie-averaged Spearman rank correlation per source
     between each document's token count and its DISTINCT-token count —
@@ -2725,6 +2756,7 @@ def q_staged_ranking(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "lang_kappa": q_staged_lang_kappa,
         "spearman": q_staged_spearman,
         "ranking_eval": q_staged_ranking,
         "pr_curve": q_staged_pr_curve,
@@ -2759,7 +2791,19 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _staged_oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import lq_quantiles_sql
 
+    lp = DT.lang_pred_sql(
+        cols="src, b",
+        table=(
+            "(SELECT source AS src, lang AS b, text FROM documents "
+            "WHERE text IS NOT NULL AND lang IS NOT NULL "
+            "AND source IS NOT NULL) AS dd"
+        ),
+    )
     return {
+        "lang_kappa": DT.cohen_kappa_sql(
+            f"SELECT src, lang_pred AS a, b FROM ({lp})",
+            ("src",),
+        ),
         "spearman": DT.spearman_rho_sql(
             "SELECT source AS src, "
             "CAST(len(list_filter(string_split(coalesce(text, ''), ' '), "
@@ -3047,8 +3091,6 @@ def oracle_sql() -> dict[str, str]:
     from audiopro_essentia_spark.duck_twins import stopword_sql_list
 
     sw_en = stopword_sql_list("en")
-    sw_de = stopword_sql_list("de")
-    sw_fr = stopword_sql_list("fr")
     # the ONE shingle-projection owner (duck_twins._shingle_select_sql,
     # twin of word_ngrams) — textual copies of the convention drift
     shingle_cte = "sh AS (" + DT._shingle_select_sql(3, "documents") + ")"
@@ -3623,22 +3665,8 @@ ranked AS (
 SELECT doc_id, term, CAST(rank AS INT) AS rank, score FROM ranked WHERE rank <= 5
 """,
         "lang_id": f"""
-WITH s AS (
-  SELECT doc_id,
-    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_en}, w))) AS DOUBLE)
-      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_en,
-    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_de}, w))) AS DOUBLE)
-      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_de,
-    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_fr}, w))) AS DOUBLE)
-      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_fr
-  FROM documents
-)
-SELECT CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
-            WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-            WHEN s_en >= s_de THEN 'en'
-            ELSE 'de' END AS lang_pred,
-  CAST(count(*) AS BIGINT) AS n_docs
-FROM s GROUP BY 1
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({DT.lang_pred_sql()}) GROUP BY 1
 """,
         "token_count": """
 SELECT doc_id,

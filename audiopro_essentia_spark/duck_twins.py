@@ -2624,6 +2624,77 @@ FROM cum {'JOIN tot USING (' + g + ')' if group_cols else 'CROSS JOIN tot'}
 """
 
 
+def cohen_kappa_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.cohen_kappa: identical exact-integer
+    confusion matrix / marginals / chance products (HUGEINT — exact
+    like Spark's DECIMAL(38,0) carry), the same correctly-rounded
+    double conversions + ONE division + round-6 per output column.
+    `source` must yield (group..., a VARCHAR, b VARCHAR) already
+    validated the way the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    joink = (
+        f"LEFT JOIN pe USING ({g})" if group_cols else "LEFT JOIN pe ON TRUE"
+    )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+conf AS MATERIALIZED (
+  SELECT {gpfx}a, b, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY {gpfx}a, b),
+tot AS (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM conf {grp}),
+ra AS (SELECT {gpfx}a AS cat, CAST(sum(c) AS BIGINT) AS ma
+       FROM conf GROUP BY {gpfx}a),
+cb AS (SELECT {gpfx}b AS cat, CAST(sum(c) AS BIGINT) AS mb
+       FROM conf GROUP BY {gpfx}b),
+pe AS (
+  SELECT {gpfx}sum(CAST(ma AS HUGEINT) * mb) AS pen
+  FROM ra JOIN cb USING ({gpfx}cat) {grp})
+SELECT {gpfx}n,
+       round(diag / n, 6) AS po,
+       round(CAST(coalesce(pen, 0) AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS pe,
+       CASE WHEN CAST(n AS HUGEINT) * n - coalesce(pen, 0) > 0 THEN
+         round(CAST(CAST(n AS HUGEINT) * diag - coalesce(pen, 0) AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * n - coalesce(pen, 0) AS DOUBLE),
+               6)
+       END AS kappa
+FROM tot {joink}
+"""
+
+
+def lang_pred_sql(cols: str = "doc_id", table: str = "documents") -> str:
+    """Per-document lang_id twin as a reusable subquery yielding
+    ({cols}, lang_pred) — the SAME stopword-score + deterministic-
+    tie-break CASE the lang_id oracle aggregates (rendered from ONE
+    source so consumers can't desync; functions/text.lang_id)."""
+    sw_en = stopword_sql_list("en")
+    sw_de = stopword_sql_list("de")
+    sw_fr = stopword_sql_list("fr")
+    return f"""
+WITH s AS (
+  SELECT {cols},
+    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_en}, w))) AS DOUBLE)
+      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_en,
+    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_de}, w))) AS DOUBLE)
+      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_de,
+    round(CAST(len(list_filter(string_split(text,' '), w -> list_contains({sw_fr}, w))) AS DOUBLE)
+      / CAST(len(string_split(text,' ')) AS DOUBLE), 9) AS s_fr
+  FROM {table}
+)
+SELECT {cols}, CASE WHEN greatest(s_en, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM s"""
+
+
 def spearman_rho_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -506,6 +506,109 @@ def spearman_rho(
     )
 
 
+def cohen_kappa(
+    df: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n, po, pe, kappa) — exact chance-corrected
+    inter-rater agreement (Cohen 1960) between two categorical label
+    columns per group: the agreement tier of the eval family (auc
+    grades one scorer against truth; this grades two LABELERS against
+    each other — heuristic gate vs classifier, classifier vs ground
+    truth — discounting the agreement two biased raters get for free).
+
+        po    = diag / n                 (observed agreement)
+        pe    = sum_cat row_a * col_b / n^2   (chance agreement)
+        kappa = (po - pe) / (1 - pe)
+              = (n*diag - sum_cat ra*cb) / (n^2 - sum_cat ra*cb)
+
+    Exactness: the confusion matrix, marginals and every product are
+    exact integers (Spark DECIMAL(38,0) carry / DuckDB HUGEINT — the
+    calibration recipe), so both engines correctly-round the same
+    exact integers to double before ONE division + round-6 per output
+    column — bit-stable to ~1e12 rows per group (n^2 < 1e38/#cats).
+    Both-raters-constant-and-equal groups (pe = 1) give NULL kappa
+    with n/po/pe visible. Labels compare as STRINGS — pass string or
+    integer categories, never raw doubles (cross-engine float
+    rendering is NOT portable: the sample-key E-notation hazard).
+    NULL labels fail LOUD (a silently-dropped row biases agreement —
+    pre-filter explicitly if exclusion is intended).
+
+    Scale shape: ONE map-side-combinable groupBy(group, a, b) corpus
+    pass builds the confusion matrix (bounded by groups x |A| x |B|,
+    checkpointed for its three consumers); totals, marginals and the
+    category-granularity marginal join all run on that bounded table.
+    Zero windows, zero Python."""
+    g = list(group_cols or [])
+
+    def _lab(col: str, alias: str):
+        c = F.col(col)
+        return (
+            F.when(
+                c.isNull(),
+                F.raise_error(
+                    F.lit(f"cohen_kappa: NULL {col}")
+                ).cast("string"),
+            )
+            .otherwise(c.cast("string"))
+            .alias(alias)
+        )
+
+    b = df.select(*g, _lab(a_col, "_a"), _lab(b_col, "_b"))
+    # internal constant key so the global mode reuses the grouped
+    # join plumbing (an empty marginal-intersection would otherwise
+    # turn a crossJoin into a dropped result row)
+    gg = g
+    if not g:
+        b = b.withColumn("_g0", F.lit(0))
+        gg = ["_g0"]
+    conf = (
+        b.groupBy(*gg, "_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = conf.groupBy(*gg).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_diag"),
+    )
+    ra = conf.groupBy(*gg, F.col("_a").alias("_cat")).agg(
+        F.sum("_c").cast("long").alias("_ra")
+    )
+    cb = conf.groupBy(*gg, F.col("_b").alias("_cat")).agg(
+        F.sum("_c").cast("long").alias("_cb")
+    )
+    d38 = "decimal(38,0)"
+    pe = (
+        ra.join(cb, [*gg, "_cat"])
+        .groupBy(*gg)
+        .agg(
+            F.sum(F.col("_ra").cast(d38) * F.col("_cb").cast(d38)).alias(
+                "_pen"
+            )
+        )
+    )
+    j = tot.join(pe, gg, "left").withColumn(
+        "_pen", F.coalesce(F.col("_pen").cast(d38), F.lit(0).cast(d38))
+    )
+    nn = F.col("n").cast(d38)
+    num = nn * F.col("_diag").cast(d38) - F.col("_pen")
+    den = nn * nn - F.col("_pen")
+    return j.select(
+        *g,
+        "n",
+        F.round(F.col("_diag") / F.col("n"), 6).alias("po"),
+        F.round(F.col("_pen").cast("double") / (nn * nn).cast("double"), 6)
+        .alias("pe"),
+        F.when(
+            den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+        ).alias("kappa"),
+    )
+
+
 MAX_REL = 30  # gain = 2^rel - 1: k * (2^30) * 1e6 < 2^63 stays exact
 
 
