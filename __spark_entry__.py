@@ -2660,6 +2660,31 @@ def q_staged_kmv_jaccard(spark, sf_dir):
     return kmv_jaccard(_kmv_words(spark, sf_dir), "w", "source", k=128)
 
 
+def q_staged_transitions(spark, sf_dir):
+    """Event analytics: the first-order Markov transition matrix of
+    per-user event-type journeys — exact counts + row-normalized
+    P(curr | prev), with each user's first event transitioning from
+    the reserved __START__ state (so the matrix carries P(first event)
+    too). The whole-journey companion of sessionize/funnel: funnel
+    checks ONE prescribed path, this measures EVERY observed step.
+    Events order by (epoch-micros, type) — a total order on values, so
+    the chain is engine- and partitioning-independent. ONE user-key
+    exchange + in-partition sort, one map-side-combinable groupBy onto
+    the bounded |types|^2 pair table, broadcast row totals, zero
+    Python. NULL user/ts/type pre-filtered EXPLICITLY (unfiltered
+    NULLs fail loud inside the operator — a dropped event would splice
+    its neighbours into a transition that never happened)
+    (operators/temporal.py transition_matrix)."""
+    from audiopro_essentia_spark.operators.temporal import transition_matrix
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return transition_matrix(ev, "user_id", "ts", "event_type")
+
+
 def q_staged_lang_kappa(spark, sf_dir):
     """Eval: exact Cohen's kappa per source between the lang_id
     heuristic's prediction and the fixture's ground-truth lang column
@@ -2756,6 +2781,7 @@ def q_staged_ranking(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "transitions": q_staged_transitions,
         "lang_kappa": q_staged_lang_kappa,
         "spearman": q_staged_spearman,
         "ranking_eval": q_staged_ranking,
@@ -2800,6 +2826,13 @@ def _staged_oracle_sql() -> dict[str, str]:
         ),
     )
     return {
+        "transitions": DT.transition_matrix_sql(
+            "SELECT CAST(user_id AS VARCHAR) AS k, "
+            "epoch_us(CAST(ts AS TIMESTAMP)) AS tm, "
+            "event_type AS t FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_type IS NOT NULL"
+        ),
         "lang_kappa": DT.cohen_kappa_sql(
             f"SELECT src, lang_pred AS a, b FROM ({lp})",
             ("src",),

@@ -2624,6 +2624,33 @@ FROM cum {'JOIN tot USING (' + g + ')' if group_cols else 'CROSS JOIN tot'}
 """
 
 
+def transition_matrix_sql(
+    source: str,
+    start_state: str = "__START__",
+) -> str:
+    """Twin of temporal.transition_matrix: identical (micros, type)
+    total order, the same lag/coalesce start-state splice, exact
+    BIGINT counts, one correctly-rounded division + round-6. `source`
+    must yield (k, tm BIGINT epoch-micros, t VARCHAR) already
+    validated the way the Spark entry validates."""
+    st = str(start_state).replace("'", "''")
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+seq AS MATERIALIZED (
+  SELECT coalesce(lag(t) OVER (PARTITION BY k ORDER BY tm, t), '{st}')
+           AS prev,
+         t AS curr
+  FROM base),
+pairs AS MATERIALIZED (
+  SELECT prev, curr, CAST(count(*) AS BIGINT) AS cnt
+  FROM seq GROUP BY prev, curr),
+tot AS (SELECT prev, CAST(sum(cnt) AS BIGINT) AS tt
+        FROM pairs GROUP BY prev)
+SELECT prev, curr, cnt, round(cnt / tt, 6) AS prob
+FROM pairs JOIN tot USING (prev)
+"""
+
+
 def cohen_kappa_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

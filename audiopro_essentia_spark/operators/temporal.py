@@ -602,3 +602,96 @@ def cohort_retention(
             "retention"
         ),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_state: str = "__START__",
+) -> DataFrame:
+    """(prev, curr, cnt, prob) — the first-order Markov transition
+    matrix of per-key event-type sequences: exact transition counts
+    plus the row-normalized probability P(curr | prev). The
+    whole-journey companion of the event-sequence family (sessionize
+    bounds journeys, funnel_steps checks ONE prescribed path; this
+    measures EVERY observed step). Each key's first event transitions
+    from the reserved `start_state` row, so P(first event) is part of
+    the same matrix.
+
+    Determinism: events order by (epoch-micros, type) within a key — a
+    total order on VALUES, so equal (ts, type) duplicates are
+    interchangeable and the type-sequence (hence every count) is
+    engine- and partitioning-independent. prob is ONE correctly-
+    rounded IEEE division of two exact BIGINTs + round-6 — bit-stable
+    cross-engine (the DSIR/BM25 integer-unit discipline).
+
+    NULL key / ts / type fail LOUD: a silently-dropped event would
+    splice its neighbours into a transition that never happened
+    (pre-filter explicitly if exclusion is intended). `start_state`
+    must not collide with a real event type (guarded in-plan).
+
+    Scale shape: ONE hash exchange on the key + in-partition sort
+    feeds the lag window (the sessionize shape — per-key residency is
+    one user's events); then ONE map-side-combinable groupBy(prev,
+    curr) onto the bounded |types|^2 pair table; row totals aggregate
+    that table and broadcast back. Zero Python, no corpus-scale
+    joins."""
+    k0 = F.col(key_col)
+    k = (
+        F.when(
+            k0.isNull(),
+            F.raise_error(
+                F.lit(f"transition_matrix: NULL {key_col}")
+            ).cast("string"),
+        )
+        .otherwise(k0.cast("string"))
+        .alias("_k")
+    )
+    us0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = (
+        F.when(
+            us0.isNull(),
+            F.raise_error(
+                F.lit(f"transition_matrix: NULL {ts_col}")
+            ).cast("long"),
+        )
+        .otherwise(us0)
+        .alias("_tm")
+    )
+    t0 = F.col(type_col).cast("string")
+    t = (
+        F.when(
+            t0.isNull() | (t0 == F.lit(start_state)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"transition_matrix: NULL or reserved {type_col}="
+                    ),
+                    F.coalesce(t0, F.lit("NULL")),
+                )
+            ).cast("string"),
+        )
+        .otherwise(t0)
+        .alias("_t")
+    )
+    b = df.select(k, us, t)
+    w = Window.partitionBy("_k").orderBy("_tm", "_t")
+    seq = b.select(
+        F.coalesce(F.lag("_t").over(w), F.lit(start_state)).alias("prev"),
+        F.col("_t").alias("curr"),
+    )
+    # bounded |types|^2 table, two consumers (rows + totals)
+    pairs = (
+        seq.groupBy("prev", "curr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tot = pairs.groupBy("prev").agg(F.sum("cnt").cast("long").alias("_tt"))
+    return pairs.join(F.broadcast(tot), "prev").select(
+        "prev",
+        "curr",
+        "cnt",
+        F.round(F.col("cnt") / F.col("_tt"), 6).alias("prob"),
+    )
