@@ -2660,6 +2660,82 @@ def q_staged_kmv_jaccard(spark, sf_dir):
     return kmv_jaccard(_kmv_words(spark, sf_dir), "w", "source", k=128)
 
 
+def q_staged_gini(spark, sf_dir):
+    """Corpus stats: exact Gini coefficient of per-document token
+    counts per source — the one-number concentration monitor (is a
+    source's token mass spread across its documents or piled on a few
+    boilerplate giants?), the whole-distribution companion of
+    zipf_slope's head fit. Micro-unit quantization, the pairwise
+    |diff| identity folded over the distinct-value histogram with
+    exact DECIMAL/HUGEINT products, below-prefix via the shared
+    two-phase bucketed engine, ONE correctly-rounded division +
+    round-6. ONE corpus-scale histogram pass, zero Python
+    (operators/aggregates.py gini_concentration)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import (
+        gini_concentration,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(nonempty_words(F.col("text"), null_as_empty=True))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return gini_concentration(d, "v", ["src"])
+
+
+def q_staged_weight_ess(spark, sf_dir):
+    """Corpus stats: exact Kish effective-sample-size diagnostics of
+    `value` as an importance weight per event type — ess_frac near 1
+    means the weights are benign, near 1/n means one row dominates
+    (the variance health check for every weighted stage: DSIR,
+    temperature/unimax shares, priority sampling). Micro-unit
+    quantization, HUGEINT/DECIMAL square carry, one correctly-rounded
+    division + round-6 per output. ONE map-side-combinable aggregate,
+    zero windows, zero Python (operators/aggregates.py
+    weight_diagnostics). NULLs pre-filtered EXPLICITLY."""
+    from audiopro_essentia_spark.operators.aggregates import (
+        weight_diagnostics,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return weight_diagnostics(ev, "value", ["event_type"])
+
+
+def q_staged_chao1(spark, sf_dir):
+    """Corpus stats: Chao1 species-richness estimate of each source's
+    word vocabulary — how many distinct words the source's TRUE
+    vocabulary has, including unseen ones (does doubling the crawl buy
+    new words?). The statistical companion of the sketch tier:
+    hll/kmv estimate the SEEN distinct count cheaply, Chao1 estimates
+    the UNSEEN tail from singleton/doubleton counts, all exact BIGINTs
+    + one correctly-rounded division (bias-corrected form, no zero
+    guard needed). ONE map-side-combinable groupBy(source, word)
+    corpus pass, zero windows, zero Python (operators/aggregates.py
+    chao1_richness)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import chao1_richness
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.explode(
+                nonempty_words(F.col("text"), null_as_empty=True)
+            ).alias("w"),
+        )
+    )
+    return chao1_richness(d, "w", ["src"])
+
+
 def q_staged_transitions(spark, sf_dir):
     """Event analytics: the first-order Markov transition matrix of
     per-user event-type journeys — exact counts + row-normalized
@@ -2781,6 +2857,9 @@ def q_staged_ranking(spark, sf_dir):
 
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "gini_tokens": q_staged_gini,
+        "weight_ess": q_staged_weight_ess,
+        "chao1_vocab": q_staged_chao1,
         "transitions": q_staged_transitions,
         "lang_kappa": q_staged_lang_kappa,
         "spearman": q_staged_spearman,
@@ -2825,7 +2904,27 @@ def _staged_oracle_sql() -> dict[str, str]:
             "AND source IS NOT NULL) AS dd"
         ),
     )
+    nw = (
+        "len(list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> ''))"
+    )
     return {
+        "gini_tokens": DT.gini_concentration_sql(
+            f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
+            "FROM documents WHERE source IS NOT NULL",
+            ("src",),
+        ),
+        "weight_ess": DT.weight_diagnostics_sql(
+            "SELECT event_type, value AS w FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL",
+            ("event_type",),
+        ),
+        "chao1_vocab": DT.chao1_richness_sql(
+            "SELECT source AS src, unnest(list_filter(string_split("
+            "coalesce(text, ''), ' '), x -> x <> '')) AS t "
+            "FROM documents WHERE source IS NOT NULL",
+            ("src",),
+        ),
         "transitions": DT.transition_matrix_sql(
             "SELECT CAST(user_id AS VARCHAR) AS k, "
             "epoch_us(CAST(ts AS TIMESTAMP)) AS tm, "

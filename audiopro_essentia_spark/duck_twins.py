@@ -2624,6 +2624,119 @@ FROM cum {'JOIN tot USING (' + g + ')' if group_cols else 'CROSS JOIN tot'}
 """
 
 
+def gini_concentration_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of aggregates.gini_concentration: identical micro-unit
+    quantization, the plain one-window below-prefix over the distinct-
+    value histogram (the Spark side's bucketed two-phase prefix is
+    order-preserving), HUGEINT products (exact like Spark's DECIMAL
+    carry), one correctly-rounded division + round-6. `source` must
+    yield (group..., v DOUBLE non-negative) already validated the way
+    the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    joink = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    joink2 = f"JOIN agg USING ({g})" if group_cols else "CROSS JOIN agg"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(v * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(coalesce(sum(c) OVER ({part}ORDER BY m), 0) - c AS BIGINT)
+           AS below
+  FROM hist),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n,
+         sum(CAST(m AS HUGEINT) * c) AS tm
+  FROM hist {grp}),
+agg AS (
+  SELECT {gpfx}sum(CAST(m AS HUGEINT) * c * (2 * below + c - n)) AS num
+  FROM cum {joink} {grp})
+SELECT {gpfx}n, round(CAST(tm AS DOUBLE) / 1e6, 6) AS total,
+       CASE WHEN tm > 0 THEN
+         round(CAST(num AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * tm AS DOUBLE), 6)
+       END AS gini
+FROM tot {joink2}
+WHERE n IS NOT NULL
+"""
+
+
+def weight_diagnostics_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of aggregates.weight_diagnostics: identical micro-unit
+    quantization, HUGEINT square/sum carry, one correctly-rounded
+    division + round-6 per output. `source` must yield (group...,
+    w DOUBLE non-negative) already validated the way the Spark entry
+    validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(w * 1000000) AS BIGINT) AS m FROM base),
+agg AS (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(m AS HUGEINT)) AS sw,
+         sum(CAST(m AS HUGEINT) * m) AS sww,
+         CAST(max(m) AS BIGINT) AS mx
+  FROM q {grp})
+SELECT {gpfx}n,
+       round(CAST(sw AS DOUBLE) / 1e6, 6) AS w_sum,
+       CASE WHEN sw > 0 THEN
+         round(CAST(sw * sw AS DOUBLE) / CAST(sww AS DOUBLE), 6)
+       END AS ess,
+       CASE WHEN sw > 0 THEN
+         round(CAST(sw * sw AS DOUBLE) / CAST(sww * n AS DOUBLE), 6)
+       END AS ess_frac,
+       CASE WHEN sw > 0 THEN
+         round(CAST(mx AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+       END AS max_frac
+FROM agg
+WHERE n > 0
+"""
+
+
+def chao1_richness_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of aggregates.chao1_richness: identical exact-BIGINT
+    frequency-of-frequency counts and the bias-corrected Chao1 form
+    (f2+1 never zero), one correctly-rounded division + round-6.
+    `source` must yield (group..., t) already validated the way the
+    Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+per AS MATERIALIZED (
+  SELECT {gpfx}t, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY {gpfx}t),
+agg AS (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM per {grp})
+SELECT {gpfx}n_tokens, n_distinct, f1, f2,
+       round(n_distinct + (f1 * (f1 - 1)) / (2 * (f2 + 1)), 6) AS chao1
+FROM agg
+WHERE n_distinct > 0
+"""
+
+
 def transition_matrix_sql(
     source: str,
     start_state: str = "__START__",

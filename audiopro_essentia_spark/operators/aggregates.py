@@ -778,3 +778,250 @@ def padding_waste(
             F.round(F.col("n_tokens") / packed_total, 6),
         ).alias("efficiency_packed"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., n, total, gini) — the exact Gini coefficient of a
+    non-negative value per group: the one-number concentration monitor
+    (is a source's token mass spread across its documents or piled on
+    a few boilerplate giants? is the training budget dominated by a
+    handful of shards?). 0 = perfectly even, -> 1 = all mass on one
+    row. The inequality companion of zipf_slope (which fits the HEAD
+    shape; Gini measures whole-distribution concentration).
+
+    Exactness: values quantize ONCE to integer micro-units
+    m = round(v * 1e6) (the sample-key recipe), and the mean-absolute-
+    difference identity is evaluated on the distinct-value histogram
+    with EXACT integers end-to-end:
+
+        sum_ij |x_i - x_j| / 2 = sum_sorted_i (2i - n - 1) * x_(i)
+                               = sum_v m_v * c_v * (2*below_v + c_v - n)
+        gini = sum_ij |x_i - x_j| / (2 * n * sum(m))
+             = fold / (n * sum(m))
+
+    (the tie run at value v occupies ranks below+1 .. below+c, and the
+    arithmetic series folds to the c*(2*below + c - n) term). Products
+    carry as DECIMAL(38,0) / DuckDB HUGEINT (the calibration recipe) —
+    exact while m*n^2 < 1e38 — then ONE correctly-rounded division +
+    round-6, bit-stable cross-engine and partitioning-free. All-zero
+    groups (total = 0) give NULL gini with n/total visible.
+
+    NULL/NaN/negative values fail LOUD (Gini is defined on
+    non-negative mass; a silently-dropped row changes every rank).
+
+    Scale shape: ONE map-side-combinable (group, m) histogram is the
+    only corpus-scale pass; the below-prefix runs the epoch_shuffle
+    two-phase bucketed engine (evalmetrics._hist_prefix — never a
+    corpus-scale single-partition window); per-group totals aggregate
+    the histogram and broadcast back. Zero Python."""
+    from .evalmetrics import _hist_prefix
+
+    g = list(group_cols or [])
+    v0 = F.col(value_col).cast("double")
+    m = (
+        F.when(
+            v0.isNull() | F.isnan(v0) | (v0 < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"gini_concentration: NULL/NaN/negative {value_col}="
+                    ),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_s")
+    )
+    per = (
+        df.select(*g, m)
+        .groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    pre = _hist_prefix(per, g, n_buckets).localCheckpoint(eager=False)
+    d38 = "decimal(38,0)"
+    tot = pre.groupBy(*g).agg(
+        F.sum("pos").cast("long").alias("n"),
+        F.sum(F.col("_s").cast(d38) * F.col("pos").cast(d38)).alias("_tm"),
+    )
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+    # per-row |diff| fold: m * c * (2*below + c - n), exact DECIMAL
+    term = (
+        F.col("_s").cast(d38)
+        * F.col("pos").cast(d38)
+        * (
+            2 * F.col("cpos") + F.col("pos") - F.col("n")
+        ).cast(d38)
+    )
+    out = j.groupBy(*g).agg(
+        F.max("n").alias("n"),
+        F.max("_tm").alias("_tm"),
+        F.sum(term).alias("_num"),
+    )
+    return out.where(F.col("n").isNotNull()).select(
+        *g,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("_tm").cast("double") / 1e6, 6).alias("total"),
+        F.when(
+            F.col("_tm") > 0,
+            F.round(
+                F.col("_num").cast("double")
+                / (F.col("n").cast(d38) * F.col("_tm")).cast("double"),
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def weight_diagnostics(
+    df: DataFrame,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n, w_sum, ess, ess_frac, max_frac) — exact Kish
+    effective-sample-size diagnostics of a non-negative importance /
+    sampling weight per group: ess = (sum w)^2 / sum(w^2) is the
+    equivalent number of EQUALLY-weighted rows (ess_frac = ess/n near
+    1 -> weights are benign; near 1/n -> one row dominates, the
+    estimator's variance is that of ~ess samples no matter how big n
+    is). max_frac = max(w)/sum(w) names the dominance directly. The
+    health check for every weighted stage (DSIR importance weights,
+    temperature/unimax shares, priority-sampling inputs).
+
+    Exactness: weights quantize ONCE to integer micro-units (the
+    sample-key recipe); sums and squares carry as DECIMAL(38,0) /
+    DuckDB HUGEINT (exact while m^2 < 1.7e38, i.e. micro-weights to
+    ~1e19); each output is ONE correctly-rounded division of exact
+    integers + round-6 — bit-stable cross-engine. All-zero groups
+    give NULL ess/ess_frac/max_frac with n/w_sum visible. NULL / NaN
+    / negative weights fail LOUD.
+
+    Scale shape: ONE map-side-combinable groupBy — the whole operator
+    is a single aggregate pass, zero windows, zero joins (beyond the
+    implicit group shuffle), zero Python."""
+    g = list(group_cols or [])
+    v0 = F.col(weight_col).cast("double")
+    m = (
+        F.when(
+            v0.isNull() | F.isnan(v0) | (v0 < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"weight_diagnostics: NULL/NaN/negative"
+                        f" {weight_col}="
+                    ),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_m")
+    )
+    d38 = "decimal(38,0)"
+    agg = df.select(*g, m).groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_m").cast(d38)).alias("_sw"),
+        F.sum((F.col("_m").cast(d38) * F.col("_m").cast(d38))).alias(
+            "_sww"
+        ),
+        F.max("_m").cast("long").alias("_mx"),
+    )
+    sw = F.col("_sw")
+    return agg.where(F.col("n") > 0).select(
+        *g,
+        "n",
+        F.round(sw.cast("double") / 1e6, 6).alias("w_sum"),
+        F.when(
+            sw > 0,
+            F.round(
+                (sw * sw).cast("double") / F.col("_sww").cast("double"), 6
+            ),
+        ).alias("ess"),
+        F.when(
+            sw > 0,
+            F.round(
+                (sw * sw).cast("double")
+                / (F.col("_sww") * F.col("n").cast(d38)).cast("double"),
+                6,
+            ),
+        ).alias("ess_frac"),
+        F.when(
+            sw > 0,
+            F.round(F.col("_mx").cast("double") / sw.cast("double"), 6),
+        ).alias("max_frac"),
+    )
+
+
+def chao1_richness(
+    df: DataFrame,
+    term_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n_tokens, n_distinct, f1, f2, chao1) — the Chao1
+    species-richness estimate of a term column per group: how many
+    distinct terms the group's TRUE vocabulary has, including the ones
+    the sample has not yet seen (Chao 1984, bias-corrected form):
+
+        chao1 = d + f1*(f1-1) / (2*(f2+1))
+
+    where f1/f2 are the singleton/doubleton counts. The statistical
+    companion of the sketch tier — hll/kmv estimate the SEEN distinct
+    count cheaply; Chao1 estimates the UNSEEN tail (is this source's
+    vocabulary saturated, or does doubling the crawl buy new words? —
+    the vocabulary-growth question behind every tokenizer budget).
+
+    Exactness: every count is an exact BIGINT; chao1 is ONE correctly-
+    rounded division of exact integers (f2+1 > 0 always — the
+    bias-corrected form needs no zero guard) added to an exact integer
+    below 2^53, then round-6 — bit-stable cross-engine. NULL terms
+    fail LOUD (a dropped token undercounts f1 — pre-filter explicitly
+    if exclusion is intended).
+
+    Scale shape: ONE map-side-combinable groupBy(group, term) corpus
+    pass; the frequency-of-frequency fold aggregates that (bounded)
+    table twice more at vocab then |counts| granularity. Zero windows,
+    zero Python."""
+    g = list(group_cols or [])
+    t0 = F.col(term_col)
+    t = (
+        F.when(
+            t0.isNull(),
+            F.raise_error(
+                F.lit(f"chao1_richness: NULL {term_col}")
+            ).cast("string"),
+        )
+        .otherwise(t0.cast("string"))
+        .alias("_t")
+    )
+    per = df.select(*g, t).groupBy(*g, "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    agg = per.groupBy(*g).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum((F.col("_c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("_c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return agg.where(F.col("n_distinct") > 0).select(
+        *g,
+        "n_tokens",
+        "n_distinct",
+        "f1",
+        "f2",
+        F.round(
+            F.col("n_distinct")
+            + (F.col("f1") * (F.col("f1") - 1))
+            / (2 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1"),
+    )
