@@ -132,6 +132,103 @@ def stateful_running_stats(
     )
 
 
+def streaming_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_state: str = "__START__",
+) -> DataFrame:
+    """Streaming form of temporal.transition_matrix: per-key Markov
+    transition increments with the key's LAST EVENT carried as
+    GroupState across micro-batches — the boundary transition between
+    the last event of epoch e and the first event of epoch e+1 exists
+    ONLY because of that carried state (a per-batch lag would silently
+    drop one transition per key per epoch; sum-mergeable sketches
+    never face this — chains are the non-mergeable case that needs
+    applyInPandasWithState).
+
+    Emits (key, prev, curr, cnt) increment rows per micro-batch
+    (append mode); downstream sums by (prev, curr) — pinned equal to
+    the batch transition_matrix over the union in
+    tests/test_transitions_stream.py.
+
+    Contract: per-key event-time MONOTONE arrival across batches (the
+    log-ingestion norm; late data needs watermarked reordering
+    upstream) — an out-of-order batch fails LOUD rather than silently
+    splicing a transition that never happened. Within a batch, events
+    sort by (epoch-micros, type): the same total order on values as
+    the batch operator. NULL ts/type fail LOUD.
+
+    Scale shape: state per key is ONE (last_tm, last_type) pair;
+    per-batch work is the same key-hash shuffle the batch operator
+    pays, Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_t = dict(events.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_t}, prev string, curr string, cnt long"
+    )
+    state_schema = "last_tm long, last_t string"
+
+    def update(key, pdfs, state):
+        from collections import Counter
+
+        parts = []
+        for pdf in pdfs:
+            if pdf[ts_col].isna().any():
+                raise ValueError(f"streaming_transitions: NULL {ts_col}")
+            if pdf[type_col].isna().any():
+                raise ValueError(f"streaming_transitions: NULL {type_col}")
+            tm = (
+                pdf[ts_col]
+                .to_numpy(dtype="datetime64[us]")
+                .astype("int64")
+            )
+            parts.append(
+                pd.DataFrame(
+                    {"tm": tm, "t": pdf[type_col].astype(str)}
+                )
+            )
+        if not parts:
+            return
+        b = pd.concat(parts).sort_values(
+            ["tm", "t"], kind="mergesort", ignore_index=True
+        )
+        if state.exists:
+            last_tm, prev = state.get
+            if int(b["tm"].iloc[0]) < last_tm:
+                raise ValueError(
+                    f"streaming_transitions: out-of-order arrival for"
+                    f" key {key}: batch min {int(b['tm'].iloc[0])} <"
+                    f" carried {last_tm}"
+                )
+        else:
+            prev = start_state
+        counts = Counter()
+        for t in b["t"]:
+            counts[(prev, t)] += 1
+            prev = t
+        state.update((int(b["tm"].iloc[-1]), prev))
+        yield pd.DataFrame(
+            [[*key, p, c, n] for (p, c), n in counts.items()],
+            columns=[key_col, "prev", "curr", "cnt"],
+        )
+
+    return (
+        events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def epoch_writer(
     out_dir: str,
     key_col: str = "user_id",
