@@ -2736,6 +2736,66 @@ def q_staged_chao1(spark, sf_dir):
     return chao1_richness(d, "w", ["src"])
 
 
+def q_staged_robust(spark, sf_dir):
+    """Corpus stats: exact median / MAD / Iglewicz-Hoaglin fences of
+    per-document token counts per source, plus the +-3*MAD outlier
+    rate — the robust feature-QC gate that mean/stddev z-scores get
+    wrong on heavy-tailed corpus columns (one boilerplate giant moves
+    the mean and inflates the stddev, hiding itself; median/MAD have
+    50% breakdown). Micro-unit quantization, rank selection off the
+    distinct-value histogram prefix with doubled/quadrupled-micro
+    integer carries (even-n medians exact, no float average), exact
+    integer outlier comparison, round-6 divisions at the end. ONE
+    map-side-combinable corpus histogram pass; the MAD histogram
+    derives from the VALUE histogram (equal values have equal
+    deviations), zero extra corpus passes, zero Python
+    (operators/aggregates.py robust_stats)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import robust_stats
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(nonempty_words(F.col("text"), null_as_empty=True))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return robust_stats(d, "v", ["src"], k=3.0)
+
+
+def q_staged_qnorm(spark, sf_dir):
+    """Corpus stats: each document's tie-averaged within-source token-
+    count quantile q = midrank/n — the CDF / rank normalization that
+    makes ONE global threshold mean the same corpus fraction in every
+    source (the per-row companion of spearman_rho's rank statistics;
+    what calibration_report measures, this repairs). Exact BIGINT
+    midranks off the distinct-value histogram prefix, ONE correctly-
+    rounded division + round-6 per row; the only corpus-scale join is
+    the assignment join back onto the rows on the same (group, value)
+    key the histogram aggregated on, zero Python
+    (operators/aggregates.py quantile_normalize)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import (
+        quantile_normalize,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("source").alias("src"),
+            F.size(nonempty_words(F.col("text"), null_as_empty=True))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return quantile_normalize(d, "v", ["src"], ["id"])
+
+
 def q_staged_transitions(spark, sf_dir):
     """Event analytics: the first-order Markov transition matrix of
     per-user event-type journeys — exact counts + row-normalized
@@ -2860,6 +2920,8 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_tokens": q_staged_gini,
         "weight_ess": q_staged_weight_ess,
         "chao1_vocab": q_staged_chao1,
+        "robust_tokens": q_staged_robust,
+        "qnorm_tokens": q_staged_qnorm,
         "transitions": q_staged_transitions,
         "lang_kappa": q_staged_lang_kappa,
         "spearman": q_staged_spearman,
@@ -2924,6 +2986,19 @@ def _staged_oracle_sql() -> dict[str, str]:
             "coalesce(text, ''), ' '), x -> x <> '')) AS t "
             "FROM documents WHERE source IS NOT NULL",
             ("src",),
+        ),
+        "robust_tokens": DT.robust_stats_sql(
+            f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
+            "FROM documents WHERE source IS NOT NULL",
+            ("src",),
+            k=3.0,
+        ),
+        "qnorm_tokens": DT.quantile_normalize_sql(
+            f"SELECT doc_id AS id, source AS src, CAST({nw} AS DOUBLE) AS v "
+            "FROM documents WHERE source IS NOT NULL "
+            "AND doc_id IS NOT NULL",
+            ("src",),
+            ("id",),
         ),
         "transitions": DT.transition_matrix_sql(
             "SELECT CAST(user_id AS VARCHAR) AS k, "

@@ -2737,6 +2737,132 @@ WHERE n_distinct > 0
 """
 
 
+def robust_stats_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    k: float = 3.0,
+) -> str:
+    """Twin of aggregates.robust_stats: identical micro-unit
+    quantization, median-by-rank off the plain one-window below-prefix
+    (the Spark side's bucketed two-phase prefix is order-preserving),
+    doubled/quadrupled-micro integer carries for median and MAD, ONE
+    IEEE multiply round(k * mad22) for the fence half-width (round()
+    is half-away in both engines; operands non-negative), exact
+    integer outlier comparison, round-6 divisions at the end. `source`
+    must yield (group..., v DOUBLE) already validated the way the
+    Spark entry validates. `//` on the positive rank operands matches
+    Spark's `div`."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jmed = f"JOIN med USING ({g})" if group_cols else "CROSS JOIN med"
+    jmad = f"JOIN mad USING ({g})" if group_cols else "CROSS JOIN mad"
+    jfen = f"JOIN fen USING ({g})" if group_cols else "CROSS JOIN fen"
+    joutl = f"JOIN outl USING ({g})" if group_cols else "CROSS JOIN outl"
+    kd = f"CAST({float(k)!r} AS DOUBLE)"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+qz AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(v * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM qz GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(coalesce(sum(c) OVER ({part}ORDER BY m), 0) - c AS BIGINT)
+           AS below
+  FROM hist),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM hist {grp}),
+med AS MATERIALIZED (
+  SELECT {gpfx}max(n) AS n,
+         CAST(sum(CASE WHEN below < (n + 1) // 2
+                        AND below + c >= (n + 1) // 2 THEN m END)
+            + sum(CASE WHEN below < (n + 2) // 2
+                        AND below + c >= (n + 2) // 2 THEN m END)
+              AS BIGINT) AS med2
+  FROM cum {jtot} {grp}),
+devh AS MATERIALIZED (
+  SELECT {gpfx}abs(2 * m - med2) AS m, CAST(sum(c) AS BIGINT) AS c
+  FROM hist {jmed} GROUP BY {gpfx}abs(2 * m - med2)),
+devcum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(coalesce(sum(c) OVER ({part}ORDER BY m), 0) - c AS BIGINT)
+           AS below
+  FROM devh),
+mad AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(CASE WHEN below < (n + 1) // 2
+                              AND below + c >= (n + 1) // 2 THEN m END)
+                  + sum(CASE WHEN below < (n + 2) // 2
+                              AND below + c >= (n + 2) // 2 THEN m END)
+                    AS BIGINT) AS mad22
+  FROM devcum {jtot} {grp}),
+fen AS MATERIALIZED (
+  SELECT {gpfx}n, med2, mad22,
+         2 * med2 - CAST(round({kd} * mad22) AS BIGINT) AS lo4,
+         2 * med2 + CAST(round({kd} * mad22) AS BIGINT) AS hi4
+  FROM med {jmad}),
+outl AS MATERIALIZED (
+  SELECT {gpfx}CAST(coalesce(sum(CASE WHEN 4 * m < lo4 OR 4 * m > hi4
+                                      THEN c ELSE 0 END), 0) AS BIGINT)
+           AS n_outliers
+  FROM hist {jfen} {grp})
+SELECT {gpfx}n,
+       round(CAST(med2 AS DOUBLE) / 2e6, 6) AS median,
+       round(CAST(mad22 AS DOUBLE) / 4e6, 6) AS mad,
+       round(CAST(lo4 AS DOUBLE) / 4e6, 6) AS lo_fence,
+       round(CAST(hi4 AS DOUBLE) / 4e6, 6) AS hi_fence,
+       n_outliers,
+       round(CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS outlier_frac
+FROM fen {joutl}
+WHERE n IS NOT NULL
+"""
+
+
+def quantile_normalize_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    id_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of aggregates.quantile_normalize: identical micro-unit
+    quantization, the tie-averaged doubled midrank q = (2*below + c +
+    1) / (2n) off the plain one-window below-prefix, ONE correctly-
+    rounded division + round-6 per distinct value, assignment join
+    back onto the rows. `source` must yield (id..., group..., v
+    DOUBLE) already validated the way the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    ids = ", ".join(id_cols)
+    idpfx = f"{ids}, " if id_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jq = f"USING ({g}, m)" if group_cols else "USING (m)"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+rws AS MATERIALIZED (
+  SELECT {idpfx}{gpfx}v,
+         CAST(round(v * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM rws GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(coalesce(sum(c) OVER ({part}ORDER BY m), 0) - c AS BIGINT)
+           AS below
+  FROM hist),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM hist {grp}),
+qt AS MATERIALIZED (
+  SELECT {gpfx}m,
+         round(CAST(2 * below + c + 1 AS DOUBLE)
+               / CAST(2 * n AS DOUBLE), 6) AS q
+  FROM cum {jtot})
+SELECT {idpfx}{gpfx}v, q FROM rws JOIN qt {jq}
+"""
+
+
 def transition_matrix_sql(
     source: str,
     start_state: str = "__START__",

@@ -1025,3 +1025,247 @@ def chao1_richness(
             6,
         ).alias("chao1"),
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., n, median, mad, lo_fence, hi_fence, n_outliers,
+    outlier_frac) — the exact median / MAD robust-location profile per
+    group plus the Iglewicz-Hoaglin outlier gate at +-k*MAD: the
+    feature-QC monitor that mean/stddev z-scores get wrong on the
+    heavy-tailed distributions every corpus column has (one boilerplate
+    giant moves the mean and INFLATES the stddev, hiding itself;
+    median/MAD have 50% breakdown, so up to half the rows can be junk
+    and the fences still stand on the clean mass).
+
+    Exactness: values quantize ONCE to integer micro-units
+    s = round(v * 1e6) (the sample-key recipe; negatives allowed —
+    location stats, not mass). The median is selected by RANK off the
+    distinct-value histogram prefix and carried as DOUBLED micros
+    med2 = s_(rlo) + s_(rhi) with rlo = (n+1) div 2, rhi = (n+2) div 2
+    (odd n: both ranks hit the same value; even n: the sum IS the
+    exact doubled midpoint — no float average). The MAD repeats the
+    same selection over the deviation histogram dev2 = |2s - med2| —
+    built from the VALUE histogram, not the corpus (equal values have
+    equal deviations), so it costs zero extra corpus passes — giving
+    mad22 in quadrupled micros. Fences live in the same integer grid:
+    delta4 = round(k * mad22) (ONE IEEE multiply of k by an exact
+    integer rendered exactly in f64 while mad22 < 2^53, i.e. |MAD| <
+    ~2.2e9 — far past any doc-stat scale; round() is half-away in both
+    engines), lo4/hi4 = 2*med2 -+ delta4, and a row is an outlier iff
+    4s < lo4 or 4s > hi4 — an EXACT integer comparison, so the flag is
+    bit-stable cross-engine (exact while |s| < 2^61, i.e. |v| <
+    ~2.3e12). Reported median/mad/fences are single round-6 divisions
+    of exact integers.
+
+    NULL/NaN values fail LOUD (a silently-dropped row shifts every
+    rank). Groups where >50% of rows share one value give mad = 0 and
+    fences = median — the documented Iglewicz-Hoaglin degenerate
+    (everything off-median flags; the caller sees mad = 0 and decides).
+    Empty global frames return zero rows (the funnel empty-frame
+    rule).
+
+    Scale shape: ONE map-side-combinable (group, s) histogram is the
+    only corpus-scale pass; both rank selections run the shared
+    _hist_prefix two-phase bucketed engine (never a corpus-scale
+    single-partition window); medians/fences are tiny per-group tables
+    broadcast back onto the bounded histogram. Zero Python."""
+    from .evalmetrics import _hist_prefix
+
+    if not (k >= 0.0 and k == k):
+        raise ValueError(f"robust_stats: k must be >= 0, got {k}")
+    g = list(group_cols or [])
+    v0 = F.col(value_col).cast("double")
+    s = (
+        F.when(
+            v0.isNull() | F.isnan(v0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"robust_stats: NULL/NaN {value_col}="),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_s")
+    )
+    per = (
+        df.select(*g, s)
+        .groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+        .localCheckpoint(eager=False)  # value histogram: 3 consumers
+    )
+
+    def _rank_median(hist, med_name):
+        """Doubled-unit median of a (g..., _s, pos, neg) histogram via
+        the two-phase prefix: med = s_(rlo) + s_(rhi)."""
+        pre = _hist_prefix(hist, g, n_buckets)
+        tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("n"))
+        j = (
+            pre.join(F.broadcast(tot), g)
+            if g
+            else pre.crossJoin(F.broadcast(tot))
+        )
+        rlo = F.expr("(n + 1) div 2")
+        rhi = F.expr("(n + 2) div 2")
+        hit = lambda r: (F.col("cpos") < r) & (  # noqa: E731
+            F.col("cpos") + F.col("pos") >= r
+        )
+        return j.groupBy(*g).agg(
+            F.max("n").alias("n"),
+            (
+                F.sum(F.when(hit(rlo), F.col("_s")))
+                + F.sum(F.when(hit(rhi), F.col("_s")))
+            )
+            .cast("long")
+            .alias(med_name),
+        )
+
+    med = _rank_median(per, "_med2")  # (g, n, med2) — tiny
+    withmed = (
+        per.join(F.broadcast(med), g)
+        if g
+        else per.crossJoin(F.broadcast(med))
+    )
+    devhist = (
+        withmed.select(
+            *g,
+            F.abs(2 * F.col("_s") - F.col("_med2")).alias("_s"),
+            "pos",
+        )
+        .groupBy(*g, "_s")
+        .agg(F.sum("pos").cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    mad = _rank_median(devhist, "_mad22").drop("n")  # (g, mad22)
+    fences = (
+        (med.join(F.broadcast(mad), g) if g else med.crossJoin(F.broadcast(mad)))
+        .select(
+            *g,
+            "n",
+            "_med2",
+            "_mad22",
+            (
+                2 * F.col("_med2")
+                - F.round(F.lit(float(k)) * F.col("_mad22")).cast("long")
+            ).alias("_lo4"),
+            (
+                2 * F.col("_med2")
+                + F.round(F.lit(float(k)) * F.col("_mad22")).cast("long")
+            ).alias("_hi4"),
+        )
+    )
+    withf = (
+        per.join(F.broadcast(fences), g)
+        if g
+        else per.crossJoin(F.broadcast(fences))
+    )
+    out = withf.groupBy(*g).agg(
+        F.max("n").alias("n"),
+        F.max("_med2").alias("_med2"),
+        F.max("_mad22").alias("_mad22"),
+        F.max("_lo4").alias("_lo4"),
+        F.max("_hi4").alias("_hi4"),
+        F.sum(
+            F.when(
+                (4 * F.col("_s") < F.col("_lo4"))
+                | (4 * F.col("_s") > F.col("_hi4")),
+                F.col("pos"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
+    return out.where(F.col("n").isNotNull()).select(
+        *g,
+        "n",
+        F.round(F.col("_med2").cast("double") / 2e6, 6).alias("median"),
+        F.round(F.col("_mad22").cast("double") / 4e6, 6).alias("mad"),
+        F.round(F.col("_lo4").cast("double") / 4e6, 6).alias("lo_fence"),
+        F.round(F.col("_hi4").cast("double") / 4e6, 6).alias("hi_fence"),
+        "n_outliers",
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+        ).alias("outlier_frac"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(id..., group..., value, q) — each row's tie-averaged within-
+    group quantile q = midrank / n: the CDF / rank normalization that
+    makes ONE global threshold mean the same thing in every source
+    (a quality score's 0.8 from a lenient scorer and a strict one land
+    on different corpus fractions; after quantile normalization both
+    are literal keep-rates). Monotone within each group, uniform on
+    (0, 1] up to ties — the per-row companion of spearman_rho (whose
+    rank statistics these are) and calibration_report (which measures
+    what this repairs).
+
+    Exactness: q = (2*below + cnt + 1) / (2n) — the DOUBLED midrank of
+    spearman_rho (ties share their average rank exactly; max value
+    always gets q = 1.0; a singleton minimum gets 1/n) with both
+    operands exact BIGINTs off the distinct-value histogram prefix,
+    ONE correctly-rounded IEEE division + round-6 per row — bit-stable
+    cross-engine and partitioning-free. Values quantize ONCE to
+    integer micro-units (the sample-key recipe; negatives allowed).
+    NULL/NaN values fail LOUD (a dropped row shifts every rank).
+
+    Scale shape: ONE map-side-combinable (group, s) histogram + the
+    shared _hist_prefix two-phase bucketed engine build the per-
+    distinct-value q table; the ONLY corpus-scale join is the
+    assignment join back onto the rows, an equi-join on the same
+    (group, s) key the histogram aggregated on (subset-of-keys
+    clustering). Zero windows over the corpus, zero Python."""
+    from .evalmetrics import _hist_prefix
+
+    g = list(group_cols or [])
+    ids = list(id_cols or [])
+    v0 = F.col(value_col).cast("double")
+    s = (
+        F.when(
+            v0.isNull() | F.isnan(v0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"quantile_normalize: NULL/NaN {value_col}="),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_s")
+    )
+    rows = df.select(*ids, *g, s, v0.alias(value_col))
+    per = (
+        rows.groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    pre = _hist_prefix(per, g, n_buckets)
+    tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("_n"))
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+    qtbl = j.select(
+        *g,
+        "_s",
+        F.round(
+            (2 * F.col("cpos") + F.col("pos") + 1).cast("double")
+            / (2 * F.col("_n")).cast("double"),
+            6,
+        ).alias("q"),
+    )
+    return rows.join(qtbl, [*g, "_s"]).select(*ids, *g, value_col, "q")
