@@ -2510,6 +2510,36 @@ def q_staged_calibration(spark, sf_dir):
     return calibration_report(d, "score", "label", ["cohort"], n_bins=10)
 
 
+def q_staged_isotonic(spark, sf_dir):
+    """Eval: isotonic (PAV) calibration of the same rational
+    probability score the calibration entry measures — the monotone
+    step function closest (weighted L2) to the per-bin purchase rates
+    per user cohort: calibration_report measures the miscalibration,
+    this REPAIRS it. Evaluated through the exact minimax identity
+    iso(b) = max_{i<=b} min_{j>=b} rate(i..j) with every windowed rate
+    truncated to integer micro-units before the min/max (== floor(1e6
+    * the true PAV fit) by monotonicity of floor-scaling; pinned
+    against a Fraction-exact PAV stack mirror in pytest). ONE
+    map-side-combinable groupBy(cohort, bin) corpus pass; everything
+    downstream on the bounded <= n_bins^2 pair table, zero Python
+    (operators/evalmetrics.py isotonic_calibrate)."""
+    from audiopro_essentia_spark.operators.evalmetrics import (
+        isotonic_calibrate,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("cohort"),
+        (F.col("value") / (F.col("value") + F.lit(100.0))).alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    return isotonic_calibrate(d, "score", "label", ["cohort"], n_bins=20)
+
+
 def q_staged_ks_drift(spark, sf_dir):
     """Drift: exact two-sample Kolmogorov-Smirnov distance of every
     source's document-length distribution against baseline src0 — the
@@ -2796,6 +2826,153 @@ def q_staged_qnorm(spark, sf_dir):
     return quantile_normalize(d, "v", ["src"], ["id"])
 
 
+def q_staged_target_enc(spark, sf_dir):
+    """Feature engineering: smoothed mean target encoding of the
+    `source` categorical against the is-long-document label per
+    language — each (lang, source) cell maps to a shrunken estimate of
+    its long-doc rate (m = 20 pseudo-counts toward the language's
+    prior), the standard way to turn a million-level categorical into
+    ONE numeric feature without memorizing noise. Labels micro-
+    quantized, ONE exact-integer division per cell (DECIMAL(38,0) /
+    HUGEINT carry), round-6. ONE map-side-combinable groupBy(lang,
+    source) corpus pass — group totals aggregate the category table
+    itself — zero windows, zero Python (operators/encoding.py
+    target_encode)."""
+    from audiopro_essentia_spark.operators.encoding import target_encode
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("source").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            "lang",
+            "source",
+            (F.col("n_chars") >= 500).cast("double").alias("y"),
+        )
+    )
+    return target_encode(d, "source", "y", ["lang"], m=20.0)
+
+
+def q_staged_target_enc_loo(spark, sf_dir):
+    """Feature engineering: the leave-one-out variant for TRAINING
+    rows — each document's own label is excluded from its source's
+    statistics before encoding, which is what prevents the feature
+    from leaking the row's own label (the classic target-leakage bug;
+    pytest pins the two-row category [1, 0] at m=0 where each row's
+    estimate is exactly the OTHER row's label). Same exact-integer
+    division; ONE corpus pass + ONE equi-join of the rows back onto
+    the category table on the key the aggregate shuffled on
+    (operators/encoding.py target_encode_loo)."""
+    from audiopro_essentia_spark.operators.encoding import (
+        target_encode_loo,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("source").isNotNull()
+            & F.col("doc_id").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            "source",
+            (F.col("n_chars") >= 500).cast("double").alias("y"),
+        )
+    )
+    return target_encode_loo(d, "source", "y", None, ["id"], m=20.0)
+
+
+def q_staged_mi(spark, sf_dir):
+    """Feature QC: normalized mutual information between a banded
+    document-length feature (n_chars div 250, capped at 8) and the
+    is-long-document label (n_chars >= 500) — the model-free LABEL-
+    LEAKAGE detector: both columns derive from the same underlying
+    quantity, so nmi comes out high, which is exactly the alarm this
+    monitor exists to raise before such a feature reaches training
+    (plus per-lang grouping so the drift across languages is visible).
+    Exact BIGINT joint histogram from ONE map-side-combinable corpus
+    pass; each cell/entropy term rounded ONCE to integer micro-nats
+    and summed exactly (the kl_drift discipline); nmi = mi /
+    sqrt(hx*hy) with two correctly-rounded IEEE sqrt
+    (operators/evalmetrics.py mutual_information)."""
+    from audiopro_essentia_spark.operators.evalmetrics import (
+        mutual_information,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            "lang",
+            F.least(F.lit(8).cast("long"), F.expr("n_chars div 250"))
+            .alias("x"),
+            (F.col("n_chars") >= 500).cast("long").alias("y"),
+        )
+    )
+    return mutual_information(d, "x", "y", ["lang"])
+
+
+def q_staged_ols(spark, sf_dir):
+    """Corpus stats: per-source OLS fit of distinct-word count against
+    token count (the Heaps'-law slope on raw values — the trend
+    companion of spearman's rank-only monotone agreement over the SAME
+    pair): slope, intercept and Pearson r from five exact DECIMAL(38)/
+    HUGEINT sufficient statistics in ONE map-side-combinable corpus
+    pass, closed forms that keep slope OUT of the intercept, two IEEE
+    sqrt + one division + round-6 per output — zero windows, zero
+    joins, zero Python (operators/aggregates.py ols_fit)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import ols_fit
+
+    w = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(w).cast("double").alias("x"),
+            F.size(F.array_distinct(w)).cast("double").alias("y"),
+        )
+    )
+    return ols_fit(d, "x", "y", ["src"])
+
+
+def q_staged_decay(spark, sf_dir):
+    """Feature engineering: exponentially time-decayed per-user
+    activity AS OF 2024-02-01 (explicit epoch-micros literal — never
+    wall clock) at 1-day and 7-day half-lives, counts plus value-
+    weighted sums — the feature-store recency signal (a burst
+    yesterday and a trickle all month become distinguishable numbers).
+    Ages exact BIGINT micros, each weight ONE pow(2, -age/H) in the
+    same expression order both engines, per-row terms rounded once to
+    integer micro-units and summed EXACTLY (mergeable across shards at
+    fixed now — pytest pins shard-sum == whole); an event after `now`
+    fails LOUD (future leakage). ONE map-side-combinable groupBy —
+    zero windows, zero joins, zero Python (operators/temporal.py
+    time_decayed_features)."""
+    from audiopro_essentia_spark.operators.temporal import (
+        time_decayed_features,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    return time_decayed_features(
+        ev,
+        ["user_id"],
+        "ts",
+        now_us=1_706_745_600_000_000,  # 2024-02-01T00:00:00Z
+        half_lives_s=(86400, 604800),
+        value_col="value",
+    )
+
+
 def q_staged_transitions(spark, sf_dir):
     """Event analytics: the first-order Markov transition matrix of
     per-user event-type journeys — exact counts + row-normalized
@@ -2922,12 +3099,18 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1_vocab": q_staged_chao1,
         "robust_tokens": q_staged_robust,
         "qnorm_tokens": q_staged_qnorm,
+        "target_enc": q_staged_target_enc,
+        "target_enc_loo": q_staged_target_enc_loo,
+        "mi_leakage": q_staged_mi,
+        "ols_trend": q_staged_ols,
+        "decay_features": q_staged_decay,
         "transitions": q_staged_transitions,
         "lang_kappa": q_staged_lang_kappa,
         "spearman": q_staged_spearman,
         "ranking_eval": q_staged_ranking,
         "pr_curve": q_staged_pr_curve,
         "calibration": q_staged_calibration,
+        "isotonic": q_staged_isotonic,
         "ks_drift": q_staged_ks_drift,
         "unimax": q_staged_unimax,
         "auc_eval": q_staged_auc,
@@ -2987,6 +3170,50 @@ def _staged_oracle_sql() -> dict[str, str]:
             "FROM documents WHERE source IS NOT NULL",
             ("src",),
         ),
+        "target_enc": DT.target_encode_sql(
+            "SELECT lang, source AS c, "
+            "CAST(n_chars >= 500 AS BIGINT) + CAST(0 AS DOUBLE) AS y "
+            "FROM documents WHERE source IS NOT NULL "
+            "AND lang IS NOT NULL AND n_chars IS NOT NULL",
+            ("lang",),
+            m=20.0,
+            cat_name="source",
+        ),
+        "target_enc_loo": DT.target_encode_loo_sql(
+            "SELECT doc_id AS id, source AS c, "
+            "CAST(n_chars >= 500 AS BIGINT) + CAST(0 AS DOUBLE) AS y "
+            "FROM documents WHERE source IS NOT NULL "
+            "AND doc_id IS NOT NULL AND n_chars IS NOT NULL",
+            (),
+            ("id",),
+            m=20.0,
+            cat_name="source",
+        ),
+        "ols_trend": DT.ols_fit_sql(
+            "SELECT source AS src, "
+            "CAST(len(list_filter(string_split(coalesce(text, ''), ' '), "
+            "x -> x <> '')) AS DOUBLE) AS x, "
+            "CAST(len(list_distinct(list_filter(string_split("
+            "coalesce(text, ''), ' '), x -> x <> ''))) AS DOUBLE) AS y "
+            "FROM documents WHERE source IS NOT NULL",
+            ("src",),
+        ),
+        "decay_features": DT.time_decayed_features_sql(
+            "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tm, "
+            "value AS v FROM events WHERE user_id IS NOT NULL "
+            "AND ts IS NOT NULL AND value IS NOT NULL",
+            ("user_id",),
+            now_us=1_706_745_600_000_000,
+            half_lives_s=(86400, 604800),
+            with_value=True,
+        ),
+        "mi_leakage": DT.mutual_information_sql(
+            "SELECT lang, least(8, n_chars // 250) AS x, "
+            "CAST(n_chars >= 500 AS BIGINT) AS y "
+            "FROM documents WHERE n_chars IS NOT NULL "
+            "AND lang IS NOT NULL",
+            ("lang",),
+        ),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",
@@ -3045,6 +3272,15 @@ def _staged_oracle_sql() -> dict[str, str]:
             "AND event_type IS NOT NULL AND user_id IS NOT NULL",
             ("cohort",),
             n_bins=10,
+        ),
+        "isotonic": DT.isotonic_calibrate_sql(
+            "SELECT CAST(user_id % 10 AS BIGINT) AS cohort, "
+            "value / (value + CAST(100 AS DOUBLE)) AS s, "
+            "CAST(event_type = 'purchase' AS BIGINT) AS y "
+            "FROM events WHERE value IS NOT NULL "
+            "AND event_type IS NOT NULL AND user_id IS NOT NULL",
+            ("cohort",),
+            n_bins=20,
         ),
         "ks_drift": DT.ks_drift_sql(
             "SELECT source AS src, "

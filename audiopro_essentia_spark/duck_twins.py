@@ -3226,3 +3226,311 @@ SELECT cum.{group_col} AS {group_col}, n, n_base,
 FROM cum JOIN tot USING ({group_col})
 GROUP BY cum.{group_col}, n, n_base
 """
+
+
+def isotonic_calibrate_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    n_bins: int = 100,
+) -> str:
+    """Twin of evalmetrics.isotonic_calibrate: identical micro-unit
+    quantization and bin formula (// on the non-negative operands ==
+    Spark div), the same minimax evaluation — (i <= j) pair expansion
+    of the bounded bin table with every windowed rate truncated to
+    integer micro-units BEFORE the suffix-min / prefix-max — and the
+    same round-6 divisions. `source` must yield (group..., s DOUBLE,
+    y BIGINT) already validated the way the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    lg = ", ".join(f"li.{c}" for c in group_cols)
+    lgpfx = f"{lg}, " if group_cols else ""
+    joing = (
+        " AND ".join(f"li.{c} = rj.{c}" for c in group_cols) + " AND "
+        if group_cols
+        else ""
+    )
+    parti = f"PARTITION BY {gpfx}i "
+    nb = int(n_bins)
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}least({nb} - 1,
+             (CAST(round(s * 1000000) AS BIGINT) * {nb}) // 1000000)
+           AS bin, y
+  FROM base),
+per AS MATERIALIZED (
+  SELECT {gpfx}bin, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM q GROUP BY {gpfx}bin),
+pre AS MATERIALIZED (
+  SELECT {gpfx}bin, cnt, n_pos,
+         CAST(sum(cnt) OVER ({part}ORDER BY bin) AS BIGINT) AS cn,
+         CAST(sum(n_pos) OVER ({part}ORDER BY bin) AS BIGINT) AS cp
+  FROM per),
+pairs AS MATERIALIZED (
+  SELECT {lgpfx}li.bin AS i, rj.bin AS j,
+         (1000000 * (rj.cp - (li.cp - li.n_pos)))
+           // (rj.cn - (li.cn - li.cnt)) AS a
+  FROM pre li JOIN pre rj ON {joing}li.bin <= rj.bin),
+sfx AS MATERIALIZED (
+  SELECT {gpfx}i, j,
+         CAST(min(a) OVER ({parti}ORDER BY j DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mi
+  FROM pairs),
+iso AS MATERIALIZED (
+  SELECT {gpfx}j AS bin, CAST(max(mi) AS BIGINT) AS isom
+  FROM sfx GROUP BY {gpfx}j)
+SELECT {gpfx}bin, cnt, n_pos,
+       round(CAST(n_pos AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS pos_frac,
+       round(CAST(isom AS DOUBLE) / 1e6, 6) AS iso_p
+FROM per JOIN iso USING ({gpfx}bin)
+"""
+
+
+def _te_enc(sc: str, nc: str, mu: int) -> str:
+    return (
+        f"CASE WHEN CAST(nn AS HUGEINT) * ({nc} * 1000000 + {mu}) > 0 THEN "
+        f"round(CAST(CAST({sc} AS HUGEINT) * nn * 1000000 "
+        f"+ CAST({mu} AS HUGEINT) * ss AS DOUBLE) "
+        f"/ CAST(CAST(nn AS HUGEINT) * ({nc} * 1000000 + {mu}) "
+        f"* 1000000 AS DOUBLE), 6)"
+        f" END"
+    )
+
+
+def target_encode_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    m: float = 20.0,
+    cat_name: str = "c",
+) -> str:
+    """Twin of encoding.target_encode: identical micro-unit label
+    quantization, HUGEINT products (exact like Spark's DECIMAL(38,0)
+    carry), ONE correctly-rounded division + round-6. `source` must
+    yield (group..., c, y DOUBLE) already validated the way the Spark
+    entry validates."""
+    import math
+
+    mu = int(math.floor(float(m) * 1_000_000 + 0.5))
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}c, CAST(round(y * 1000000) AS BIGINT) AS ym FROM base),
+per AS MATERIALIZED (
+  SELECT {gpfx}c, CAST(count(*) AS BIGINT) AS n_c,
+         CAST(sum(ym) AS BIGINT) AS sc
+  FROM q GROUP BY {gpfx}c),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(n_c) AS BIGINT) AS nn,
+         CAST(sum(sc) AS BIGINT) AS ss
+  FROM per {grp})
+SELECT {gpfx}c AS {cat_name}, n_c AS n,
+       round(CAST(sc AS DOUBLE) / (CAST(n_c AS DOUBLE) * 1000000), 6)
+         AS label_mean,
+       {_te_enc("sc", "n_c", mu)} AS enc
+FROM per {jtot}
+"""
+
+
+def target_encode_loo_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    id_cols: tuple[str, ...] = (),
+    m: float = 20.0,
+    cat_name: str = "c",
+) -> str:
+    """Twin of encoding.target_encode_loo: the same exact-integer
+    division with the row's own micro-label excluded from its
+    category's statistics; singleton categories at m = 0 yield NULL.
+    `source` must yield (id..., group..., c, y DOUBLE) already
+    validated."""
+    import math
+
+    mu = int(math.floor(float(m) * 1_000_000 + 0.5))
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    ids = ", ".join(id_cols)
+    idpfx = f"{ids}, " if id_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jcat = f"USING ({g}, c)" if group_cols else "USING (c)"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+rws AS MATERIALIZED (
+  SELECT {idpfx}{gpfx}c, CAST(round(y * 1000000) AS BIGINT) AS ym
+  FROM base),
+per AS MATERIALIZED (
+  SELECT {gpfx}c, CAST(count(*) AS BIGINT) AS n_c,
+         CAST(sum(ym) AS BIGINT) AS sc
+  FROM rws GROUP BY {gpfx}c),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(n_c) AS BIGINT) AS nn,
+         CAST(sum(sc) AS BIGINT) AS ss
+  FROM per {grp}),
+cat AS MATERIALIZED (
+  SELECT * FROM per {jtot})
+SELECT {idpfx}{gpfx}c AS {cat_name},
+       {_te_enc("sc - ym", "(n_c - 1)", mu)} AS enc_loo
+FROM rws JOIN cat {jcat}
+"""
+
+
+def mutual_information_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.mutual_information: the identical exact-
+    BIGINT joint histogram / marginals / totals, each cell and entropy
+    term evaluated on doubles built from those integers in the SAME
+    expression order, rounded once to integer micro-nats and summed
+    exactly (the kl_drift recipe), the same sqrt-normalized nmi.
+    `source` must yield (group..., x, y) already validated the way the
+    Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jt = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jx = f"USING ({g}, x)" if group_cols else "USING (x)"
+    jy = f"USING ({g}, y)" if group_cols else "USING (y)"
+    jg = f"USING ({g})" if group_cols else "ON TRUE"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+cells AS MATERIALIZED (
+  SELECT {gpfx}x, y, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY {gpfx}x, y),
+mx AS MATERIALIZED (
+  SELECT {gpfx}x, CAST(sum(c) AS BIGINT) AS nx FROM cells GROUP BY {gpfx}x),
+my AS MATERIALIZED (
+  SELECT {gpfx}y, CAST(sum(c) AS BIGINT) AS ny FROM cells GROUP BY {gpfx}y),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM cells {grp}),
+mi_t AS MATERIALIZED (
+  SELECT {gpfx}max(n) AS n,
+         CAST(sum(CAST(round(
+           (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1e6)
+           AS BIGINT)) AS BIGINT) AS mi_u
+  FROM cells JOIN mx {jx} JOIN my {jy} {jt} {grp}),
+hx_t AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(CAST(round(
+           -((CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6)
+           AS BIGINT)) AS BIGINT) AS hx_u,
+         CAST(count(*) AS BIGINT) AS x_levels
+  FROM mx {jt} {grp}),
+hy_t AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(CAST(round(
+           -((CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6)
+           AS BIGINT)) AS BIGINT) AS hy_u,
+         CAST(count(*) AS BIGINT) AS y_levels
+  FROM my {jt} {grp})
+SELECT {gpfx}n, x_levels, y_levels,
+       round(CAST(mi_u AS DOUBLE) / 1e6, 6) AS mi,
+       round(CAST(hx_u AS DOUBLE) / 1e6, 6) AS hx,
+       round(CAST(hy_u AS DOUBLE) / 1e6, 6) AS hy,
+       CASE WHEN hx_u > 0 AND hy_u > 0 THEN
+         round(CAST(mi_u AS DOUBLE)
+               / (sqrt(CAST(hx_u AS DOUBLE)) * sqrt(CAST(hy_u AS DOUBLE))),
+               6)
+       END AS nmi
+FROM mi_t JOIN hx_t {jg} JOIN hy_t {jg}
+WHERE n IS NOT NULL
+"""
+
+
+def ols_fit_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of aggregates.ols_fit: identical micro-unit quantization,
+    HUGEINT sufficient statistics, the same closed forms with one
+    correctly-rounded division (+ two IEEE sqrt for r) and round-6.
+    `source` must yield (group..., x DOUBLE, y DOUBLE) already
+    validated the way the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(CAST(round(x * 1000000) AS BIGINT) AS HUGEINT) AS mx,
+         CAST(CAST(round(y * 1000000) AS BIGINT) AS HUGEINT) AS my
+  FROM base),
+agg AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n,
+         sum(mx) AS sx, sum(my) AS sy,
+         sum(mx * mx) AS sxx, sum(my * my) AS syy,
+         sum(mx * my) AS sxy
+  FROM q {grp}),
+d AS (
+  SELECT {gpfx}n,
+         CAST(n AS HUGEINT) * sxy - sx * sy AS cov,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+         CAST(n AS HUGEINT) * syy - sy * sy AS vy,
+         sy * sxx - sx * sxy AS inum
+  FROM agg)
+SELECT {gpfx}n,
+       CASE WHEN vx > 0 THEN
+         round(CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS slope,
+       CASE WHEN vx > 0 THEN
+         round(CAST(inum AS DOUBLE) / CAST(vx AS DOUBLE) / 1e6, 6)
+       END AS intercept,
+       CASE WHEN vx > 0 AND vy > 0 THEN
+         round(CAST(cov AS DOUBLE)
+               / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6)
+       END AS r
+FROM d
+WHERE n > 0
+"""
+
+
+def time_decayed_features_sql(
+    source: str,
+    key_cols: tuple[str, ...],
+    now_us: int,
+    half_lives_s: tuple[int, ...] = (3600, 86400),
+    with_value: bool = False,
+) -> str:
+    """Twin of temporal.time_decayed_features: identical exact-BIGINT
+    ages, the same pow(2.0, -(dt/H)) expression order, per-row terms
+    rounded once to integer micro-units and summed exactly, round-6
+    divisions. `source` must yield (key..., tm BIGINT epoch-micros
+    [, v DOUBLE]) already validated the way the Spark entry
+    validates."""
+    k = ", ".join(key_cols)
+    parts = [f"CAST(count(*) AS BIGINT) AS n_events"]
+    sel = []
+    for h in half_lives_s:
+        hus = float(int(h) * 1_000_000)
+        w = (
+            f"pow(2.0, -(CAST({int(now_us)} - tm AS DOUBLE) "
+            f"/ CAST({hus!r} AS DOUBLE)))"
+        )
+        parts.append(
+            f"CAST(sum(CAST(round({w} * 1e6) AS BIGINT)) AS BIGINT) "
+            f"AS dc{h}"
+        )
+        sel.append(
+            f"round(CAST(dc{h} AS DOUBLE) / 1e6, 6) AS decay_count_{h}s"
+        )
+        if with_value:
+            parts.append(
+                f"CAST(sum(CAST(round(v * {w} * 1e6) AS BIGINT)) AS BIGINT)"
+                f" AS ds{h}"
+            )
+            sel.append(
+                f"round(CAST(ds{h} AS DOUBLE) / 1e6, 6) AS decay_sum_{h}s"
+            )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+agg AS MATERIALIZED (
+  SELECT {k}, {", ".join(parts)} FROM base GROUP BY {k})
+SELECT {k}, n_events, {", ".join(sel)} FROM agg
+"""

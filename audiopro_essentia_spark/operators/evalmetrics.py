@@ -910,3 +910,278 @@ def ks_drift(
         .otherwise(F.round(F.col("_d"), 6))
         .alias("ks"),
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    group_cols: list[str] | None = None,
+    n_bins: int = 100,
+) -> DataFrame:
+    """(group..., bin, cnt, n_pos, pos_frac, iso_p) — isotonic (PAV)
+    calibration of a probabilistic score in [0, 1] per group: the
+    monotone-nondecreasing step function closest (weighted L2) to the
+    per-bin empirical positive rates. The POST-HOC CALIBRATOR
+    companion of calibration_report (which measures miscalibration;
+    this repairs it): map any raw score to iso_p of its bin and the
+    output probabilities are monotone in the score and match observed
+    frequencies as closely as monotonicity allows.
+
+    Exactness: scores quantize ONCE to integer micro-units and bin
+    exactly like calibration_report (bin = least(n_bins-1,
+    (m * n_bins) div 1e6)). The fit is evaluated through the minimax
+    identity of isotonic regression (Robertson-Wright-Dykstra 1988 —
+    PAV's output in closed form):
+
+        iso(b) = max_{i <= b} min_{j >= b} rate(i..j),
+        rate(i, j) = (1e6 * pos(i..j)) div n(i..j)
+
+    with every windowed rate TRUNCATED to integer micro-units BEFORE
+    the min/max (truncating div == DuckDB // on the non-negative
+    operands). floor-scaling is weakly monotone, and min/max commute
+    with weakly monotone maps over finite sets, so the result is
+    EXACTLY floor(1e6 * true_PAV_fit) — bit-stable cross-engine and
+    partitioning-free, with monotonicity inherited from the true fit
+    (pytest pins the operator against an independent Fraction-exact
+    PAV stack mirror). Empty bins are simply absent (the fit lives on
+    the observed support; look up a raw score by its bin with the
+    same bin formula and take the nearest occupied bin below/above).
+
+    NULL/NaN/out-of-[0,1] scores and NULL/non-binary labels fail LOUD
+    (silent drops skew the fit). Empty frames return zero rows.
+
+    Scale shape: ONE map-side-combinable groupBy(group, bin)
+    aggregate is the only corpus-scale pass. Everything downstream
+    lives on the BOUNDED bin table: per-group prefix windows over
+    <= n_bins rows, an (i <= j) pair expansion of <= n_bins^2 rows
+    per group, one suffix-min window partitioned by (group, i), one
+    final groupBy — zero Python, no corpus-scale windows or joins."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    g = list(group_cols or [])
+    y0 = F.col(label_col).cast("long")
+    y = (
+        F.when(
+            y0.isNull() | ~y0.isin(0, 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"isotonic: NULL or non-binary {label_col}="),
+                    F.coalesce(F.col(label_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(y0)
+        .alias("_y")
+    )
+    s0 = F.col(score_col).cast("double")
+    m = (
+        F.when(
+            s0.isNull() | F.isnan(s0) | (s0 < 0) | (s0 > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"isotonic: NULL/NaN/out-of-[0,1] {score_col}="),
+                    F.coalesce(s0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(s0 * _MICRO).cast("long"))
+        .alias("_m")
+    )
+    nb = int(n_bins)
+    rows = df.select(*g, m, y).select(
+        *g,
+        F.least(
+            F.lit(nb - 1).cast("long"),
+            F.expr(f"(_m * {nb}) div {_MICRO}"),
+        ).alias("bin"),
+        "_y",
+    )
+    # the ONLY corpus-scale pass; 2 consumers (pairs + final join-back)
+    per = (
+        rows.groupBy(*g, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("_y").cast("long").alias("n_pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # inclusive prefixes over the bounded (<= n_bins rows/group) table
+    w = Window.partitionBy(*g).orderBy("bin")
+    pre = per.select(
+        *g,
+        "bin",
+        "cnt",
+        "n_pos",
+        F.sum("cnt").over(w).cast("long").alias("_cn"),
+        F.sum("n_pos").over(w).cast("long").alias("_cp"),
+    )
+    li = pre.select(
+        *g,
+        F.col("bin").alias("_i"),
+        (F.col("_cn") - F.col("cnt")).alias("_eni"),  # exclusive
+        (F.col("_cp") - F.col("n_pos")).alias("_epi"),
+    )
+    rj = pre.select(
+        *g,
+        F.col("bin").alias("_j"),
+        F.col("_cn").alias("_cnj"),
+        F.col("_cp").alias("_cpj"),
+    )
+    pairs = (
+        (li.join(rj, g) if g else li.crossJoin(rj))
+        .where(F.col("_i") <= F.col("_j"))
+        .select(
+            *g,
+            "_i",
+            "_j",
+            F.expr(
+                f"({_MICRO} * (_cpj - _epi)) div (_cnj - _eni)"
+            ).alias("_a"),
+        )
+    )
+    ws = (
+        Window.partitionBy(*g, "_i")
+        .orderBy(F.col("_j").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sfx = pairs.select(
+        *g, "_i", "_j", F.min("_a").over(ws).alias("_mi")
+    )
+    iso = sfx.groupBy(*g, "_j").agg(
+        F.max("_mi").cast("long").alias("_iso")
+    ).withColumnRenamed("_j", "bin")
+    return per.join(iso, [*g, "bin"]).select(
+        *g,
+        "bin",
+        "cnt",
+        "n_pos",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("cnt").cast("double"), 6
+        ).alias("pos_frac"),
+        F.round(F.col("_iso").cast("double") / 1e6, 6).alias("iso_p"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n, x_levels, y_levels, mi, hx, hy, nmi) — mutual
+    information I(X; Y) in nats between two categorical columns per
+    group, with both marginal entropies and the normalized mutual
+    information nmi = I / sqrt(H(X) * H(Y)): the model-free dependence
+    monitor behind feature-relevance ranking and LABEL-LEAKAGE
+    detection (a feature with nmi ~ 1 against the label IS the label
+    in disguise — the bug target_encode_loo exists to prevent, here
+    measured for any column pair). Continuous features are binned by
+    the caller first (the calibration_report / isotonic bin recipe or
+    quantile_normalize's micro-grid).
+
+    Exactness (the kl_drift / bigram_surprisal micro-nat discipline):
+    the joint histogram, marginals and totals are exact BIGINTs from
+    ONE corpus pass; each cell's term
+
+        (n_xy / N) * ln((n_xy * N) / (n_x * n_y))
+
+    and each marginal's entropy term -(n_x/N) ln(n_x/N) is evaluated
+    on doubles BUILT from those exact integers in the same expression
+    order in both engines, rounded ONCE to integer micro-nats, and
+    summed as exact BIGINTs — never an engine-order float sum. mi/hx/
+    hy are the micro-nat integers divided by 1e6 (an exact <=6-decimal
+    rendering); nmi is one correctly-rounded division after two IEEE
+    sqrt (correctly rounded by the standard in both engines) + round-6.
+    Constant columns (H = 0) give NULL nmi with mi/hx/hy visible.
+    Micro-nat rounding can leave mi a few negative micro-nats on
+    independent columns — report as-is (the kl_drift convention).
+
+    NULL X or Y values fail LOUD (a silently-dropped row changes every
+    cell). Empty frames return zero rows.
+
+    Scale shape: ONE map-side-combinable groupBy(group, x, y) corpus
+    pass builds the bounded |X|*|Y| cell table (checkpointed — four
+    consumers); marginals and totals aggregate THAT table; the term
+    joins run on bounded tables. Zero windows, zero Python."""
+    g = list(group_cols or [])
+
+    def val(col):
+        c0 = F.col(col)
+        return (
+            F.when(
+                c0.isNull(),
+                F.raise_error(
+                    F.lit(f"mutual_information: NULL {col}")
+                ).cast(dict(df.dtypes)[col]),
+            )
+            .otherwise(c0)
+        )
+
+    rows = df.select(*g, val(x_col).alias("_x"), val(y_col).alias("_y"))
+    cells = (
+        rows.groupBy(*g, "_x", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    mx = cells.groupBy(*g, "_x").agg(F.sum("_c").cast("long").alias("_nx"))
+    my = cells.groupBy(*g, "_y").agg(F.sum("_c").cast("long").alias("_ny"))
+    tot = cells.groupBy(*g).agg(F.sum("_c").cast("long").alias("_n"))
+
+    def bj(left, right, keys):
+        return (
+            left.join(F.broadcast(right), keys)
+            if keys
+            else left.crossJoin(F.broadcast(right))
+        )
+
+    terms = bj(
+        cells.join(mx, [*g, "_x"]).join(my, [*g, "_y"]), tot, g
+    )
+    mi_term = (
+        F.col("_c").cast("double") / F.col("_n").cast("double")
+    ) * F.log(
+        (F.col("_c").cast("double") * F.col("_n").cast("double"))
+        / (F.col("_nx").cast("double") * F.col("_ny").cast("double"))
+    )
+    mi_t = terms.groupBy(*g).agg(
+        F.max("_n").alias("_n"),
+        F.sum(F.round(mi_term * F.lit(1e6)).cast("long")).alias("_mi_u"),
+    ).where(F.col("_n").isNotNull())
+
+    def ent(marg, cnt, name, lvl):
+        p = F.col(cnt).cast("double") / F.col("_n").cast("double")
+        t = -(p * F.log(p))
+        return (
+            bj(marg, tot, g)
+            .groupBy(*g)
+            .agg(
+                F.sum(F.round(t * F.lit(1e6)).cast("long")).alias(name),
+                F.count(F.lit(1)).cast("long").alias(lvl),
+            )
+            .where(F.col(name).isNotNull())
+        )
+
+    hx_t = ent(mx, "_nx", "_hx_u", "x_levels")
+    hy_t = ent(my, "_ny", "_hy_u", "y_levels")
+    out = bj(bj(mi_t, hx_t, g), hy_t, g)
+    return out.select(
+        *g,
+        F.col("_n").alias("n"),
+        "x_levels",
+        "y_levels",
+        F.round(F.col("_mi_u").cast("double") / 1e6, 6).alias("mi"),
+        F.round(F.col("_hx_u").cast("double") / 1e6, 6).alias("hx"),
+        F.round(F.col("_hy_u").cast("double") / 1e6, 6).alias("hy"),
+        F.when(
+            (F.col("_hx_u") > 0) & (F.col("_hy_u") > 0),
+            F.round(
+                F.col("_mi_u").cast("double")
+                / (
+                    F.sqrt(F.col("_hx_u").cast("double"))
+                    * F.sqrt(F.col("_hy_u").cast("double"))
+                ),
+                6,
+            ),
+        ).alias("nmi"),
+    )
