@@ -1269,3 +1269,98 @@ def quantile_normalize(
         ).alias("q"),
     )
     return rows.join(qtbl, [*g, "_s"]).select(*ids, *g, value_col, "q")
+
+
+def ols_fit(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n, slope, intercept, r) — simple linear regression
+    y = slope*x + intercept per group plus the Pearson correlation:
+    the trend monitor for any metric-over-covariate question (token
+    counts over ingestion time, quality score over document length —
+    the generic form of zipf_slope's log-log head fit, on raw values).
+
+    Exactness: x and y quantize ONCE to integer micro-units (the
+    sample-key recipe; negatives allowed) and the five sufficient
+    statistics Sx, Sy, Sxx, Syy, Sxy accumulate as exact
+    DECIMAL(38,0) / HUGEINT (map-side combinable, partition-order
+    free). Every output is ONE correctly-rounded evaluation of exact
+    integers:
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)        [unitless]
+        intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2) / 1e6
+        r         = (n*Sxy - Sx*Sy)
+                    / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    — the closed forms keep slope OUT of the intercept (no compounded
+    float), and r uses the spearman_rho two-sqrt recipe (IEEE sqrt is
+    correctly rounded in both engines). Exact while n * (1e6*max|x|)^2
+    * n < 1e38 — e.g. |x|,|y| <= 1e3 allows ~1e10 rows per group
+    (quantize wider-range covariates down first). Constant x gives
+    NULL slope/intercept/r with n visible; constant y gives r NULL.
+    NULL/NaN values fail LOUD. Empty frames return zero rows.
+
+    Scale shape: ONE map-side-combinable aggregate — the cheapest
+    possible corpus pass. Zero windows, zero joins, zero Python."""
+    g = list(group_cols or [])
+
+    def micro(col):
+        v0 = F.col(col).cast("double")
+        return (
+            F.when(
+                v0.isNull() | F.isnan(v0),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"ols_fit: NULL/NaN {col}="),
+                        F.coalesce(v0.cast("string"), F.lit("NULL")),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        )
+
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        *g,
+        micro(x_col).cast(d38).alias("_x"),
+        micro(y_col).cast(d38).alias("_y"),
+    )
+    agg = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    nn = F.col("n").cast(d38)
+    cov = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    inum = F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    return agg.where(F.col("n") > 0).select(
+        *g,
+        "n",
+        F.when(
+            vx > 0, F.round(cov.cast("double") / vx.cast("double"), 6)
+        ).alias("slope"),
+        F.when(
+            vx > 0,
+            F.round(
+                inum.cast("double") / vx.cast("double") / F.lit(1e6), 6
+            ),
+        ).alias("intercept"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                cov.cast("double")
+                / (
+                    F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("r"),
+    )

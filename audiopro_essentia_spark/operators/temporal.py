@@ -695,3 +695,114 @@ def transition_matrix(
         "cnt",
         F.round(F.col("cnt") / F.col("_tt"), 6).alias("prob"),
     )
+
+
+def time_decayed_features(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    now_us: int | None = None,
+    half_lives_s: tuple[int, ...] = (3600, 86400),
+    value_col: str | None = None,
+) -> DataFrame:
+    """(key..., n_events, decay_count_<H>s..., decay_sum_<H>s...) —
+    exponentially time-decayed activity features per key AS OF the
+    explicit `now_us` (epoch microseconds): each event contributes
+    2^(-age / half_life), so a key's decay_count_3600s is "how many
+    events, recency-weighted with a 1-hour half-life" — the standard
+    feature-store recency signal (a burst an hour ago and a trickle
+    all week become distinguishable numbers), with one column per
+    requested half-life and, when `value_col` is given, the matching
+    value-weighted sums. The whole window is ONE pass and the result
+    is MERGEABLE across shards/epochs at fixed now_us (sums of sums)
+    — unlike with_time_rolling's per-event trailing windows, this is
+    one snapshot row per key.
+
+    `now_us` is REQUIRED and explicit (deterministic — never wall
+    clock). An event AFTER now_us fails LOUD: a feature computed "as
+    of now" that silently sees the future is the leakage bug
+    feature-store as-of semantics exist to prevent (asof_join /
+    with_time_rolling discipline); filter first if you mean it.
+
+    Exactness: ages are exact BIGINT micros; each weight
+    2^(-(age/H_us)) is ONE pow(2.0, -(dt/H)) evaluated in the same
+    expression order in both engines, each per-row term rounded ONCE
+    to integer micro-units and summed EXACTLY (the kl_drift micro-nat
+    recipe — never an engine-order float sum); final round-6
+    divisions by 1e6. NULL ts (and NULL value when value_col is set)
+    fail LOUD.
+
+    Scale shape: ONE map-side-combinable groupBy(key) aggregate —
+    the cheapest possible corpus pass. Zero windows, zero joins,
+    zero Python."""
+    if now_us is None:
+        raise ValueError(
+            "time_decayed_features: now_us is required (explicit epoch "
+            "micros — deterministic as-of time, never wall clock)"
+        )
+    if not half_lives_s or any(h <= 0 for h in half_lives_s):
+        raise ValueError(
+            f"time_decayed_features: half_lives_s must be positive, got "
+            f"{half_lives_s}"
+        )
+    t0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dt = (
+        F.when(
+            t0.isNull(),
+            F.raise_error(
+                F.lit(f"time_decayed_features: NULL {ts_col}")
+            ).cast("long"),
+        )
+        .when(
+            F.lit(int(now_us)).cast("long") - t0 < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "time_decayed_features: event after now_us "
+                        f"(future leakage): {ts_col}="
+                    ),
+                    F.col(ts_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(int(now_us)).cast("long") - t0)
+    )
+    cols = [dt.alias("_dt")]
+    if value_col is not None:
+        v0 = F.col(value_col).cast("double")
+        cols.append(
+            F.when(
+                v0.isNull() | F.isnan(v0),
+                F.raise_error(
+                    F.lit(f"time_decayed_features: NULL/NaN {value_col}")
+                ).cast("double"),
+            )
+            .otherwise(v0)
+            .alias("_v")
+        )
+    rows = df.select(*key_cols, *cols)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
+    outs = []
+    for h in half_lives_s:
+        hus = float(int(h) * 1_000_000)
+        w = F.pow(F.lit(2.0), -(F.col("_dt").cast("double") / F.lit(hus)))
+        aggs.append(
+            F.sum(F.round(w * F.lit(1e6)).cast("long")).alias(f"_dc{h}")
+        )
+        outs.append((f"_dc{h}", f"decay_count_{h}s"))
+        if value_col is not None:
+            aggs.append(
+                F.sum(
+                    F.round(F.col("_v") * w * F.lit(1e6)).cast("long")
+                ).alias(f"_ds{h}")
+            )
+            outs.append((f"_ds{h}", f"decay_sum_{h}s"))
+    agg = rows.groupBy(*key_cols).agg(*aggs)
+    return agg.select(
+        *key_cols,
+        "n_events",
+        *[
+            F.round(F.col(src).cast("double") / 1e6, 6).alias(dst)
+            for src, dst in outs
+        ],
+    )
