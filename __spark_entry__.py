@@ -2973,6 +2973,54 @@ def q_staged_decay(spark, sf_dir):
     )
 
 
+def q_staged_bh(spark, sf_dir):
+    """Monitoring: Benjamini-Hochberg FDR control over one simulated
+    drift-monitor p-value per (source, lang) cell — with hundreds of
+    per-source/per-day monitors, thresholding each at 0.05 guarantees
+    a wall of false alarms; BH rejects the largest prefix with
+    p_(k) <= k*alpha/m and bounds the expected false-discovery
+    fraction by alpha. The demo p-values are deterministic portable-
+    hash uniforms (the conv(md5) recipe both engines render
+    identically), with the en-language cells planted ~1000x smaller so
+    the procedure has true signals to find. Exact integer BH criterion
+    per tie run, floor q candidates with the suffix-min == floor of
+    the true q (operators/evalmetrics.py bh_fdr)."""
+    from audiopro_essentia_spark.operators.evalmetrics import bh_fdr
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .select("source", "lang")
+        .distinct()
+        .select(
+            F.col("source").alias("src"),
+            F.col("lang").alias("lng"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "source", "lang")), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("_h"),
+        )
+        .select(
+            "src",
+            "lng",
+            F.when(
+                F.col("lng") == "en",
+                (F.col("_h") % 1001).cast("double") / F.lit(1e6),
+            )
+            .otherwise(
+                (F.col("_h") % 1000001).cast("double") / F.lit(1e6)
+            )
+            .alias("p"),
+        )
+    )
+    return bh_fdr(d, "p", 0.05, None, ["src", "lng"])
+
+
 def q_staged_transitions(spark, sf_dir):
     """Event analytics: the first-order Markov transition matrix of
     per-user event-type journeys — exact counts + row-normalized
@@ -3104,6 +3152,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_leakage": q_staged_mi,
         "ols_trend": q_staged_ols,
         "decay_features": q_staged_decay,
+        "fdr_monitors": q_staged_bh,
         "transitions": q_staged_transitions,
         "lang_kappa": q_staged_lang_kappa,
         "spearman": q_staged_spearman,
@@ -3188,6 +3237,18 @@ def _staged_oracle_sql() -> dict[str, str]:
             ("id",),
             m=20.0,
             cat_name="source",
+        ),
+        "fdr_monitors": DT.bh_fdr_sql(
+            "SELECT src, lng, CASE WHEN lng = 'en' THEN "
+            "CAST(h % 1001 AS DOUBLE) / 1e6 ELSE "
+            "CAST(h % 1000001 AS DOUBLE) / 1e6 END AS p FROM ("
+            "SELECT source AS src, lang AS lng, "
+            "('0x' || substr(md5(source || '|' || lang), 1, 8))::BIGINT"
+            " AS h FROM (SELECT DISTINCT source, lang FROM documents "
+            "WHERE source IS NOT NULL AND lang IS NOT NULL) dd) hh",
+            (),
+            ("src", "lng"),
+            alpha=0.05,
         ),
         "ols_trend": DT.ols_fit_sql(
             "SELECT source AS src, "

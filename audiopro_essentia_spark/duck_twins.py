@@ -3534,3 +3534,56 @@ agg AS MATERIALIZED (
   SELECT {k}, {", ".join(parts)} FROM base GROUP BY {k})
 SELECT {k}, n_events, {", ".join(sel)} FROM agg
 """
+
+
+def bh_fdr_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    id_cols: tuple[str, ...] = (),
+    alpha: float = 0.05,
+    p_name: str = "p",
+) -> str:
+    """Twin of evalmetrics.bh_fdr: identical micro-unit quantization,
+    the exact integer BH criterion per tie run at the run's largest
+    rank, floor q candidates with the suffix-min, join back on the
+    same (group, p) key. `source` must yield (id..., group..., p
+    DOUBLE) already validated."""
+    import math
+
+    alpha_u = int(math.floor(float(alpha) * 1_000_000 + 0.5))
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    ids = ", ".join(id_cols)
+    idpfx = f"{ids}, " if id_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jq = f"USING ({g}, m)" if group_cols else "USING (m)"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+rws AS MATERIALIZED (
+  SELECT {idpfx}{gpfx}p,
+         CAST(round(p * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM rws GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(coalesce(sum(c) OVER ({part}ORDER BY m), 0) - c AS BIGINT)
+           AS below
+  FROM hist),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS mm FROM hist {grp}),
+qt AS MATERIALIZED (
+  SELECT {gpfx}m,
+         CAST(min(least(1000000, (mm * m) // (below + c)))
+              OVER ({part}ORDER BY m DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS qu,
+         max(CASE WHEN m * mm <= (below + c) * {alpha_u} THEN m END)
+           OVER ({part}) AS vstar
+  FROM cum {jtot})
+SELECT {idpfx}{gpfx}p,
+       CAST(CASE WHEN vstar IS NOT NULL AND m <= vstar THEN 1 ELSE 0 END
+            AS BIGINT) AS reject,
+       round(CAST(qu AS DOUBLE) / 1e6, 6) AS q_value
+FROM rws JOIN qt {jq}
+"""

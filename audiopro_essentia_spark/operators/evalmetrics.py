@@ -1185,3 +1185,107 @@ def mutual_information(
             ),
         ).alias("nmi"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    alpha: float = 0.05,
+    group_cols: list[str] | None = None,
+    id_cols: list[str] | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id..., group..., p, reject, q_value) — Benjamini-Hochberg
+    false-discovery-rate control over a table of hypothesis-test
+    p-values per group: with hundreds of drift monitors (a ks_drift /
+    kl_drift / psi row per source per day), thresholding each at 0.05
+    guarantees a wall of false alarms; BH rejects the largest prefix
+    p_(1..k*) with p_(k) <= k*alpha/m and bounds the EXPECTED FALSE
+    DISCOVERY FRACTION among the alarms by alpha. q_value is the
+    standard step-up q (the smallest alpha at which this test would be
+    rejected): q_(k) = min_{j>=k} m*p_(j)/j, capped at 1.
+
+    Exactness: p-values quantize ONCE to integer micro-units; the BH
+    criterion is the EXACT integer comparison p_u * m <= k * alpha_u
+    evaluated per distinct-p tie run at the run's LARGEST rank k =
+    below + cnt (ties stand or fall together — the largest index is
+    the binding one); the rejection boundary vstar = max qualifying p
+    and the per-run q candidate (m * p_u) div k are exact integers
+    (floor commutes with the suffix-min, so q_u is EXACTLY
+    floor(1e6 * the true q) — the isotonic truncation argument).
+    NULL/NaN/out-of-[0,1] p-values fail LOUD; alpha outside (0, 1)
+    raises.
+
+    Scale shape: the input is a TEST table (one row per monitor/test —
+    thousands, not a corpus), so after the map-side-combinable
+    (group, p) histogram and the shared _hist_prefix two-phase below-
+    prefix, the suffix-min runs as one window over the distinct-p
+    histogram (bounded by m) and results join back on the same
+    (group, p) key. Zero Python."""
+    af = float(alpha)
+    if not (0.0 < af < 1.0):
+        raise ValueError(f"bh_fdr: alpha must be in (0, 1), got {alpha}")
+    import math
+
+    alpha_u = int(math.floor(af * _MICRO + 0.5))
+    g = list(group_cols or [])
+    ids = list(id_cols or [])
+    p0 = F.col(p_col).cast("double")
+    s = (
+        F.when(
+            p0.isNull() | F.isnan(p0) | (p0 < 0) | (p0 > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bh_fdr: NULL/NaN/out-of-[0,1] {p_col}="),
+                    F.coalesce(p0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(p0 * _MICRO).cast("long"))
+        .alias("_s")
+    )
+    rows = df.select(*ids, *g, s, p0.alias(p_col))
+    per = (
+        rows.groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    pre = _hist_prefix(per, g, n_buckets)
+    tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("_m"))
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+    k = F.col("cpos") + F.col("pos")  # the tie run's largest rank
+    ok = F.col("_s") * F.col("_m") <= k * F.lit(alpha_u)
+    cand = F.least(
+        F.lit(_MICRO).cast("long"),
+        F.expr("(_m * _s) div (cpos + pos)"),
+    )
+    w = (
+        Window.partitionBy(*g)
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    qtbl = j.select(
+        *g,
+        "_s",
+        F.min(cand).over(w).alias("_qu"),
+        F.max(F.when(ok, F.col("_s"))).over(
+            Window.partitionBy(*g) if g else Window.partitionBy()
+        ).alias("_vstar"),
+    )
+    return rows.join(qtbl, [*g, "_s"]).select(
+        *ids,
+        *g,
+        p_col,
+        F.when(
+            F.col("_vstar").isNotNull() & (F.col("_s") <= F.col("_vstar")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("reject"),
+        F.round(F.col("_qu").cast("double") / 1e6, 6).alias("q_value"),
+    )
