@@ -3021,6 +3021,34 @@ def q_staged_bh(spark, sf_dir):
     return bh_fdr(d, "p", 0.05, None, ["src", "lng"])
 
 
+def q_staged_exact_quantiles(spark, sf_dir):
+    """Corpus stats: EXACT distributed p50/p90/p99 of per-document
+    token counts per source — the exact answer to the question
+    lq_quantiles answers with a sketch (and that corpus_percentiles'
+    exact mode can only answer by buffering whole groups): ONE
+    map-side-combinable (source, count) histogram pass + the shared
+    two-phase bucketed below-prefix + exact integer ceil-rank type-1
+    selection (an actual data value, never an interpolation), no
+    per-group buffering, no sketch error, zero Python
+    (operators/aggregates.py exact_quantiles)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import (
+        exact_quantiles,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(nonempty_words(F.col("text"), null_as_empty=True))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return exact_quantiles(d, "v", (0.5, 0.9, 0.99), ["src"])
+
+
 def q_staged_transitions(spark, sf_dir):
     """Event analytics: the first-order Markov transition matrix of
     per-user event-type journeys — exact counts + row-normalized
@@ -3153,6 +3181,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_staged_ols,
         "decay_features": q_staged_decay,
         "fdr_monitors": q_staged_bh,
+        "exact_pcts": q_staged_exact_quantiles,
         "transitions": q_staged_transitions,
         "lang_kappa": q_staged_lang_kappa,
         "spearman": q_staged_spearman,
@@ -3237,6 +3266,12 @@ def _staged_oracle_sql() -> dict[str, str]:
             ("id",),
             m=20.0,
             cat_name="source",
+        ),
+        "exact_pcts": DT.exact_quantiles_sql(
+            f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
+            "FROM documents WHERE source IS NOT NULL",
+            (0.5, 0.9, 0.99),
+            ("src",),
         ),
         "fdr_monitors": DT.bh_fdr_sql(
             "SELECT src, lng, CASE WHEN lng = 'en' THEN "

@@ -3587,3 +3587,56 @@ SELECT {idpfx}{gpfx}p,
        round(CAST(qu AS DOUBLE) / 1e6, 6) AS q_value
 FROM rws JOIN qt {jq}
 """
+
+
+def exact_quantiles_sql(
+    source: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of aggregates.exact_quantiles: identical micro-unit
+    quantization, the plain one-window below-prefix, the same exact
+    integer ceil-rank r = greatest(1, (n*q_u + 999999) // 1e6) type-1
+    selection, round-6 renders. `source` must yield (group..., v
+    DOUBLE) already validated."""
+    import math
+
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    sels = []
+    outs = []
+    for q in qs:
+        qu = int(math.floor(float(q) * 1_000_000 + 0.5))
+        pct = float(q) * 100.0
+        name = (
+            f"p{int(pct)}"
+            if float(pct).is_integer()
+            else "p" + repr(round(pct, 4)).replace(".", "_")
+        )
+        r = f"greatest(1, (n * {qu} + 999999) // 1000000)"
+        sels.append(
+            f"CAST(sum(CASE WHEN below < {r} AND below + c >= {r} "
+            f"THEN m END) AS BIGINT) AS u_{name}"
+        )
+        outs.append(f"round(CAST(u_{name} AS DOUBLE) / 1e6, 6) AS {name}")
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(v * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(coalesce(sum(c) OVER ({part}ORDER BY m), 0) - c AS BIGINT)
+           AS below
+  FROM hist),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM hist {grp}),
+agg AS (
+  SELECT {gpfx}max(n) AS n, {", ".join(sels)}
+  FROM cum {jtot} {grp})
+SELECT {gpfx}n, {", ".join(outs)} FROM agg WHERE n IS NOT NULL
+"""

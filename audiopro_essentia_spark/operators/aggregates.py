@@ -1364,3 +1364,107 @@ def ols_fit(
             ),
         ).alias("r"),
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: list[str] | None = None,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., n, p50, p90, ...) — EXACT distributed quantiles per
+    group: the scale-correct exact path that corpus_percentiles lacks
+    (its exact mode buffers every group's values in one aggregate —
+    the oracle form; its corpus form is the approx t-digest). This
+    form is exact AND distributed: ONE map-side-combinable
+    (group, value) histogram pass + the shared _hist_prefix two-phase
+    bucketed below-prefix + rank selection — no per-group buffering,
+    no corpus-scale single-partition window, no sketch error.
+
+    Convention (explicit, engine-portable): type-1 / inverted-CDF
+    lower quantiles — rank r = max(1, ceil(q * n)) and the quantile is
+    the value whose tie run covers r (below < r <= below + cnt). An
+    ACTUAL data value, never an interpolation (matches numpy
+    method='inverted_cdf'; deliberately NOT the percentile()/
+    quantile_cont linear interpolation — interpolated values are
+    float-blend artifacts, selection is rank-exact at any scale).
+    ceil is exact integer arithmetic on micro-quantized q:
+    r = (q_u * n + 1e6 - 1) div 1e6.
+
+    Values micro-quantize ONCE (the sample-key recipe; negatives
+    allowed); outputs are single round-6 divisions of the selected
+    exact micro integers. NULL/NaN values fail LOUD; empty frames
+    return zero rows. Column naming matches corpus_percentiles
+    (p50 / p99 / p99_9)."""
+    from .evalmetrics import _hist_prefix
+
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(
+            f"exact_quantiles: qs must be in (0, 1], got {qs}"
+        )
+    g = list(group_cols or [])
+    v0 = F.col(value_col).cast("double")
+    s = (
+        F.when(
+            v0.isNull() | F.isnan(v0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"exact_quantiles: NULL/NaN {value_col}="),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_s")
+    )
+    per = (
+        df.select(*g, s)
+        .groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    pre = _hist_prefix(per, g, n_buckets)
+    tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("n"))
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+    import math
+
+    aggs = [F.max("n").alias("n")]
+    names = []
+    for q in qs:
+        qu = int(math.floor(float(q) * 1_000_000 + 0.5))
+        pct = float(q) * 100.0
+        name = (
+            f"p{int(pct)}"
+            if float(pct).is_integer()
+            else "p" + repr(round(pct, 4)).replace(".", "_")
+        )
+        r = F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(n * {qu} + 999999) div 1000000"),
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("cpos") < r)
+                    & (F.col("cpos") + F.col("pos") >= r),
+                    F.col("_s"),
+                )
+            )
+            .cast("long")
+            .alias(f"_{name}")
+        )
+        names.append(name)
+    out = j.groupBy(*g).agg(*aggs)
+    return out.where(F.col("n").isNotNull()).select(
+        *g,
+        "n",
+        *[
+            F.round(F.col(f"_{nm}").cast("double") / 1e6, 6).alias(nm)
+            for nm in names
+        ],
+    )
