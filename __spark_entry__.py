@@ -2354,6 +2354,55 @@ def _staged_allpairs_sql() -> str:
     )
 
 
+def q_staged_containment(spark, sf_dir):
+    """Dedup: LOSSLESS asymmetric containment join (C(A, B) =
+    |A inter B| / |A| >= t; operators/dedup.py containment_pairs) over
+    the corpus plus SUPERSET twins — doc_id % 41 docs re-issued as
+    id+2e6 with a lead-in prepended and a footer appended, so every
+    original's shingles sit contiguously intact inside its twin:
+    C(orig, twin) is EXACTLY 1.0 while Jaccard ~ m/(m+6) never clears
+    a symmetric 0.9 bar — the quote/subset/re-crawl-with-footer regime
+    allpairs_jaccard structurally cannot surface. Pure BIGINT prefix +
+    acceptance math, one round-6 division."""
+    from audiopro_essentia_spark.operators.dedup import containment_pairs
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    pert = d.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("zqc lead in words "),
+            F.col("text"),
+            F.lit(" zqc trailing footer"),
+        ).alias("text"),
+    )
+    return containment_pairs(d.unionByName(pert), threshold=0.9).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_inter",
+        "n_a",
+        "n_b",
+        "containment",
+    )
+
+
+def _staged_containment_sql() -> str:
+    prelude = """docs_c AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND doc_id IS NOT NULL
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT) + 2000000,
+         'zqc lead in words ' || text || ' zqc trailing footer'
+  FROM documents
+  WHERE doc_id % 41 = 0 AND text IS NOT NULL AND doc_id IS NOT NULL)"""
+    return DT.containment_pairs_sql(
+        threshold=0.9, table="docs_c", prelude_cte=prelude
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3199,6 +3248,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_jaccard": q_staged_kmv_jaccard,
         "rrf_hybrid": q_staged_rrf,
         "allpairs_jaccard": q_staged_allpairs,
+        "containment": q_staged_containment,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3416,6 +3466,7 @@ def _staged_oracle_sql() -> dict[str, str]:
             topk=10,
         ),
         "allpairs_jaccard": _staged_allpairs_sql(),
+        "containment": _staged_containment_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -3640,3 +3640,57 @@ agg AS (
   FROM cum {jtot} {grp})
 SELECT {gpfx}n, {", ".join(outs)} FROM agg WHERE n IS NOT NULL
 """
+
+
+def containment_pairs_sql(
+    ngram: int = 3,
+    threshold: float = 0.9,
+    table: str = "documents",
+    prelude_cte: str = "",
+) -> str:
+    """Twin of dedup.containment_pairs: identical shingling, the same
+    (df ASC, shingle) prefix order with the containment prefix length
+    n - ceil(t*n) + 1, probe-prefix x FULL-index candidate join with
+    the exact integer size bound 1e6*n_b >= t_micro*n_a, intersection
+    counted as shared (doc, shingle) rows, acceptance 1e6*inter >=
+    t_micro*n_a."""
+    t_micro = round(threshold * 1e6)
+    prelude = f"{prelude_cte}," if prelude_cte else ""
+    return f"""
+WITH {prelude}
+sh AS MATERIALIZED (
+  SELECT doc_id, shingles, CAST(len(shingles) AS BIGINT) AS n
+  FROM ({_shingle_select_sql(ngram, table)})
+  WHERE len(shingles) > 0),
+inv AS MATERIALIZED (
+  SELECT doc_id, n, unnest(shingles) AS shingle FROM sh),
+dfreq AS MATERIALIZED (
+  SELECT shingle, count(*) AS dfc FROM inv GROUP BY shingle),
+ranked AS MATERIALIZED (
+  SELECT i.doc_id, i.n, i.shingle,
+         row_number() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.dfc, i.shingle) AS rn
+  FROM inv i JOIN dfreq d USING (shingle)),
+prefix AS MATERIALIZED (
+  SELECT doc_id, n, shingle FROM ranked
+  WHERE rn <= n - (({t_micro} * n + 999999) // 1000000) + 1),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN inv b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  WHERE 1000000 * b.n >= {t_micro} * a.n),
+ij AS MATERIALIZED (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN inv x ON x.doc_id = c.id_a
+  JOIN inv y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT j.id_a, j.id_b, CAST(j.n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(j.n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+         AS containment
+FROM ij j
+JOIN sh sa ON sa.doc_id = j.id_a
+JOIN sh sb ON sb.doc_id = j.id_b
+WHERE 1000000 * j.n_inter >= {t_micro} * sa.n
+"""

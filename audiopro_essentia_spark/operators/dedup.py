@@ -1670,3 +1670,163 @@ def winnow_fingerprints(
     return staged.where(selected).select(
         F.col(id_col), p.alias("pos"), F.col("h").alias("fp")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """LOSSLESS all-pairs CONTAINMENT join: every ORDERED pair (a, b)
+    with C(A, B) = |A intersect B| / |A| >= threshold — "a's shingles
+    are mostly inside b" — the ASYMMETRIC member of the near-dup
+    family that symmetric Jaccard structurally cannot express: a quote
+    embedded in a long article, a doc re-crawled with an appended
+    footer, a subset shard repackaged inside a bigger one all have
+    C(A, B) ~ 1 while J(A, B) ~ |A|/|B| ~ 0, so allpairs_jaccard_pairs
+    at any useful threshold never surfaces them.
+
+    Prefix filter (lossless, the Bayardo-Ma-Srikant argument adapted
+    to containment): order A's distinct shingles by the global
+    (document frequency ASC, shingle) total order; C(A, B) >= t means
+    fewer than ceil(t * n_a) of A's shingles can be OUTSIDE B, so A's
+    first n_a - ceil(t * n_a) + 1 ordered shingles cannot all miss B —
+    every qualifying pair collides where A's PREFIX meets B's FULL
+    shingle set. The probe side therefore indexes prefixes (rarest
+    shingles — hot boilerplate never probes unless the doc is mostly
+    boilerplate, the same bucket-size lever as allpairs), while the
+    candidate join runs against the full inverted index as a plain
+    streaming equi-JOIN on the shingle key — never a per-shingle
+    array collect (a hot shingle's full posting list must stream
+    through the join, not materialize in one aggregation buffer).
+    The only candidate pruning is the exact size bound n_b >=
+    ceil(t * n_a) (the container must hold at least the required
+    overlap); there is NO upper size filter — that asymmetry is the
+    point.
+
+    Exactness: threshold enters ONLY as integer micro-units —
+    min-overlap = ceil-div(t_micro * n_a, 1e6) in BIGINT math,
+    acceptance is 1e6 * inter >= t_micro * n_a on the exact intersect
+    count; the only float is the reported round-6 containment.
+    threshold must be a multiple of 1e-6.
+
+    Scale shape: linear shuffles only — inverted index -> df counts
+    (map-side combinable) -> join-back on the same shingle key
+    (subset-of-keys) -> per-doc regroup to slice the prefix -> probe
+    join against the full index on the shingle key -> distinct ->
+    exact verify join (single intersect mention in the filter — the
+    allpairs Catalyst-collapse lesson). Worst case (f copies of one
+    doc) is Theta(f^2) candidates — but so is the correct OUTPUT; run
+    exact_dedup first.
+
+    Output: (id_a, id_b, n_inter, n_a, n_b, containment) for every
+    ordered pair with C(A, B) >= threshold, a != b; both directions
+    appear when both qualify. Zero-shingle docs never pair."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t_micro = round(threshold * 1e6)
+    if abs(threshold * 1e6 - t_micro) > 1e-6:
+        raise ValueError(
+            f"threshold must be a multiple of 1e-6, got {threshold!r}"
+        )
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    sh = (
+        _spread(df)
+        .select(
+            F.col(id_col),
+            word_ngrams(F.col(text_col), ngram).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("_n", F.size("shingles").cast("long"))
+    )
+    inv = sh.select(
+        F.col(id_col), F.col("_n"), F.explode("shingles").alias("_sh")
+    )
+    dfreq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_dfc"))
+    ranked = inv.join(dfreq, "_sh")
+    min_ov = F.expr(f"CAST(({t_micro} * _n + 999999) div 1000000 AS BIGINT)")
+    docp = (
+        ranked.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_dfc").alias("d"), F.col("_sh").alias("s")
+                    )
+                )
+            ).alias("_ord"),
+            F.max("_n").alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            F.slice(
+                F.transform("_ord", lambda x: x.getField("s")),
+                F.lit(1),
+                (F.col("_n") - min_ov + 1).cast("int"),
+            ).alias("_prefix"),
+        )
+    )
+    probe = docp.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("_na"),
+        F.explode("_prefix").alias("_sh"),
+    )
+    full = inv.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_sh"),
+    )
+    cand = (
+        probe.join(full, "_sh")
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (
+                F.lit(1_000_000) * F.col("_nb")
+                >= F.lit(t_micro) * F.col("_na")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("_sha"),
+        F.col("_n").alias("_na"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("_shb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sha", "_shb"))
+            .cast("long")
+            .alias("n_inter"),
+            "_na",
+            "_nb",
+        )
+        .filter(
+            F.lit(1_000_000) * F.col("n_inter")
+            >= F.lit(t_micro) * F.col("_na")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            F.col("_na").alias("n_a"),
+            F.col("_nb").alias("n_b"),
+            F.round(
+                F.col("n_inter").cast("double") / F.col("_na").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
