@@ -2403,6 +2403,53 @@ def _staged_containment_sql() -> str:
     )
 
 
+_DQ_CHECKS = [
+    {"name": "text_present", "column": "text", "kind": "completeness",
+     "threshold": 0.99},
+    {"name": "lang_present", "column": "lang", "kind": "completeness",
+     "threshold": 0.99},
+    {"name": "id_unique", "column": "doc_id", "kind": "uniqueness",
+     "threshold": 1.0},
+    {"name": "lang_cardinality", "column": "lang", "kind": "distinctness",
+     "threshold": 0.000001},
+    {"name": "chars_min", "column": "n_chars", "kind": "min_ge",
+     "bound": 1.0},
+    {"name": "chars_max", "column": "n_chars", "kind": "max_le",
+     "bound": 1000000.0},
+    {"name": "chars_mean", "column": "n_chars", "kind": "mean_ge",
+     "bound": 100.0},
+    {"name": "lang_shape", "column": "lang", "kind": "pattern",
+     "threshold": 0.9, "pattern": "[a-z]{2}"},
+    {"name": "lang_known", "column": "lang", "kind": "in_set",
+     "threshold": 0.9, "values": ["en", "de", "fr", "es", "zh"]},
+]
+
+
+def q_staged_dq(spark, sf_dir):
+    """Governance: declarative Deequ-style data-quality constraint
+    suite (operators/checks.py quality_checks) verified per source —
+    completeness / key-uniqueness / distinctness / numeric bounds /
+    exact-integer mean bound / full-match pattern / closed-set
+    membership, one verdict row per (source, check). Every PASS/FAIL
+    is an exact integer comparison (micro-unit thresholds); fraction
+    metrics are one correctly-rounded BIGINT division + round-6. ONE
+    shared map-side-combinable corpus pass + one value-frequency pass
+    per uniqueness/distinctness column, zero Python."""
+    from audiopro_essentia_spark.operators.checks import quality_checks
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    return quality_checks(d, _DQ_CHECKS, ["source"])
+
+
+def _staged_dq_sql() -> str:
+    return DT.quality_checks_sql(
+        "SELECT source, doc_id, text, lang, n_chars FROM documents "
+        "WHERE source IS NOT NULL",
+        _DQ_CHECKS,
+        ("source",),
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3249,6 +3296,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": q_staged_rrf,
         "allpairs_jaccard": q_staged_allpairs,
         "containment": q_staged_containment,
+        "dq_checks": q_staged_dq,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3467,6 +3515,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         ),
         "allpairs_jaccard": _staged_allpairs_sql(),
         "containment": _staged_containment_sql(),
+        "dq_checks": _staged_dq_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -3694,3 +3694,164 @@ JOIN sh sa ON sa.doc_id = j.id_a
 JOIN sh sb ON sb.doc_id = j.id_b
 WHERE 1000000 * j.n_inter >= {t_micro} * sa.n
 """
+
+
+def quality_checks_sql(
+    source: str,
+    checks: list[dict],
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of checks.quality_checks: the SAME check list compiles to
+    one shared aggregate + one value-frequency CTE per uniqueness/
+    distinctness column, with identical micro-unit quantization and
+    exact HUGEINT pass/fail comparisons. `source` must yield
+    (group..., <checked columns>) already validated the way the Spark
+    entry validates (no NaN in bound/mean columns)."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    frac_kinds = ("completeness", "uniqueness", "distinctness", "pattern", "in_set")
+    shared = [c for c in checks if c["kind"] not in ("uniqueness", "distinctness")]
+    valued = [c for c in checks if c["kind"] in ("uniqueness", "distinctness")]
+
+    def mic(x: float) -> int:
+        return round(x * 1e6)
+
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, s in enumerate(shared):
+        col, kind = s["column"], s["kind"]
+        if kind == "completeness":
+            aggs.append(f"CAST(count({col}) AS BIGINT) AS num{i}")
+        elif kind == "pattern":
+            p = s["pattern"].replace("'", "''")
+            aggs.append(
+                f"CAST(coalesce(sum(CASE WHEN {col} IS NOT NULL AND "
+                f"regexp_full_match({col}, '(?:{p})') THEN 1 ELSE 0 END), 0)"
+                f" AS BIGINT) AS num{i}"
+            )
+            aggs.append(f"CAST(count({col}) AS BIGINT) AS den{i}")
+        elif kind == "in_set":
+            vals = ", ".join("'" + v.replace("'", "''") + "'" for v in s["values"])
+            aggs.append(
+                f"CAST(coalesce(sum(CASE WHEN {col} IN ({vals}) THEN 1 "
+                f"ELSE 0 END), 0) AS BIGINT) AS num{i}"
+            )
+            aggs.append(f"CAST(count({col}) AS BIGINT) AS den{i}")
+        elif kind in ("min_ge", "max_le"):
+            fn = "min" if kind == "min_ge" else "max"
+            aggs.append(
+                f"{fn}(CAST(round(CAST({col} AS DOUBLE) * 1000000) AS BIGINT))"
+                f" AS ext{i}"
+            )
+            aggs.append(f"CAST(count({col}) AS BIGINT) AS den{i}")
+        else:  # mean_ge / mean_le
+            aggs.append(
+                f"sum(CAST(CAST(round(CAST({col} AS DOUBLE) * 1000000) "
+                f"AS BIGINT) AS HUGEINT)) AS sum{i}"
+            )
+            aggs.append(f"CAST(count({col}) AS BIGINT) AS den{i}")
+
+    ctes = [
+        f"base AS MATERIALIZED ({source})",
+        f"agg AS (SELECT {gpfx}{', '.join(aggs)} FROM base {grp})",
+        f"ntab AS (SELECT {gpfx}n FROM agg)",
+    ]
+    ucols = sorted({c["column"] for c in valued})
+    for j, col in enumerate(ucols):
+        ctes.append(
+            f"pc{j} AS MATERIALIZED (SELECT {gpfx}{col} AS v, "
+            f"CAST(count(*) AS BIGINT) AS c FROM base "
+            f"WHERE {col} IS NOT NULL GROUP BY {gpfx}{col})"
+        )
+        ctes.append(
+            f"ua{j} AS (SELECT {gpfx}"
+            f"CAST(coalesce(sum(CAST(c = 1 AS BIGINT)), 0) AS BIGINT) AS singles, "
+            f"CAST(count(*) AS BIGINT) AS dst, "
+            f"CAST(coalesce(sum(c), 0) AS BIGINT) AS nn FROM pc{j} {grp})"
+        )
+
+    def lits(s):
+        thr = (
+            round(mic(s["threshold"]) / 1e6, 6)
+            if s["kind"] in frac_kinds
+            else round(mic(s["bound"]) / 1e6, 6)
+        )
+        return (
+            f"'{s['name']}' AS check_name, '{s['column']}' AS \"column\", "
+            f"'{s['kind']}' AS kind"
+        ), thr
+
+    selects = []
+    for i, s in enumerate(shared):
+        kind = s["kind"]
+        head, thr = lits(s)
+        if kind == "completeness":
+            t = mic(s["threshold"])
+            selects.append(
+                f"SELECT {gpfx}{head}, n, num{i} AS num, n AS den, "
+                f"round(CAST(num{i} AS DOUBLE) / CAST(n AS DOUBLE), 6) AS metric, "
+                f"CAST({thr!r} AS DOUBLE) AS threshold, "
+                f"CAST(1000000 * CAST(num{i} AS HUGEINT) >= "
+                f"{t} * CAST(n AS HUGEINT) AS BIGINT) AS passed "
+                f"FROM agg WHERE n > 0"
+            )
+        elif kind in ("pattern", "in_set"):
+            t = mic(s["threshold"])
+            selects.append(
+                f"SELECT {gpfx}{head}, n, num{i} AS num, den{i} AS den, "
+                f"CASE WHEN den{i} > 0 THEN round(CAST(num{i} AS DOUBLE) / "
+                f"CAST(den{i} AS DOUBLE), 6) END AS metric, "
+                f"CAST({thr!r} AS DOUBLE) AS threshold, "
+                f"CASE WHEN den{i} > 0 THEN CAST(1000000 * CAST(num{i} AS HUGEINT)"
+                f" >= {t} * CAST(den{i} AS HUGEINT) AS BIGINT) END AS passed "
+                f"FROM agg WHERE n > 0"
+            )
+        elif kind in ("min_ge", "max_le"):
+            b = mic(s["bound"])
+            op = ">=" if kind == "min_ge" else "<="
+            selects.append(
+                f"SELECT {gpfx}{head}, n, CAST(NULL AS BIGINT) AS num, "
+                f"den{i} AS den, round(CAST(ext{i} AS DOUBLE) / 1e6, 6) AS metric, "
+                f"CAST({thr!r} AS DOUBLE) AS threshold, "
+                f"CASE WHEN den{i} > 0 THEN CAST(ext{i} {op} {b} AS BIGINT) END"
+                f" AS passed FROM agg WHERE n > 0"
+            )
+        else:
+            b = mic(s["bound"])
+            op = ">=" if kind == "mean_ge" else "<="
+            selects.append(
+                f"SELECT {gpfx}{head}, n, CAST(NULL AS BIGINT) AS num, "
+                f"den{i} AS den, CASE WHEN den{i} > 0 THEN "
+                f"round(CAST(sum{i} AS DOUBLE) / CAST(den{i} * 1000000 AS DOUBLE),"
+                f" 6) END AS metric, CAST({thr!r} AS DOUBLE) AS threshold, "
+                f"CASE WHEN den{i} > 0 THEN CAST(sum{i} {op} "
+                f"CAST({b} AS HUGEINT) * den{i} AS BIGINT) END AS passed "
+                f"FROM agg WHERE n > 0"
+            )
+    for s in valued:
+        j = ucols.index(s["column"])
+        head, thr = lits(s)
+        t = mic(s["threshold"])
+        num = "singles" if s["kind"] == "uniqueness" else "dst"
+        gsel = ", ".join(f"t.{c}" for c in group_cols)
+        gselp = f"{gsel}, " if group_cols else ""
+        join = (
+            f"LEFT JOIN ua{j} u USING ({g})"
+            if group_cols
+            else f"CROSS JOIN ua{j} u"
+        )
+        selects.append(
+            f"SELECT {gselp}{head}, t.n, "
+            f"CAST(coalesce(u.{num}, 0) AS BIGINT) AS num, "
+            f"CAST(coalesce(u.nn, 0) AS BIGINT) AS den, "
+            f"CASE WHEN coalesce(u.nn, 0) > 0 THEN "
+            f"round(CAST(u.{num} AS DOUBLE) / CAST(u.nn AS DOUBLE), 6) END"
+            f" AS metric, CAST({thr!r} AS DOUBLE) AS threshold, "
+            f"CASE WHEN coalesce(u.nn, 0) > 0 THEN "
+            f"CAST(1000000 * CAST(u.{num} AS HUGEINT) >= "
+            f"{t} * CAST(u.nn AS HUGEINT) AS BIGINT) END AS passed "
+            f"FROM ntab t {join} WHERE t.n > 0"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    cte_block = ",\n".join(ctes)
+    return f"WITH {cte_block}\n{body}\n"

@@ -1,0 +1,356 @@
+"""Declarative data-quality constraint suite (Deequ-style).
+
+The generalization of the reference engine's validation tier (source /
+signal gates before compute — reference src/audiopro/audio/
+audio_loader.py:61-104 validates inputs field-by-field before the
+pipeline touches them) to the declarative per-column constraint
+verification every production ingest runs at corpus scale (the AWS
+Deequ / Great Expectations shape): a list of named checks compiles into
+ONE shared map-side-combinable aggregate pass over the corpus (plus one
+bounded value-frequency pass per uniqueness/distinctness COLUMN),
+emitting a long-format verdict table — (group..., check_name, column,
+kind, n, num, den, metric, threshold, passed).
+
+Exactness contract (the weight_diagnostics discipline): numeric values
+micro-quantize ONCE (round(v * 1e6) — half-away in both engines);
+fraction metrics are ONE correctly-rounded division of exact BIGINTs +
+round-6; every PASS/FAIL verdict is an EXACT integer comparison
+(1e6 * num >= t_micro * den for fractions, min/max micros vs the
+micro-quantized bound, exact DECIMAL(38,0)/HUGEINT sum vs bound * den
+for means) — bit-stable cross-engine, never a float threshold test.
+thresholds and bounds must be multiples of 1e-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FRAC_KINDS = (
+    "completeness",
+    "uniqueness",
+    "distinctness",
+    "pattern",
+    "in_set",
+)
+BOUND_KINDS = ("min_ge", "max_le", "mean_ge", "mean_le")
+VALUE_KINDS = ("uniqueness", "distinctness")
+
+_D38 = "decimal(38,0)"
+
+
+def _micro(x: float, what: str) -> int:
+    u = round(x * 1e6)
+    if abs(x * 1e6 - u) > 1e-6:
+        raise ValueError(f"{what} must be a multiple of 1e-6, got {x!r}")
+    return u
+
+
+def _validate(checks, schema) -> list[dict]:
+    if not checks:
+        raise ValueError("quality_checks: empty check list")
+    by_name = {}
+    fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+    numeric = ("int", "bigint", "smallint", "tinyint", "float", "double")
+    out = []
+    for c in checks:
+        name = c.get("name")
+        col = c.get("column")
+        kind = c.get("kind")
+        if not name or name in by_name:
+            raise ValueError(f"quality_checks: missing/duplicate name {name!r}")
+        by_name[name] = True
+        if col not in fields:
+            raise ValueError(f"quality_checks[{name}]: unknown column {col!r}")
+        if kind not in FRAC_KINDS + BOUND_KINDS:
+            raise ValueError(f"quality_checks[{name}]: unknown kind {kind!r}")
+        spec = {"name": name, "column": col, "kind": kind}
+        if kind in FRAC_KINDS:
+            t = c.get("threshold")
+            if t is None or not (0.0 <= t <= 1.0):
+                raise ValueError(
+                    f"quality_checks[{name}]: threshold must be in [0, 1]"
+                )
+            spec["t_micro"] = _micro(float(t), f"quality_checks[{name}] threshold")
+        else:
+            b = c.get("bound")
+            if b is None:
+                raise ValueError(f"quality_checks[{name}]: bound required")
+            spec["b_micro"] = _micro(float(b), f"quality_checks[{name}] bound")
+        if kind in BOUND_KINDS and fields[col] not in numeric:
+            raise ValueError(
+                f"quality_checks[{name}]: {kind} needs a numeric column,"
+                f" {col} is {fields[col]}"
+            )
+        if kind == "pattern":
+            p = c.get("pattern")
+            if not p or not isinstance(p, str):
+                raise ValueError(f"quality_checks[{name}]: pattern required")
+            if fields[col] != "string":
+                raise ValueError(
+                    f"quality_checks[{name}]: pattern needs a string column"
+                )
+            spec["pattern"] = p
+        if kind == "in_set":
+            vals = c.get("values")
+            if not vals or not all(isinstance(v, str) for v in vals):
+                raise ValueError(
+                    f"quality_checks[{name}]: values must be non-empty strings"
+                )
+            if fields[col] != "string":
+                raise ValueError(
+                    f"quality_checks[{name}]: in_set needs a string column"
+                    f" (numeric-vs-string IN casting is not cross-engine"
+                    f" portable)"
+                )
+            spec["values"] = list(vals)
+        out.append(spec)
+    return out
+
+
+def _nan_loud(col: str) -> Column:
+    v = F.col(col).cast("double")
+    return F.when(
+        F.isnan(v),
+        F.raise_error(F.lit(f"quality_checks: NaN {col}")).cast("long"),
+    ).otherwise(F.round(v * 1_000_000).cast("long"))
+
+
+def _verdict_struct(
+    name: str,
+    col: str,
+    kind: str,
+    num: Column,
+    den: Column,
+    metric: Column,
+    threshold: float,
+    passed: Column,
+) -> Column:
+    return F.struct(
+        F.lit(name).alias("check_name"),
+        F.lit(col).alias("column"),
+        F.lit(kind).alias("kind"),
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        metric.cast("double").alias("metric"),
+        F.lit(threshold).cast("double").alias("threshold"),
+        passed.cast("long").alias("passed"),
+    )
+
+
+def _frac_verdict(num: Column, den: Column, t_micro: int):
+    metric = F.when(
+        den > 0, F.round(num.cast("double") / den.cast("double"), 6)
+    )
+    passed = F.when(
+        den > 0,
+        (
+            num.cast(_D38) * F.lit(1_000_000).cast(_D38)
+            >= F.lit(t_micro).cast(_D38) * den.cast(_D38)
+        ).cast("long"),
+    )
+    return metric, passed
+
+
+def quality_checks(
+    df: DataFrame,
+    checks: list[dict],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Verify a declared constraint suite per group; one verdict row per
+    (group, check). Kinds (all verdicts exact-integer, see module doc):
+
+    - completeness: non-NULL fraction of `column` >= threshold
+      (denominator = group rows; NaN counts as PRESENT — NULLness is
+      what this kind measures).
+    - uniqueness: fraction of non-NULL rows whose value occurs EXACTLY
+      once in the group >= threshold (Deequ's definition; 1.0 == the
+      column is a key among non-NULL rows).
+    - distinctness: distinct non-NULL values / non-NULL rows >=
+      threshold.
+    - min_ge / max_le: group min/max of the micro-quantized value vs
+      the micro-quantized bound (NULLs skipped — completeness is the
+      NULL check; NaN fails LOUD, its ordering is not portable).
+    - mean_ge / mean_le: exact micro-unit sum vs bound * count —
+      DECIMAL(38,0)/HUGEINT, never a float mean compare.
+    - pattern: FULL-string regex match fraction among non-NULL rows >=
+      threshold. Spark anchors `^(?:p)$`; the twin uses DuckDB
+      regexp_full_match — keep p inside the Java/RE2 common subset
+      (literals, classes, quantifiers, alternation; no backrefs).
+    - in_set: fraction of non-NULL rows whose value (string columns
+      only — numeric-vs-string IN casting is not cross-engine
+      portable) is in the declared list >= threshold.
+
+    passed is 1/0, or NULL when the check's denominator is 0 (no
+    evidence either way — e.g. a pattern check on an all-NULL group).
+    Empty input (or an empty group — impossible by construction)
+    yields zero rows.
+
+    Scale shape: every completeness/bound/pattern/in_set check rides
+    ONE shared map-side-combinable groupBy(group) corpus pass;
+    each uniqueness/distinctness COLUMN adds one map-side-combinable
+    groupBy(group, value) corpus pass whose downstream is bounded by
+    group cardinality. Zero windows, zero Python, zero corpus-scale
+    joins (the uniqueness join-back is group-cardinality x
+    group-cardinality)."""
+    g = list(group_cols or [])
+    specs = _validate(checks, df.schema)
+    shared = [s for s in specs if s["kind"] not in VALUE_KINDS]
+    valued = [s for s in specs if s["kind"] in VALUE_KINDS]
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, s in enumerate(shared):
+        c, kind = s["column"], s["kind"]
+        if kind == "completeness":
+            aggs.append(
+                F.sum(F.col(c).isNotNull().cast("long")).alias(f"_num{i}")
+            )
+        elif kind == "pattern":
+            anchored = f"^(?:{s['pattern']})$"
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(c).isNotNull() & F.col(c).rlike(anchored), 1
+                    )
+                    .otherwise(0)
+                    .cast("long")
+                ).alias(f"_num{i}")
+            )
+            aggs.append(
+                F.sum(F.col(c).isNotNull().cast("long")).alias(f"_den{i}")
+            )
+        elif kind == "in_set":
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c).isin(s["values"]), 1)
+                    .otherwise(0)
+                    .cast("long")
+                ).alias(f"_num{i}")
+            )
+            aggs.append(
+                F.sum(F.col(c).isNotNull().cast("long")).alias(f"_den{i}")
+            )
+        elif kind in ("min_ge", "max_le"):
+            fn = F.min if kind == "min_ge" else F.max
+            aggs.append(fn(_nan_loud(c)).alias(f"_ext{i}"))
+            aggs.append(
+                F.sum(F.col(c).isNotNull().cast("long")).alias(f"_den{i}")
+            )
+        else:  # mean_ge / mean_le
+            aggs.append(F.sum(_nan_loud(c).cast(_D38)).alias(f"_sum{i}"))
+            aggs.append(
+                F.sum(F.col(c).isNotNull().cast("long")).alias(f"_den{i}")
+            )
+    base = df.groupBy(*g).agg(*aggs)
+
+    structs = []
+    for i, s in enumerate(shared):
+        kind, t = s["kind"], None
+        if kind == "completeness":
+            t = s["t_micro"]
+            num, den = F.col(f"_num{i}"), F.col("n")
+            metric, passed = _frac_verdict(num, den, t)
+        elif kind in ("pattern", "in_set"):
+            t = s["t_micro"]
+            num, den = F.col(f"_num{i}"), F.col(f"_den{i}")
+            metric, passed = _frac_verdict(num, den, t)
+        elif kind in ("min_ge", "max_le"):
+            b = s["b_micro"]
+            num, den = F.lit(None).cast("long"), F.col(f"_den{i}")
+            ext = F.col(f"_ext{i}")
+            metric = F.round(ext.cast("double") / 1e6, 6)
+            ok = ext >= F.lit(b) if kind == "min_ge" else ext <= F.lit(b)
+            passed = F.when(den > 0, ok.cast("long"))
+            t = b
+        else:  # mean_ge / mean_le
+            b = s["b_micro"]
+            num, den = F.lit(None).cast("long"), F.col(f"_den{i}")
+            sm = F.col(f"_sum{i}")
+            metric = F.when(
+                den > 0,
+                F.round(
+                    sm.cast("double") / (den * F.lit(1_000_000)).cast("double"),
+                    6,
+                ),
+            )
+            bound_side = F.lit(b).cast(_D38) * den.cast(_D38)
+            ok = sm >= bound_side if kind == "mean_ge" else sm <= bound_side
+            passed = F.when(den > 0, ok.cast("long"))
+            t = b
+        structs.append(
+            _verdict_struct(
+                s["name"], s["column"], kind, num, den, metric,
+                round(t / 1e6, 6), passed,
+            )
+        )
+
+    parts = []
+    if structs:
+        parts.append(
+            base.where(F.col("n") > 0).select(
+                *g,
+                F.col("n"),
+                F.explode(F.array(*structs)).alias("_v"),
+            )
+        )
+
+    n_tab = base.select(*g, "n")
+    for col in sorted({s["column"] for s in valued}):
+        per = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(*g, col)
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        ua = per.groupBy(*g).agg(
+            F.sum((F.col("_c") == 1).cast("long")).cast("long").alias("_singles"),
+            F.count(F.lit(1)).cast("long").alias("_dst"),
+            F.sum("_c").cast("long").alias("_nn"),
+        )
+        # LEFT join from the group spine: an all-NULL group still gets
+        # its verdict row (den = 0, passed = NULL), never a silent drop
+        joined = (
+            n_tab.join(ua, on=g, how="left")
+            if g
+            else n_tab.crossJoin(F.broadcast(ua))
+        )
+        nn = F.coalesce(F.col("_nn"), F.lit(0)).cast("long")
+        col_structs = []
+        for s in valued:
+            if s["column"] != col:
+                continue
+            num = F.coalesce(
+                F.col("_singles")
+                if s["kind"] == "uniqueness"
+                else F.col("_dst"),
+                F.lit(0),
+            ).cast("long")
+            metric, passed = _frac_verdict(num, nn, s["t_micro"])
+            col_structs.append(
+                _verdict_struct(
+                    s["name"], col, s["kind"], num, nn, metric,
+                    round(s["t_micro"] / 1e6, 6), passed,
+                )
+            )
+        parts.append(
+            joined.where(F.col("n") > 0).select(
+                *g,
+                F.col("n"),
+                F.explode(F.array(*col_structs)).alias("_v"),
+            )
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        *g,
+        F.col("_v.check_name").alias("check_name"),
+        F.col("_v.column").alias("column"),
+        F.col("_v.kind").alias("kind"),
+        F.col("n"),
+        F.col("_v.num").alias("num"),
+        F.col("_v.den").alias("den"),
+        F.col("_v.metric").alias("metric"),
+        F.col("_v.threshold").alias("threshold"),
+        F.col("_v.passed").alias("passed"),
+    )
