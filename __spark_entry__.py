@@ -2450,6 +2450,49 @@ def _staged_dq_sql() -> str:
     )
 
 
+def q_staged_boot_ci(spark, sf_dir):
+    """Uncertainty: deterministic hash-Poisson bootstrap CI (Chamandy
+    et al. 2012 — the map-reduce bootstrap; operators/bootstrap.py
+    bootstrap_ci) for the per-source mean token count — the error bars
+    every per-source monitor (drift, robust_stats, corpus_rollup)
+    reports point values without. Replicate weights are portable-hash
+    Poisson(1) inverse-CDF draws (exact integer threshold compares,
+    never an RNG), replicate means correctly-rounded micro integers,
+    CI bounds type-1 order statistics of ACTUAL replicate means. One
+    corpus pass + one explode(B)-widened map-side-combinable pass;
+    everything downstream bounded by sources x B."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.bootstrap import bootstrap_ci
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.col("source").alias("grp"),
+            F.col("doc_id").cast("string").alias("rid"),
+            F.size(nonempty_words(F.col("text"), null_as_empty=True))
+            .cast("double")
+            .alias("v"),
+        )
+    )
+    return bootstrap_ci(d, "v", "rid", ["grp"], b_reps=40, alpha=0.05)
+
+
+def _staged_boot_ci_sql() -> str:
+    nw = (
+        "len(list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> ''))"
+    )
+    return DT.bootstrap_ci_sql(
+        f"SELECT source AS grp, CAST(doc_id AS VARCHAR) AS id, "
+        f"CAST({nw} AS DOUBLE) AS v FROM documents "
+        "WHERE source IS NOT NULL AND doc_id IS NOT NULL",
+        ("grp",),
+        b_reps=40,
+        alpha=0.05,
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3297,6 +3340,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_jaccard": q_staged_allpairs,
         "containment": q_staged_containment,
         "dq_checks": q_staged_dq,
+        "boot_ci": q_staged_boot_ci,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3516,6 +3560,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "allpairs_jaccard": _staged_allpairs_sql(),
         "containment": _staged_containment_sql(),
         "dq_checks": _staged_dq_sql(),
+        "boot_ci": _staged_boot_ci_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -3855,3 +3855,78 @@ def quality_checks_sql(
     body = "\nUNION ALL\n".join(selects)
     cte_block = ",\n".join(ctes)
     return f"WITH {cte_block}\n{body}\n"
+
+
+def bootstrap_ci_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    b_reps: int = 100,
+    alpha: float = 0.05,
+) -> str:
+    """Twin of bootstrap.bootstrap_ci: identical hash-Poisson weights
+    (same md5-prefix hash, same integer CDF thresholds imported from
+    the operator so they cannot desync), HUGEINT weighted sums, the
+    same correctly-rounded half-away replicate-mean micros, ceil-rank
+    order statistics on the 1-based sorted list, exact-integer SE
+    numerator. `source` must yield (group..., id, v DOUBLE) already
+    validated the way the Spark entry validates."""
+    from .operators.bootstrap import POISSON1_T32
+
+    q_lo_u = round(alpha / 2 * 1e6)
+    q_hi_u = 1_000_000 - q_lo_u
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    grpb = f"GROUP BY {gpfx}b"
+    h = "(('0x' || substr(md5(id || '|' || CAST(b AS VARCHAR)), 1, 8))::BIGINT)"
+    w = " + ".join(f"CAST({h} >= {t} AS BIGINT)" for t in POISSON1_T32)
+    join = (
+        f"LEFT JOIN stats s USING ({g})"
+        if group_cols
+        else "CROSS JOIN stats s"
+    )
+    rk_lo = f"greatest(1, (b_eff * {q_lo_u} + 999999) // 1000000)"
+    rk_hi = f"greatest(1, (b_eff * {q_hi_u} + 999999) // 1000000)"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {gpfx}CAST(id AS VARCHAR) AS id,
+         CAST(round(v * 1000000) AS BIGINT) AS x
+  FROM ({source}) AS src),
+pt AS (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sall
+  FROM base {grp}),
+reps AS MATERIALIZED (
+  SELECT {gpfx}x, b, {w} AS w
+  FROM base CROSS JOIN (
+    SELECT unnest(generate_series(0, {b_reps - 1})) AS b) bb),
+rb AS (
+  SELECT {gpfx}b, sum(CAST(w AS HUGEINT) * x) AS s,
+         CAST(sum(w) AS BIGINT) AS wt
+  FROM reps {grpb}),
+means AS (
+  SELECT {gpfx}CAST(round(CAST(s AS DOUBLE) / CAST(wt AS DOUBLE)) AS BIGINT)
+         AS m
+  FROM rb WHERE wt > 0),
+stats AS (
+  SELECT {gpfx}list_sort(list(m)) AS sorted,
+         CAST(count(*) AS BIGINT) AS b_eff,
+         sum(CAST(m AS HUGEINT)) AS sm,
+         sum(CAST(m AS HUGEINT) * m) AS smm
+  FROM means {grp})
+SELECT {gpfx}n,
+       round(CAST(sall AS DOUBLE) / CAST(n * 1000000 AS DOUBLE), 6) AS mean,
+       CASE WHEN coalesce(b_eff, 0) > 1 THEN
+         round(sqrt(CAST(b_eff * smm - sm * sm AS DOUBLE) /
+                    CAST(b_eff * (b_eff - 1) AS DOUBLE)) / 1e6, 6)
+       END AS se_boot,
+       CASE WHEN coalesce(b_eff, 0) > 0 THEN
+         round(CAST(sorted[{rk_lo}] AS DOUBLE) / 1e6, 6)
+       END AS lo,
+       CASE WHEN coalesce(b_eff, 0) > 0 THEN
+         round(CAST(sorted[{rk_hi}] AS DOUBLE) / 1e6, 6)
+       END AS hi,
+       CAST(coalesce(b_eff, 0) AS BIGINT) AS b_eff
+FROM pt p {join}
+WHERE n > 0
+"""

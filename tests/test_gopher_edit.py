@@ -353,6 +353,8 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["containment"] >= 10
     # one verdict row per (source, check): 20 sources x 9 checks
     assert n_rows["dq_checks"] == 180
+    # one CI row per source
+    assert n_rows["boot_ci"] == 20
     # one z-key row per event with user+ts
     assert n_rows["zorder_key"] >= 900
     # one row per doc plus one per junk twin (doc_id % 7 == 0)
