@@ -2493,6 +2493,57 @@ def _staged_boot_ci_sql() -> str:
     )
 
 
+def q_staged_cusum(spark, sf_dir):
+    """Monitoring: Page's two-sided CUSUM changepoint monitor
+    (operators/temporal.py cusum_changepoints) over per-type DAILY
+    event counts vs each type's own mean daily count — the sequential
+    drift detector that alarms on a sustained shift where per-point
+    snapshots (drift_psi / ks_drift) stay quiet. Closed form
+    S = P - min(0, running-min P) over ONE named sort key (one Sort,
+    CollapseWindow merges all three windows); exact HUGEINT prefix
+    sums, exact integer alarms; input is the bounded (type, day)
+    monitor series, never the corpus."""
+    from audiopro_essentia_spark.operators.temporal import (
+        cusum_changepoints,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("_d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    base = daily.groupBy("event_type").agg(
+        F.round(
+            F.sum("_cnt").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("_mu")
+    )
+    joined = daily.join(F.broadcast(base), "event_type")
+    return cusum_changepoints(
+        joined, "_cnt", "_d", "_mu", ["event_type"], k=2.0, h=20.0
+    )
+
+
+def _staged_cusum_sql() -> str:
+    daily = (
+        "SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS dd,"
+        " CAST(count(*) AS BIGINT) AS cnt FROM events "
+        "WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2"
+    )
+    src = (
+        f"WITH daily AS ({daily}), "
+        "b AS (SELECT event_type, round(CAST(sum(cnt) AS DOUBLE) / "
+        "CAST(count(*) AS DOUBLE), 6) AS mu FROM daily GROUP BY 1) "
+        "SELECT d.event_type, epoch_us(d.dd) AS t, "
+        "CAST(d.cnt AS DOUBLE) AS x, b.mu AS mu "
+        "FROM daily d JOIN b USING (event_type)"
+    )
+    return DT.cusum_sql(src, ("event_type",), k=2.0, h=20.0)
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3341,6 +3392,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_staged_containment,
         "dq_checks": q_staged_dq,
         "boot_ci": q_staged_boot_ci,
+        "cusum_drift": q_staged_cusum,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3561,6 +3613,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "containment": _staged_containment_sql(),
         "dq_checks": _staged_dq_sql(),
         "boot_ci": _staged_boot_ci_sql(),
+        "cusum_drift": _staged_cusum_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -3930,3 +3930,45 @@ SELECT {gpfx}n,
 FROM pt p {join}
 WHERE n > 0
 """
+
+
+def cusum_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    k: float = 0.5,
+    h: float = 5.0,
+) -> str:
+    """Twin of temporal.cusum_changepoints: identical micro
+    quantization, HUGEINT prefix sums over the same unique-ts order,
+    the same closed form S = P - least(0, running_min P), exact
+    integer alarms. `source` must yield (group..., t BIGINT unique per
+    group, x DOUBLE, mu DOUBLE) already validated the way the Spark
+    entry validates."""
+    k_u = round(k * 1e6)
+    h_u = round(h * 1e6)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    win = f"({part}ORDER BY t ROWS UNBOUNDED PRECEDING)"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {gpfx}t, CAST(round(x * 1000000) AS BIGINT) AS xu,
+         CAST(round(mu * 1000000) AS BIGINT) AS muu
+  FROM ({source}) AS src),
+p AS MATERIALIZED (
+  SELECT {gpfx}t, xu,
+         sum(CAST(xu - muu - {k_u} AS HUGEINT)) OVER w AS pp,
+         sum(CAST(muu - {k_u} - xu AS HUGEINT)) OVER w AS pn
+  FROM base WINDOW w AS {win}),
+m AS (
+  SELECT {gpfx}t, xu, pp, pn,
+         min(pp) OVER w AS mp, min(pn) OVER w AS mn
+  FROM p WINDOW w AS {win})
+SELECT {gpfx}t AS t_us,
+       round(CAST(xu AS DOUBLE) / 1e6, 6) AS x,
+       round(CAST(pp - least(0, mp) AS DOUBLE) / 1e6, 6) AS s_pos,
+       round(CAST(pn - least(0, mn) AS DOUBLE) / 1e6, 6) AS s_neg,
+       CAST(pp - least(0, mp) > {h_u} AS BIGINT) AS alarm_pos,
+       CAST(pn - least(0, mn) > {h_u} AS BIGINT) AS alarm_neg
+FROM m
+"""

@@ -806,3 +806,131 @@ def time_decayed_features(
             for src, dst in outs
         ],
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    mu0_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """(group..., t_us, x, s_pos, s_neg, alarm_pos, alarm_neg) — Page's
+    two-sided CUSUM changepoint monitor (Page 1954) over each group's
+    time series: S+_t = max(0, S+_{t-1} + x_t - mu0 - k) accumulates
+    upward drift past the in-control mean `mu0_col` (a COLUMN — pass a
+    literal or join a per-group baseline) with slack k, alarming when
+    S+ > h; S- mirrors downward. The standard sequential drift
+    detector for monitor series (daily counts per source, error rates
+    per type) — one sustained shift alarms where per-point thresholds
+    (drift_psi / ks_drift snapshots) stay quiet. No built-in reset:
+    after an alarm S keeps accumulating (segment on the first alarm
+    driver-side if repeated detection is wanted).
+
+    Distribution shape: the recursion is evaluated through its CLOSED
+    FORM S+_t = P_t - min(0, min_{j<=t} P_j) with P the running prefix
+    sum of d_t = x_t - mu0_t - k — two window passes over the SAME
+    named sort key (CollapseWindow merges them; one Sort), no
+    sequential driver loop. Input is a MONITOR series (one row per
+    group per period — thousands of rows, not a corpus): the per-group
+    window residency is bounded by the series length.
+
+    Exactness: x and mu0 micro-quantize ONCE (NULL/NaN fail LOUD); k
+    and h must be non-negative 1e-6 multiples; prefix sums carry
+    DECIMAL(38,0)/HUGEINT; every alarm is the EXACT integer comparison
+    S_micro > h_micro — bit-stable cross-engine. Duplicate timestamps
+    within a group fail LOUD (the prefix order would be
+    engine-dependent); t_us is epoch micros of a timestamp ts_col or
+    the integer ts_col passed through."""
+    if k < 0 or h <= 0:
+        raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
+    k_u = round(k * 1e6)
+    h_u = round(h * 1e6)
+    if abs(k * 1e6 - k_u) > 1e-6 or abs(h * 1e6 - h_u) > 1e-6:
+        raise ValueError(f"k and h must be multiples of 1e-6: {k}, {h}")
+    g = list(group_cols or [])
+    d38 = "decimal(38,0)"
+    dtypes = dict(df.dtypes)
+    tt = dtypes.get(ts_col)
+    if tt is None:
+        raise ValueError(f"cusum_changepoints: unknown ts_col {ts_col!r}")
+    if tt.startswith("timestamp") or tt == "date":
+        t0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    elif tt in ("bigint", "int", "smallint", "tinyint"):
+        t0 = F.col(ts_col).cast("long")
+    else:
+        raise ValueError(
+            f"cusum_changepoints: ts_col must be timestamp/date/integer,"
+            f" {ts_col} is {tt}"
+        )
+    t = (
+        F.when(
+            t0.isNull(),
+            F.raise_error(
+                F.lit(f"cusum_changepoints: NULL {ts_col}")
+            ).cast("long"),
+        )
+        .otherwise(t0)
+        .alias("_t")
+    )
+
+    def _micro(col: str, alias: str) -> Column:
+        v = F.col(col).cast("double")
+        return (
+            F.when(
+                v.isNull() | F.isnan(v),
+                F.raise_error(
+                    F.lit(f"cusum_changepoints: NULL/NaN {col}")
+                ).cast("long"),
+            )
+            .otherwise(F.round(v * 1_000_000).cast("long"))
+            .alias(alias)
+        )
+
+    base = df.select(*g, t, _micro(value_col, "_x"), _micro(mu0_col, "_mu"))
+    w = Window.partitionBy(*g).orderBy("_t")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    dpos = (F.col("_x") - F.col("_mu") - F.lit(k_u)).cast(d38)
+    dneg = (F.col("_mu") - F.lit(k_u) - F.col("_x")).cast(d38)
+    staged = base.select(
+        *g,
+        "_t",
+        "_x",
+        F.sum(dpos).over(wcum).alias("_pp"),
+        F.sum(dneg).over(wcum).alias("_pn"),
+        # duplicate-ts guard shares the window's sort
+        F.when(
+            F.lag("_t").over(w) == F.col("_t"),
+            F.raise_error(
+                F.concat(
+                    F.lit("cusum_changepoints: duplicate ts "),
+                    F.col("_t").cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_z"),
+    ).select(
+        *g,
+        "_t",
+        "_x",
+        "_z",
+        "_pp",
+        "_pn",
+        F.min("_pp").over(wcum).alias("_mp"),
+        F.min("_pn").over(wcum).alias("_mn"),
+    )
+    zero = F.lit(0).cast(d38)
+    s_pos = F.col("_pp") - F.least(zero, F.col("_mp"))
+    s_neg = F.col("_pn") - F.least(zero, F.col("_mn"))
+    return staged.select(
+        *g,
+        (F.col("_t") + F.col("_z")).alias("t_us"),
+        F.round(F.col("_x").cast("double") / 1e6, 6).alias("x"),
+        F.round(s_pos.cast("double") / 1e6, 6).alias("s_pos"),
+        F.round(s_neg.cast("double") / 1e6, 6).alias("s_neg"),
+        (s_pos > F.lit(h_u).cast(d38)).cast("long").alias("alarm_pos"),
+        (s_neg > F.lit(h_u).cast(d38)).cast("long").alias("alarm_neg"),
+    )
