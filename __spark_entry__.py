@@ -2544,6 +2544,46 @@ def _staged_cusum_sql() -> str:
     return DT.cusum_sql(src, ("event_type",), k=2.0, h=20.0)
 
 
+def q_staged_ab_welch(spark, sf_dir):
+    """Experimentation: Welch's unequal-variance two-sample test
+    (operators/evalmetrics.py ab_welch_test) of event value between
+    the 'view' (control) and 'purchase' (treatment) cohorts per
+    user-id decile — the experiment-analysis tier: the monitors say a
+    metric MOVED, this says whether two named cohorts differ by more
+    than noise. Exact HUGEINT sufficient statistics in ONE map-side-
+    combinable aggregate; the v/se/t/df double chain in one fixed
+    expression order; significance = rounded |t| vs the driver-side
+    normal critical literal; se=0 and n<2 degenerate contracts NULL
+    instead of raising on ANSI /0."""
+    from audiopro_essentia_spark.operators.evalmetrics import ab_welch_test
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    d = ev.select(
+        (F.col("user_id") % 10).cast("long").alias("cohort"),
+        F.col("event_type").alias("variant"),
+        F.col("value").alias("v"),
+    )
+    return ab_welch_test(
+        d, "v", "variant", "view", "purchase", ["cohort"], alpha=0.05
+    )
+
+
+def _staged_ab_welch_sql() -> str:
+    return DT.ab_welch_test_sql(
+        "SELECT user_id % 10 AS cohort, event_type AS v, value AS x "
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL "
+        "AND user_id IS NOT NULL",
+        "view",
+        "purchase",
+        ("cohort",),
+        alpha=0.05,
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3393,6 +3433,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_staged_dq,
         "boot_ci": q_staged_boot_ci,
         "cusum_drift": q_staged_cusum,
+        "ab_welch": q_staged_ab_welch,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3614,6 +3655,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "dq_checks": _staged_dq_sql(),
         "boot_ci": _staged_boot_ci_sql(),
         "cusum_drift": _staged_cusum_sql(),
+        "ab_welch": _staged_ab_welch_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -3972,3 +3972,84 @@ SELECT {gpfx}t AS t_us,
        CAST(pn - least(0, mn) > {h_u} AS BIGINT) AS alarm_neg
 FROM m
 """
+
+
+def ab_welch_test_sql(
+    source: str,
+    control: str,
+    treatment: str,
+    group_cols: tuple[str, ...] = (),
+    alpha: float = 0.05,
+) -> str:
+    """Twin of evalmetrics.ab_welch_test: identical micro quantization,
+    HUGEINT conditional sufficient statistics in one aggregate, the
+    same double expression order for v/se/t/df, the same rounded-|t|
+    vs normal-critical comparison, and the same se=0 NULL guard.
+    `source` must yield (group..., v VARCHAR variant, x DOUBLE) already
+    validated the way the Spark entry validates."""
+    from statistics import NormalDist
+
+    crit = round(NormalDist().inv_cdf(1.0 - alpha / 2.0), 6)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    c = control.replace("'", "''")
+    t = treatment.replace("'", "''")
+
+    def side(name: str, tag: str) -> str:
+        return (
+            f"CAST(coalesce(sum(CAST(v = '{name}' AS BIGINT)), 0) AS BIGINT)"
+            f" AS n_{tag}, "
+            f"sum(CASE WHEN v = '{name}' THEN CAST(x AS HUGEINT) END)"
+            f" AS s{tag}, "
+            f"sum(CASE WHEN v = '{name}' THEN CAST(x AS HUGEINT) * x END)"
+            f" AS ss{tag}"
+        )
+
+    vexp = {
+        tag: (
+            f"(CAST(n_{tag} * ss{tag} - s{tag} * s{tag} AS DOUBLE) / "
+            f"CAST(n_{tag} * (n_{tag} - 1) AS DOUBLE) / "
+            f"CAST(n_{tag} AS DOUBLE))"
+        )
+        for tag in ("c", "t")
+    }
+    se = f"sqrt({vexp['c']} + {vexp['t']})"
+    diffm = (
+        "(CAST(st * n_c - sc * n_t AS DOUBLE) / "
+        "CAST(CAST(n_c AS HUGEINT) * n_t AS DOUBLE))"
+    )
+    tstat = f"round({diffm} / {se}, 6)"
+    dfw = (
+        f"round(({vexp['c']} + {vexp['t']}) * ({vexp['c']} + {vexp['t']}) / "
+        f"({vexp['c']} * {vexp['c']} / CAST(n_c - 1 AS DOUBLE) + "
+        f"{vexp['t']} * {vexp['t']} / CAST(n_t - 1 AS DOUBLE)), 6)"
+    )
+    ok = "n_c > 1 AND n_t > 1"
+    okse = f"{ok} AND {se} > 0"
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {gpfx}v, CAST(round(x * 1000000) AS BIGINT) AS x
+  FROM ({source}) AS src WHERE v IN ('{c}', '{t}')),
+agg AS (
+  SELECT {gpfx}{side(c, "c")}, {side(t, "t")}
+  FROM base {grp})
+SELECT {gpfx}n_c, n_t,
+       CASE WHEN n_c > 0 THEN
+         round(CAST(sc AS DOUBLE) / CAST(n_c * 1000000 AS DOUBLE), 6)
+       END AS mean_c,
+       CASE WHEN n_t > 0 THEN
+         round(CAST(st AS DOUBLE) / CAST(n_t * 1000000 AS DOUBLE), 6)
+       END AS mean_t,
+       CASE WHEN n_c > 0 AND n_t > 0 THEN
+         round({diffm} / 1e6, 6)
+       END AS diff,
+       CASE WHEN {ok} THEN round({se} / 1e6, 6) END AS se,
+       CASE WHEN {okse} THEN {tstat} END AS t_stat,
+       CASE WHEN {okse} THEN {dfw} END AS df_welch,
+       CASE WHEN {okse} THEN
+         CAST(abs({tstat}) >= CAST({crit!r} AS DOUBLE) AS BIGINT)
+       END AS significant
+FROM agg
+WHERE n_c > 0 OR n_t > 0
+"""

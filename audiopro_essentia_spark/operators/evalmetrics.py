@@ -1289,3 +1289,134 @@ def bh_fdr(
         .alias("reject"),
         F.round(F.col("_qu").cast("double") / 1e6, 6).alias("q_value"),
     )
+
+
+def ab_welch_test(
+    df: DataFrame,
+    value_col: str,
+    variant_col: str,
+    control: str,
+    treatment: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """(group..., n_c, n_t, mean_c, mean_t, diff, se, t_stat, df_welch,
+    significant) — Welch's unequal-variance two-sample test (Welch
+    1947) of `value_col` between two named variants per group: the
+    experiment-analysis member of the eval family (the monitors say a
+    metric MOVED; this says whether treatment differs from control by
+    more than noise). Rows whose variant is neither name are ignored
+    (documented — pre-filter if that should be an error).
+
+    Exactness: values micro-quantize ONCE (NULL/NaN fail LOUD); per-
+    variant n / sum / sum-of-squares are exact DECIMAL(38,0)/HUGEINT
+    conditional sums in ONE map-side-combinable aggregate (never a
+    pivot or second pass); means and diff are single correctly-rounded
+    divisions of exact integers + round-6. The variance/t/df chain is
+    evaluated on doubles BUILT from those exact integers in the same
+    expression order in both engines: v_x = (n*SS - S^2)/(n*(n-1))
+    (exact integer numerator), se = sqrt(v_c/n_c + v_t/n_t), t =
+    diff_micro / se_micro, df_welch by Welch-Satterthwaite — then
+    round-6, so results are bit-stable cross-engine. `significant`
+    compares the ROUNDED |t| against the two-sided NORMAL critical
+    value for alpha (a driver-side literal from NormalDist — the
+    normal approximation; df_welch is emitted so exact-t users can
+    re-threshold). Variants with n < 2 give NULL se/t/df/significant
+    with counts and means (n >= 1) visible; both-arms-constant groups
+    (se exactly 0) give NULL t/df/significant — t is undefined there,
+    and the guard matters because ANSI Spark raises on ANY division by
+    zero, doubles included (the ks_drift lesson).
+
+    Scale shape: ONE map-side-combinable groupBy(group) corpus pass —
+    zero windows, zero joins, zero Python."""
+    if control == treatment:
+        raise ValueError("ab_welch_test: control == treatment")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from statistics import NormalDist
+
+    crit = round(NormalDist().inv_cdf(1.0 - alpha / 2.0), 6)
+    g = list(group_cols or [])
+    d38 = "decimal(38,0)"
+    v0 = F.col(value_col).cast("double")
+    x = (
+        F.when(
+            v0.isNull() | F.isnan(v0),
+            F.raise_error(
+                F.lit(f"ab_welch_test: NULL/NaN {value_col}")
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_x")
+    )
+    var = F.col(variant_col)
+    base = df.where(var.isin([control, treatment])).select(
+        *g, var.alias("_v"), x
+    )
+
+    def side(name: str, tag: str):
+        m = F.col("_v") == name
+        return [
+            F.sum(m.cast("long")).cast("long").alias(f"n_{tag}"),
+            F.sum(F.when(m, F.col("_x")).cast(d38)).alias(f"_s{tag}"),
+            F.sum(
+                F.when(m, F.col("_x").cast(d38) * F.col("_x").cast(d38))
+            ).alias(f"_ss{tag}"),
+        ]
+
+    agg = base.groupBy(*g).agg(*side(control, "c"), *side(treatment, "t"))
+
+    def mean(tag: str):
+        n = F.col(f"n_{tag}")
+        return F.when(
+            n > 0,
+            F.round(
+                F.col(f"_s{tag}").cast("double")
+                / (n * F.lit(1_000_000)).cast("double"),
+                6,
+            ),
+        )
+
+    def v(tag: str):  # micro^2 units, exact integer numerator
+        n, s, ss = (
+            F.col(f"n_{tag}"),
+            F.col(f"_s{tag}"),
+            F.col(f"_ss{tag}"),
+        )
+        return (n.cast(d38) * ss - s * s).cast("double") / (
+            n * (n - 1)
+        ).cast("double")
+
+    nc, nt = F.col("n_c"), F.col("n_t")
+    ok = (nc > 1) & (nt > 1)
+    vnc = v("c") / nc.cast("double")
+    vnt = v("t") / nt.cast("double")
+    se_micro = F.sqrt(vnc + vnt)
+    diff_micro = (
+        F.col("_st") * nc.cast(d38) - F.col("_sc") * nt.cast(d38)
+    ).cast("double") / (nc.cast(d38) * nt.cast(d38)).cast("double")
+    t_stat = F.round(diff_micro / se_micro, 6)
+    df_w = F.round(
+        (vnc + vnt) * (vnc + vnt)
+        / (vnc * vnc / (nc - 1).cast("double")
+           + vnt * vnt / (nt - 1).cast("double")),
+        6,
+    )
+    return agg.where((nc > 0) | (nt > 0)).select(
+        *g,
+        "n_c",
+        "n_t",
+        mean("c").alias("mean_c"),
+        mean("t").alias("mean_t"),
+        F.when(
+            (nc > 0) & (nt > 0), F.round(diff_micro / F.lit(1e6), 6)
+        ).alias("diff"),
+        F.when(ok, F.round(se_micro / F.lit(1e6), 6)).alias("se"),
+        # se == 0 (both arms constant): t is undefined — NULL, never a
+        # /0 (ANSI raises on ANY division by zero, doubles included)
+        F.when(ok & (se_micro > 0), t_stat).alias("t_stat"),
+        F.when(ok & (se_micro > 0), df_w).alias("df_welch"),
+        F.when(
+            ok & (se_micro > 0), (F.abs(t_stat) >= F.lit(crit)).cast("long")
+        ).alias("significant"),
+    )
