@@ -2584,6 +2584,44 @@ def _staged_ab_welch_sql() -> str:
     )
 
 
+_BT_ORIGINS = [1_704_844_800_000_000, 1_705_276_800_000_000,
+               1_705_708_800_000_000]  # 2024-01-10 / -15 / -20 UTC
+_BT_HORIZON = 5 * 86_400_000_000
+_BT_EMBARGO = 86_400_000_000
+
+
+def q_staged_backtest(spark, sf_dir):
+    """Splits: rolling-origin backtest folds with embargo (functions/
+    sampling.py backtest_folds — the time-series counterpart of
+    leak_split's cluster-atomic guard; Lopez de Prado purging/embargo,
+    Tashman rolling origin) over events at three explicit origins,
+    5-day test horizon, 1-day embargo: every boundary an exact BIGINT
+    micros comparison, each row exploding only its qualifying (fold,
+    role) pairs from an in-row literal fold array — ZERO shuffles
+    (plan-pinned: no Exchange)."""
+    from audiopro_essentia_spark.functions.sampling import backtest_folds
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select("event_id", "ts")
+    )
+    return backtest_folds(
+        ev, "ts", _BT_ORIGINS, _BT_HORIZON, _BT_EMBARGO
+    ).select("fold", "role", "t_us", "event_id")
+
+
+def _staged_backtest_sql() -> str:
+    return DT.backtest_folds_sql(
+        "SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id "
+        "FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL",
+        _BT_ORIGINS,
+        _BT_HORIZON,
+        _BT_EMBARGO,
+        passthrough=("event_id",),
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3434,6 +3472,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boot_ci": q_staged_boot_ci,
         "cusum_drift": q_staged_cusum,
         "ab_welch": q_staged_ab_welch,
+        "backtest": q_staged_backtest,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3656,6 +3695,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "boot_ci": _staged_boot_ci_sql(),
         "cusum_drift": _staged_cusum_sql(),
         "ab_welch": _staged_ab_welch_sql(),
+        "backtest": _staged_backtest_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

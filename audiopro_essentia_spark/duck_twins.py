@@ -4053,3 +4053,37 @@ SELECT {gpfx}n_c, n_t,
 FROM agg
 WHERE n_c > 0 OR n_t > 0
 """
+
+
+def backtest_folds_sql(
+    source: str,
+    origins_us: list[int],
+    horizon_us: int,
+    embargo_us: int = 0,
+    mode: str = "expanding",
+    window_us: int | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> str:
+    """Twin of sampling.backtest_folds: the same k-fold literal table,
+    identical exact BIGINT boundary comparisons and role assignment.
+    `source` must yield (t BIGINT, passthrough...) already validated
+    the way the Spark entry validates."""
+    vals = ", ".join(f"({i}, {o})" for i, o in enumerate(origins_us))
+    if mode == "expanding":
+        train = "b.t <= f.o"
+    else:
+        train = f"(b.t > f.o - {window_us} AND b.t <= f.o)"
+    test = (
+        f"(b.t > f.o + {embargo_us} AND "
+        f"b.t <= f.o + {embargo_us} + {horizon_us})"
+    )
+    cols = "".join(f", b.{c}" for c in passthrough)
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+folds(fold, o) AS (VALUES {vals})
+SELECT CAST(f.fold AS BIGINT) AS fold,
+       CASE WHEN {train} THEN 'train' ELSE 'test' END AS role,
+       b.t AS t_us{cols}
+FROM base b CROSS JOIN folds f
+WHERE {train} OR {test}
+"""

@@ -498,3 +498,122 @@ def unimax_allocation(
             F.expr("(allocation * 1000000) div n_tokens"),
         ).alias("epochs_micro"),
     )
+
+
+def backtest_folds(
+    df: DataFrame,
+    ts_col: str,
+    origins_us: list[int],
+    horizon_us: int,
+    embargo_us: int = 0,
+    mode: str = "expanding",
+    window_us: int | None = None,
+) -> DataFrame:
+    """Rolling-origin backtest fold assignment with embargo (the
+    time-series cross-validation counterpart of cluster_safe_split's
+    cluster-atomic leakage guard; Lopez de Prado 2018's purged/
+    embargoed evaluation, Tashman 2000's rolling-origin protocol):
+    for each explicit origin o_f,
+
+      train: t <= o_f                     (expanding), or
+             o_f - window_us < t <= o_f   (sliding)
+      test:  o_f + embargo < t <= o_f + embargo + horizon
+
+    rows inside the embargo gap (o_f, o_f + embargo] belong to NEITHER
+    — the buffer that keeps trailing-window features computed on train
+    rows from overlapping the test period. Origins are REQUIRED
+    explicit epoch-micros (never wall clock — the time_decayed_features
+    rule); each input row is emitted once per fold it qualifies for,
+    tagged (fold, role).
+
+    Exactness: every boundary is an exact BIGINT micros comparison —
+    bit-stable cross-engine; NULL ts fails LOUD (a silently dropped
+    row would vanish from every fold).
+
+    Scale shape: ZERO shuffles (plan-pinned: no Exchange) — the fold
+    table is a k-element in-row literal array; each row filters it
+    with a HOF over its own named micros column (the funnel lesson:
+    the lambda references a NAMED column, never a chained expression)
+    and explodes only its qualifying (fold, role) pairs. Row
+    amplification is bounded by k (and only for qualifying rows)."""
+    if not origins_us:
+        raise ValueError("backtest_folds: empty origins")
+    if sorted(set(origins_us)) != list(origins_us):
+        raise ValueError("backtest_folds: origins must be sorted unique")
+    if len(origins_us) > 100:
+        raise ValueError("backtest_folds: > 100 folds")
+    if horizon_us <= 0 or embargo_us < 0:
+        raise ValueError(
+            f"backtest_folds: need horizon_us > 0 and embargo_us >= 0,"
+            f" got {horizon_us}, {embargo_us}"
+        )
+    if mode not in ("expanding", "sliding"):
+        raise ValueError(f"backtest_folds: unknown mode {mode!r}")
+    if mode == "sliding":
+        if window_us is None or window_us <= 0:
+            raise ValueError(
+                "backtest_folds: sliding mode needs window_us > 0"
+            )
+    elif window_us is not None:
+        raise ValueError(
+            "backtest_folds: window_us only applies to sliding mode"
+        )
+
+    dtypes = dict(df.dtypes)
+    tt = dtypes.get(ts_col)
+    if tt is None:
+        raise ValueError(f"backtest_folds: unknown ts_col {ts_col!r}")
+    if tt.startswith("timestamp") or tt == "date":
+        t0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    elif tt in ("bigint", "int", "smallint", "tinyint"):
+        t0 = F.col(ts_col).cast("long")
+    else:
+        raise ValueError(
+            f"backtest_folds: ts_col must be timestamp/date/integer,"
+            f" {ts_col} is {tt}"
+        )
+    t = (
+        F.when(
+            t0.isNull(),
+            F.raise_error(
+                F.lit(f"backtest_folds: NULL {ts_col}")
+            ).cast("long"),
+        )
+        .otherwise(t0)
+        .alias("_t_us")
+    )
+    folds = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("fold"),
+                F.lit(o).cast("long").alias("o"),
+            )
+            for i, o in enumerate(origins_us)
+        ]
+    )
+    tc = F.col("_t_us")
+
+    def is_train(o: Column) -> Column:
+        if mode == "expanding":
+            return tc <= o
+        return (tc > o - F.lit(window_us)) & (tc <= o)
+
+    def is_test(o: Column) -> Column:
+        lo = o + F.lit(embargo_us)
+        return (tc > lo) & (tc <= lo + F.lit(horizon_us))
+
+    qual = F.filter(
+        folds, lambda s: is_train(s["o"]) | is_test(s["o"])
+    )
+    base = df.select(F.struct(*df.columns).alias("_row"), t)
+    out = base.select(
+        "_row", "_t_us", F.explode(qual).alias("_f")
+    ).select(
+        F.col("_f.fold").alias("fold"),
+        F.when(is_train(F.col("_f.o")), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("role"),
+        F.col("_t_us").alias("t_us"),
+        F.col("_row.*"),
+    )
+    return out
