@@ -2622,6 +2622,47 @@ def _staged_backtest_sql() -> str:
     )
 
 
+def q_staged_hill(spark, sf_dir):
+    """Tail statistics: Hill heavy-tail exponent (Hill 1975;
+    operators/aggregates.py hill_tail_index) of per-doc token counts
+    per source — the TAIL companion of zipf_slope's head fit and
+    robust_stats' outlier gate: alpha < 2 means the length tail is
+    heavy enough that means/variances are sample-size-unstable (the
+    truncation-budget question). Multiset order statistics off the
+    shared histogram-prefix engine, micro-nat rln terms summed
+    exactly, one division; zero-token docs pre-filtered (ln needs
+    x > 0 — the operator fails LOUD otherwise)."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import (
+        hill_tail_index,
+    )
+
+    w = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(w).cast("double").alias("v"),
+        )
+        .where(F.col("v") > 0)
+    )
+    return hill_tail_index(d, "v", ["src"], k=20)
+
+
+def _staged_hill_sql() -> str:
+    nw = (
+        "len(list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> ''))"
+    )
+    return DT.hill_tail_index_sql(
+        f"SELECT src, v FROM (SELECT source AS src, CAST({nw} AS DOUBLE)"
+        " AS v FROM documents WHERE source IS NOT NULL) t WHERE v > 0",
+        ("src",),
+        k=20,
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3473,6 +3514,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_staged_cusum,
         "ab_welch": q_staged_ab_welch,
         "backtest": q_staged_backtest,
+        "hill_tail": q_staged_hill,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3696,6 +3738,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "cusum_drift": _staged_cusum_sql(),
         "ab_welch": _staged_ab_welch_sql(),
         "backtest": _staged_backtest_sql(),
+        "hill_tail": _staged_hill_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -4087,3 +4087,56 @@ SELECT CAST(f.fold AS BIGINT) AS fold,
 FROM base b CROSS JOIN folds f
 WHERE {train} OR {test}
 """
+
+
+def hill_tail_index_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 100,
+) -> str:
+    """Twin of aggregates.hill_tail_index: identical micro
+    quantization, multiset order statistics off the distinct-value
+    histogram prefix, the same micro-nat rln terms (ln on a double
+    built from the exact integer, rounded once) summed exactly, the
+    same H > 0 guard and single division. `source` must yield
+    (group..., v DOUBLE positive) already validated the way the Spark
+    entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jsel = f"JOIN sel USING ({g})" if group_cols else "CROSS JOIN sel"
+    jleft = f"LEFT JOIN s1 USING ({g})" if group_cols else "LEFT JOIN s1 ON TRUE"
+    ke = f"least({k}, n - 1)"
+
+    def rln(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE) / 1e6) * 1e6) AS BIGINT)"
+
+    h = f"(coalesce(s1, 0) - gc * {rln('vk1')})"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(v * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(sum(c) OVER ({part}ORDER BY m ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS below
+  FROM hist),
+tot AS (SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM hist {grp}),
+sel AS MATERIALIZED (
+  SELECT {gpfx}n, {ke} AS k_eff, m AS vk1, n - below - c AS gc
+  FROM cum {jtot}
+  WHERE n - below - c < {ke} + 1 AND {ke} + 1 <= n - below),
+s1 AS (
+  SELECT {gpfx}CAST(sum(c * {rln('h.m')}) AS BIGINT) AS s1
+  FROM hist h {jsel} WHERE h.m > vk1 {grp})
+SELECT {gpfx}n, CAST(k_eff AS BIGINT) AS k_eff,
+       round(CAST(vk1 AS DOUBLE) / 1e6, 6) AS x_k1,
+       CASE WHEN k_eff > 0 AND {h} > 0 THEN
+         round(CAST(k_eff AS DOUBLE) * 1e6 / CAST({h} AS DOUBLE), 6)
+       END AS alpha
+FROM sel {jleft}
+"""

@@ -1468,3 +1468,136 @@ def exact_quantiles(
             for nm in names
         ],
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 100,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., n, k_eff, x_k1, alpha) — the Hill estimator of the
+    heavy-tail exponent (Hill 1975): over the k largest values x_(1)
+    >= ... >= x_(k) with threshold x_(k+1),
+
+        alpha_hat = k / sum_{i<=k} ln(x_(i) / x_(k+1))
+
+    Small alpha (< 2) means a power-law tail heavy enough that means/
+    variances are sample-size-unstable — the TAIL companion of
+    zipf_slope's head fit and robust_stats' outlier gate (which asks
+    who is extreme; this asks how extreme the extremes grow). Applied
+    to doc lengths / token counts it answers whether truncation
+    budgets are chasing a convergent or divergent tail.
+
+    Exactness: values micro-quantize ONCE; NULL/NaN/non-positive fail
+    LOUD (ln needs x > 0 — and a value that rounds to 0 micros is
+    rejected the same way). Order statistics come from the distinct-
+    value histogram, so ties are handled by MULTISET semantics (which
+    tied copy is "rank k" cannot matter — their ln terms are equal):
+    x_(k+1) is the level where strictly-greater count < k+1 <=
+    at-or-above count, exactly like exact_quantiles' rank selection.
+    Each level's ln(x/1e6-scaled value) is evaluated on a double built
+    from the exact integer in the same expression order both engines,
+    rounded ONCE to integer micro-nats, and summed exactly (the
+    kl_drift discipline): H = sum_{v > x_k1} cnt(v) * rln(v) -
+    gc * rln(x_k1) with gc the strictly-greater count; alpha is ONE
+    correctly-rounded division k_eff * 1e6 / H + round-6. k_eff =
+    min(k, n-1); degenerate groups (n < 2, or every top value equal to
+    the threshold, H = 0) give NULL alpha with n/k_eff/x_k1 visible.
+
+    Scale shape: ONE map-side-combinable (group, value) histogram
+    corpus pass; the below-prefix rides the shared two-phase bucketed
+    `_hist_prefix` engine (never a corpus-scale single-partition
+    window); threshold selection and the tail sum are bounded
+    group-level joins. Zero Python."""
+    from .evalmetrics import _hist_prefix
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = list(group_cols or [])
+    v0 = F.col(value_col).cast("double")
+    m = (
+        F.when(
+            v0.isNull() | F.isnan(v0) | (v0 <= 0)
+            | (F.round(v0 * 1_000_000) < 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"hill_tail_index: NULL/NaN/non-positive"
+                        f" {value_col}="
+                    ),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_s")
+    )
+    per = (
+        df.select(*g, m)
+        .groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .select(*g, "_s", "pos", F.lit(0).cast("long").alias("neg"))
+    )
+    pref = _hist_prefix(per, g, n_buckets).localCheckpoint(eager=False)
+    ntab = pref.groupBy(*g).agg(F.sum("pos").cast("long").alias("n"))
+    j = (
+        pref.join(F.broadcast(ntab), g)
+        if g
+        else pref.crossJoin(F.broadcast(ntab))
+    )
+    k_eff = F.least(F.lit(k).cast("long"), F.col("n") - 1)
+    gc = F.col("n") - F.col("cpos") - F.col("pos")  # strictly greater
+    sel = j.where(
+        (gc < k_eff + 1) & (k_eff + 1 <= F.col("n") - F.col("cpos"))
+    ).select(
+        *g,
+        "n",
+        k_eff.alias("k_eff"),
+        F.col("_s").alias("_vk1"),
+        gc.alias("_gc"),
+    )
+
+    def rln(col: Column) -> Column:
+        return F.round(
+            F.log(col.cast("double") / F.lit(1e6)) * F.lit(1e6)
+        ).cast("long")
+
+    tail = (
+        per.join(
+            F.broadcast(sel.select(*g, "_vk1")), g
+        )
+        if g
+        else per.crossJoin(F.broadcast(sel.select("_vk1")))
+    )
+    s1 = (
+        tail.where(F.col("_s") > F.col("_vk1"))
+        .groupBy(*g)
+        .agg(F.sum(F.col("pos") * rln(F.col("_s"))).cast("long").alias("_s1"))
+    )
+    # global mode: LEFT JOIN ON TRUE keeps the 1-row spine even when
+    # the tail sum is empty (the cohen_kappa global-join trick)
+    fin = (
+        sel.join(s1, on=g, how="left")
+        if g
+        else sel.join(F.broadcast(s1), F.lit(True), "left")
+    )
+    h = F.coalesce(F.col("_s1"), F.lit(0).cast("long")) - F.col(
+        "_gc"
+    ) * rln(F.col("_vk1"))
+    return fin.select(
+        *g,
+        "n",
+        "k_eff",
+        F.round(F.col("_vk1").cast("double") / 1e6, 6).alias("x_k1"),
+        F.when(
+            (F.col("k_eff") > 0) & (h > 0),
+            F.round(
+                F.col("k_eff").cast("double") * F.lit(1e6)
+                / h.cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+

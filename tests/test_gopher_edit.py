@@ -361,6 +361,8 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["ab_welch"] == 10
     # every event before Jan 20 is train in fold 2 at minimum
     assert n_rows["backtest"] >= 900
+    # one Hill row per source
+    assert n_rows["hill_tail"] == 20
     # one z-key row per event with user+ts
     assert n_rows["zorder_key"] >= 900
     # one row per doc plus one per junk twin (doc_id % 7 == 0)
