@@ -2663,6 +2663,45 @@ def _staged_hill_sql() -> str:
     )
 
 
+def q_staged_winsorize(spark, sf_dir):
+    """Repair: per-source winsorization of doc token counts at the
+    exact type-1 p5/p95 quantiles (operators/aggregates.py winsorize)
+    — the row-level REPAIR companion of robust_stats' outlier monitor:
+    giants clamp down to an ACTUAL data value (idempotent,
+    pytest-pinned), clamping is an exact integer compare in micro
+    space. One histogram corpus pass + the shared prefix engine; the
+    only corpus join is the broadcast group-bounds join-back."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import winsorize
+
+    w = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.col("doc_id").cast("string").alias("rid"),
+            F.size(w).cast("double").alias("v"),
+        )
+    )
+    return winsorize(d, "v", "rid", ["src"], q_lo=0.05, q_hi=0.95)
+
+
+def _staged_winsorize_sql() -> str:
+    nw = (
+        "len(list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> ''))"
+    )
+    return DT.winsorize_sql(
+        f"SELECT source AS src, CAST(doc_id AS VARCHAR) AS id, "
+        f"CAST({nw} AS DOUBLE) AS v FROM documents "
+        "WHERE source IS NOT NULL AND doc_id IS NOT NULL",
+        ("src",),
+        q_lo=0.05,
+        q_hi=0.95,
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3515,6 +3554,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_welch": q_staged_ab_welch,
         "backtest": q_staged_backtest,
         "hill_tail": q_staged_hill,
+        "winsor_tokens": q_staged_winsorize,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3739,6 +3779,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "ab_welch": _staged_ab_welch_sql(),
         "backtest": _staged_backtest_sql(),
         "hill_tail": _staged_hill_sql(),
+        "winsor_tokens": _staged_winsorize_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

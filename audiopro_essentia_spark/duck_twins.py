@@ -4140,3 +4140,56 @@ SELECT {gpfx}n, CAST(k_eff AS BIGINT) AS k_eff,
        END AS alpha
 FROM sel {jleft}
 """
+
+
+def winsorize_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+) -> str:
+    """Twin of aggregates.winsorize: identical micro quantization, the
+    same type-1 ceil-rank bound selection off the distinct-value
+    histogram prefix, integer clamping, -1/0/+1 flags. `source` must
+    yield (group..., id, v DOUBLE) already validated the way the Spark
+    entry validates."""
+    lo_u = round(q_lo * 1e6)
+    hi_u = round(q_hi * 1e6)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jb = f"JOIN bounds USING ({g})" if group_cols else "CROSS JOIN bounds"
+
+    def pick(qu: int, alias: str) -> str:
+        r = f"greatest(1, (n * {qu} + 999999) // 1000000)"
+        return (
+            f"CAST(sum(CASE WHEN below < {r} AND below + c >= {r} "
+            f"THEN m END) AS BIGINT) AS {alias}"
+        )
+
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(id AS VARCHAR) AS id,
+         CAST(round(v * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(sum(c) OVER ({part}ORDER BY m ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS below
+  FROM hist),
+tot AS (SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM hist {grp}),
+bounds AS MATERIALIZED (
+  SELECT {gpfx}{pick(lo_u, "lo_u")}, {pick(hi_u, "hi_u")}
+  FROM cum {jtot} {grp})
+SELECT {gpfx}id,
+       round(CAST(m AS DOUBLE) / 1e6, 6) AS v,
+       round(CAST(least(greatest(m, lo_u), hi_u) AS DOUBLE) / 1e6, 6)
+         AS v_wins,
+       CAST(CASE WHEN m < lo_u THEN -1 WHEN m > hi_u THEN 1 ELSE 0 END
+            AS BIGINT) AS clipped
+FROM q {jb}
+"""

@@ -1601,3 +1601,122 @@ def hill_tail_index(
         ).alias("alpha"),
     )
 
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., id, v, v_wins, clipped) — per-row winsorization at
+    each group's EXACT type-1 quantiles: values below the group's
+    q_lo-quantile clamp up to it, values above q_hi clamp down
+    (clipped = -1 / 0 / +1). The row-level REPAIR companion of
+    robust_stats' outlier MONITOR (that flags the giants; this caps
+    them so downstream means/regressions are breakdown-resistant
+    without dropping rows — the standard heavy-tail feature treatment).
+
+    Quantile convention is exact_quantiles' verbatim: type-1 /
+    inverted-CDF rank r = max(1, ceil(q*n)) in exact integer
+    arithmetic off the distinct-value histogram + the shared
+    `_hist_prefix` engine — the clamp bounds are ACTUAL data values,
+    so winsorize is IDEMPOTENT (re-winsorizing the output at the same
+    quantiles changes nothing — pytest-pinned) and clamping is an
+    exact integer compare in micro space, bit-stable cross-engine.
+    NULL/NaN values and NULL ids fail LOUD; empty frames yield zero
+    rows.
+
+    Scale shape: ONE map-side-combinable (group, value) histogram
+    corpus pass + the bounded two-phase prefix; the only corpus-scale
+    join is the row join-back on the BROADCAST group-bounds table
+    (group-cardinality rows). Zero corpus windows, zero Python."""
+    from .evalmetrics import _hist_prefix
+
+    for nm, q in (("q_lo", q_lo), ("q_hi", q_hi)):
+        qu = round(q * 1e6)
+        if abs(q * 1e6 - qu) > 1e-6:
+            raise ValueError(f"winsorize: {nm} must be a 1e-6 multiple")
+    if not (0.0 < q_lo < q_hi <= 1.0):
+        raise ValueError(
+            f"winsorize: need 0 < q_lo < q_hi <= 1, got {q_lo}, {q_hi}"
+        )
+    g = list(group_cols or [])
+    v0 = F.col(value_col).cast("double")
+    s = (
+        F.when(
+            v0.isNull() | F.isnan(v0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"winsorize: NULL/NaN {value_col}="),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_s")
+    )
+    rid = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit(f"winsorize: NULL {id_col}")).cast(
+                "string"
+            ),
+        )
+        .otherwise(F.col(id_col).cast("string"))
+        .alias("id")
+    )
+    rows = df.select(*g, rid, s).localCheckpoint(eager=False)
+    per = (
+        rows.groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    pre = _hist_prefix(per, g, n_buckets)
+    tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("n"))
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+
+    def pick(qu: int, alias: str):
+        r = F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(n * {qu} + 999999) div 1000000"),
+        )
+        return (
+            F.sum(
+                F.when(
+                    (F.col("cpos") < r)
+                    & (F.col("cpos") + F.col("pos") >= r),
+                    F.col("_s"),
+                )
+            )
+            .cast("long")
+            .alias(alias)
+        )
+
+    bounds = j.groupBy(*g).agg(
+        pick(round(q_lo * 1e6), "_lo_u"), pick(round(q_hi * 1e6), "_hi_u")
+    )
+    withb = (
+        rows.join(F.broadcast(bounds), g)
+        if g
+        else rows.crossJoin(F.broadcast(bounds))
+    )
+    wu = F.least(F.greatest(F.col("_s"), F.col("_lo_u")), F.col("_hi_u"))
+    return withb.select(
+        *g,
+        "id",
+        F.round(F.col("_s").cast("double") / 1e6, 6).alias("v"),
+        F.round(wu.cast("double") / 1e6, 6).alias("v_wins"),
+        F.when(F.col("_s") < F.col("_lo_u"), F.lit(-1))
+        .when(F.col("_s") > F.col("_hi_u"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clipped"),
+    )
