@@ -2702,6 +2702,97 @@ def _staged_winsorize_sql() -> str:
     )
 
 
+_CF_T1 = 1_705_363_200_000_000  # 2024-01-16 UTC
+_CF_T2 = 1_705_968_000_000_000  # 2024-01-23 UTC
+
+
+def q_staged_conformal(spark, sf_dir):
+    """Uncertainty: split conformal prediction intervals (Vovk;
+    Lei et al. 2018; operators/bootstrap.py conformal_intervals) —
+    the distribution-free per-prediction wrapper: predictor = per-type
+    exact-integer mean value over Jan 1-15, calibration residuals from
+    Jan 16-22, intervals attached to every Jan 23+ event; coverage
+    >= 90% guaranteed under exchangeability no matter how crude the
+    predictor. q_hat is an ACTUAL calibration residual selected by the
+    exact (n+1)-ceil-rank rule off the shared histogram-prefix
+    engine."""
+    from audiopro_essentia_spark.operators.bootstrap import (
+        conformal_intervals,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("_t"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("_vm"),
+            F.col("value"),
+        )
+    )
+    train = (
+        ev.where(F.col("_t") < _CF_T1)
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum("_vm").cast("double")
+                / (F.count(F.lit(1)) * F.lit(1_000_000)).cast("double"),
+                6,
+            ).alias("pred")
+        )
+    )
+    calib = (
+        ev.where((F.col("_t") >= _CF_T1) & (F.col("_t") < _CF_T2))
+        .join(F.broadcast(train), "event_type")
+        .select("event_type", "pred", F.col("value").alias("label"))
+    )
+    new = (
+        ev.where(F.col("_t") >= _CF_T2)
+        .join(F.broadcast(train), "event_type")
+        .select(
+            "event_type",
+            F.col("event_id").cast("string").alias("rid"),
+            "pred",
+        )
+    )
+    return conformal_intervals(
+        calib, new, "pred", "label", "rid", ["event_type"], alpha=0.1
+    )
+
+
+def _staged_conformal_sql() -> str:
+    ev = (
+        "SELECT event_type, event_id, "
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS t, "
+        "CAST(round(value * 1000000) AS BIGINT) AS vm, value "
+        "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL "
+        "AND event_type IS NOT NULL AND event_id IS NOT NULL"
+    )
+    train = (
+        f"SELECT event_type, round(CAST(sum(vm) AS DOUBLE) / "
+        f"CAST(count(*) * 1000000 AS DOUBLE), 6) AS pred "
+        f"FROM ({ev}) e WHERE t < {_CF_T1} GROUP BY event_type"
+    )
+    cal = (
+        f"WITH tr AS ({train}) "
+        f"SELECT e.event_type, tr.pred, e.value AS label "
+        f"FROM ({ev}) e JOIN tr USING (event_type) "
+        f"WHERE e.t >= {_CF_T1} AND e.t < {_CF_T2}"
+    )
+    new = (
+        f"WITH tr AS ({train}) "
+        f"SELECT e.event_type, CAST(e.event_id AS VARCHAR) AS id, tr.pred "
+        f"FROM ({ev}) e JOIN tr USING (event_type) WHERE e.t >= {_CF_T2}"
+    )
+    return DT.conformal_intervals_sql(cal, new, ("event_type",), alpha=0.1)
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3555,6 +3646,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest": q_staged_backtest,
         "hill_tail": q_staged_hill,
         "winsor_tokens": q_staged_winsorize,
+        "conformal": q_staged_conformal,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3780,6 +3872,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "backtest": _staged_backtest_sql(),
         "hill_tail": _staged_hill_sql(),
         "winsor_tokens": _staged_winsorize_sql(),
+        "conformal": _staged_conformal_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -4193,3 +4193,59 @@ SELECT {gpfx}id,
             AS BIGINT) AS clipped
 FROM q {jb}
 """
+
+
+def conformal_intervals_sql(
+    cal_source: str,
+    new_source: str,
+    group_cols: tuple[str, ...] = (),
+    alpha: float = 0.1,
+) -> str:
+    """Twin of bootstrap.conformal_intervals: identical residual micro
+    quantization, the same exact (n+1)-ceil-rank selection off the
+    distinct-residual histogram prefix, the same LEFT join of the new
+    frame onto the group-quantile table. `cal_source` must yield
+    (group..., pred DOUBLE, label DOUBLE) and `new_source`
+    (group..., id, pred DOUBLE), both already validated the way the
+    Spark entry validates."""
+    conf_u = round((1.0 - alpha) * 1e6)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jq = f"LEFT JOIN qt USING ({g})" if group_cols else "LEFT JOIN qt ON TRUE"
+    r = f"((n_cal + 1) * {conf_u} + 999999) // 1000000"
+    return f"""
+WITH calb AS MATERIALIZED ({cal_source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(abs(label - pred) * 1000000) AS BIGINT) AS m
+  FROM calb),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(sum(c) OVER ({part}ORDER BY m ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS below
+  FROM hist),
+tot AS (SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n_cal FROM hist {grp}),
+qt AS MATERIALIZED (
+  SELECT {gpfx}max(n_cal) AS n_cal,
+         CAST(sum(CASE WHEN below < {r} AND below + c >= {r} THEN m END)
+              AS BIGINT) AS q_u
+  FROM cum {jtot} {grp}),
+newr AS MATERIALIZED (
+  SELECT {gpfx}CAST(id AS VARCHAR) AS id,
+         CAST(round(pred * 1000000) AS BIGINT) AS p_u
+  FROM ({new_source}) AS ns)
+SELECT {gpfx}id,
+       round(CAST(p_u AS DOUBLE) / 1e6, 6) AS pred,
+       CASE WHEN q_u IS NOT NULL THEN
+         round(CAST(q_u AS DOUBLE) / 1e6, 6) END AS q_hat,
+       CASE WHEN q_u IS NOT NULL THEN
+         round(CAST(p_u - q_u AS DOUBLE) / 1e6, 6) END AS lo,
+       CASE WHEN q_u IS NOT NULL THEN
+         round(CAST(p_u + q_u AS DOUBLE) / 1e6, 6) END AS hi,
+       CAST(coalesce(n_cal, 0) AS BIGINT) AS n_cal
+FROM newr {jq}
+"""

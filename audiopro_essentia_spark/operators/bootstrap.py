@@ -204,3 +204,139 @@ def bootstrap_ci(
         ).alias("hi"),
         be.alias("b_eff"),
     )
+
+
+def conformal_intervals(
+    df_cal: DataFrame,
+    df_new: DataFrame,
+    pred_col: str,
+    label_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    alpha: float = 0.1,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., id, pred, q_hat, lo, hi, n_cal) — split conformal
+    prediction intervals (Vovk et al. 2005; Lei et al. JASA 2018, the
+    split/inductive form): from a held-out CALIBRATION frame's
+    absolute residuals |label - pred|, take
+
+        q_hat = the r-th smallest residual,
+        r = ceil((n_cal + 1) * (1 - alpha))
+
+    and attach [pred - q_hat, pred + q_hat] to every NEW row in the
+    same group. Under exchangeability this interval covers the true
+    label with probability >= 1 - alpha REGARDLESS of how bad the
+    underlying predictor is — the distribution-free companion of
+    bootstrap_ci (which quantifies a statistic's sampling error; this
+    wraps each individual prediction). The per-group split is the
+    standard Mondrian/group-conditional form.
+
+    Exactness: residuals micro-quantize ONCE (NULL/NaN pred or label
+    fail LOUD — a dropped calibration row changes the rank); the rank
+    is exact integer ceil arithmetic on the micro-quantized confidence
+    ((n+1) * conf_u + 999999) div 1e6, and q_hat is an ACTUAL
+    calibration residual selected by the exact_quantiles tie-run rule
+    off the distinct-residual histogram + shared `_hist_prefix` engine
+    (ninth consumer) — never an interpolation, bit-stable
+    cross-engine. When r > n_cal (alpha too small for the calibration
+    size — the finite-sample guarantee needs n_cal >= (1-alpha)/alpha)
+    the interval is undefined: q_hat/lo/hi are NULL with n_cal
+    visible. New-frame groups with NO calibration rows keep their rows
+    with NULL q_hat/lo/hi and n_cal = 0 (LEFT join from the new side —
+    never a silent drop). alpha must be a 1e-6 multiple in (0, 1).
+
+    Scale shape: ONE map-side-combinable (group, residual) histogram
+    pass over the calibration frame + the bounded two-phase prefix;
+    the only corpus-scale join is the new-frame LEFT join onto the
+    BROADCAST group-quantile table. Zero windows, zero Python."""
+    from .evalmetrics import _hist_prefix  # type: ignore[attr-defined]
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    conf_u = round((1.0 - alpha) * 1e6)
+    if abs((1.0 - alpha) * 1e6 - conf_u) > 1e-6:
+        raise ValueError(f"alpha must be a multiple of 1e-6, got {alpha!r}")
+    g = list(group_cols or [])
+
+    def micro(col: str, what: str):
+        v = F.col(col).cast("double")
+        return F.when(
+            v.isNull() | F.isnan(v),
+            F.raise_error(F.lit(f"conformal_intervals: NULL/NaN {what}")),
+        ).otherwise(v)
+
+    res = (
+        F.round(
+            F.abs(micro(label_col, label_col) - micro(pred_col, pred_col))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("_s")
+    )
+    per = (
+        df_cal.select(*g, res)
+        .groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    pre = _hist_prefix(per, g, n_buckets)
+    tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("n_cal"))
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+    r = F.expr(f"((n_cal + 1) * {conf_u} + 999999) div 1000000")
+    qt = j.groupBy(*g).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.sum(
+            F.when(
+                (F.col("cpos") < r)
+                & (F.col("cpos") + F.col("pos") >= r),
+                F.col("_s"),
+            )
+        )
+        .cast("long")
+        .alias("_q_u"),
+    )
+    rid = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(f"conformal_intervals: NULL {id_col}")
+            ).cast("string"),
+        )
+        .otherwise(F.col(id_col).cast("string"))
+        .alias("id")
+    )
+    p = micro(pred_col, pred_col)
+    pu = F.round(p * 1_000_000).cast("long").alias("_p_u")
+    new = df_new.select(*g, rid, pu)
+    joined = (
+        new.join(F.broadcast(qt), on=g, how="left")
+        if g
+        else new.join(F.broadcast(qt), F.lit(True), "left")
+    )
+    q_ok = F.col("_q_u").isNotNull()
+    return joined.select(
+        *g,
+        "id",
+        F.round(F.col("_p_u").cast("double") / 1e6, 6).alias("pred"),
+        F.when(
+            q_ok, F.round(F.col("_q_u").cast("double") / 1e6, 6)
+        ).alias("q_hat"),
+        F.when(
+            q_ok,
+            F.round(
+                (F.col("_p_u") - F.col("_q_u")).cast("double") / 1e6, 6
+            ),
+        ).alias("lo"),
+        F.when(
+            q_ok,
+            F.round(
+                (F.col("_p_u") + F.col("_q_u")).cast("double") / 1e6, 6
+            ),
+        ).alias("hi"),
+        F.coalesce(F.col("n_cal"), F.lit(0)).cast("long").alias("n_cal"),
+    )
