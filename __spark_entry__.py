@@ -2793,6 +2793,61 @@ def _staged_conformal_sql() -> str:
     return DT.conformal_intervals_sql(cal, new, ("event_type",), alpha=0.1)
 
 
+_KM_DAY = 86_400_000_000
+
+
+def q_staged_km(spark, sf_dir):
+    """Survival: Kaplan-Meier censoring-correct time-to-first-purchase
+    curves (operators/temporal.py kaplan_meier) per user cohort —
+    duration = whole days from a user's first event to their first
+    purchase, ADMINISTRATIVELY CENSORED at day 3 (users who purchase
+    later, or never, are censored at 3: still purchase-free when the
+    observation window closed — a naive conversion rate would misread
+    them as never-converting, the distinction KM exists for). Exact
+    integer durations/flags, micro-nat ln factors summed exactly,
+    exp + round-6; curve rows live on the bounded distinct-duration
+    table."""
+    from audiopro_essentia_spark.operators.temporal import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("_f"),
+        F.max(us).alias("_l"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("_fp"),
+    )
+    d0 = F.expr(
+        f"CAST((coalesce(_fp, _l) - _f) div {_KM_DAY} AS BIGINT)"
+    )
+    ev0 = F.col("_fp").isNotNull()
+    d = per.select(
+        (F.col("user_id") % 3).cast("long").alias("cohort"),
+        F.least(d0, F.lit(3).cast("long")).alias("dur"),
+        (ev0 & (d0 <= 3)).cast("long").alias("converted"),
+    )
+    return kaplan_meier(d, "dur", "converted", ["cohort"])
+
+
+def _staged_km_sql() -> str:
+    src = (
+        "SELECT user_id % 3 AS cohort, "
+        "least(d0, 3) AS dur, "
+        "CAST(fp IS NOT NULL AND d0 <= 3 AS BIGINT) AS ev FROM ("
+        "SELECT user_id, (coalesce(fp, l) - f) // {d} AS d0, fp FROM ("
+        "SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS f, "
+        "max(epoch_us(CAST(ts AS TIMESTAMP))) AS l, "
+        "min(CASE WHEN event_type = 'purchase' THEN "
+        "epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp FROM events "
+        "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+        "GROUP BY user_id) u) v"
+    ).format(d=_KM_DAY)
+    return DT.kaplan_meier_sql(src, ("cohort",))
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3647,6 +3702,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": q_staged_hill,
         "winsor_tokens": q_staged_winsorize,
         "conformal": q_staged_conformal,
+        "survival": q_staged_km,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3873,6 +3929,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "hill_tail": _staged_hill_sql(),
         "winsor_tokens": _staged_winsorize_sql(),
         "conformal": _staged_conformal_sql(),
+        "survival": _staged_km_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -4249,3 +4249,49 @@ SELECT {gpfx}id,
        CAST(coalesce(n_cal, 0) AS BIGINT) AS n_cal
 FROM newr {jq}
 """
+
+
+def kaplan_meier_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of temporal.kaplan_meier: identical exact-integer at-risk
+    prefix, the same micro-nat ln factors summed exactly, exp +
+    round-6, and the all-die-level zero latch. `source` must yield
+    (group..., dur BIGINT >= 0, ev IN (0, 1)) already validated the
+    way the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+hist AS MATERIALIZED (
+  SELECT {gpfx}dur AS s, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(ev) AS BIGINT) AS d
+  FROM base GROUP BY {gpfx}dur),
+cum AS MATERIALIZED (
+  SELECT {gpfx}s, c, d,
+         CAST(sum(c) OVER ({part}ORDER BY s ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS below
+  FROM hist),
+tot AS (SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM hist {grp}),
+lev AS MATERIALIZED (
+  SELECT {gpfx}s, n - below AS n_risk, d AS n_event, c - d AS n_censor,
+         CASE WHEN n - below = d THEN NULL ELSE
+           CAST(round(ln(CAST(n - below - d AS DOUBLE) /
+                         CAST(n - below AS DOUBLE)) * 1e6) AS BIGINT)
+         END AS lnf,
+         CASE WHEN n - below = d THEN 1 ELSE 0 END AS dead
+  FROM cum {jtot}
+  WHERE d > 0),
+c2 AS (
+  SELECT {gpfx}s, n_risk, n_event, n_censor,
+         sum(lnf) OVER w AS lsum, sum(dead) OVER w AS anydead
+  FROM lev WINDOW w AS ({part}ORDER BY s ROWS UNBOUNDED PRECEDING))
+SELECT {gpfx}s AS t, n_risk, n_event, n_censor,
+       CASE WHEN anydead > 0 THEN 0.0 ELSE
+         round(exp(CAST(lsum AS DOUBLE) / 1e6), 6) END AS survival
+FROM c2
+"""

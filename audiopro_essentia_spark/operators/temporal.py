@@ -934,3 +934,140 @@ def cusum_changepoints(
         (s_pos > F.lit(h_u).cast(d38)).cast("long").alias("alarm_pos"),
         (s_neg > F.lit(h_u).cast(d38)).cast("long").alias("alarm_neg"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., t, n_risk, n_event, n_censor, survival) — the
+    Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958) per group: one row per distinct duration with >= 1 observed
+    event,
+
+        S(t) = prod_{t_i <= t} (1 - d_i / n_i)
+
+    with d_i the events at t_i and n_i the at-risk count (rows with
+    duration >= t_i). THE censoring-correct retention/churn curve:
+    cohort_retention counts who was seen again (censored rows read as
+    churn); this uses each row's observation window honestly —
+    event=1 is an observed event (churn/failure), event=0 is censored
+    at `duration` (still alive when observation ended, contributing
+    risk-time but no event).
+
+    Exactness: durations are exact BIGINTs (caller buckets timestamps
+    — see scale note); each factor's ln((n_i - d_i)/n_i) is evaluated
+    on doubles built from the exact integers in the same expression
+    order both engines, rounded ONCE to integer micro-nats; the
+    cumulative product is exp of the EXACT prefix sum (the kl_drift
+    discipline lifted to products), one exp + round-6 per row — bit-
+    stable cross-engine. A level where every at-risk row dies
+    (n_i = d_i) sends S to exactly 0.0 from that level on (ln(0)
+    guard, never a -inf float). NULL durations / non-0/1 event flags
+    fail LOUD; negative durations fail LOUD.
+
+    Scale shape: ONE map-side-combinable (group, duration) histogram
+    corpus pass; at-risk counts come from the shared `_hist_prefix`
+    below-prefix (n_risk = n - below, zero extra passes); the ln
+    prefix-sum window runs over the DISTINCT-duration table — input
+    durations should be bucketed (days, not micros) so that table is
+    a bounded survival curve, not a corpus (the bh_fdr monitor-scale
+    class). Zero Python."""
+    from .evalmetrics import _hist_prefix
+
+    g = list(group_cols or [])
+    d0 = F.col(duration_col).cast("long")
+    dur = (
+        F.when(
+            d0.isNull() | (d0 < 0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kaplan_meier: NULL/negative {duration_col}="),
+                    F.coalesce(
+                        F.col(duration_col).cast("string"), F.lit("NULL")
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(d0)
+        .alias("_s")
+    )
+    e0 = F.col(event_col).cast("long")
+    ev = (
+        F.when(
+            e0.isNull() | ~e0.isin(0, 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kaplan_meier: {event_col} must be 0/1, got "),
+                    F.coalesce(F.col(event_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(e0)
+        .alias("_e")
+    )
+    per = (
+        df.select(*g, dur, ev)
+        .groupBy(*g, "_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pos"),
+            F.sum("_e").cast("long").alias("neg"),
+        )
+    )
+    pre = _hist_prefix(per, g, 1024)
+    tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("_n"))
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+    n_risk = F.col("_n") - F.col("cpos")
+    d = F.col("neg")
+    # micro-nat ln factor; the all-die level is flagged, not ln(0)
+    lnf = F.when(
+        n_risk == d, F.lit(None).cast("long")
+    ).otherwise(
+        F.round(
+            F.log(
+                (n_risk - d).cast("double") / n_risk.cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("long")
+    )
+    lev = j.where(d > 0).select(
+        *g,
+        F.col("_s"),
+        n_risk.alias("n_risk"),
+        d.alias("n_event"),
+        (F.col("pos") - d).alias("n_censor"),
+        lnf.alias("_lnf"),
+        F.when(n_risk == d, F.lit(1)).otherwise(F.lit(0)).alias("_dead"),
+    )
+    w = Window.partitionBy(*g).orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = lev.select(
+        *g,
+        "_s",
+        "n_risk",
+        "n_event",
+        "n_censor",
+        F.sum("_lnf").over(w).alias("_lsum"),
+        F.sum("_dead").over(w).alias("_anydead"),
+    )
+    return cum.select(
+        *g,
+        F.col("_s").alias("t"),
+        "n_risk",
+        "n_event",
+        "n_censor",
+        F.when(F.col("_anydead") > 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.exp(F.col("_lsum").cast("double") / F.lit(1e6)), 6
+            )
+        )
+        .alias("survival"),
+    )
