@@ -1071,3 +1071,190 @@ def kaplan_meier(
         )
         .alias("survival"),
     )
+
+
+CUSUM_STATE_COLS = ("_t_last", "_pp_end", "_mp_end", "_pn_end", "_mn_end")
+
+
+def cusum_epoch(
+    df: DataFrame,
+    prev_state: DataFrame | None,
+    value_col: str,
+    ts_col: str,
+    mu0_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Epoch-incremental CUSUM: (out, new_state) — the streaming
+    continuation of cusum_changepoints. The batch closed form
+    S_t = P_t - min(0, min_{j<=t} P_j) continues across epochs from
+    FOUR exact integers per group-side: with carried (P_end, minP_end)
+    an epoch's rows satisfy P_t = P_end + P_local_t and
+    runmin_t = min(minP_end, P_end + runmin_local_t) — pure BIGINT
+    arithmetic, so chaining epochs is EXACTLY the one-shot batch
+    operator over the concatenated series (pytest-pinned through a
+    real foreachBatch stream). A per-epoch restart (the naive
+    recompute) instead resets S at every epoch boundary and can MISS a
+    shift that straddles it — the counterexample is pinned.
+
+    `prev_state` is the state frame returned by the previous call
+    (None for the first epoch): (group..., _t_last, _pp_end, _mp_end,
+    _pn_end, _mn_end). Rows at-or-before a group's carried _t_last
+    fail LOUD (late/out-of-order arrivals would corrupt the carried
+    prefix — the streaming_transitions watermark contract). Same
+    quantization, guards and output schema as cusum_changepoints."""
+    if k < 0 or h <= 0:
+        raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
+    k_u = round(k * 1e6)
+    h_u = round(h * 1e6)
+    g = list(group_cols or [])
+    d38 = "decimal(38,0)"
+    dtypes = dict(df.dtypes)
+    tt = dtypes.get(ts_col)
+    if tt is None:
+        raise ValueError(f"cusum_epoch: unknown ts_col {ts_col!r}")
+    if tt.startswith("timestamp") or tt == "date":
+        t0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    else:
+        t0 = F.col(ts_col).cast("long")
+    t = (
+        F.when(
+            t0.isNull(),
+            F.raise_error(F.lit(f"cusum_epoch: NULL {ts_col}")).cast("long"),
+        )
+        .otherwise(t0)
+        .alias("_t")
+    )
+
+    def _micro(col: str, alias: str) -> Column:
+        v = F.col(col).cast("double")
+        return (
+            F.when(
+                v.isNull() | F.isnan(v),
+                F.raise_error(
+                    F.lit(f"cusum_epoch: NULL/NaN {col}")
+                ).cast("long"),
+            )
+            .otherwise(F.round(v * 1_000_000).cast("long"))
+            .alias(alias)
+        )
+
+    base = df.select(*g, t, _micro(value_col, "_x"), _micro(mu0_col, "_mu"))
+    if prev_state is None:
+        st = None
+    else:
+        st = prev_state.select(*g, *CUSUM_STATE_COLS)
+    if st is not None:
+        based = (
+            base.join(F.broadcast(st), on=g, how="left")
+            if g
+            else base.join(F.broadcast(st), F.lit(True), "left")
+        )
+    else:
+        based = base.select(
+            "*",
+            F.lit(None).cast("long").alias("_t_last"),
+            F.lit(None).cast(d38).alias("_pp_end"),
+            F.lit(None).cast(d38).alias("_mp_end"),
+            F.lit(None).cast(d38).alias("_pn_end"),
+            F.lit(None).cast(d38).alias("_mn_end"),
+        )
+    # late-arrival guard against the carried watermark
+    guarded = based.withColumn(
+        "_t",
+        F.when(
+            F.col("_t_last").isNotNull() & (F.col("_t") <= F.col("_t_last")),
+            F.raise_error(
+                F.concat(
+                    F.lit("cusum_epoch: out-of-order ts "),
+                    F.col("_t").cast("string"),
+                    F.lit(" <= carried watermark "),
+                    F.col("_t_last").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_t")),
+    )
+    w = Window.partitionBy(*g).orderBy("_t")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    dpos = (F.col("_x") - F.col("_mu") - F.lit(k_u)).cast(d38)
+    dneg = (F.col("_mu") - F.lit(k_u) - F.col("_x")).cast(d38)
+    p0 = F.coalesce(F.col("_pp_end"), F.lit(0).cast(d38))
+    n0 = F.coalesce(F.col("_pn_end"), F.lit(0).cast(d38))
+    staged = guarded.select(
+        *g,
+        "_t",
+        "_x",
+        "_pp_end",
+        "_mp_end",
+        "_pn_end",
+        "_mn_end",
+        (p0 + F.sum(dpos).over(wcum)).alias("_pp"),
+        (n0 + F.sum(dneg).over(wcum)).alias("_pn"),
+        F.when(
+            F.lag("_t").over(w) == F.col("_t"),
+            F.raise_error(
+                F.concat(
+                    F.lit("cusum_epoch: duplicate ts "),
+                    F.col("_t").cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("_z"),
+    ).select(
+        *g,
+        "_t",
+        "_x",
+        "_z",
+        "_pp",
+        "_pn",
+        F.least(
+            F.coalesce(F.col("_mp_end"), F.min("_pp").over(wcum)),
+            F.min("_pp").over(wcum),
+        ).alias("_mp"),
+        F.least(
+            F.coalesce(F.col("_mn_end"), F.min("_pn").over(wcum)),
+            F.min("_pn").over(wcum),
+        ).alias("_mn"),
+    )
+    zero = F.lit(0).cast(d38)
+    s_pos = F.col("_pp") - F.least(zero, F.col("_mp"))
+    s_neg = F.col("_pn") - F.least(zero, F.col("_mn"))
+    out = staged.select(
+        *g,
+        (F.col("_t") + F.col("_z")).alias("t_us"),
+        F.round(F.col("_x").cast("double") / 1e6, 6).alias("x"),
+        F.round(s_pos.cast("double") / 1e6, 6).alias("s_pos"),
+        F.round(s_neg.cast("double") / 1e6, 6).alias("s_neg"),
+        (s_pos > F.lit(h_u).cast(d38)).cast("long").alias("alarm_pos"),
+        (s_neg > F.lit(h_u).cast(d38)).cast("long").alias("alarm_neg"),
+    )
+    new_state = staged.groupBy(*g).agg(
+        F.max("_t").cast("long").alias("_t_last"),
+        F.max_by("_pp", "_t").alias("_pp_end"),
+        F.min("_mp").alias("_mp_end"),
+        F.max_by("_pn", "_t").alias("_pn_end"),
+        F.min("_mn").alias("_mn_end"),
+    )
+    if st is not None:
+        if g:
+            # groups silent this epoch keep their carried state verbatim
+            carried = st.join(new_state.select(*g), on=g, how="left_anti")
+            new_state = new_state.unionByName(carried)
+        else:
+            # global: latest-wins fold (the new row, when it exists,
+            # already folded the carried minima into its _m*_end)
+            new_state = (
+                new_state.unionByName(st)
+                .groupBy()
+                .agg(
+                    *[
+                        F.max_by(c, "_t_last").alias(c)
+                        if c != "_t_last"
+                        else F.max("_t_last").cast("long").alias(c)
+                        for c in CUSUM_STATE_COLS
+                    ]
+                )
+            )
+    return out, new_state
