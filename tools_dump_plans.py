@@ -99,6 +99,43 @@ STAGED_NOTES = {
     "interval_join": "bucket-equi-join with BETWEEN residual inside the join — hash join, never BNLJ",
     "time_rolling": "ONE Exchange + ONE Sort serves every (horizon, agg) column",
     "pq_ann": "1 Arrow eval in encode, 2 total in search; queries broadcast with precomputed LUTs; WindowGroupLimit on the rank filter",
+    "gini_tokens": "ONE (group, value) histogram pass + the shared _hist_prefix two-phase bucketed below-prefix; tie-run arithmetic-series fold; zero Python",
+    "weight_ess": "ONE map-side-combinable aggregate — zero windows, zero joins, zero Python",
+    "chao1_vocab": "ONE (group, term) histogram pass; frequency-of-frequency folds on the bounded vocab table",
+    "robust_tokens": "ONE corpus histogram; MAD histogram DERIVES from the value histogram (zero extra passes); rank selection off _hist_prefix",
+    "qnorm_tokens": "histogram + _hist_prefix; the only corpus join is the assignment join back on the same (group, value) key the histogram aggregated on",
+    "target_enc": "ONE map-side-combinable groupBy(group, category); group totals aggregate the category table itself — zero windows, zero Python",
+    "target_enc_loo": "same single corpus pass + ONE equi-join back on the (group, category) key the aggregate shuffled on (subset-of-keys)",
+    "mi_leakage": "ONE groupBy(group, x, y) corpus pass; cell table checkpointed for its four consumers; micro-nat exact sums",
+    "ols_trend": "FIVE exact DECIMAL(38) sufficient statistics in ONE aggregate — the whole operator is one corpus pass",
+    "decay_features": "ONE map-side-combinable groupBy(key); per-row micro-rounding before the sums makes shard/epoch merge pure BIGINT addition",
+    "fdr_monitors": "input is a TEST table (one row per monitor); map-side histogram + bounded suffix-min window over distinct p + join-back on (group, p)",
+    "exact_pcts": "ONE (group, value) histogram + _hist_prefix + exact integer ceil-rank selection — exact AND distributed, no per-group buffering",
+    "transitions": "ONE hash exchange + in-partition sort feeds the lag window; ONE map-side-combinable groupBy onto the bounded |types|^2 table",
+    "lang_kappa": "ONE groupBy(group, a, b) corpus pass; everything downstream on the bounded checkpointed confusion table",
+    "spearman": "two histograms + two join-backs + one aggregate = three corpus passes; doubled midranks off _hist_prefix — zero corpus sorts",
+    "ranking_eval": "per-query bounded candidate lists; ONE hash exchange feeds both window sorts, then one map-side-combinable groupBy",
+    "pr_curve": "shares the auc histogram + _hist_prefix; curve rows live on the distinct-score table",
+    "calibration": "ONE map-side-combinable groupBy(group, bin) — micro-unit Brier/ECE on the bounded bin table",
+    "isotonic": "ONE groupBy(group, bin) corpus pass; the PAV minimax lives on the bounded <= n_bins^2 pair table",
+    "ks_drift": "group-vs-baseline histogram join + _hist_prefix; exact integer sup-gap",
+    "unimax": "ONE corpus-scale per-source sum; the waterfall closed form is G-row tiny",
+    "auc_eval": "two-phase bucketed _hist_prefix — never a corpus-scale single-partition window",
+    "textrank": "bounded per-doc word-graph; exact-integer PageRank iterations on the edge table",
+    "winnow_fp": "lag/lead run-length reformulation of the MOSS window minimum — one exchange, no per-window explode",
+    "byte_entropy": "narrow codegen projection over bytes — zero shuffle before the demo aggregate",
+    "kmv_distinct": "bounded k-minimum-values registers per source; merge = list union + truncate",
+    "kmv_jaccard": "pairwise source sketches on the bounded register table — never a corpus cross join",
+    "containment": "probe-prefix x FULL-inverted-index streaming equi-join; exact size bound is the only pruning; linear shuffles, no per-shingle collect",
+    "dq_checks": "ONE shared map-side-combinable corpus pass for all non-value checks + one bounded (group, value) pass per uniqueness column (LEFT-joined group spine)",
+    "boot_ci": "one plain corpus pass + one explode(B)-widened map-side-combinable groupBy(group, b); downstream bounded by groups x B",
+    "cusum_drift": "monitor-series input; three windows on ONE named sort key -> single Sort (CollapseWindow)",
+    "ab_welch": "exact HUGEINT conditional sufficient stats in ONE map-side-combinable aggregate — zero windows, zero joins",
+    "backtest": "ZERO shuffles: in-row literal fold array + HOF filter over a NAMED micros column; row amplification bounded by k",
+    "hill_tail": "histogram + _hist_prefix threshold selection; tail sum on the bounded above-threshold levels; LEFT JOIN ON TRUE global spine",
+    "winsor_tokens": "histogram + _hist_prefix bound selection; the only corpus join is the broadcast group-bounds join-back",
+    "conformal": "calibration histogram + _hist_prefix rank selection; new frame LEFT-joins the broadcast group-quantile table",
+    "survival": "at-risk counts off _hist_prefix; ln prefix-sum window over the bounded distinct-duration curve",
 }
 
 
