@@ -2848,6 +2848,71 @@ def _staged_km_sql() -> str:
     return DT.kaplan_meier_sql(src, ("cohort",))
 
 
+_FS_FIELDS = [
+    {"name": "lang", "col_a": "lang_a", "col_b": "lang_b",
+     "m": 0.95, "u": 0.2},
+    {"name": "src", "col_a": "src_a", "col_b": "src_b",
+     "m": 0.9, "u": 0.05},
+    {"name": "band", "col_a": "band_a", "col_b": "band_b",
+     "m": 0.8, "u": 0.1},
+]
+
+
+def q_staged_fs(spark, sf_dir):
+    """Entity resolution: Fellegi-Sunter probabilistic linkage scoring
+    (Fellegi & Sunter 1969; operators/linkage.py fs_link_scores) over
+    consecutive-id candidate pairs compared on lang / source /
+    length-band — the decision model that turns ANY blocking stage's
+    candidates (minhash/simhash/allpairs/containment) into
+    link / possible / non_link verdicts. Both weights per field are
+    driver-side integer micro-nat LITERALS (no engine-side ln); the
+    score is an exact BIGINT sum and every decision an exact integer
+    compare; missing fields contribute zero (no evidence). Scoring is
+    ZERO-shuffle (one codegen projection; the only exchange belongs to
+    the demo's pair join)."""
+    from audiopro_essentia_spark.operators.linkage import fs_link_scores
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("id"),
+            "lang",
+            "source",
+            F.expr("CAST(n_chars div 200 AS BIGINT)").alias("band"),
+        )
+    )
+    a = d.select(
+        (F.col("id") + 1).alias("_k"),
+        F.col("id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("band").alias("band_a"),
+    )
+    b = d.select(
+        F.col("id").alias("_k"),
+        F.col("id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("band").alias("band_b"),
+    )
+    pairs = a.join(b, "_k").drop("_k")
+    return fs_link_scores(pairs, _FS_FIELDS, lower=0.0, upper=4.0)
+
+
+def _staged_fs_sql() -> str:
+    src = (
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, lang, source, "
+        "CAST(n_chars // 200 AS BIGINT) AS band FROM documents "
+        "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL) "
+        "SELECT a.id AS id_a, b.id AS id_b, a.lang AS lang_a, "
+        "b.lang AS lang_b, a.source AS src_a, b.source AS src_b, "
+        "a.band AS band_a, b.band AS band_b "
+        "FROM d a JOIN d b ON a.id + 1 = b.id"
+    )
+    return DT.fs_link_scores_sql(src, _FS_FIELDS, lower=0.0, upper=4.0)
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3703,6 +3768,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsor_tokens": q_staged_winsorize,
         "conformal": q_staged_conformal,
         "survival": q_staged_km,
+        "fs_linkage": q_staged_fs,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3930,6 +3996,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "winsor_tokens": _staged_winsorize_sql(),
         "conformal": _staged_conformal_sql(),
         "survival": _staged_km_sql(),
+        "fs_linkage": _staged_fs_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

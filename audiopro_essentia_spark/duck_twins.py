@@ -4295,3 +4295,51 @@ SELECT {gpfx}s AS t, n_risk, n_event, n_censor,
          round(exp(CAST(lsum AS DOUBLE) / 1e6), 6) END AS survival
 FROM c2
 """
+
+
+def fs_link_scores_sql(
+    source: str,
+    fields: list[dict],
+    lower: float = 0.0,
+    upper: float = 4.0,
+) -> str:
+    """Twin of linkage.fs_link_scores: the SAME driver-side micro-nat
+    weight literals (computed by the operator's validator so they
+    cannot desync), exact BIGINT sum, exact integer decisions.
+    `source` must yield (id_a, id_b, <field col_a/col_b columns>)."""
+    from .operators.linkage import _validate_fields
+
+    class _Any(set):
+        def __contains__(self, item):  # twin trusts the source columns
+            return True
+
+    specs = _validate_fields(fields, _Any())
+    lo_u = round(lower * 1e6)
+    hi_u = round(upper * 1e6)
+    ag_cols = []
+    score_terms = []
+    for s in specs:
+        a, b = s["col_a"], s["col_b"]
+        ag = (
+            f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0 "
+            f"WHEN {a} = {b} THEN 1 ELSE -1 END"
+        )
+        ag_cols.append(f"CAST({ag} AS BIGINT) AS agree_{s['name']}")
+        score_terms.append(
+            f"CASE WHEN ({ag}) = 1 THEN {s['wa']} "
+            f"WHEN ({ag}) = -1 THEN {s['wd']} ELSE 0 END"
+        )
+    su = " + ".join(f"({t})" for t in score_terms)
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+st AS (
+  SELECT id_a, id_b, {", ".join(ag_cols)},
+         CAST({su} AS BIGINT) AS su
+  FROM base)
+SELECT id_a, id_b, {", ".join(f"agree_{s['name']}" for s in specs)},
+       round(CAST(su AS DOUBLE) / 1e6, 6) AS score,
+       CASE WHEN su >= {hi_u} THEN 'link'
+            WHEN su <= {lo_u} THEN 'non_link'
+            ELSE 'possible' END AS decision
+FROM st
+"""
