@@ -2913,6 +2913,39 @@ def _staged_fs_sql() -> str:
     return DT.fs_link_scores_sql(src, _FS_FIELDS, lower=0.0, upper=4.0)
 
 
+def q_staged_benford(spark, sf_dir):
+    """Forensics: Benford first-significant-digit conformity
+    (operators/checks.py benford_test) of event values per type — the
+    fabricated/unit-mixed/truncated-numbers screen (organically-grown
+    magnitudes follow log10(1+1/d); invented or clipped ones don't),
+    with Pearson chi2 and Nigrini MAD conformity bands. Digit
+    extraction is the STRING rendering of the micro BIGINT (no log10
+    floor flicker at powers of ten); expected probabilities are
+    driver-side literals; one map-side-combinable (type, digit) corpus
+    pass onto a bounded 9-cell table."""
+    from audiopro_essentia_spark.operators.checks import benford_test
+
+    d = (
+        _t(spark, sf_dir, "events")
+        .where(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & (F.col("value") >= 1e-6)
+        )
+        .select("event_type", F.col("value").alias("v"))
+    )
+    return benford_test(d, "v", ["event_type"])
+
+
+def _staged_benford_sql() -> str:
+    return DT.benford_test_sql(
+        "SELECT event_type, value AS v FROM events "
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL "
+        "AND value >= 0.000001",
+        ("event_type",),
+    )
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3769,6 +3802,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal": q_staged_conformal,
         "survival": q_staged_km,
         "fs_linkage": q_staged_fs,
+        "benford": q_staged_benford,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -3997,6 +4031,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "conformal": _staged_conformal_sql(),
         "survival": _staged_km_sql(),
         "fs_linkage": _staged_fs_sql(),
+        "benford": _staged_benford_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

@@ -4343,3 +4343,63 @@ SELECT id_a, id_b, {", ".join(f"agree_{s['name']}" for s in specs)},
             ELSE 'possible' END AS decision
 FROM st
 """
+
+
+def benford_test_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of checks.benford_test: identical string-rendered
+    first-digit extraction from the micro BIGINT, the same driver-side
+    expected-probability literals in the same left-fold order, round-6
+    chi2/mad, the same integer micro conformity bands. `source` must
+    yield (group..., v DOUBLE positive) already validated the way the
+    Spark entry validates."""
+    import math
+
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    probs = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    csel = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN d = '{d}' THEN c END), 0) AS BIGINT)"
+        f" AS c{d}"
+        for d in range(1, 10)
+    )
+    outs = ", ".join(
+        f"round(CAST(c{d} AS DOUBLE) / CAST(n AS DOUBLE), 6) AS d{d}"
+        for d in range(1, 10)
+    )
+    chi = " + ".join(
+        f"((CAST(c{d} AS DOUBLE) - CAST(n AS DOUBLE) * CAST({probs[d]!r} AS DOUBLE))"
+        f" * (CAST(c{d} AS DOUBLE) - CAST(n AS DOUBLE) * CAST({probs[d]!r} AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) * CAST({probs[d]!r} AS DOUBLE)))"
+        for d in range(1, 10)
+    )
+    mad = " + ".join(
+        f"abs(CAST(c{d} AS DOUBLE) / CAST(n AS DOUBLE) - "
+        f"CAST({probs[d]!r} AS DOUBLE))"
+        for d in range(1, 10)
+    )
+    mr = f"round(({mad}) / 9.0, 6)"
+    mu = f"CAST(round({mr} * 1e6) AS BIGINT)"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}substr(CAST(CAST(round(v * 1000000) AS BIGINT) AS VARCHAR),
+                      1, 1) AS d
+  FROM base),
+per AS MATERIALIZED (
+  SELECT {gpfx}d, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY {gpfx}d),
+agg AS (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n, {csel} FROM per {grp})
+SELECT {gpfx}n, {outs},
+       round({chi}, 6) AS chi2,
+       {mr} AS mad,
+       CASE WHEN {mu} < 6000 THEN 'close'
+            WHEN {mu} < 12000 THEN 'acceptable'
+            WHEN {mu} < 15000 THEN 'marginal'
+            ELSE 'nonconforming' END AS conformity
+FROM agg
+WHERE n IS NOT NULL
+"""

@@ -354,3 +354,108 @@ def quality_checks(
         F.col("_v.threshold").alias("threshold"),
         F.col("_v.passed").alias("passed"),
     )
+
+
+def benford_test(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n, d1..d9 observed fractions, chi2, mad, conformity)
+    — first-significant-digit conformity against Benford's law
+    (Newcomb 1881 / Benford 1938: P(d) = log10(1 + 1/d)), the
+    data-forensics screen for fabricated, unit-mixed, or truncated
+    numeric columns (organically-grown magnitudes follow it; invented
+    or clipped ones don't). chi2 is Pearson's statistic over the 9
+    digit cells; `mad` is Nigrini's mean absolute deviation of the
+    digit fractions with his published conformity bands (close <
+    0.006, acceptable < 0.012, marginal < 0.015, else nonconforming —
+    compared as exact integer micro thresholds on the rounded value).
+
+    Exactness: the first significant digit is extracted from the
+    STRING rendering of the micro-quantized BIGINT (both engines
+    render integers identically — no log10 float extraction, whose
+    floor flickers at exact powers of ten); values must be POSITIVE
+    and >= 1e-6 (micro >= 1, so the leading character IS the leading
+    significant digit) — NULL/NaN/non-positive fail LOUD. Expected
+    probabilities are driver-side micro literals; chi2/mad are
+    evaluated on doubles built from exact integer counts in one fixed
+    expression order + round-6. Groups with n = 0 cannot occur; all
+    nine digit columns are emitted (0.0 when absent).
+
+    Scale shape: ONE map-side-combinable groupBy(group, digit) corpus
+    pass onto the bounded groups x 9 table. Zero windows, zero joins,
+    zero Python."""
+    g = list(group_cols or [])
+    v0 = F.col(value_col).cast("double")
+    m = (
+        F.when(
+            v0.isNull() | F.isnan(v0) | (v0 <= 0)
+            | (F.round(v0 * 1_000_000) < 1),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"benford_test: NULL/NaN/non-positive {value_col}="
+                    ),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_m")
+    )
+    digit = F.substring(F.col("_m").cast("string"), 1, 1).alias("_d")
+    per = (
+        df.select(*g, m)
+        .select(*g, digit)
+        .groupBy(*g, "_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    import math
+
+    probs = {str(d): math.log10(1 + 1 / d) for d in range(1, 10)}
+    aggs = [F.sum("_c").cast("long").alias("n")]
+    for d in range(1, 10):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("_d") == str(d), F.col("_c"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"_c{d}")
+        )
+    # empty-global-frame contract: groupBy().agg yields one NULL-n row
+    agg = per.groupBy(*g).agg(*aggs).where(F.col("n").isNotNull())
+    n = F.col("n").cast("double")
+    chi2 = None
+    mad = None
+    outs = []
+    for d in range(1, 10):
+        p = probs[str(d)]
+        c = F.col(f"_c{d}").cast("double")
+        outs.append(F.round(c / n, 6).alias(f"d{d}"))
+        term = (c - n * F.lit(p)) * (c - n * F.lit(p)) / (n * F.lit(p))
+        dev = F.abs(c / n - F.lit(p))
+        chi2 = term if chi2 is None else chi2 + term
+        mad = dev if mad is None else mad + dev
+    mad_r = F.round(mad / F.lit(9.0), 6)
+    return agg.select(
+        *g,
+        "n",
+        *outs,
+        F.round(chi2, 6).alias("chi2"),
+        mad_r.alias("mad"),
+        F.when(
+            F.round(mad_r * F.lit(1e6)).cast("long") < 6000, F.lit("close")
+        )
+        .when(
+            F.round(mad_r * F.lit(1e6)).cast("long") < 12000,
+            F.lit("acceptable"),
+        )
+        .when(
+            F.round(mad_r * F.lit(1e6)).cast("long") < 15000,
+            F.lit("marginal"),
+        )
+        .otherwise(F.lit("nonconforming"))
+        .alias("conformity"),
+    )
