@@ -2946,6 +2946,71 @@ def _staged_benford_sql() -> str:
     )
 
 
+_ATE_E = {
+    "purchase": 0.8, "click": 0.6, "view": 0.4, "signup": 0.3,
+    "error": 0.2,
+}
+
+
+def q_staged_ate(spark, sf_dir):
+    """Causal: Hajek IPW average treatment effect (operators/causal.py
+    ate_ipw) per user cohort on a deterministically hash-assigned
+    CONFOUNDED treatment — assignment probability depends on
+    event_type (the portable-hash recipe, so both engines draw the
+    same treatment), outcome = value + 2*t, so the naive as-assigned
+    difference is biased by the type mix while IPW with the true
+    design propensities reweights it out. Per-row weight = ONE
+    correctly-rounded division; HUGEINT weighted sums; trimming is
+    exclusion-with-count, never a silent clamp; Kish ESS per arm."""
+    from audiopro_essentia_spark.functions.text import portable_hash32
+    from audiopro_essentia_spark.operators.causal import ate_ipw
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    e = F.coalesce(
+        *[
+            F.when(F.col("event_type") == k, F.lit(v))
+            for k, v in _ATE_E.items()
+        ],
+        F.lit(0.5),
+    )
+    h = portable_hash32(
+        F.concat(F.lit("ate|"), F.col("event_id").cast("string"))
+    )
+    t = (
+        (h % 1_000_000) < F.round(e * 1_000_000).cast("long")
+    ).cast("long")
+    d = ev.select(
+        (F.col("user_id") % 5).cast("long").alias("cohort"),
+        (F.col("value") + F.lit(2.0) * t).alias("y"),
+        t.alias("t"),
+        e.alias("e"),
+    )
+    return ate_ipw(d, "y", "t", "e", ["cohort"], trim=0.0)
+
+
+def _staged_ate_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN event_type = '{k}' THEN {v}" for k, v in _ATE_E.items()
+    ) + " ELSE 0.5 END"
+    h = "(('0x' || substr(md5('ate|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)"
+    t = (
+        f"CAST({h} % 1000000 < "
+        f"CAST(round(({case}) * 1000000) AS BIGINT) AS BIGINT)"
+    )
+    src = (
+        f"SELECT user_id % 5 AS cohort, value + 2.0 * ({t}) AS y, "
+        f"{t} AS t, {case} AS e FROM events "
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL "
+        "AND user_id IS NOT NULL AND event_id IS NOT NULL"
+    )
+    return DT.ate_ipw_sql(src, ("cohort",), trim=0.0)
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3803,6 +3868,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival": q_staged_km,
         "fs_linkage": q_staged_fs,
         "benford": q_staged_benford,
+        "ate_effect": q_staged_ate,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -4032,6 +4098,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "survival": _staged_km_sql(),
         "fs_linkage": _staged_fs_sql(),
         "benford": _staged_benford_sql(),
+        "ate_effect": _staged_ate_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

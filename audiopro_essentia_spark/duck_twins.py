@@ -4403,3 +4403,71 @@ SELECT {gpfx}n, {outs},
 FROM agg
 WHERE n IS NOT NULL
 """
+
+
+def ate_ipw_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    trim: float = 0.0,
+) -> str:
+    """Twin of causal.ate_ipw: identical micro quantization, the same
+    single correctly-rounded weight division, HUGEINT weighted sums,
+    exact trim comparison, round-6 means and ate. `source` must yield
+    (group..., y DOUBLE, t IN (0, 1), e DOUBLE in (0, 1)) already
+    validated the way the Spark entry validates."""
+    t_u = round(trim * 1e6)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+
+    def arm(t: int, tag: str) -> str:
+        m = f"t = {t} AND k"
+        return (
+            f"CAST(coalesce(sum(CAST(({m}) AS BIGINT)), 0) AS BIGINT)"
+            f" AS n_{tag}, "
+            f"sum(CASE WHEN {m} THEN CAST(w AS HUGEINT) END) AS w{tag}, "
+            f"sum(CASE WHEN {m} THEN CAST(w AS HUGEINT) * y END)"
+            f" AS wy{tag}, "
+            f"sum(CASE WHEN {m} THEN CAST(w AS HUGEINT) * w END)"
+            f" AS ww{tag}"
+        )
+
+    def mu(tag: str) -> str:
+        return (
+            f"CASE WHEN n_{tag} > 0 THEN "
+            f"round(CAST(wy{tag} AS DOUBLE) / CAST(w{tag} AS DOUBLE)"
+            f" / 1e6, 6) END"
+        )
+
+    def ess(tag: str) -> str:
+        return (
+            f"CASE WHEN n_{tag} > 0 THEN "
+            f"round(CAST(w{tag} * w{tag} AS DOUBLE) / "
+            f"CAST(ww{tag} AS DOUBLE), 6) END"
+        )
+
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(round(y * 1000000) AS BIGINT) AS y, t,
+         CAST(round(e * 1000000) AS BIGINT) >= {t_u}
+           AND CAST(round(e * 1000000) AS BIGINT) <= {1_000_000 - t_u}
+           AS k,
+         CAST(round(1e6 / (CASE WHEN t = 1 THEN e ELSE 1.0 - e END))
+              AS BIGINT) AS w
+  FROM base),
+agg AS (
+  SELECT {gpfx}{arm(1, "t")}, {arm(0, "c")},
+         CAST(coalesce(sum(CAST((NOT k) AS BIGINT)), 0) AS BIGINT)
+           AS n_trimmed
+  FROM q {grp})
+SELECT {gpfx}n_t, n_c, n_trimmed,
+       {mu("t")} AS mu_t,
+       {mu("c")} AS mu_c,
+       CASE WHEN n_t > 0 AND n_c > 0 THEN
+         round(({mu("t")}) - ({mu("c")}), 6) END AS ate,
+       {ess("t")} AS ess_t,
+       {ess("c")} AS ess_c
+FROM agg
+WHERE n_t + n_c + n_trimmed > 0
+"""
