@@ -3011,6 +3011,32 @@ def _staged_ate_sql() -> str:
     return DT.ate_ipw_sql(src, ("cohort",), trim=0.0)
 
 
+def q_staged_readability(spark, sf_dir):
+    """Text: exact-integer readability features per doc (functions/
+    text.py readability_metrics) — ARI (Senter & Smith 1967), chosen
+    over Flesch because every input is an exact integer count (no
+    syllable heuristic): chars via separator-stripped length (never an
+    aggregate() over the built words array — the re-inline hazard),
+    maximal-[.!?]-run sentence count floored at 1 (never a /0 under
+    ANSI), two correctly-rounded divisions in one fixed order +
+    round-6. One codegen projection, zero shuffle."""
+    from audiopro_essentia_spark.functions.text import readability_metrics
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    m = readability_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["n_letter_chars"].alias("n_letter_chars"),
+        m["n_sentences"].alias("n_sentences"),
+        m["ari"].alias("ari"),
+    )
+
+
+def _staged_readability_sql() -> str:
+    return DT.readability_sql("documents")
+
+
 def q_staged_zorder(spark, sf_dir):
     """Layout: Morton / Z-order clustering key over events on
     (user_id, event time) — the multi-column scan-pruning lever
@@ -3869,6 +3895,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": q_staged_fs,
         "benford": q_staged_benford,
         "ate_effect": q_staged_ate,
+        "readability": q_staged_readability,
         "zorder_key": q_staged_zorder,
         "priority_sample": q_staged_priority_sample,
         "line_scrub": q_staged_line_scrub,
@@ -4099,6 +4126,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "fs_linkage": _staged_fs_sql(),
         "benford": _staged_benford_sql(),
         "ate_effect": _staged_ate_sql(),
+        "readability": _staged_readability_sql(),
         "zorder_key": DT.zorder_key_sql(bits=16),
         "priority_sample": DT.priority_sample_sql(k=20),
         "line_scrub": _staged_line_scrub_sql(),

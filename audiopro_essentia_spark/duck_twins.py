@@ -4471,3 +4471,34 @@ SELECT {gpfx}n_t, n_c, n_trimmed,
 FROM agg
 WHERE n_t + n_c + n_trimmed > 0
 """
+
+
+def readability_sql(table: str = "documents") -> str:
+    """Twin of functions/text.readability_metrics applied per doc:
+    identical nonempty-word count, separator-stripped char count,
+    maximal-[.!?]-run sentence count floored at 1, and the same
+    fixed-order ARI expression (constants CAST AS DOUBLE — a bare
+    DuckDB decimal literal would run DECIMAL arithmetic)."""
+    nw = (
+        "CAST(len(list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> '')) AS BIGINT)"
+    )
+    nc = "CAST(len(replace(coalesce(text, ''), ' ', '')) AS BIGINT)"
+    ns = (
+        "greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all("
+        "coalesce(text, ''), '[.!?]+')) AS BIGINT))"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, {nw} AS n_words, {nc} AS n_letter_chars, {ns} AS n_sentences
+  FROM {table} WHERE doc_id IS NOT NULL)
+SELECT doc_id, n_words, n_letter_chars, n_sentences,
+       CASE WHEN n_words > 0 THEN
+         CAST(CAST(round((CAST('4.71' AS DOUBLE) *
+                 (CAST(n_letter_chars AS DOUBLE) / CAST(n_words AS DOUBLE))
+               + CAST('0.5' AS DOUBLE) *
+                 (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+               - CAST('21.43' AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+       END AS ari
+FROM base
+"""

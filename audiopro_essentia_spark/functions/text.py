@@ -289,3 +289,60 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_chunk_words"),
     )
+
+
+def readability_metrics(text: Column) -> dict[str, Column]:
+    """Exact-integer readability features for corpus filtering
+    (educational-value / complexity gates): ARI (Automated Readability
+    Index, Senter & Smith 1967 — chosen over Flesch because it needs
+    NO syllable heuristic: every input is an exact integer count),
+    plus the raw counts.
+
+        ARI = 4.71 * chars/words + 0.5 * words/sentences - 21.43
+
+    chars = total characters of the nonempty words (whitespace
+    excluded — the ARI convention); sentences = number of MAXIMAL runs
+    of [.!?] (regexp_count; the '[.!?]+' pattern sits in the Java/RE2
+    common subset), floored at 1 so a fragment without terminal
+    punctuation reads as one sentence (never a /0 — ANSI raises).
+    NULL text counts as empty. Docs with zero words give NULL ari.
+
+    Exactness: both ratios are single correctly-rounded IEEE divisions
+    of exact BIGINT counts, combined in one fixed expression order +
+    round-6 — bit-stable cross-engine."""
+    ws = nonempty_words(text, null_as_empty=True)
+    n_words = F.size(ws).cast("long")
+    # chars of the nonempty words == length with the separators removed
+    # (words() is a single-space split) — NEVER aggregate() over the
+    # built array: the lambda re-inlines the split per element
+    # (the CLAUDE.md array-build re-inline hazard, O(words^2))
+    n_chars = F.length(
+        F.translate(F.coalesce(text, F.lit("")), " ", "")
+    ).cast("long")
+    n_sent = F.greatest(
+        F.lit(1).cast("long"),
+        F.regexp_count(F.coalesce(text, F.lit("")), F.lit(r"[.!?]+")).cast(
+            "long"
+        ),
+    )
+    # round-6 via the scale-0 micro recipe, NOT F.round(x, 6): ARI's
+    # rational inputs land on exact decimal halves (measured:
+    # 4.71*294/64 + 32 - 21.43 = 32.2065625 — Spark HALF_UP rounds
+    # ...63, DuckDB half-even ...62); round() to INTEGER ties away
+    # from zero in BOTH engines (the SAMPLE_KEY recipe)
+    raw = (
+        F.lit(4.71) * (n_chars.cast("double") / n_words.cast("double"))
+        + F.lit(0.5) * (n_words.cast("double") / n_sent.cast("double"))
+        - F.lit(21.43)
+    )
+    ari = F.when(
+        n_words > 0,
+        F.round(raw * F.lit(1e6)).cast("long").cast("double")
+        / F.lit(1e6),
+    )
+    return {
+        "n_words": n_words,
+        "n_letter_chars": n_chars,
+        "n_sentences": n_sent,
+        "ari": ari,
+    }

@@ -375,6 +375,8 @@ def test_staged_driver_entries_oracle_green(spark, sf_dir):
     assert n_rows["benford"] == 5
     # one ATE row per user cohort
     assert n_rows["ate_effect"] == 5
+    # one readability row per doc
+    assert n_rows["readability"] >= 400
     # one z-key row per event with user+ts
     assert n_rows["zorder_key"] >= 900
     # one row per doc plus one per junk twin (doc_id % 7 == 0)
