@@ -2702,6 +2702,47 @@ def _staged_winsorize_sql() -> str:
     )
 
 
+def q_staged_qbin(spark, sf_dir):
+    """Feature binning: per-source EQUAL-FREQUENCY quintile bins of
+    doc word counts at exact type-1 quantiles
+    (operators/aggregates.py quantile_bin) — the categorical-feature
+    companion of winsorize's clamp: downstream target encoders /
+    contingency tests consume the bin id, not the raw heavy-tailed
+    count. Boundaries are ACTUAL data values, assignment is an exact
+    integer compare in micro space, heavy ties empty bins rather than
+    split a tie run. One histogram corpus pass + the shared prefix
+    engine; the only corpus join is the broadcast group-bounds
+    join-back."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import quantile_bin
+
+    w = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.col("doc_id").cast("string").alias("rid"),
+            F.size(w).cast("double").alias("v"),
+        )
+    )
+    return quantile_bin(d, "v", "rid", ["src"], n_bins=5)
+
+
+def _staged_qbin_sql() -> str:
+    nw = (
+        "len(list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> ''))"
+    )
+    return DT.quantile_bin_sql(
+        f"SELECT source AS src, CAST(doc_id AS VARCHAR) AS id, "
+        f"CAST({nw} AS DOUBLE) AS v FROM documents "
+        "WHERE source IS NOT NULL AND doc_id IS NOT NULL",
+        ("src",),
+        n_bins=5,
+    )
+
+
 _CF_T1 = 1_705_363_200_000_000  # 2024-01-16 UTC
 _CF_T2 = 1_705_968_000_000_000  # 2024-01-23 UTC
 
@@ -3890,6 +3931,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest": q_staged_backtest,
         "hill_tail": q_staged_hill,
         "winsor_tokens": q_staged_winsorize,
+        "qbin_tokens": q_staged_qbin,
         "conformal": q_staged_conformal,
         "survival": q_staged_km,
         "fs_linkage": q_staged_fs,
@@ -4121,6 +4163,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "backtest": _staged_backtest_sql(),
         "hill_tail": _staged_hill_sql(),
         "winsor_tokens": _staged_winsorize_sql(),
+        "qbin_tokens": _staged_qbin_sql(),
         "conformal": _staged_conformal_sql(),
         "survival": _staged_km_sql(),
         "fs_linkage": _staged_fs_sql(),
@@ -4186,8 +4229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     environment in BENCH/BASELINE.md) plus kmeans and pack_shards (r2
     rows-green + r3 hash-green) yielded their slots.
     Everything outside the window is verified locally by
-    tests/driver_compare.py each round."""
-    return {
+    tests/driver_compare.py each round. Positions 92+ are the staged
+    r4 roster (merged in at the bottom) awaiting the r5 window
+    rotation."""
+    base = {
         # -- core framing / temporal / join surface -------------------
         "pit_assembly": q_pit_assembly,
         # -- kernel / spectral surface (f32 path touched in r4) --------
@@ -4301,6 +4346,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
     }
+    # ---- position 92+: the round-4 staged roster, wired beyond the
+    # driver's 50-query window (the driver ignores them; the judge and
+    # tests/driver_compare.py verify them like any other entry). Every
+    # one ships a DuckDB twin, a compare_one pytest at sf0.001/0.01,
+    # corrupt/empty-sweep coverage and a plan pin — see CLAUDE.md's
+    # staged-roster notes. The round-5 rotation promotes 50 of these
+    # into the window (they are the never-driver-checked set); the
+    # remainder stay compare-only with their pytest evidence.
+    base.update(_staged_queries())
+    return base
 
 
 # ---------------------------------------------------------------------------
@@ -4350,7 +4405,7 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) * "
         "sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6)"
     )
-    return {
+    base = {
         "framing_counts": f"""
 WITH {FRAMES_CTE}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM f GROUP BY doc_id
@@ -5372,3 +5427,6 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, shuffle_key,
 FROM k
 """,
     }
+    # staged-roster twins (keys mirror the staged block in queries())
+    base.update(_staged_oracle_sql())
+    return base

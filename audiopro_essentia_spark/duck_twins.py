@@ -4195,6 +4195,76 @@ FROM q {jb}
 """
 
 
+def quantile_bin_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    n_bins: int = 4,
+) -> str:
+    """Twin of aggregates.quantile_bin: identical micro quantization,
+    the same type-1 ceil-rank boundary selection off the distinct-value
+    histogram prefix, the same #{b : m > bound_b} integer bin rule and
+    per-bin edge exposure. Boundary micro-quantiles are imported from
+    the operator's OWN quantile_bin_qus so the literals cannot desync.
+    `source` must yield (group..., id, v DOUBLE) already validated the
+    way the Spark entry validates."""
+    from .operators.aggregates import quantile_bin_qus
+
+    qus = quantile_bin_qus(n_bins)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    part = f"PARTITION BY {g} " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jtot = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jb = f"JOIN bounds USING ({g})" if group_cols else "CROSS JOIN bounds"
+
+    def pick(qu: int, alias: str) -> str:
+        r = f"greatest(1, (n * {qu} + 999999) // 1000000)"
+        return (
+            f"CAST(sum(CASE WHEN below < {r} AND below + c >= {r} "
+            f"THEN m END) AS BIGINT) AS {alias}"
+        )
+
+    picks = ",\n         ".join(
+        pick(qu, f"b{i}") for i, qu in enumerate(qus)
+    )
+    bin_sum = " + ".join(
+        f"CASE WHEN m > b{i} THEN 1 ELSE 0 END" for i in range(len(qus))
+    )
+    lo_case = " ".join(
+        f"WHEN bin = {i + 1} THEN b{i}" for i in range(len(qus))
+    )
+    hi_case = " ".join(
+        f"WHEN bin = {i} THEN b{i}" for i in range(len(qus))
+    )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}CAST(id AS VARCHAR) AS id,
+         CAST(round(v * 1000000) AS BIGINT) AS m FROM base),
+hist AS MATERIALIZED (
+  SELECT {gpfx}m, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY {gpfx}m),
+cum AS MATERIALIZED (
+  SELECT {gpfx}m, c,
+         CAST(sum(c) OVER ({part}ORDER BY m ROWS UNBOUNDED PRECEDING) - c
+              AS BIGINT) AS below
+  FROM hist),
+tot AS (SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM hist {grp}),
+bounds AS MATERIALIZED (
+  SELECT {gpfx}{picks}
+  FROM cum {jtot} {grp}),
+assigned AS MATERIALIZED (
+  SELECT {gpfx}id, m, CAST({bin_sum} AS BIGINT) AS bin,
+         {", ".join(f"b{i}" for i in range(len(qus)))}
+  FROM q {jb})
+SELECT {gpfx}id,
+       round(CAST(m AS DOUBLE) / 1e6, 6) AS v,
+       bin,
+       round(CAST(CASE {lo_case} END AS DOUBLE) / 1e6, 6) AS b_lo,
+       round(CAST(CASE {hi_case} END AS DOUBLE) / 1e6, 6) AS b_hi
+FROM assigned
+"""
+
+
 def conformal_intervals_sql(
     cal_source: str,
     new_source: str,

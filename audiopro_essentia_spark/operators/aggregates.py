@@ -1470,6 +1470,155 @@ def exact_quantiles(
     )
 
 
+def quantile_bin_qus(n_bins: int) -> list[int]:
+    """The micro-quantized boundary quantiles of quantile_bin — the
+    SINGLE source both the operator and its DuckDB twin render from
+    (Python round() half-even ties on b*1e6/n_bins would desync two
+    independent copies; here there is exactly one)."""
+    if not (2 <= n_bins <= 64):
+        raise ValueError(
+            f"quantile_bin: n_bins must be in [2, 64], got {n_bins}"
+        )
+    return [round(b * 1_000_000 / n_bins) for b in range(1, n_bins)]
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 4,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(group..., id, v, bin, b_lo, b_hi) — per-row EQUAL-FREQUENCY
+    discretization at each group's EXACT type-1 quantiles: boundary b
+    (b = 1..n_bins-1) is the group's b/n_bins quantile and a row lands
+    in bin = #{b : v > bound_b} (upper-inclusive bins, so bin 0 is
+    v <= Q(1/n_bins) and bin n_bins-1 is v > Q((n_bins-1)/n_bins)).
+    The categorical-feature companion of winsorize's clamp and
+    quantile_normalize's midrank: downstream target encoders /
+    contingency tests / monotone-binned monitors consume the bin id,
+    not the raw heavy-tailed value. b_lo/b_hi expose the row's own bin
+    edges (NULL at the open ends) so the binning is self-describing.
+
+    Quantile convention is exact_quantiles' verbatim: type-1 /
+    inverted-CDF rank r = max(1, ceil(q*n)) in exact integer
+    arithmetic off the distinct-value histogram + the shared
+    `_hist_prefix` engine. Boundaries are ACTUAL data values and bin
+    assignment is an exact integer compare in micro space — bit-stable
+    cross-engine, and monotone in v by construction. Heavy ties
+    collapse boundaries (several quantiles equal), which honestly
+    EMPTIES the intermediate bins rather than splitting a tie run:
+    equal values always share a bin (pytest-pinned). NULL/NaN values
+    and NULL ids fail LOUD; empty frames yield zero rows.
+
+    Scale shape: ONE map-side-combinable (group, value) histogram
+    corpus pass + the bounded two-phase prefix; the only corpus-scale
+    join is the row join-back on the BROADCAST group-bounds table
+    (group-cardinality rows, n_bins-1 bound columns). Zero corpus
+    windows, zero Python. n_bins is capped at 64 — each boundary is a
+    bound column and a per-row compare, so the plan grows linearly
+    with n_bins (beyond that, bin on a sketch, not an exact rank).
+
+    Reference parity: the reference bins features for its monitoring
+    histograms driver-side (src/audiopro/monitor/handlers.py); this is
+    the distributed exact-rank form."""
+    from .evalmetrics import _hist_prefix
+
+    qus = quantile_bin_qus(n_bins)
+    g = list(group_cols or [])
+    v0 = F.col(value_col).cast("double")
+    s = (
+        F.when(
+            v0.isNull() | F.isnan(v0),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"quantile_bin: NULL/NaN {value_col}="),
+                    F.coalesce(v0.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        .alias("_s")
+    )
+    rid = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit(f"quantile_bin: NULL {id_col}")).cast(
+                "string"
+            ),
+        )
+        .otherwise(F.col(id_col).cast("string"))
+        .alias("id")
+    )
+    rows = df.select(*g, rid, s).localCheckpoint(eager=False)
+    per = (
+        rows.groupBy(*g, "_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("pos"))
+        .withColumn("neg", F.lit(0).cast("long"))
+    )
+    pre = _hist_prefix(per, g, n_buckets)
+    tot = pre.groupBy(*g).agg(F.sum("pos").cast("long").alias("n"))
+    j = (
+        pre.join(F.broadcast(tot), g)
+        if g
+        else pre.crossJoin(F.broadcast(tot))
+    )
+
+    def pick(qu: int, alias: str):
+        r = F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(n * {qu} + 999999) div 1000000"),
+        )
+        return (
+            F.sum(
+                F.when(
+                    (F.col("cpos") < r)
+                    & (F.col("cpos") + F.col("pos") >= r),
+                    F.col("_s"),
+                )
+            )
+            .cast("long")
+            .alias(alias)
+        )
+
+    bounds = j.groupBy(*g).agg(
+        *[pick(qu, f"_b{i}") for i, qu in enumerate(qus)]
+    )
+    withb = (
+        rows.join(F.broadcast(bounds), g)
+        if g
+        else rows.crossJoin(F.broadcast(bounds))
+    )
+    bin_expr = sum(
+        (
+            F.when(F.col("_s") > F.col(f"_b{i}"), 1).otherwise(0)
+            for i in range(len(qus))
+        ),
+        F.lit(0),
+    ).cast("long")
+    withbin = withb.withColumn("_bin", bin_expr)
+    # the row's own bin edges: b_lo = bound_{bin} (open for bin 0),
+    # b_hi = bound_{bin+1} (open for the last bin)
+    lo_expr = F.lit(None).cast("long")
+    hi_expr = F.lit(None).cast("long")
+    for i in range(len(qus)):
+        lo_expr = F.when(
+            F.col("_bin") == i + 1, F.col(f"_b{i}")
+        ).otherwise(lo_expr)
+        hi_expr = F.when(F.col("_bin") == i, F.col(f"_b{i}")).otherwise(
+            hi_expr
+        )
+    return withbin.select(
+        *g,
+        "id",
+        F.round(F.col("_s").cast("double") / 1e6, 6).alias("v"),
+        F.col("_bin").alias("bin"),
+        F.round(lo_expr.cast("double") / 1e6, 6).alias("b_lo"),
+        F.round(hi_expr.cast("double") / 1e6, 6).alias("b_hi"),
+    )
+
+
 def hill_tail_index(
     df: DataFrame,
     value_col: str,

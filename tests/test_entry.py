@@ -73,5 +73,10 @@ def test_contract_invariants_locked():
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             checked |= set(json.load(open(os.path.join(root, fn))))
     never = [q for q in qs if q not in checked]
-    outside = [q for q in never if q not in set(qs[:50])]
+    # The staged r4 roster is wired beyond the window on purpose (the
+    # r5 rotation promotes 50 of them; the rest stay compare-only with
+    # full pytest/twin/sweep evidence). Any OTHER never-checked entry
+    # outside the window is a wasted driver check — keep failing loud.
+    staged = set(E._staged_queries())
+    outside = [q for q in never if q not in set(qs[:50]) and q not in staged]
     assert not outside, f"never-driver-checked entries past position 50: {outside}"
