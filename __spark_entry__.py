@@ -3640,6 +3640,49 @@ def q_staged_mi(spark, sf_dir):
     return mutual_information(d, "x", "y", ["lang"])
 
 
+def q_staged_chi2(spark, sf_dir):
+    """Feature QC: Pearson chi-square independence + Cramér's V
+    between corpus source and language, per document-length band —
+    the bounded-scale categorical-association screen (V in [0, 1] is
+    comparable across differently-sized tables, unlike raw chi2 or
+    nats): a high V here means language is largely determined by
+    source, so per-source and per-lang quotas double-count the same
+    stratification. Exact BIGINT contingency cells from ONE map-side-
+    combinable corpus pass; the zero-cell identity chi2 = n +
+    sum_obs[(o-e)^2/e - e] folds observed cells only; each term
+    micro-rounded once and summed exactly; V via floor-at-zero sqrt
+    with scale-0 micro rounding (operators/evalmetrics.py
+    chi2_assoc)."""
+    from audiopro_essentia_spark.operators.evalmetrics import chi2_assoc
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("n_chars").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            F.when(F.col("n_chars") >= 500, F.lit("long"))
+            .otherwise(F.lit("short"))
+            .alias("band"),
+            F.col("source").alias("x"),
+            F.col("lang").alias("y"),
+        )
+    )
+    return chi2_assoc(d, "x", "y", ["band"])
+
+
+def _staged_chi2_sql() -> str:
+    return DT.chi2_assoc_sql(
+        "SELECT CASE WHEN n_chars >= 500 THEN 'long' ELSE 'short' END"
+        " AS band, source AS x, lang AS y FROM documents "
+        "WHERE n_chars IS NOT NULL AND lang IS NOT NULL "
+        "AND source IS NOT NULL",
+        ("band",),
+    )
+
+
 def q_staged_ols(spark, sf_dir):
     """Corpus stats: per-source OLS fit of distinct-word count against
     token count (the Heaps'-law slope on raw values — the trend
@@ -3902,6 +3945,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_enc": q_staged_target_enc,
         "target_enc_loo": q_staged_target_enc_loo,
         "mi_leakage": q_staged_mi,
+        "chi2_assoc": q_staged_chi2,
         "ols_trend": q_staged_ols,
         "decay_features": q_staged_decay,
         "fdr_monitors": q_staged_bh,
@@ -4049,6 +4093,7 @@ def _staged_oracle_sql() -> dict[str, str]:
             "AND lang IS NOT NULL",
             ("lang",),
         ),
+        "chi2_assoc": _staged_chi2_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

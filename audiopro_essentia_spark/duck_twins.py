@@ -3445,6 +3445,70 @@ WHERE n IS NOT NULL
 """
 
 
+def chi2_assoc_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.chi2_assoc: the identical exact-BIGINT
+    joint histogram / marginals / totals, the zero-cell identity
+    chi2 = n + sum_obs[(o-e)^2/e - e] with each observed term built
+    from the exact integers in the SAME expression order, rounded once
+    to integer micro-units and summed exactly, the same
+    floor-at-zero sqrt Cramér's V with scale-0 micro rounding.
+    `source` must yield (group..., x, y) already validated the way
+    the Spark entry validates."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jt = f"JOIN tot USING ({g})" if group_cols else "CROSS JOIN tot"
+    jx = f"USING ({g}, x)" if group_cols else "USING (x)"
+    jy = f"USING ({g}, y)" if group_cols else "USING (y)"
+    jg = f"USING ({g})" if group_cols else "ON TRUE"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+cells AS MATERIALIZED (
+  SELECT {gpfx}x, y, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY {gpfx}x, y),
+mx AS MATERIALIZED (
+  SELECT {gpfx}x, CAST(sum(c) AS BIGINT) AS nx FROM cells GROUP BY {gpfx}x),
+my AS MATERIALIZED (
+  SELECT {gpfx}y, CAST(sum(c) AS BIGINT) AS ny FROM cells GROUP BY {gpfx}y),
+lx AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS xl FROM mx {grp}),
+ly AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS yl FROM my {grp}),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS n FROM cells {grp}),
+agg AS MATERIALIZED (
+  SELECT {gpfx}max(n) AS n,
+         CAST(sum(CAST(round(
+           ((CAST(c AS DOUBLE)
+             - (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+               / CAST(n AS DOUBLE))
+            * (CAST(c AS DOUBLE)
+               - (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+                 / CAST(n AS DOUBLE))
+            / ((CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+               / CAST(n AS DOUBLE))
+            - (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))
+              / CAST(n AS DOUBLE)) * 1e6)
+           AS BIGINT)) + max(n) * 1000000 AS BIGINT) AS chi2_u
+  FROM cells JOIN mx {jx} JOIN my {jy} {jt} {grp})
+SELECT {gpfx}n,
+       xl AS x_levels, yl AS y_levels,
+       CAST((xl - 1) * (yl - 1) AS BIGINT) AS dof,
+       round(CAST(chi2_u AS DOUBLE) / 1e6, 6) AS chi2,
+       CASE WHEN least(xl - 1, yl - 1) >= 1 THEN
+         CAST(CAST(round(sqrt(
+           CAST(greatest(chi2_u, 0) AS DOUBLE) / 1e6
+           / (CAST(n AS DOUBLE) * CAST(least(xl - 1, yl - 1) AS DOUBLE)))
+           * 1e6) AS BIGINT) AS DOUBLE) / 1e6
+       END AS cramers_v
+FROM agg JOIN lx {jg} JOIN ly {jg}
+WHERE n IS NOT NULL
+"""
+
+
 def ols_fit_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -1187,6 +1187,119 @@ def mutual_information(
     )
 
 
+def chi2_assoc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n, x_levels, y_levels, dof, chi2, cramers_v) —
+    Pearson's chi-square test of independence between two categorical
+    columns per group, with Cramér's V = sqrt(chi2 / (n * min(r-1,
+    c-1))) as the [0, 1] effect size: the frequentist sibling of
+    mutual_information (nmi measures dependence in nats; V puts it on
+    a bounded scale comparable ACROSS tables of different size — the
+    standard screen for redundant categorical features and
+    stratification imbalance, and the multi-level generalization of
+    benford_test's single-margin chi2). Continuous features are binned
+    first (quantile_bin is the exact-rank recipe).
+
+    Exactness: the joint histogram, marginals and totals are exact
+    BIGINTs from ONE corpus pass. The full-table chi-square folds over
+    OBSERVED cells only via the zero-cell identity
+
+        chi2 = sum_all (o-e)^2/e  =  n + sum_obs [(o-e)^2/e - e]
+
+    (the unobserved cells contribute exactly their expectations, which
+    total n minus the observed cells' expectations — no r*c dense
+    expansion is ever built). Each observed cell's term is evaluated
+    on doubles BUILT from the exact integers in the same expression
+    order both engines (e = nx*ny/n, then (o-e)^2/e - e), rounded ONCE
+    to integer micro-units, and summed exactly with n*1e6 added as an
+    integer — never an engine-order float sum. Micro rounding can
+    leave chi2 a few negative micro-units on independent columns
+    (reported as-is, the kl_drift convention); cramers_v floors the
+    radicand at zero and is NULL when min(r, c) < 2 (dof = 0 — a
+    constant column has no association to measure). NULL X or Y
+    values fail LOUD; empty frames return zero rows.
+
+    Scale shape: ONE map-side-combinable groupBy(group, x, y) corpus
+    pass builds the bounded |X|*|Y| cell table; marginals and totals
+    aggregate THAT table; the term join runs on bounded tables with
+    broadcast totals. Zero windows, zero Python."""
+    g = list(group_cols or [])
+
+    def val(col):
+        c0 = F.col(col)
+        return F.when(
+            c0.isNull(),
+            F.raise_error(F.lit(f"chi2_assoc: NULL {col}")).cast(
+                dict(df.dtypes)[col]
+            ),
+        ).otherwise(c0)
+
+    rows = df.select(*g, val(x_col).alias("_x"), val(y_col).alias("_y"))
+    cells = (
+        rows.groupBy(*g, "_x", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    mx = cells.groupBy(*g, "_x").agg(F.sum("_c").cast("long").alias("_nx"))
+    my = cells.groupBy(*g, "_y").agg(F.sum("_c").cast("long").alias("_ny"))
+    lx = mx.groupBy(*g).agg(F.count(F.lit(1)).cast("long").alias("_lx"))
+    ly = my.groupBy(*g).agg(F.count(F.lit(1)).cast("long").alias("_ly"))
+    tot = cells.groupBy(*g).agg(F.sum("_c").cast("long").alias("_n"))
+
+    def bj(left, right, keys):
+        return (
+            left.join(F.broadcast(right), keys)
+            if keys
+            else left.crossJoin(F.broadcast(right))
+        )
+
+    terms = bj(
+        cells.join(mx, [*g, "_x"]).join(my, [*g, "_y"]), tot, g
+    )
+    e = (
+        F.col("_nx").cast("double") * F.col("_ny").cast("double")
+    ) / F.col("_n").cast("double")
+    o = F.col("_c").cast("double")
+    term = (o - e) * (o - e) / e - e
+    agg = terms.groupBy(*g).agg(
+        F.max("_n").alias("_n"),
+        (
+            F.sum(F.round(term * F.lit(1e6)).cast("long"))
+            + F.max("_n") * F.lit(1_000_000).cast("long")
+        ).alias("_chi2_u"),
+    ).where(F.col("_n").isNotNull())
+    out = bj(bj(agg, lx, g), ly, g)
+    k = F.least(F.col("_lx") - 1, F.col("_ly") - 1)
+    return out.select(
+        *g,
+        F.col("_n").alias("n"),
+        F.col("_lx").alias("x_levels"),
+        F.col("_ly").alias("y_levels"),
+        ((F.col("_lx") - 1) * (F.col("_ly") - 1)).cast("long").alias("dof"),
+        F.round(F.col("_chi2_u").cast("double") / 1e6, 6).alias("chi2"),
+        F.when(
+            k >= 1,
+            # scale-0 micro rounding (CLAUDE.md half-tie rule), not
+            # round(x, 6): sqrt output is an arbitrary double
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        F.col("_chi2_u"), F.lit(0).cast("long")
+                    ).cast("double")
+                    / 1e6
+                    / (F.col("_n").cast("double") * k.cast("double"))
+                )
+                * F.lit(1e6)
+            ).cast("long").cast("double")
+            / 1e6,
+        ).alias("cramers_v"),
+    )
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,
