@@ -2954,6 +2954,49 @@ def _staged_fs_sql() -> str:
     return DT.fs_link_scores_sql(src, _FS_FIELDS, lower=0.0, upper=4.0)
 
 
+def q_staged_snb(spark, sf_dir):
+    """Entity resolution: sorted-neighborhood blocking (Hernández &
+    Stolfo merge/purge; operators/linkage.py sorted_neighborhood) —
+    per-source candidate pairs between documents ADJACENT in
+    word-count order (window 2): the blocking stage for keys that are
+    CLOSE but not equal, where equi-join blocking can't put
+    near-misses in one bucket; its pairs feed fs_link_scores exactly
+    like the hash-blocking families. Total order is (key, id) so key
+    ties are deterministic; all lead() columns share ONE window spec
+    over named sort columns — one Exchange + one Sort, zero joins,
+    zero Python."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.linkage import (
+        sorted_neighborhood,
+    )
+
+    w = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.col("doc_id").cast("long").alias("rid"),
+            F.size(w).cast("long").alias("k"),
+        )
+    )
+    return sorted_neighborhood(d, "rid", "k", ["src"], window=2)
+
+
+def _staged_snb_sql() -> str:
+    nw = (
+        "len(list_filter(string_split(coalesce(text, ''), ' '), "
+        "x -> x <> ''))"
+    )
+    return DT.sorted_neighborhood_sql(
+        f"SELECT source AS src, CAST(doc_id AS BIGINT) AS id, "
+        f"CAST({nw} AS BIGINT) AS k FROM documents "
+        "WHERE source IS NOT NULL AND doc_id IS NOT NULL",
+        ("src",),
+        window=2,
+    )
+
+
 def q_staged_benford(spark, sf_dir):
     """Forensics: Benford first-significant-digit conformity
     (operators/checks.py benford_test) of event values per type — the
@@ -3979,6 +4022,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal": q_staged_conformal,
         "survival": q_staged_km,
         "fs_linkage": q_staged_fs,
+        "sorted_block": q_staged_snb,
         "benford": q_staged_benford,
         "ate_effect": q_staged_ate,
         "readability": q_staged_readability,
@@ -4212,6 +4256,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "conformal": _staged_conformal_sql(),
         "survival": _staged_km_sql(),
         "fs_linkage": _staged_fs_sql(),
+        "sorted_block": _staged_snb_sql(),
         "benford": _staged_benford_sql(),
         "ate_effect": _staged_ate_sql(),
         "readability": _staged_readability_sql(),

@@ -4479,6 +4479,38 @@ FROM st
 """
 
 
+def sorted_neighborhood_sql(
+    source: str,
+    block_cols: tuple[str, ...],
+    window: int = 3,
+) -> str:
+    """Twin of linkage.sorted_neighborhood: the same (key,
+    id-as-string) total order per block and the same {1 <= rank(b) -
+    rank(a) <= window} pair set — realized as row_number + a
+    rank-distance self-join (the reference formulation; the Spark
+    operator produces the identical set via lead() with zero joins).
+    `source` must yield (block..., id, k) already validated the way
+    the Spark entry validates."""
+    if not block_cols:
+        raise ValueError("sorted_neighborhood_sql: block_cols required")
+    g = ", ".join(block_cols)
+    ga = ", ".join(f"a.{c}" for c in block_cols)
+    jon = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {g}, CAST(id AS VARCHAR) AS id, k,
+         row_number() OVER (
+           PARTITION BY {g} ORDER BY k, CAST(id AS VARCHAR)) AS rn
+  FROM base)
+SELECT {ga}, a.id AS id_a, b.id AS id_b,
+       a.k AS key_a, b.k AS key_b,
+       CAST(b.rn - a.rn AS BIGINT) AS dist
+FROM q a JOIN q b ON {jon}
+  AND b.rn - a.rn BETWEEN 1 AND {int(window)}
+"""
+
+
 def benford_test_sql(
     source: str,
     group_cols: tuple[str, ...] = (),
