@@ -2997,6 +2997,37 @@ def _staged_snb_sql() -> str:
     )
 
 
+def q_staged_dp(spark, sf_dir):
+    """Governance: differentially-private corpus composition release —
+    per-(source, lang) document counts with two-sided-geometric noise
+    at epsilon=1 (checks.dp_counts; Ghosh-Roughgarden-Sundararajan's
+    universally optimal sensitivity-1 count mechanism). The noise draw
+    is the portable hash of salt ':' group under driver-side
+    inverse-CDF threshold literals: one salt is ONE reproducible
+    release, noise depends only on (salt, group) — never the data —
+    and a fresh salt is a fresh epsilon spend. One map-side-combinable
+    count shuffle + a codegen literal fold; zero joins, zero
+    windows, zero Python."""
+    from audiopro_essentia_spark.operators.checks import dp_counts
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .select(F.col("source").alias("src"), F.col("lang").alias("lng"))
+    )
+    return dp_counts(d, ["src", "lng"], epsilon=1.0, salt="r4release")
+
+
+def _staged_dp_sql() -> str:
+    return DT.dp_counts_sql(
+        "SELECT source AS src, lang AS lng FROM documents "
+        "WHERE source IS NOT NULL AND lang IS NOT NULL",
+        ("src", "lng"),
+        epsilon=1.0,
+        salt="r4release",
+    )
+
+
 def q_staged_benford(spark, sf_dir):
     """Forensics: Benford first-significant-digit conformity
     (operators/checks.py benford_test) of event values per type — the
@@ -4023,6 +4054,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival": q_staged_km,
         "fs_linkage": q_staged_fs,
         "sorted_block": q_staged_snb,
+        "dp_release": q_staged_dp,
         "benford": q_staged_benford,
         "ate_effect": q_staged_ate,
         "readability": q_staged_readability,
@@ -4257,6 +4289,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "survival": _staged_km_sql(),
         "fs_linkage": _staged_fs_sql(),
         "sorted_block": _staged_snb_sql(),
+        "dp_release": _staged_dp_sql(),
         "benford": _staged_benford_sql(),
         "ate_effect": _staged_ate_sql(),
         "readability": _staged_readability_sql(),

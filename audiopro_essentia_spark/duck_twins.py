@@ -4479,6 +4479,43 @@ FROM st
 """
 
 
+def dp_counts_sql(
+    source: str,
+    group_cols: tuple[str, ...],
+    epsilon: float = 1.0,
+    salt: str = "release0",
+) -> str:
+    """Twin of checks.dp_counts: the same exact group counts, the same
+    portable-hash uniform draw of salt ':' group-values, and the same
+    truncated two-sided-geometric inverse-CDF — thresholds imported
+    from the operator's OWN dp_geometric_thresholds so the literals
+    cannot desync. `source` must yield (group...) already validated
+    the way the Spark entry validates."""
+    from .operators.checks import dp_geometric_thresholds
+
+    k_trunc, thresholds = dp_geometric_thresholds(epsilon)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    parts = ", ".join(
+        ["'" + salt.replace("'", "''") + ":'"]
+        + [f"CAST({c} AS VARCHAR)" for c in group_cols]
+    )
+    u = H32.format(x=f"concat_ws('|', {parts})")
+    noise = f"(-{k_trunc} + " + " + ".join(
+        f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in thresholds
+    ) + ")"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+counts AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n, {u} AS u
+  FROM base {grp})
+SELECT {gpfx}CAST(n + {noise} AS BIGINT) AS n_noisy,
+       CAST({float(epsilon)!r} AS DOUBLE) AS epsilon
+FROM counts
+"""
+
+
 def sorted_neighborhood_sql(
     source: str,
     block_cols: tuple[str, ...],

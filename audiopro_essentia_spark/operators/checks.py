@@ -459,3 +459,114 @@ def benford_test(
         .otherwise(F.lit("nonconforming"))
         .alias("conformity"),
     )
+
+
+def dp_geometric_thresholds(epsilon: float) -> tuple[int, list[int]]:
+    """(K, thresholds) for dp_counts' truncated two-sided geometric
+    noise — the SINGLE source both the operator and its DuckDB twin
+    render from (the fs_link_scores literal-desync rule). The
+    two-sided geometric ("discrete Laplace") law P(k) proportional to
+    alpha^|k| with alpha = exp(-epsilon) is the integer-valued
+    epsilon-DP mechanism for sensitivity-1 counts (Ghosh, Roughgarden
+    & Sundararajan 2009 — where it is proved UNIVERSALLY optimal for
+    count queries). Truncation at +-K with per-tail mass < 2^-33
+    (K = ceil(33*ln2/epsilon), capped at 1024) makes the inverse-CDF
+    table finite; the truncated mechanism is (epsilon, delta)-DP with
+    delta < 2^-32 — far below any delta this mechanism's uniform
+    32-bit draw could resolve anyway.
+
+    thresholds[j] = round(CDF(-K + j) * 2^32) for j = 0..2K-1, so
+    noise(u) = -K + #{t : u >= t} for a uniform 32-bit u."""
+    import math
+
+    eps = float(epsilon)
+    if not (0.05 <= eps <= 20.0):
+        raise ValueError(
+            f"dp_counts: epsilon must be in [0.05, 20], got {epsilon}"
+        )
+    alpha = math.exp(-eps)
+    k_trunc = min(1024, int(math.ceil(33.0 * math.log(2.0) / eps)))
+    weights = [alpha ** abs(k) for k in range(-k_trunc, k_trunc + 1)]
+    total = sum(weights)
+    acc = 0.0
+    thresholds = []
+    for w in weights[:-1]:
+        acc += w
+        thresholds.append(round(acc / total * 2.0**32))
+    return k_trunc, thresholds
+
+
+def dp_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "release0",
+) -> DataFrame:
+    """(group..., n_noisy, epsilon) — differentially-private group
+    counts: each group's exact count plus two-sided-geometric noise
+    with parameter exp(-epsilon) (the discrete-Laplace mechanism,
+    universally optimal for sensitivity-1 counts — see
+    dp_geometric_thresholds). The governance release path for corpus
+    composition stats (docs per source/lang/band) that must not leak
+    whether any single ROW is present: row-level epsilon-DP; a
+    contributor owning many rows needs a contribution bound upstream
+    (cap rows per user first — the cap_per_group operator) before the
+    guarantee is user-level.
+
+    Determinism contract: the noise draw is the portable 32-bit hash
+    of salt ':' group-values (concat_ws '|'), pushed through the
+    driver-side inverse-CDF threshold literals — so (1) one salt is
+    ONE release: re-running reproduces the same table byte-for-byte
+    (audit-friendly), and (2) releasing AGAIN under a fresh salt is a
+    fresh epsilon spend that composes additively — the caller's
+    budget ledger owns that. The noise depends ONLY on (salt, group),
+    never on the data (pytest-pinned) — which is exactly the
+    independence the DP proof requires of the mechanism's randomness
+    source, here made reproducible. Noisy counts can be negative
+    (published as-is — clamping is post-processing the caller may
+    apply, but a silent floor here would bias downstream sums).
+
+    NULL group values fail LOUD (a NULL key would silently merge into
+    one released row). Raw counts and noise are deliberately NOT
+    output columns. Group values containing '|' are the caller's
+    delimiter responsibility (document keys, don't free-text them).
+
+    Scale shape: ONE map-side-combinable count shuffle onto the
+    bounded group table; noise is a codegen literal fold — zero
+    windows, zero joins, zero Python."""
+    from ..functions.text import portable_hash32
+
+    k_trunc, thresholds = dp_geometric_thresholds(epsilon)
+    g = list(group_cols or [])
+
+    def val(col):
+        return (
+            F.when(
+                F.col(col).isNull(),
+                F.raise_error(F.lit(f"dp_counts: NULL {col}")).cast(
+                    dict(df.dtypes)[col]
+                ),
+            )
+            .otherwise(F.col(col))
+            .alias(col)
+        )
+
+    rows = df.select(*[val(c) for c in g]) if g else df.select()
+    counts = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    if not g:
+        counts = counts.where(F.col("_n").isNotNull())
+    u = portable_hash32(
+        F.concat_ws(
+            "|", F.lit(f"{salt}:"), *[F.col(c).cast("string") for c in g]
+        )
+    )
+    noise = F.lit(-k_trunc).cast("long")
+    for t in thresholds:
+        noise = noise + (u >= F.lit(t)).cast("long")
+    return counts.select(
+        *g,
+        (F.col("_n") + noise).cast("long").alias("n_noisy"),
+        F.lit(float(epsilon)).cast("double").alias("epsilon"),
+    )
