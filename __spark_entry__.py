@@ -3757,6 +3757,48 @@ def _staged_chi2_sql() -> str:
     )
 
 
+def q_staged_linreg(spark, sf_dir):
+    """Model training: per-source multiple regression of a document's
+    DISTINCT-word count on its word count and character count (d=2,
+    ridge 0.5 — collinear-ish covariates are exactly where the ridge
+    path matters), the vocabulary-growth curve per source
+    (aggregates.ols_multi). Intercept rides as feature x0 == 1e6
+    micros so all normal-equation entries are uniform HUGEINT sums
+    from ONE aggregate; the Cramer solve evaluates the VERBATIM
+    expression strings the DuckDB twin also renders
+    (_ols_multi_exprs); every output micro-rounded. Zero joins,
+    windows, Python."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.aggregates import ols_multi
+
+    w = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.size(w).cast("double").alias("x1"),
+            (F.col("n_chars").cast("double") / F.lit(100.0)).alias("x2"),
+            F.size(F.array_distinct(w)).cast("double").alias("y"),
+        )
+    )
+    return ols_multi(d, "y", ["x1", "x2"], ["src"], ridge=0.5)
+
+
+def _staged_linreg_sql() -> str:
+    nw = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+    return DT.ols_multi_sql(
+        f"SELECT source AS src, CAST(len({nw}) AS DOUBLE) AS x1, "
+        "CAST(n_chars AS DOUBLE) / CAST(100.0 AS DOUBLE) AS x2, "
+        f"CAST(len(list_distinct({nw})) AS DOUBLE) AS y "
+        "FROM documents WHERE source IS NOT NULL "
+        "AND n_chars IS NOT NULL",
+        2,
+        ("src",),
+        ridge=0.5,
+    )
+
+
 def q_staged_ols(spark, sf_dir):
     """Corpus stats: per-source OLS fit of distinct-word count against
     token count (the Heaps'-law slope on raw values — the trend
@@ -4021,6 +4063,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_leakage": q_staged_mi,
         "chi2_assoc": q_staged_chi2,
         "ols_trend": q_staged_ols,
+        "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
         "fdr_monitors": q_staged_bh,
         "exact_pcts": q_staged_exact_quantiles,
@@ -4153,6 +4196,7 @@ def _staged_oracle_sql() -> dict[str, str]:
             "FROM documents WHERE source IS NOT NULL",
             ("src",),
         ),
+        "linreg": _staged_linreg_sql(),
         "decay_features": DT.time_decayed_features_sql(
             "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tm, "
             "value AS v FROM events WHERE user_id IS NOT NULL "

@@ -3653,6 +3653,83 @@ FROM rws JOIN qt {jq}
 """
 
 
+def ols_multi_sql(
+    source: str,
+    d: int,
+    group_cols: tuple[str, ...] = (),
+    ridge: float = 0.0,
+) -> str:
+    """Twin of aggregates.ols_multi: identical micro quantization
+    (intercept as feature x0 quantized to exactly 1e6), HUGEINT
+    normal-equation sums, and the VERBATIM Cramer/SSE expression
+    strings imported from the operator's own _ols_multi_exprs —
+    identical strings, identical IEEE tree. `source` must yield
+    (group..., x1..xD DOUBLE, y DOUBLE) already validated the way the
+    Spark entry validates."""
+    from .operators.aggregates import _ols_multi_exprs
+
+    ex = _ols_multi_exprs(d, ridge)
+    p = ex["p"]
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    rg = float(ridge)
+    mdefs = ", ".join(
+        ["CAST(1000000 AS HUGEINT) AS m0"]
+        + [
+            f"CAST(CAST(round(x{j} * 1000000) AS BIGINT) AS HUGEINT)"
+            f" AS m{j}"
+            for j in range(1, p)
+        ]
+        + ["CAST(CAST(round(y * 1000000) AS BIGINT) AS HUGEINT) AS my"]
+    )
+    sdefs = []
+    for j in range(p):
+        for k in range(j, p):
+            sdefs.append(f"sum(m{j} * m{k}) AS s{j}_{k}")
+        sdefs.append(f"sum(m{j} * my) AS b{j}")
+    sdefs.append("sum(my * my) AS syy")
+    ndefs = []
+    for j in range(p):
+        for k in range(j, p):
+            raw = f"(CAST(s{j}_{k} AS DOUBLE) / 1e12)"
+            ridged = (
+                f"({raw} + CAST({rg!r} AS DOUBLE))"
+                if (j == k and j >= 1 and rg > 0)
+                else raw
+            )
+            ndefs.append(f"{ridged} AS a{j}_{k}")
+            ndefs.append(f"{raw} AS w{j}_{k}")
+        ndefs.append(f"(CAST(b{j} AS DOUBLE) / 1e12) AS c{j}")
+    ndefs.append("(CAST(syy AS DOUBLE) / 1e12) AS syy_d")
+    ok = f"n >= {p} AND ({ex['det']}) <> 0e0"
+
+    def rnd(e: str) -> str:
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    outs = [f"CASE WHEN {ok} THEN {rnd(ex['betas'][0])} END AS intercept"]
+    for j in range(1, p):
+        outs.append(
+            f"CASE WHEN {ok} THEN {rnd(ex['betas'][j])} END AS beta{j}"
+        )
+    outs.append(
+        f"CASE WHEN {ok} AND ({ex['sst']}) > 0e0 THEN "
+        f"{rnd('1e0 - (' + ex['sse'] + ') / (' + ex['sst'] + ')')} "
+        f"END AS r2"
+    )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (SELECT {gpfx}{mdefs} FROM base),
+agg AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n, {", ".join(sdefs)}
+  FROM q {grp}),
+named AS MATERIALIZED (
+  SELECT {gpfx}n, {", ".join(ndefs)} FROM agg WHERE n > 0)
+SELECT {gpfx}n, {", ".join(outs)}
+FROM named
+"""
+
+
 def exact_quantiles_sql(
     source: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),

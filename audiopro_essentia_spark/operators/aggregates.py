@@ -1366,6 +1366,180 @@ def ols_fit(
     )
 
 
+def _ols_multi_exprs(d: int, ridge: float) -> dict:
+    """Canonical expression strings for ols_multi's Cramer solve —
+    the SINGLE source both the Spark operator (via F.expr) and the
+    DuckDB twin render from, over the NAMED normal-equation columns
+    (n; a{j}_{k} = ridged X'X entries; w{j}_{k} = raw entries;
+    c{j} = X'y entries; syy_d = y'y): identical strings guarantee the
+    identical IEEE evaluation tree in both engines. Cofactor
+    expansion along the first row in fixed index order."""
+    if not (1 <= d <= 3):
+        raise ValueError(f"ols_multi: d must be in [1, 3], got {d}")
+    if not (0.0 <= float(ridge) < 1e12):
+        raise ValueError(f"ols_multi: bad ridge {ridge}")
+    p = d + 1
+
+    def det(m):
+        k = len(m)
+        if k == 1:
+            return m[0][0]
+        terms = []
+        for j in range(k):
+            minor = [
+                [row[i] for i in range(k) if i != j] for row in m[1:]
+            ]
+            s = det(minor)
+            op = "+" if j % 2 == 0 else "-"
+            terms.append(f"{op} {m[0][j]} * ({s})")
+        out = " ".join(terms)
+        return out[2:] if out.startswith("+ ") else out
+
+    A = [[f"a{min(j, k)}_{max(j, k)}" for k in range(p)] for j in range(p)]
+    W = [[f"w{min(j, k)}_{max(j, k)}" for k in range(p)] for j in range(p)]
+    C = [f"c{j}" for j in range(p)]
+    det_a = f"({det(A)})"
+    betas = []
+    for j in range(p):
+        aj = [
+            [(C[r] if i == j else A[r][i]) for i in range(p)]
+            for r in range(p)
+        ]
+        betas.append(f"(({det(aj)}) / {det_a})")
+    cross = " + ".join(f"{betas[j]} * {C[j]}" for j in range(p))
+    quad = " + ".join(
+        "{b} * ({inner})".format(
+            b=betas[j],
+            inner=" + ".join(
+                f"{W[j][k]} * {betas[k]}" for k in range(p)
+            ),
+        )
+        for j in range(p)
+    )
+    sse = f"(syy_d - 2e0 * ({cross}) + ({quad}))"
+    sst = "(syy_d - c0 * c0 / CAST(n AS DOUBLE))"
+    return {"p": p, "det": det_a, "betas": betas, "sse": sse, "sst": sst}
+
+
+def ols_multi(
+    df: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    group_cols: list[str] | None = None,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """(group..., n, intercept, beta1..betaD, r2) — multiple linear
+    regression y = b0 + b1*x1 + ... + bD*xD per group via the normal
+    equations, with optional ridge (L2 on the non-intercept
+    coefficients): the engine's linear-model TRAINER — quality
+    classifiers (linear probability on binned features), propensity
+    models feeding ate_ipw, calibration fits — where ols_fit stops at
+    one covariate and kmeans/pca are unsupervised. D is capped at 3:
+    the Cramer solve's expression tree grows factorially, and a
+    wide-feature model belongs in a numeric library, not a SQL plan
+    (bin + target-encode features down to <= 3 first).
+
+    Exactness: the intercept is feature x0 == 1 micro-quantized to
+    exactly 1e6, so ALL normal-equation entries are uniform exact
+    DECIMAL(38,0)/HUGEINT sums of micro products from ONE map-side-
+    combinable aggregate (partition-order free; exact while
+    n * (1e6 * max|x|)^2 < 1e38 — the ols_fit bound). The solve is
+    Cramer's rule evaluated on doubles BUILT from those exact
+    integers, with the expression strings generated ONCE
+    (_ols_multi_exprs) and shared verbatim with the DuckDB twin —
+    identical strings, identical IEEE tree, identical outputs; every
+    reported number is micro-rounded with the scale-0 recipe.
+    r2 = 1 - SSE/SST uses the RAW (ridge-free) moments, so under
+    ridge > 0 it reports the penalized coefficients' actual fit.
+
+    Degenerate contracts: n < p (underdetermined — X'X is singular in
+    exact arithmetic even when float Cramer yields noise) or a
+    float-zero determinant give NULL coefficients and r2 with n
+    visible; near-singular design (collinear features) yields honest
+    float garbage Cramer cannot detect — ridge > 0 is the remedy and
+    the docstring's advice. Constant y gives SST = 0 -> NULL r2.
+    NULL/NaN values fail LOUD.
+
+    Scale shape: ONE map-side-combinable aggregate onto the bounded
+    group table; the solve is a codegen projection over that table.
+    Zero windows, zero joins, zero Python."""
+    d = len(x_cols)
+    ex = _ols_multi_exprs(d, ridge)
+    p = ex["p"]
+    g = list(group_cols or [])
+
+    def micro(col):
+        v0 = F.col(col).cast("double")
+        return (
+            F.when(
+                v0.isNull() | F.isnan(v0),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"ols_multi: NULL/NaN {col}="),
+                        F.coalesce(v0.cast("string"), F.lit("NULL")),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.round(v0 * 1_000_000).cast("long"))
+        )
+
+    d38 = "decimal(38,0)"
+    mcols = [F.lit(1_000_000).cast(d38).alias("_m0")] + [
+        micro(c).cast(d38).alias(f"_m{j + 1}")
+        for j, c in enumerate(x_cols)
+    ]
+    rows = df.select(*g, *mcols, micro(y_col).cast(d38).alias("_my"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for j in range(p):
+        for k in range(j, p):
+            aggs.append(
+                F.sum(F.col(f"_m{j}") * F.col(f"_m{k}")).alias(
+                    f"_s{j}_{k}"
+                )
+            )
+        aggs.append(
+            F.sum(F.col(f"_m{j}") * F.col("_my")).alias(f"_b{j}")
+        )
+    aggs.append(F.sum(F.col("_my") * F.col("_my")).alias("_syy"))
+    agg = rows.groupBy(*g).agg(*aggs).where(F.col("n") > 0)
+    rg = float(ridge)
+    named = []
+    for j in range(p):
+        for k in range(j, p):
+            raw = F.col(f"_s{j}_{k}").cast("double") / F.lit(1e12)
+            ridged = (
+                raw + F.lit(rg) if (j == k and j >= 1 and rg > 0) else raw
+            )
+            named.append(ridged.alias(f"a{j}_{k}"))
+            named.append(raw.alias(f"w{j}_{k}"))
+        named.append(
+            (F.col(f"_b{j}").cast("double") / F.lit(1e12)).alias(f"c{j}")
+        )
+    named.append(
+        (F.col("_syy").cast("double") / F.lit(1e12)).alias("syy_d")
+    )
+    base = agg.select(*g, "n", *named)
+    ok = F.expr(f"n >= {p} AND ({ex['det']}) <> 0e0")
+
+    def rnd(e: str):
+        return F.expr(f"CAST(round(({e}) * 1e6) AS BIGINT)").cast(
+            "double"
+        ) / F.lit(1e6)
+
+    outs = [
+        F.when(ok, rnd(ex["betas"][0])).alias("intercept"),
+        *[
+            F.when(ok, rnd(ex["betas"][j])).alias(f"beta{j}")
+            for j in range(1, p)
+        ],
+        F.when(
+            ok & F.expr(f"({ex['sst']}) > 0e0"),
+            rnd(f"1e0 - ({ex['sse']}) / ({ex['sst']})"),
+        ).alias("r2"),
+    ]
+    return base.select(*g, "n", *outs)
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
