@@ -2702,6 +2702,37 @@ def _staged_winsorize_sql() -> str:
     )
 
 
+def q_staged_neg(spark, sf_dir):
+    """Contrastive data prep: k=2 deterministic corpus-uniform
+    negative pairs per document (functions/sampling.py
+    negative_samples) — the corpus-negative regime in-batch sampling
+    approximates, reproducible as a pure function of (seed, id, draw)
+    so shard regeneration / resume / re-runs rebuild identical pairs.
+    epoch_shuffle's two-phase dense rank supplies positions (no
+    global window in the operator path); draws land by ONE position
+    equi-join; self-pairs filtered (collision steps to the next
+    position)."""
+    from audiopro_essentia_spark.functions.sampling import (
+        negative_samples,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    return negative_samples(d, "doc_id", k=2, seed="r4neg")
+
+
+def _staged_neg_sql() -> str:
+    return DT.negative_samples_sql(
+        "SELECT CAST(doc_id AS BIGINT) AS id FROM documents "
+        "WHERE doc_id IS NOT NULL",
+        k=2,
+        seed="r4neg",
+    )
+
+
 def q_staged_qbin(spark, sf_dir):
     """Feature binning: per-source EQUAL-FREQUENCY quintile bins of
     doc word counts at exact type-1 quantiles
@@ -4093,6 +4124,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail": q_staged_hill,
         "winsor_tokens": q_staged_winsorize,
         "qbin_tokens": q_staged_qbin,
+        "neg_pairs": q_staged_neg,
         "conformal": q_staged_conformal,
         "survival": q_staged_km,
         "fs_linkage": q_staged_fs,
@@ -4329,6 +4361,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "hill_tail": _staged_hill_sql(),
         "winsor_tokens": _staged_winsorize_sql(),
         "qbin_tokens": _staged_qbin_sql(),
+        "neg_pairs": _staged_neg_sql(),
         "conformal": _staged_conformal_sql(),
         "survival": _staged_km_sql(),
         "fs_linkage": _staged_fs_sql(),

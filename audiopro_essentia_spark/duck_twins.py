@@ -4556,6 +4556,44 @@ FROM st
 """
 
 
+def negative_samples_sql(
+    source: str,
+    k: int = 4,
+    seed: str = "neg0",
+) -> str:
+    """Twin of sampling.negative_samples: the same epoch_shuffle
+    order key (H32 of seed|order:id, ties by typed id), dense
+    position via one window (the bucketed two-phase rank is
+    order-preserving, so the plain window is the reference form),
+    the same H32 draw -> mod n -> self-collision step -> position
+    join -> self-pair filter. `source` must yield (id) in its
+    original type, NULL-free."""
+    s = seed.replace("'", "''")
+    key = H32.format(x=f"('{s}|order:' || CAST(id AS VARCHAR))")
+    draw = H32.format(
+        x=f"('{s}:' || CAST(p.id AS VARCHAR) || '|neg|' || CAST(j AS VARCHAR))"
+    )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+pos AS MATERIALIZED (
+  SELECT CAST(id AS VARCHAR) AS sid,
+         CAST(row_number() OVER (ORDER BY {key}, id) - 1 AS BIGINT)
+           AS pos
+  FROM base),
+n_t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pos),
+probes AS MATERIALIZED (
+  SELECT p.id AS id_a, CAST(j AS BIGINT) AS draw,
+         ({draw} % n + CASE WHEN ({draw} % n) = p.pos THEN 1 ELSE 0 END)
+           % n AS t2
+  FROM (SELECT sid AS id, pos FROM pos) p
+  CROSS JOIN n_t
+  CROSS JOIN (SELECT unnest(generate_series(1, {int(k)})) AS j) js)
+SELECT pr.id_a, q.sid AS id_b, pr.draw
+FROM probes pr JOIN pos q ON q.pos = pr.t2
+WHERE q.sid <> pr.id_a
+"""
+
+
 def dp_counts_sql(
     source: str,
     group_cols: tuple[str, ...],

@@ -617,3 +617,94 @@ def backtest_folds(
         F.col("_row.*"),
     )
     return out
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    seed: str = "neg0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, draw) — deterministic corpus-uniform NEGATIVE pair
+    sampling for contrastive training (SimCLR/CLIP-style objectives,
+    hard-negative mining baselines, embedding-model eval pairs): each
+    anchor gets k negatives drawn uniformly from the WHOLE corpus, not
+    just its mini-batch — the corpus-negative regime in-batch
+    sampling approximates. Draws are pure functions of (seed, id,
+    draw), so regenerating a shard, resuming, or re-running an epoch
+    reproduces the same pairs (the epoch_shuffle reproducibility
+    contract, which this composes): a fresh seed is a fresh
+    independent draw set.
+
+    Mechanism: epoch_shuffle(seed) assigns every row a DENSE global
+    position 0..n-1 (two-phase prefix rank — no global window); each
+    anchor's draw j targets position t = H32(seed ':' id '|neg|' j)
+    mod n, stepping to t+1 mod n on self-collision; the pair
+    materializes by an equi-join on position. Self-pairs are filtered
+    (an n=1 corpus yields zero pairs); draws are with-replacement
+    ACROSS j (two draws of one anchor can tie — document-level
+    sampling without replacement would need a per-anchor k-permutation,
+    not worth a shuffle; dedupe downstream if the objective needs it).
+
+    Scale shape: epoch_shuffle's two corpus passes + ONE position
+    equi-join probing k rows per anchor; uniform positions mean no
+    skew. Zero Python; the only windows are epoch_shuffle's
+    per-bucket ranks.
+
+    Reference parity: no reference analog (the reference is
+    single-corpus feature extraction); this follows the contrastive
+    data-prep conventions of the public SimCLR/CLIP literature."""
+    from audiopro_essentia_spark.operators.shuffle import epoch_shuffle
+
+    if not (1 <= int(k) <= 64):
+        raise ValueError(
+            f"negative_samples: k must be in [1, 64], got {k}"
+        )
+    pos = (
+        epoch_shuffle(
+            df, id_col=id_col, seed=f"{seed}|order", n_buckets=n_buckets
+        )
+        .select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.col("epoch_pos").alias("_pos"),
+        )
+        # three consumers (count, anchors, the position join build):
+        # checkpoint so the rank windows run ONCE, not per branch
+        .localCheckpoint(eager=False)
+    )
+    ntab = pos.groupBy().agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    anchors = (
+        pos.crossJoin(F.broadcast(ntab))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_pos").alias("_pa"),
+            "_n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(int(k)))
+            ).alias("draw"),
+        )
+    )
+    h = portable_hash32(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("id_a"),
+            F.lit("|neg|"),
+            F.col("draw").cast("string"),
+        )
+    )
+    t = F.pmod(h, F.col("_n"))
+    t2 = F.pmod(
+        t + F.when(t == F.col("_pa"), F.lit(1)).otherwise(F.lit(0)),
+        F.col("_n"),
+    )
+    probes = anchors.select(
+        "id_a", F.col("draw").cast("long").alias("draw"), t2.alias("_t")
+    )
+    joined = probes.join(
+        pos.select(F.col("_id").alias("id_b"), F.col("_pos").alias("_t")),
+        "_t",
+    )
+    return joined.where(F.col("id_b") != F.col("id_a")).select(
+        "id_a", "id_b", "draw"
+    )
