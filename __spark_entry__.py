@@ -3745,6 +3745,58 @@ def q_staged_mi(spark, sf_dir):
     return mutual_information(d, "x", "y", ["lang"])
 
 
+def q_staged_bleu(spark, sf_dir):
+    """Generation eval: corpus BLEU per source
+    (evalmetrics.bleu_eval) of a deterministic lossy rewrite — each
+    doc's candidate is its first 80% of words scored against the full
+    text as reference, so clipped precisions run high while the
+    brevity penalty bites (exactly the regime BLEU's BP exists for).
+    Exact BIGINT clipped-overlap/total counts; the ln/exp chain runs
+    on identical doubles in fixed order both engines; micro-rounded
+    outputs. Row-level totals need no explode; only the overlap path
+    shuffles (id, n, gram) counts — the tfidf class."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.evalmetrics import bleu_eval
+
+    ws = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.col("doc_id").cast("string").alias("rid"),
+            # 80% prefix: floor((4*size)/5) — the double division of
+            # small exact ints floors identically to DuckDB's //
+            F.concat_ws(
+                " ",
+                F.slice(
+                    ws,
+                    F.lit(1),
+                    F.floor(
+                        (F.size(ws) * F.lit(4)).cast("double") / F.lit(5.0)
+                    ).cast("int"),
+                ),
+            ).alias("cand"),
+            F.concat_ws(" ", ws).alias("ref"),
+        )
+    )
+    return bleu_eval(d, "rid", "cand", "ref", ["src"], max_n=4)
+
+
+def _staged_bleu_sql() -> str:
+    nw = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+    return DT.bleu_eval_sql(
+        f"SELECT source AS src, CAST(doc_id AS VARCHAR) AS id, "
+        f"array_to_string(list_slice({nw}, 1, len({nw}) * 4 // 5), ' ')"
+        f" AS cand, "
+        f"array_to_string({nw}, ' ') AS ref "
+        "FROM documents WHERE source IS NOT NULL "
+        "AND doc_id IS NOT NULL",
+        ("src",),
+        max_n=4,
+    )
+
+
 def q_staged_chi2(spark, sf_dir):
     """Feature QC: Pearson chi-square independence + Cramér's V
     between corpus source and language, per document-length band —
@@ -4093,6 +4145,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_enc_loo": q_staged_target_enc_loo,
         "mi_leakage": q_staged_mi,
         "chi2_assoc": q_staged_chi2,
+        "bleu": q_staged_bleu,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4246,6 +4299,7 @@ def _staged_oracle_sql() -> dict[str, str]:
             ("lang",),
         ),
         "chi2_assoc": _staged_chi2_sql(),
+        "bleu": _staged_bleu_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

@@ -3445,6 +3445,115 @@ WHERE n IS NOT NULL
 """
 
 
+def bleu_eval_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    max_n: int = 4,
+) -> str:
+    """Twin of evalmetrics.bleu_eval: the same nonempty-word tokens,
+    per-pair multiset-clipped n-gram overlaps summed as exact
+    BIGINTs, row-level gram totals, and the identical fixed-order
+    ln/exp BLEU chain with scale-0 micro rounding. `source` must
+    yield (group..., id, cand, ref) NULL-free."""
+    if not (1 <= int(max_n) <= 4):
+        raise ValueError(f"bleu_eval_sql: bad max_n {max_n}")
+    mn = int(max_n)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    gj = f"USING ({g})" if group_cols else "ON TRUE"
+    w = "list_filter(string_split({c}, ' '), x -> x <> '')"
+
+    def gram_sel(col, n):
+        return (
+            f"CASE WHEN len({col}) - {n - 1} < 1 THEN CAST([] AS VARCHAR[]) "
+            f"ELSE list_transform(generate_series(1, len({col}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({col}, i, i + {n - 1}), ' ')) END"
+        )
+
+    cg = " UNION ALL ".join(
+        f"SELECT {gpfx}id, {n} AS n, "
+        f"unnest({gram_sel('wc', n)}) AS gram FROM toks"
+        for n in range(1, mn + 1)
+    )
+    rg = " UNION ALL ".join(
+        f"SELECT {gpfx}id, {n} AS n, "
+        f"unnest({gram_sel('wr', n)}) AS gram FROM toks"
+        for n in range(1, mn + 1)
+    )
+    jk = ", ".join(list(group_cols) + ["id", "n", "gram"])
+    t_defs = ", ".join(
+        f"CAST(sum(greatest(len(wc) - {n - 1}, 0)) AS BIGINT) AS t{n}"
+        for n in range(1, mn + 1)
+    )
+    o_defs = ", ".join(
+        f"CAST(coalesce(max(CASE WHEN n = {n} THEN o END), 0) AS BIGINT)"
+        f" AS o{n}"
+        for n in range(1, mn + 1)
+    )
+    oc = ", ".join(
+        f"coalesce(o{n}, 0) AS o{n}" for n in range(1, mn + 1)
+    )
+    pos = " AND ".join(
+        f"o{n} > 0 AND t{n} > 0" for n in range(1, mn + 1)
+    )
+    s = " + ".join(
+        f"ln(CAST(o{n} AS DOUBLE) / CAST(t{n} AS DOUBLE)) * (1.0e0 / {float(mn)}e0)"
+        for n in range(1, mn + 1)
+    )
+    bp = (
+        "CASE WHEN CAST(cand_len AS DOUBLE) >= CAST(ref_len AS DOUBLE) "
+        "THEN 1.0e0 ELSE exp(1.0e0 - CAST(ref_len AS DOUBLE) "
+        "/ CAST(cand_len AS DOUBLE)) END"
+    )
+
+    def rnd(e):
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    p_outs = ", ".join(
+        f"CASE WHEN cand_len > 0 AND t{n} > 0 THEN "
+        + rnd(f"CAST(o{n} AS DOUBLE) / CAST(t{n} AS DOUBLE)")
+        + f" END AS p{n}"
+        for n in range(1, mn + 1)
+    )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+toks AS MATERIALIZED (
+  SELECT {gpfx}CAST(id AS VARCHAR) AS id,
+         {w.format(c='cand')} AS wc, {w.format(c='ref')} AS wr
+  FROM base),
+cgrams AS MATERIALIZED (
+  SELECT {jk}, CAST(count(*) AS BIGINT) AS c
+  FROM ({cg}) cgx GROUP BY {jk}),
+rgrams AS MATERIALIZED (
+  SELECT {jk}, CAST(count(*) AS BIGINT) AS r
+  FROM ({rg}) rgx GROUP BY {jk}),
+ovn AS MATERIALIZED (
+  SELECT {gpfx}n, CAST(sum(least(c, r)) AS BIGINT) AS o
+  FROM cgrams JOIN rgrams USING ({jk})
+  GROUP BY {gpfx}n),
+ovp AS MATERIALIZED (
+  SELECT {gpfx}{o_defs} FROM ovn {grp}),
+lens AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(len(wc)) AS BIGINT) AS cand_len,
+         CAST(sum(len(wr)) AS BIGINT) AS ref_len,
+         {t_defs}
+  FROM toks {grp}),
+piv AS MATERIALIZED (
+  SELECT lens.*, {oc}
+  FROM lens LEFT JOIN ovp {gj})
+SELECT {gpfx}n_pairs, cand_len, ref_len, {p_outs},
+       CASE WHEN cand_len > 0 THEN {rnd(bp)} END AS bp,
+       CASE WHEN cand_len > 0 AND {pos} THEN
+         {rnd(f"({bp}) * exp({s})")}
+       WHEN cand_len > 0 THEN 0.0e0
+       END AS bleu
+FROM piv
+WHERE n_pairs > 0
+"""
+
+
 def chi2_assoc_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -1300,6 +1300,188 @@ def chi2_assoc(
     )
 
 
+def bleu_eval(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    group_cols: list[str] | None = None,
+    max_n: int = 4,
+) -> DataFrame:
+    """(group..., n_pairs, cand_len, ref_len, p1..p{max_n}, bp, bleu)
+    — corpus-level BLEU (Papineni et al. ACL 2002) over paired
+    candidate/reference texts per group: clipped modified n-gram
+    precisions p_n = sum_pairs sum_g min(c_g, r_g) / sum_pairs
+    (len_c - n + 1), brevity penalty BP = min(1, exp(1 - R/C)) on the
+    CORPUS lengths, bleu = BP * exp(mean_n ln p_n). The
+    text-GENERATION eval tier (summaries, translations, synthetic
+    rewrites scored against references) the classifier-eval family
+    (auc/pr/calibration) does not cover. Corpus-level by definition —
+    per-sentence BLEU is the known-degenerate variant (zero whenever
+    any p_n is 0); group it by slice instead.
+
+    Conventions pinned: whitespace nonempty-word tokens (the corpus
+    tokenizer contract); clipping is per-PAIR multiset min, summed
+    exactly; any O_n == 0 or T_n == 0 makes bleu exactly 0.0 (the
+    unsmoothed original — smoothing variants change the metric, so
+    refusing silently to smooth is the honest default); a group with
+    zero candidate tokens (C == 0) yields NULL bleu/bp with counts
+    visible. NULL id/cand/ref fail LOUD (a dropped pair changes every
+    precision).
+
+    Exactness: all counts (O_n, T_n, C, R) are exact BIGINTs; p_n are
+    single correctly-rounded divisions; the BLEU chain ln/exp runs on
+    IDENTICAL doubles in a fixed fold order in both engines (libm
+    ulp noise is absorbed by the scale-0 micro rounding — the
+    kaplan_meier exp precedent); outputs micro-rounded once.
+
+    Scale shape: gram totals T_n, lengths and pair counts come from a
+    ROW-LEVEL projection (no explode); only the clipped-overlap path
+    explodes tokens — two (id, n, gram) count aggregates (map-side
+    combinable) + one inner equi-join, the tfidf shuffle class —
+    then everything folds onto the bounded (group, n) table. Zero
+    windows, zero Python."""
+    if not (1 <= int(max_n) <= 4):
+        raise ValueError(
+            f"bleu_eval: max_n must be in [1, 4], got {max_n}"
+        )
+    mn = int(max_n)
+    g = list(group_cols or [])
+    from ..functions.text import nonempty_words
+
+    def val(col, as_str=False):
+        c0 = F.col(col)
+        t = "string" if as_str else dict(df.dtypes)[col]
+        out = F.when(
+            c0.isNull(),
+            F.raise_error(F.lit(f"bleu_eval: NULL {col}")).cast(t),
+        ).otherwise(c0.cast(t) if as_str else c0)
+        return out
+
+    rows = df.select(
+        *g,
+        val(id_col, as_str=True).alias("_id"),
+        nonempty_words(val(cand_col)).alias("_wc"),
+        nonempty_words(val(ref_col)).alias("_wr"),
+    ).localCheckpoint(eager=False)
+
+    def grams(arr):
+        # the loop variable must close via a FACTORY, never
+        # `lambda i, n=n: ...` — F.transform reads the lambda's arity
+        # and a second parameter silently becomes the ELEMENT INDEX
+        # (transform's (element, index) form), clobbering the default
+        st = "array<struct<n:int,gram:string>>"
+
+        def mk(n):
+            return lambda i: F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.concat_ws(" ", F.slice(arr, i, n)).alias("gram"),
+            )
+
+        parts = []
+        for n in range(1, mn + 1):
+            cnt = F.size(arr) - (n - 1)
+            parts.append(
+                F.when(cnt < 1, F.array().cast(st)).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                        mk(n),
+                    )
+                )
+            )
+        return F.concat(*parts)
+
+    def counts(arr, alias):
+        return (
+            rows.select(*g, "_id", F.explode(grams(arr)).alias("_s"))
+            .groupBy(*g, "_id", F.col("_s.n").alias("_n"),
+                     F.col("_s.gram").alias("_gram"))
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    cc = counts(F.col("_wc"), "_c")
+    rc = counts(F.col("_wr"), "_r")
+    ov = (
+        cc.join(rc, [*g, "_id", "_n", "_gram"])
+        .groupBy(*g, "_n")
+        .agg(F.sum(F.least(F.col("_c"), F.col("_r"))).cast("long").alias("_o"))
+    )
+    len_aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.size("_wc")).cast("long").alias("cand_len"),
+        F.sum(F.size("_wr")).cast("long").alias("ref_len"),
+    ]
+    for n in range(1, mn + 1):
+        len_aggs.append(
+            F.sum(
+                F.greatest(F.size("_wc") - (n - 1), F.lit(0))
+            ).cast("long").alias(f"_t{n}")
+        )
+    lens = rows.groupBy(*g).agg(*len_aggs)
+    # fold the per-n overlaps onto one row per group by conditional
+    # aggregation (a left join per n would be mn bounded joins)
+    ovp = ov.groupBy(*g).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_n") == n, F.col("_o"))), F.lit(0)
+            ).cast("long").alias(f"_o{n}")
+            for n in range(1, mn + 1)
+        ]
+    )
+    piv = (
+        lens.join(F.broadcast(ovp), g, "left")
+        if g
+        else lens.crossJoin(F.broadcast(ovp))
+    )
+    on_cols = [
+        F.coalesce(F.col(f"_o{n}"), F.lit(0).cast("long"))
+        for n in range(1, mn + 1)
+    ]
+    c_d = F.col("cand_len").cast("double")
+    r_d = F.col("ref_len").cast("double")
+    ok = F.col("cand_len") > 0
+    pos = ok
+    for n in range(1, mn + 1):
+        pos = pos & (on_cols[n - 1] > 0) & (F.col(f"_t{n}") > 0)
+    s = None
+    for n in range(1, mn + 1):
+        term = F.log(
+            on_cols[n - 1].cast("double") / F.col(f"_t{n}").cast("double")
+        ) * (F.lit(1.0) / F.lit(float(mn)))
+        s = term if s is None else s + term
+    bp = F.when(
+        c_d >= r_d, F.lit(1.0)
+    ).otherwise(F.exp(F.lit(1.0) - r_d / c_d))
+
+    def rnd(e):
+        return F.round(e * F.lit(1e6)).cast("long").cast("double") / F.lit(
+            1e6
+        )
+
+    outs = []
+    for n in range(1, mn + 1):
+        outs.append(
+            F.when(
+                ok & (F.col(f"_t{n}") > 0),
+                rnd(
+                    on_cols[n - 1].cast("double")
+                    / F.col(f"_t{n}").cast("double")
+                ),
+            ).alias(f"p{n}")
+        )
+    return piv.where(F.col("n_pairs") > 0).select(
+        *g,
+        "n_pairs",
+        "cand_len",
+        "ref_len",
+        *outs,
+        F.when(ok, rnd(bp)).alias("bp"),
+        F.when(pos, rnd(bp * F.exp(s)))
+        .when(ok, F.lit(0.0))
+        .alias("bleu"),
+    )
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,
