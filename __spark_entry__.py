@@ -3028,6 +3028,44 @@ def _staged_snb_sql() -> str:
     )
 
 
+def q_staged_refint(spark, sf_dir):
+    """Cross-table governance: referential-integrity audit of the
+    orders -> customer star edge (checks.ref_integrity), with a
+    deterministic perturbed-twin demo so every branch is live: orders
+    whose o_orderkey % 53 == 0 get their custkey shifted out of range
+    (orphans), and customers whose c_custkey % 37 == 0 are re-issued
+    once (duplicate parent keys). One key-histogram per side + ONE
+    full-outer histogram join (never a row-level join), exact counts,
+    micro-rounded rates."""
+    from audiopro_essentia_spark.operators.checks import ref_integrity
+
+    child = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 53 == 0,
+            F.col("o_custkey") + F.lit(1_000_000),
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("k0")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    parent = cust.select(F.col("c_custkey").alias("k0")).unionAll(
+        cust.where(F.col("c_custkey") % 37 == 0).select(
+            F.col("c_custkey").alias("k0")
+        )
+    )
+    return ref_integrity(child, parent, ["k0"], ["k0"])
+
+
+def _staged_refint_sql() -> str:
+    return DT.ref_integrity_sql(
+        "SELECT CASE WHEN o_orderkey % 53 = 0 THEN o_custkey + 1000000 "
+        "ELSE o_custkey END AS k0 FROM orders",
+        "SELECT c_custkey AS k0 FROM customer UNION ALL "
+        "SELECT c_custkey AS k0 FROM customer WHERE c_custkey % 37 = 0",
+        n_keys=1,
+    )
+
+
 def q_staged_dp(spark, sf_dir):
     """Governance: differentially-private corpus composition release —
     per-(source, lang) document counts with two-sided-geometric noise
@@ -4183,6 +4221,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_linkage": q_staged_fs,
         "sorted_block": q_staged_snb,
         "dp_release": q_staged_dp,
+        "ref_integrity": q_staged_refint,
         "benford": q_staged_benford,
         "ate_effect": q_staged_ate,
         "readability": q_staged_readability,
@@ -4421,6 +4460,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "fs_linkage": _staged_fs_sql(),
         "sorted_block": _staged_snb_sql(),
         "dp_release": _staged_dp_sql(),
+        "ref_integrity": _staged_refint_sql(),
         "benford": _staged_benford_sql(),
         "ate_effect": _staged_ate_sql(),
         "readability": _staged_readability_sql(),

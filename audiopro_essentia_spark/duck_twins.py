@@ -4665,6 +4665,63 @@ FROM st
 """
 
 
+def ref_integrity_sql(
+    child_source: str,
+    parent_source: str,
+    n_keys: int = 1,
+) -> str:
+    """Twin of checks.ref_integrity: the same key histograms, one
+    full-outer histogram join, exact counts and scale-0 micro-rounded
+    rates. Both sources must yield key columns named k0..k{n-1} in
+    their ORIGINAL types."""
+    ks = ", ".join(f"k{i}" for i in range(n_keys))
+    nulls = " OR ".join(f"k{i} IS NULL" for i in range(n_keys))
+
+    def rate(num, den):
+        return (
+            f"CASE WHEN {den} > 0 THEN CAST(CAST(round(CAST({num} AS DOUBLE)"
+            f" / CAST({den} AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE) / 1e6 END"
+        )
+
+    return f"""
+WITH c AS MATERIALIZED ({child_source}),
+p AS MATERIALIZED ({parent_source}),
+ct AS (SELECT CAST(count(*) AS BIGINT) AS n_child,
+              CAST(coalesce(sum(CASE WHEN {nulls} THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_child_null_key FROM c),
+pt AS (SELECT CAST(count(*) AS BIGINT) AS n_parent,
+              CAST(coalesce(sum(CASE WHEN {nulls} THEN 1 ELSE 0 END), 0)
+                   AS BIGINT) AS n_parent_null_key FROM p),
+ck AS MATERIALIZED (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS cc
+  FROM c WHERE NOT ({nulls}) GROUP BY {ks}),
+pk AS MATERIALIZED (
+  SELECT {ks}, CAST(count(*) AS BIGINT) AS pc
+  FROM p WHERE NOT ({nulls}) GROUP BY {ks}),
+j AS (SELECT coalesce(cc, 0) AS cc, coalesce(pc, 0) AS pc
+      FROM ck FULL OUTER JOIN pk USING ({ks})),
+ag AS (SELECT
+  CAST(coalesce(sum(CASE WHEN pc = 0 THEN cc END), 0) AS BIGINT)
+    AS n_orphan,
+  CAST(coalesce(sum(CASE WHEN pc > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_parent_keys,
+  CAST(coalesce(sum(CASE WHEN pc > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_parent_dup_keys,
+  CAST(coalesce(sum(CASE WHEN pc > 0 THEN pc - 1 END), 0) AS BIGINT)
+    AS n_parent_extra_rows,
+  CAST(coalesce(sum(CASE WHEN pc > 0 AND cc = 0 THEN 1 ELSE 0 END), 0)
+       AS BIGINT) AS n_parent_unreferenced
+  FROM j)
+SELECT n_child, n_child_null_key, n_orphan,
+       {rate('n_orphan', '(n_child - n_child_null_key)')} AS orphan_rate,
+       n_parent, n_parent_null_key, n_parent_keys, n_parent_dup_keys,
+       n_parent_extra_rows, n_parent_unreferenced,
+       {rate('(n_parent_keys - n_parent_unreferenced)', 'n_parent_keys')}
+         AS ref_coverage
+FROM ct CROSS JOIN pt CROSS JOIN ag
+"""
+
+
 def negative_samples_sql(
     source: str,
     k: int = 4,

@@ -570,3 +570,135 @@ def dp_counts(
         (F.col("_n") + noise).cast("long").alias("n_noisy"),
         F.lit(float(epsilon)).cast("double").alias("epsilon"),
     )
+
+
+def ref_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    child_keys: list[str],
+    parent_keys: list[str],
+) -> DataFrame:
+    """One-row referential-integrity audit between a child (fact /
+    FK side) and parent (dimension / PK side) table — the CROSS-table
+    check quality_checks' single-table constraint kinds cannot
+    express, and the first thing a pipeline audit asks of a star
+    schema (orders -> customers, frames -> docs, pairs -> corpus):
+
+      n_child / n_parent            — total rows each side
+      n_child_null_key              — child rows with ANY NULL key col
+                                      (SQL FK semantics: a NULL key
+                                      cannot violate — reported, never
+                                      silently an orphan)
+      n_orphan, orphan_rate         — non-NULL-key child rows with NO
+                                      matching parent key; rate over
+                                      the non-NULL-key child rows
+      n_parent_null_key             — parent rows with ANY NULL key
+      n_parent_keys                 — distinct non-NULL parent keys
+      n_parent_dup_keys,            — parent keys occurring > once (a
+      n_parent_extra_rows             PK violation), and the rows
+                                      beyond the first per such key
+      n_parent_unreferenced,        — parent keys no child references;
+      ref_coverage                    coverage = 1 - unreferenced/keys
+
+    Exactness: every count is an exact BIGINT; the two rates are one
+    correctly-rounded division each with the SCALE-0 micro rounding
+    (rational p/q can land on exact 6-decimal halves — the round(x, 6)
+    half-tie hazard). Zero-denominator rates are NULL (no non-NULL-key
+    child rows / no parent keys). Multi-column keys match on ALL
+    columns equal.
+
+    Scale shape: one (key -> count) histogram per side (map-side
+    combinable), ONE full-outer equi-join of the two key histograms
+    (the minimal comparison — never a row-level join), two row-level
+    NULL-count aggregates, and a constant number of 1-row broadcast
+    combines. Zero windows, zero Python.
+
+    Reference parity: generalizes the reference's single-table input
+    validation (audio_loader.py field checks) to the cross-table
+    contract a distributed star layout needs."""
+    if not child_keys or len(child_keys) != len(parent_keys):
+        raise ValueError(
+            "ref_integrity: child_keys and parent_keys must be "
+            f"nonempty and same length, got {child_keys} / {parent_keys}"
+        )
+
+    def null_any(cols):
+        cond = F.lit(False)
+        for c in cols:
+            cond = cond | F.col(c).isNull()
+        return cond
+
+    c_tot = child.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.coalesce(F.sum(null_any(child_keys).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_child_null_key"),
+    )
+    p_tot = parent.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_parent"),
+        F.coalesce(F.sum(null_any(parent_keys).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_parent_null_key"),
+    )
+    kcols = [F.col(c).alias(f"_k{i}") for i, c in enumerate(child_keys)]
+    ck = (
+        child.where(~null_any(child_keys))
+        .select(*kcols)
+        .groupBy(*[f"_k{i}" for i in range(len(child_keys))])
+        .agg(F.count(F.lit(1)).cast("long").alias("_cc"))
+    )
+    pcols = [F.col(c).alias(f"_k{i}") for i, c in enumerate(parent_keys)]
+    pk = (
+        parent.where(~null_any(parent_keys))
+        .select(*pcols)
+        .groupBy(*[f"_k{i}" for i in range(len(parent_keys))])
+        .agg(F.count(F.lit(1)).cast("long").alias("_pc"))
+    )
+    j = ck.join(pk, [f"_k{i}" for i in range(len(child_keys))], "full_outer")
+    cc = F.coalesce(F.col("_cc"), F.lit(0).cast("long"))
+    pc = F.coalesce(F.col("_pc"), F.lit(0).cast("long"))
+    agg = j.groupBy().agg(
+        F.coalesce(F.sum(F.when(pc == 0, cc)), F.lit(0))
+        .cast("long")
+        .alias("n_orphan"),
+        F.coalesce(F.sum(((pc > 0)).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_parent_keys"),
+        F.coalesce(F.sum((pc > 1).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_parent_dup_keys"),
+        F.coalesce(F.sum(F.when(pc > 0, pc - 1)), F.lit(0))
+        .cast("long")
+        .alias("n_parent_extra_rows"),
+        F.coalesce(F.sum(((pc > 0) & (cc == 0)).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_parent_unreferenced"),
+    )
+    out = c_tot.crossJoin(F.broadcast(p_tot)).crossJoin(F.broadcast(agg))
+
+    def rate(num, den):
+        return F.when(
+            den > 0,
+            F.round(num.cast("double") / den.cast("double") * F.lit(1e6))
+            .cast("long")
+            .cast("double")
+            / F.lit(1e6),
+        )
+
+    nn = F.col("n_child") - F.col("n_child_null_key")
+    return out.select(
+        "n_child",
+        "n_child_null_key",
+        "n_orphan",
+        rate(F.col("n_orphan"), nn).alias("orphan_rate"),
+        "n_parent",
+        "n_parent_null_key",
+        "n_parent_keys",
+        "n_parent_dup_keys",
+        "n_parent_extra_rows",
+        "n_parent_unreferenced",
+        rate(
+            F.col("n_parent_keys") - F.col("n_parent_unreferenced"),
+            F.col("n_parent_keys"),
+        ).alias("ref_coverage"),
+    )
