@@ -3028,6 +3028,54 @@ def _staged_snb_sql() -> str:
     )
 
 
+def q_staged_golden(spark, sf_dir):
+    """Entity resolution: survivorship / golden-record merge
+    (linkage.golden_records) — synthetic duplicate clusters
+    (doc_id % 97) collapse to one canonical row each: majority-wins
+    election per field (lang / source / length band) with the
+    deterministic (count DESC, value ASC) tie-break and per-field
+    support counts, representative = the longest member (rank =
+    n_chars, ties by id). One melted pass -> map-side-combinable
+    value counts -> bounded election windows -> conditional-agg
+    pivot; zero Python, zero corpus-partition windows. The stage
+    after blocking (sorted_block/minhash) -> scoring (fs_linkage) ->
+    clustering (dedup_clusters)."""
+    from audiopro_essentia_spark.operators.linkage import golden_records
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("n_chars").isNotNull()
+        )
+        .select(
+            (F.col("doc_id") % 97).alias("cl"),
+            F.col("doc_id").alias("rid"),
+            F.col("n_chars").cast("double").alias("rk"),
+            "lang",
+            "source",
+            F.expr("CAST(n_chars div 500 AS BIGINT)").alias("band"),
+        )
+    )
+    return golden_records(
+        d, "cl", "rid", ["lang", "source", "band"], rank_col="rk"
+    )
+
+
+def _staged_golden_sql() -> str:
+    return DT.golden_records_sql(
+        "SELECT CAST(doc_id % 97 AS VARCHAR) AS cluster, "
+        "CAST(doc_id AS VARCHAR) AS id, "
+        "CAST(n_chars AS DOUBLE) AS rk, lang, source, "
+        "CAST(n_chars // 500 AS VARCHAR) AS band FROM documents "
+        "WHERE doc_id IS NOT NULL AND lang IS NOT NULL "
+        "AND source IS NOT NULL AND n_chars IS NOT NULL",
+        ("lang", "source", "band"),
+    )
+
+
 def q_staged_refint(spark, sf_dir):
     """Cross-table governance: referential-integrity audit of the
     orders -> customer star edge (checks.ref_integrity), with a
@@ -4222,6 +4270,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_block": q_staged_snb,
         "dp_release": q_staged_dp,
         "ref_integrity": q_staged_refint,
+        "golden": q_staged_golden,
         "benford": q_staged_benford,
         "ate_effect": q_staged_ate,
         "readability": q_staged_readability,
@@ -4461,6 +4510,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "sorted_block": _staged_snb_sql(),
         "dp_release": _staged_dp_sql(),
         "ref_integrity": _staged_refint_sql(),
+        "golden": _staged_golden_sql(),
         "benford": _staged_benford_sql(),
         "ate_effect": _staged_ate_sql(),
         "readability": _staged_readability_sql(),

@@ -4665,6 +4665,60 @@ FROM st
 """
 
 
+def golden_records_sql(
+    source: str,
+    field_cols: tuple[str, ...],
+) -> str:
+    """Twin of linkage.golden_records: the same melted per-field
+    non-NULL value counts, (count DESC, value ASC) election,
+    (rank DESC NULLS LAST, id ASC) representative, and
+    conditional-aggregation pivot. `source` must yield (cluster
+    VARCHAR, id VARCHAR, rk DOUBLE, <field> VARCHAR ...) already
+    validated/cast the way the Spark entry validates."""
+    if not field_cols:
+        raise ValueError("golden_records_sql: field_cols required")
+    melt = " UNION ALL ".join(
+        f"SELECT cluster, '{c}' AS field, {c} AS value FROM base"
+        for c in field_cols
+    )
+    piv_defs = ", ".join(
+        f"max(CASE WHEN field = '{c}' THEN value END) AS win_{c}, "
+        f"CAST(coalesce(max(CASE WHEN field = '{c}' THEN cnt END), 0) "
+        f"AS BIGINT) AS sup_{c}"
+        for c in field_cols
+    )
+    outs = ", ".join(
+        f"win_{c} AS {c}, CAST(coalesce(sup_{c}, 0) AS BIGINT) "
+        f"AS {c}_support"
+        for c in field_cols
+    )
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+melted AS MATERIALIZED ({melt}),
+counts AS MATERIALIZED (
+  SELECT cluster, field, value, CAST(count(*) AS BIGINT) AS cnt
+  FROM melted WHERE value IS NOT NULL
+  GROUP BY cluster, field, value),
+winners AS MATERIALIZED (
+  SELECT cluster, field, value, cnt FROM (
+    SELECT cluster, field, value, cnt,
+           row_number() OVER (PARTITION BY cluster, field
+                              ORDER BY cnt DESC, value ASC) AS rn
+    FROM counts) w WHERE rn = 1),
+piv AS MATERIALIZED (
+  SELECT cluster, {piv_defs} FROM winners GROUP BY cluster),
+members AS MATERIALIZED (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         max(CASE WHEN rn = 1 THEN id END) AS canon_id
+  FROM (SELECT cluster, id,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY rk DESC NULLS LAST, id ASC) AS rn
+        FROM base) m GROUP BY cluster)
+SELECT members.cluster, n_members, canon_id, {outs}
+FROM members LEFT JOIN piv USING (cluster)
+"""
+
+
 def ref_integrity_sql(
     child_source: str,
     parent_source: str,

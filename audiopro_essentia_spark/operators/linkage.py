@@ -250,3 +250,156 @@ def sorted_neighborhood(
         F.col("_s.kb").alias("key_b"),
         (F.col("_pos") + 1).cast("long").alias("dist"),
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    field_cols: list[str],
+    rank_col: str | None = None,
+) -> DataFrame:
+    """(cluster, n_members, canon_id, <field>, <field>_support, ...) —
+    survivorship / golden-record merge: the stage AFTER blocking
+    (sorted_neighborhood / minhash / containment), scoring
+    (fs_link_scores) and clustering (dedup_clusters) that the
+    entity-resolution family was missing — each cluster of linked
+    records collapses to ONE canonical row. Per field the elected
+    value is the most frequent NON-NULL value ("majority wins", the
+    standard survivorship rule), with the deterministic tie-break
+    (count DESC, value ASC); <field>_support is the winner's count
+    (support 0 / NULL value when the field is NULL across the whole
+    cluster — visible, never silently invented). canon_id is the
+    representative member: the id whose (rank, id) is
+    (rank DESC, id ASC)-first when rank_col is given (rank = a
+    quality/recency score — NULL ranks sort LAST), else the smallest
+    id string.
+
+    Fields are elected AS STRINGS (cast once): golden-record merge is
+    a text-pipeline operation, and a single melted (cluster, field,
+    value) pass beats one shuffle per field; numeric tie-breaks
+    therefore order lexicographically — zero-pad numerics upstream if
+    that matters (counts, the primary order, are unaffected). NULL
+    cluster or id fail LOUD (an unclustered row belongs in no golden
+    record; dedup_clusters emits every member).
+
+    Scale shape: ONE melted explode pass -> map-side-combinable
+    (cluster, field, value) counts -> per-(cluster, field) election
+    window (partition bounded by the cluster's distinct values) ->
+    conditional-aggregation pivot back to one row per cluster; the
+    representative election is a per-cluster window (bounded by
+    cluster size, the dedup_clusters contract). Zero Python, zero
+    corpus-partition windows."""
+    if not field_cols:
+        raise ValueError("golden_records: field_cols is required")
+    from pyspark.sql import Window as W
+
+    cl = (
+        F.when(
+            F.col(cluster_col).isNull(),
+            F.raise_error(
+                F.lit(f"golden_records: NULL {cluster_col}")
+            ).cast("string"),
+        )
+        .otherwise(F.col(cluster_col).cast("string"))
+        .alias("cluster")
+    )
+    rid = (
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(F.lit(f"golden_records: NULL {id_col}")).cast(
+                "string"
+            ),
+        )
+        .otherwise(F.col(id_col).cast("string"))
+        .alias("_id")
+    )
+    rk = (
+        F.col(rank_col).cast("double").alias("_rk")
+        if rank_col
+        else F.lit(0.0).alias("_rk")
+    )
+    rows = df.select(
+        cl,
+        rid,
+        rk,
+        *[F.col(c).cast("string").alias(f"_f_{c}") for c in field_cols],
+    ).localCheckpoint(eager=False)
+    melted = rows.select(
+        "cluster",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"),
+                        F.col(f"_f_{c}").alias("value"),
+                    )
+                    for c in field_cols
+                ]
+            )
+        ).alias("_s"),
+    ).select(
+        "cluster", F.col("_s.field").alias("_field"),
+        F.col("_s.value").alias("_value"),
+    )
+    counts = (
+        melted.where(F.col("_value").isNotNull())
+        .groupBy("cluster", "_field", "_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    ew = W.partitionBy("cluster", "_field").orderBy(
+        F.col("_cnt").desc(), F.col("_value").asc()
+    )
+    winners = (
+        counts.withColumn("_rn", F.row_number().over(ew))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    piv = winners.groupBy("cluster").agg(
+        *[
+            x
+            for c in field_cols
+            for x in (
+                F.max(
+                    F.when(F.col("_field") == c, F.col("_value"))
+                ).alias(f"_win_{c}"),
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("_field") == c, F.col("_cnt"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"_sup_{c}"),
+            )
+        ]
+    )
+    rw = W.partitionBy("cluster").orderBy(
+        F.col("_rk").desc_nulls_last(), F.col("_id").asc()
+    )
+    members = (
+        rows.withColumn("_rn", F.row_number().over(rw))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_id"))).alias(
+                "canon_id"
+            ),
+        )
+    )
+    out = members.join(piv, "cluster", "left")
+    return out.select(
+        "cluster",
+        "n_members",
+        "canon_id",
+        *[
+            x
+            for c in field_cols
+            for x in (
+                F.col(f"_win_{c}").alias(c),
+                F.coalesce(F.col(f"_sup_{c}"), F.lit(0).cast("long")).alias(
+                    f"{c}_support"
+                ),
+            )
+        ],
+    )
