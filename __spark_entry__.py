@@ -3883,6 +3883,54 @@ def _staged_bleu_sql() -> str:
     )
 
 
+def q_staged_rouge(spark, sf_dir):
+    """Generation eval: micro-averaged corpus ROUGE-2 per source
+    (evalmetrics.rouge_n) of a deterministic half-document rewrite —
+    each doc's candidate is its SECOND half scored against the full
+    text, so precision runs near 1 while recall sits near 0.5:
+    exactly the dropped-content regime BLEU's precision cannot see
+    (bleu's staged entry is the complementary shortened-but-faithful
+    case). Exact BIGINT clipped overlaps and row-level gram totals;
+    fixed-order f1 chain; micro-rounded outputs."""
+    from audiopro_essentia_spark.functions.text import nonempty_words
+    from audiopro_essentia_spark.operators.evalmetrics import rouge_n
+
+    ws = nonempty_words(F.col("text"), null_as_empty=True)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            F.col("source").alias("src"),
+            F.col("doc_id").cast("string").alias("rid"),
+            ws.alias("ws"),
+        )
+        .select(
+            "src",
+            "rid",
+            F.expr(
+                "concat_ws(' ', slice(ws, CAST(size(ws) div 2 AS INT)"
+                " + 1, size(ws) - size(ws) div 2))"
+            ).alias("cand"),
+            F.concat_ws(" ", F.col("ws")).alias("ref"),
+        )
+    )
+    return rouge_n(d, "rid", "cand", "ref", ["src"], n=2)
+
+
+def _staged_rouge_sql() -> str:
+    nw = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+    return DT.rouge_n_sql(
+        f"SELECT source AS src, CAST(doc_id AS VARCHAR) AS id, "
+        f"array_to_string(list_slice({nw}, len({nw}) // 2 + 1, "
+        f"len({nw})), ' ') AS cand, "
+        f"array_to_string({nw}, ' ') AS ref "
+        "FROM documents WHERE source IS NOT NULL "
+        "AND doc_id IS NOT NULL",
+        ("src",),
+        n=2,
+    )
+
+
 def q_staged_chi2(spark, sf_dir):
     """Feature QC: Pearson chi-square independence + Cramér's V
     between corpus source and language, per document-length band —
@@ -4232,6 +4280,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mi_leakage": q_staged_mi,
         "chi2_assoc": q_staged_chi2,
         "bleu": q_staged_bleu,
+        "rouge2": q_staged_rouge,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4388,6 +4437,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         ),
         "chi2_assoc": _staged_chi2_sql(),
         "bleu": _staged_bleu_sql(),
+        "rouge2": _staged_rouge_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

@@ -3554,6 +3554,73 @@ WHERE n_pairs > 0
 """
 
 
+def rouge_n_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    n: int = 2,
+) -> str:
+    """Twin of evalmetrics.rouge_n: same tokens, clipped overlap,
+    row-level totals, fixed-order f1 chain, scale-0 micro rounding.
+    `source` must yield (group..., id, cand, ref) NULL-free."""
+    if not (1 <= int(n) <= 4):
+        raise ValueError(f"rouge_n_sql: bad n {n}")
+    nn = int(n)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    gj = f"USING ({g})" if group_cols else "ON TRUE"
+    jk = ", ".join(list(group_cols) + ["id", "gram"])
+    w = "list_filter(string_split({c}, ' '), x -> x <> '')"
+    gram = (
+        f"CASE WHEN len({{col}}) - {nn - 1} < 1 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(generate_series(1, len({{col}}) - {nn - 1}), "
+        f"i -> array_to_string(list_slice({{col}}, i, i + {nn - 1}), ' ')) END"
+    )
+
+    def rnd(e):
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    p_raw = "CAST(o AS DOUBLE) / CAST(cand_grams AS DOUBLE)"
+    r_raw = "CAST(o AS DOUBLE) / CAST(ref_grams AS DOUBLE)"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+toks AS MATERIALIZED (
+  SELECT {gpfx}CAST(id AS VARCHAR) AS id,
+         {w.format(c='cand')} AS wc, {w.format(c='ref')} AS wr
+  FROM base),
+cg AS MATERIALIZED (
+  SELECT {jk}, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT {gpfx}id, unnest({gram.format(col='wc')}) AS gram FROM toks) x
+  GROUP BY {jk}),
+rg AS MATERIALIZED (
+  SELECT {jk}, CAST(count(*) AS BIGINT) AS r FROM (
+    SELECT {gpfx}id, unnest({gram.format(col='wr')}) AS gram FROM toks) x
+  GROUP BY {jk}),
+ov AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(least(c, r)) AS BIGINT) AS o
+  FROM cg JOIN rg USING ({jk}) {grp}),
+lens AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(greatest(len(wc) - {nn - 1}, 0)) AS BIGINT)
+           AS cand_grams,
+         CAST(sum(greatest(len(wr) - {nn - 1}, 0)) AS BIGINT)
+           AS ref_grams
+  FROM toks {grp}),
+piv AS MATERIALIZED (
+  SELECT lens.*, CAST(coalesce(o, 0) AS BIGINT) AS o
+  FROM lens LEFT JOIN ov {gj})
+SELECT {gpfx}n_pairs, o AS overlap, cand_grams, ref_grams,
+  CASE WHEN cand_grams > 0 THEN {rnd(p_raw)} END AS precision,
+  CASE WHEN ref_grams > 0 THEN {rnd(r_raw)} END AS recall,
+  CASE WHEN cand_grams > 0 AND ref_grams > 0 AND o > 0 THEN
+    {rnd(f"2.0e0 * ({p_raw}) * ({r_raw}) / (({p_raw}) + ({r_raw}))")}
+  WHEN cand_grams > 0 AND ref_grams > 0 THEN 0.0e0
+  END AS f1
+FROM piv
+WHERE n_pairs > 0
+"""
+
+
 def chi2_assoc_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -1482,6 +1482,127 @@ def bleu_eval(
     )
 
 
+def rouge_n(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    group_cols: list[str] | None = None,
+    n: int = 2,
+) -> DataFrame:
+    """(group..., n_pairs, overlap, cand_grams, ref_grams, precision,
+    recall, f1) — micro-averaged corpus ROUGE-N (Lin 2004) over
+    paired candidate/reference texts per group: clipped n-gram
+    overlap (per-pair multiset min, the bleu_eval clipping) divided
+    by the REFERENCE gram total (recall — ROUGE's defining
+    orientation, what BLEU's precision misses: a candidate that
+    drops half the reference still gets perfect BLEU precisions),
+    plus the precision and F1 companions. Micro-averaged (corpus
+    count sums, not a mean of per-pair scores — original ROUGE
+    macro-averages sentences; group by id for the per-doc form, the
+    docstring's contract makes the choice explicit).
+
+    Exactness: overlap and totals are exact BIGINTs from the
+    bleu_eval machinery shape; precision/recall are single
+    correctly-rounded divisions; f1 = 2pr/(p+r) on raw doubles in
+    fixed order; outputs micro-rounded (scale-0). Zero denominators
+    give NULL (and f1 NULL unless both precisions exist and p+r > 0).
+    NULL id/cand/ref fail LOUD.
+
+    Scale shape: gram totals from a ROW-LEVEL projection (no
+    explode); the overlap path is two map-side-combinable
+    (id, gram) count aggregates + one inner equi-join — the tfidf
+    class. Zero windows, zero Python."""
+    if not (1 <= int(n) <= 4):
+        raise ValueError(f"rouge_n: n must be in [1, 4], got {n}")
+    nn = int(n)
+    g = list(group_cols or [])
+    from ..functions.text import nonempty_words
+
+    def val(col, as_str=False):
+        c0 = F.col(col)
+        t = "string" if as_str else dict(df.dtypes)[col]
+        return F.when(
+            c0.isNull(),
+            F.raise_error(F.lit(f"rouge_n: NULL {col}")).cast(t),
+        ).otherwise(c0.cast(t) if as_str else c0)
+
+    rows = df.select(
+        *g,
+        val(id_col, as_str=True).alias("_id"),
+        nonempty_words(val(cand_col)).alias("_wc"),
+        nonempty_words(val(ref_col)).alias("_wr"),
+    ).localCheckpoint(eager=False)
+
+    def gram_col(arr):
+        cnt = F.size(arr) - (nn - 1)
+        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(arr, i, nn)),
+            )
+        )
+
+    def counts(arr, alias):
+        return (
+            rows.select(*g, "_id", F.explode(gram_col(arr)).alias("_gram"))
+            .groupBy(*g, "_id", "_gram")
+            .agg(F.count(F.lit(1)).cast("long").alias(alias))
+        )
+
+    ov = (
+        counts(F.col("_wc"), "_c")
+        .join(counts(F.col("_wr"), "_r"), [*g, "_id", "_gram"])
+        .groupBy(*g)
+        .agg(
+            F.sum(F.least(F.col("_c"), F.col("_r")))
+            .cast("long")
+            .alias("_o")
+        )
+    )
+    lens = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.greatest(F.size("_wc") - (nn - 1), F.lit(0)))
+        .cast("long")
+        .alias("cand_grams"),
+        F.sum(F.greatest(F.size("_wr") - (nn - 1), F.lit(0)))
+        .cast("long")
+        .alias("ref_grams"),
+    )
+    piv = (
+        lens.join(F.broadcast(ov), g, "left")
+        if g
+        else lens.crossJoin(F.broadcast(ov))
+    )
+    o = F.coalesce(F.col("_o"), F.lit(0).cast("long"))
+
+    def rnd(e):
+        return F.round(e * F.lit(1e6)).cast("long").cast("double") / F.lit(
+            1e6
+        )
+
+    p_raw = o.cast("double") / F.col("cand_grams").cast("double")
+    r_raw = o.cast("double") / F.col("ref_grams").cast("double")
+    both = (F.col("cand_grams") > 0) & (F.col("ref_grams") > 0)
+    return piv.where(F.col("n_pairs") > 0).select(
+        *g,
+        "n_pairs",
+        o.alias("overlap"),
+        "cand_grams",
+        "ref_grams",
+        F.when(F.col("cand_grams") > 0, rnd(p_raw)).alias("precision"),
+        F.when(F.col("ref_grams") > 0, rnd(r_raw)).alias("recall"),
+        F.when(
+            both & (o > 0),
+            rnd(
+                F.lit(2.0) * p_raw * r_raw / (p_raw + r_raw)
+            ),
+        )
+        .when(both, F.lit(0.0))
+        .alias("f1"),
+    )
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,
