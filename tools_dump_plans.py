@@ -136,6 +136,16 @@ STAGED_NOTES = {
     "winsor_tokens": "histogram + _hist_prefix bound selection; the only corpus join is the broadcast group-bounds join-back",
     "conformal": "calibration histogram + _hist_prefix rank selection; new frame LEFT-joins the broadcast group-quantile table",
     "survival": "at-risk counts off _hist_prefix; ln prefix-sum window over the bounded distinct-duration curve",
+    "qbin_tokens": "histogram + _hist_prefix boundary selection; bin assignment is integer compares against the broadcast group-bounds join-back",
+    "chi2_assoc": "one (group,x,y) cell pass; zero-cell identity folds observed cells only; bounded-table margin joins, broadcast totals",
+    "sorted_block": "ONE Exchange + ONE Sort + ONE Window for all leads (named sort columns); zero self-joins — pairing via lead",
+    "dp_release": "one map-side-combinable count shuffle; noise is a codegen literal fold over the portable hash — zero joins/windows",
+    "linreg": "ONE aggregate builds the HUGEINT normal equations; Cramer solve is a codegen projection over the bounded group table",
+    "neg_pairs": "epoch_shuffle two-phase rank (checkpointed once for 3 consumers); ONE uniform position equi-join, k probes per anchor",
+    "bleu": "row-level gram totals (no explode); overlap via two (id,n,gram) count aggs + one inner equi-join — the tfidf class",
+    "rouge2": "same shape as bleu at a single n; recall divides by the reference totals",
+    "ref_integrity": "one key histogram per side + ONE full-outer histogram join; 1-row broadcast combines",
+    "golden": "melted explode -> value counts -> bounded election windows -> conditional-agg pivot; per-cluster representative window",
 }
 
 
