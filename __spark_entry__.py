@@ -3883,6 +3883,60 @@ def _staged_bleu_sql() -> str:
     )
 
 
+def q_staged_pref(spark, sf_dir):
+    """Preference-data QC: pairwise win rates with Wilson score
+    intervals (evalmetrics.pref_winrate) over deterministic
+    hash-assigned judge comparisons between four models — the RLHF /
+    LLM-judge eval tier: a pair whose interval contains 0.5 is NOT
+    settled, and ties are reported (a judge tying 10% of the time is
+    its own finding). Exact counts from ONE map-side-combinable pass
+    onto the bounded pair table; the Wilson chain runs on identical
+    doubles both engines; micro-rounded outputs."""
+    from audiopro_essentia_spark.functions.text import portable_hash32
+    from audiopro_essentia_spark.operators.evalmetrics import (
+        pref_winrate,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select(
+            F.concat(F.lit("m"), (F.col("doc_id") % 4).cast("string"))
+            .alias("a"),
+            F.concat(
+                F.lit("m"),
+                (F.expr("doc_id div 4") % 4).cast("string"),
+            ).alias("b"),
+            portable_hash32(
+                F.concat(F.lit("pref:"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.when(F.col("h") % 10 < 5, F.col("a"))
+            .when(F.col("h") % 10 < 9, F.col("b"))
+            .alias("w"),
+        )
+    )
+    return pref_winrate(d, "a", "b", "w", None, z=1.96)
+
+
+def _staged_pref_sql() -> str:
+    h = DT.H32.format(x="('pref:' || CAST(doc_id AS VARCHAR))")
+    return DT.pref_winrate_sql(
+        "SELECT a, b, CASE WHEN h % 10 < 5 THEN a "
+        "WHEN h % 10 < 9 THEN b END AS w FROM ("
+        "SELECT 'm' || CAST(doc_id % 4 AS VARCHAR) AS a, "
+        "'m' || CAST((doc_id // 4) % 4 AS VARCHAR) AS b, "
+        f"{h} AS h FROM documents WHERE doc_id IS NOT NULL) q "
+        "WHERE a <> b",
+        (),
+        z=1.96,
+    )
+
+
 def q_staged_rouge(spark, sf_dir):
     """Generation eval: micro-averaged corpus ROUGE-2 per source
     (evalmetrics.rouge_n) of a deterministic half-document rewrite —
@@ -4281,6 +4335,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_assoc": q_staged_chi2,
         "bleu": q_staged_bleu,
         "rouge2": q_staged_rouge,
+        "pref_winrate": q_staged_pref,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4438,6 +4493,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "chi2_assoc": _staged_chi2_sql(),
         "bleu": _staged_bleu_sql(),
         "rouge2": _staged_rouge_sql(),
+        "pref_winrate": _staged_pref_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

@@ -3554,6 +3554,59 @@ WHERE n_pairs > 0
 """
 
 
+def pref_winrate_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+    z: float = 1.96,
+) -> str:
+    """Twin of evalmetrics.pref_winrate: the same canonical
+    (least, greatest) pair, exact counts, and the identical
+    fixed-order Wilson chain with z as the same driver literal.
+    `source` must yield (group..., a, b, w) already validated the
+    way the Spark entry validates (w NULL for ties)."""
+    zf = float(z)
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    zlit = f"CAST({zf!r} AS DOUBLE)"
+    nd = "CAST(wins_lo + wins_hi AS DOUBLE)"
+    p = f"(CAST(wins_lo AS DOUBLE) / {nd})"
+    z2 = f"({zlit} * {zlit})"
+    denom = f"(1.0e0 + {z2} / {nd})"
+    center = f"(({p} + {z2} / (2.0e0 * {nd})) / {denom})"
+    half = (
+        f"({zlit} * sqrt({p} * (1.0e0 - {p}) / {nd} "
+        f"+ {z2} / (4.0e0 * {nd} * {nd})) / {denom})"
+    )
+
+    def rnd(e):
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+q AS MATERIALIZED (
+  SELECT {gpfx}least(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS lo,
+         greatest(CAST(a AS VARCHAR), CAST(b AS VARCHAR)) AS hi,
+         CAST(w AS VARCHAR) AS w
+  FROM base),
+agg AS MATERIALIZED (
+  SELECT {gpfx}lo, hi, CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN w = lo THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS wins_lo,
+         CAST(coalesce(sum(CASE WHEN w = hi THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS wins_hi,
+         CAST(coalesce(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS ties
+  FROM q GROUP BY {gpfx}lo, hi)
+SELECT {gpfx}lo, hi, n, wins_lo, wins_hi, ties,
+  CASE WHEN wins_lo + wins_hi > 0 THEN {rnd(p)} END AS p_lo,
+  CASE WHEN wins_lo + wins_hi > 0 THEN {rnd(f"({center} - {half})")}
+  END AS wilson_lo,
+  CASE WHEN wins_lo + wins_hi > 0 THEN {rnd(f"({center} + {half})")}
+  END AS wilson_hi
+FROM agg
+"""
+
+
 def rouge_n_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -1603,6 +1603,124 @@ def rouge_n(
     )
 
 
+def pref_winrate(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    winner_col: str,
+    group_cols: list[str] | None = None,
+    z: float = 1.96,
+) -> DataFrame:
+    """(group..., lo, hi, n, wins_lo, wins_hi, ties, p_lo, wilson_lo,
+    wilson_hi) — pairwise win rates over preference comparisons
+    (model-A-vs-model-B judgments, the raw material of RLHF reward
+    data and LLM-judge evals), with the Wilson score interval (Wilson
+    1927 — the binomial interval that behaves at small n and extreme
+    p, unlike the Wald interval's zero-width collapse): per unordered
+    pair, p_lo = wins_lo / decided and the z-interval around it.
+    A pair whose interval contains 0.5 is NOT settled — shipping a
+    "preferred model" off a raw win rate at n = 7 is the mistake this
+    operator exists to flag.
+
+    Conventions: comparisons are rows (a, b, winner) with winner
+    equal to a's value, b's value, or NULL for a tie/abstention; any
+    other winner fails LOUD (a typo'd winner silently becoming a tie
+    would bias every rate). Pairs canonicalize to (lo, hi) =
+    (least, greatest) by string order so (a, b) and (b, a) rows
+    merge; self-pairs (a == b) fail LOUD. Ties count in n but not in
+    the rate (the decided-games convention; report them — a judge
+    that ties 80% of the time is its own finding).
+
+    Exactness: counts are exact BIGINTs from ONE map-side-combinable
+    pass; p_lo is one correctly-rounded division; the Wilson chain is
+    evaluated on doubles built from exact integers with z as a driver
+    literal, in one fixed order both engines, each output
+    micro-rounded (scale-0). decided == 0 gives NULL rate/interval
+    with n/ties visible.
+
+    Scale shape: ONE groupBy onto the bounded (group, pair) table —
+    the cheapest corpus pass; zero windows, joins, Python."""
+    zf = float(z)
+    if not (0.0 < zf <= 10.0):
+        raise ValueError(f"pref_winrate: z must be in (0, 10], got {z}")
+    g = list(group_cols or [])
+    a = F.col(a_col).cast("string")
+    b = F.col(b_col).cast("string")
+    w = F.col(winner_col).cast("string")
+    chk = F.when(
+        a.isNull() | b.isNull(),
+        F.raise_error(
+            F.lit(f"pref_winrate: NULL {a_col}/{b_col}")
+        ).cast("string"),
+    ).when(
+        a == b,
+        F.raise_error(
+            F.concat(F.lit("pref_winrate: self-pair "), a)
+        ).cast("string"),
+    ).when(
+        w.isNotNull() & (w != a) & (w != b),
+        F.raise_error(
+            F.concat(F.lit("pref_winrate: winner not in pair: "), w)
+        ).cast("string"),
+    ).otherwise(w)
+    rows = df.select(
+        *g,
+        F.least(a, b).alias("lo"),
+        F.greatest(a, b).alias("hi"),
+        chk.alias("_w"),
+    )
+    agg = rows.groupBy(*g, "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum((F.col("_w") == F.col("lo")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("wins_lo"),
+        F.coalesce(
+            F.sum((F.col("_w") == F.col("hi")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("wins_hi"),
+        F.coalesce(
+            F.sum(F.col("_w").isNull().cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("ties"),
+    )
+    nd = (F.col("wins_lo") + F.col("wins_hi")).cast("double")
+    p = F.col("wins_lo").cast("double") / nd
+    z2 = F.lit(zf * zf)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(zf)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+
+    def rnd(e):
+        return F.round(e * F.lit(1e6)).cast("long").cast("double") / F.lit(
+            1e6
+        )
+
+    dec = (F.col("wins_lo") + F.col("wins_hi")) > 0
+    return agg.select(
+        *g,
+        "lo",
+        "hi",
+        "n",
+        "wins_lo",
+        "wins_hi",
+        "ties",
+        F.when(dec, rnd(p)).alias("p_lo"),
+        F.when(dec, rnd(center - half)).alias("wilson_lo"),
+        F.when(dec, rnd(center + half)).alias("wilson_hi"),
+    )
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,
