@@ -3883,6 +3883,73 @@ def _staged_bleu_sql() -> str:
     )
 
 
+def q_staged_fleiss(spark, sf_dir):
+    """Annotation QC: Fleiss' kappa per source
+    (evalmetrics.fleiss_kappa) over a deterministic 5-rater labeling
+    panel — each rater reports the doc's language except on
+    hash-selected ~20% of (doc, rater) draws where they emit a
+    corrupted label, so agreement is high but imperfect and kappa
+    lands mid-band with the Landis-Koch verdict attached. The
+    multi-rater generalization of the engine's two-rater cohen_kappa
+    (lang_kappa): raw percent agreement flatters skewed label sets.
+    Exact cell/marginal counts; order-free pico-unit P_e fold;
+    unequal panels fail LOUD by design."""
+    from audiopro_essentia_spark.functions.text import portable_hash32
+    from audiopro_essentia_spark.operators.evalmetrics import (
+        fleiss_kappa,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            F.col("source").alias("src"),
+            F.col("doc_id").alias("item"),
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+        )
+        .select(
+            "src",
+            "item",
+            F.when(
+                portable_hash32(
+                    F.concat(
+                        F.lit("fk:"),
+                        F.col("item").cast("string"),
+                        F.lit("|"),
+                        F.col("r").cast("string"),
+                    )
+                )
+                % 5
+                == 0,
+                F.concat(F.col("lang"), F.lit("_x")),
+            )
+            .otherwise(F.col("lang"))
+            .alias("label"),
+        )
+    )
+    return fleiss_kappa(d, "item", "label", ["src"])
+
+
+def _staged_fleiss_sql() -> str:
+    h = DT.H32.format(
+        x="('fk:' || CAST(doc_id AS VARCHAR) || '|' || CAST(r AS VARCHAR))"
+    )
+    return DT.fleiss_kappa_sql(
+        "SELECT source AS src, doc_id AS item, "
+        f"CASE WHEN {h} % 5 = 0 THEN lang || '_x' ELSE lang END AS label "
+        "FROM documents CROSS JOIN "
+        "(SELECT unnest(generate_series(0, 4)) AS r) rr "
+        "WHERE doc_id IS NOT NULL AND lang IS NOT NULL "
+        "AND source IS NOT NULL",
+        ("src",),
+    )
+
+
 def q_staged_pref(spark, sf_dir):
     """Preference-data QC: pairwise win rates with Wilson score
     intervals (evalmetrics.pref_winrate) over deterministic
@@ -4336,6 +4403,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu": q_staged_bleu,
         "rouge2": q_staged_rouge,
         "pref_winrate": q_staged_pref,
+        "fleiss": q_staged_fleiss,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4494,6 +4562,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "bleu": _staged_bleu_sql(),
         "rouge2": _staged_rouge_sql(),
         "pref_winrate": _staged_pref_sql(),
+        "fleiss": _staged_fleiss_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

@@ -3554,6 +3554,81 @@ WHERE n_pairs > 0
 """
 
 
+def fleiss_kappa_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.fleiss_kappa: identical exact cell counts,
+    SS numerator and marginals, the same pico-unit (1e-12) order-free
+    P_e fold, the same fixed-order kappa chain, micro rounding and
+    Landis-Koch bands. `source` must yield (group..., item, label)
+    NULL-free; unequal panel sizes raise via error() the same way the
+    Spark entry raises."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jg = f"USING ({g})" if group_cols else "ON TRUE"
+
+    def rnd(e):
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    n = (
+        "CASE WHEN nmin <> nmax THEN CAST(error('fleiss_kappa: unequal"
+        " panel sizes ' || CAST(nmin AS VARCHAR) || ' vs ' || "
+        "CAST(nmax AS VARCHAR)) AS BIGINT) ELSE nmin END"
+    )
+    pbar = (
+        "(CAST(ss AS DOUBLE) / (CAST(n_items AS DOUBLE) * "
+        "CAST(nmin AS DOUBLE) * CAST(nmin - 1 AS DOUBLE)))"
+    )
+    pe = "(CAST(pe_p AS DOUBLE) / 1e12)"
+    kap = f"(({pbar} - {pe}) / (1.0e0 - {pe}))"
+    kap_u = f"CAST(round({kap} * 1e6) AS BIGINT)"
+    band = (
+        f"CASE WHEN {kap_u} < 0 THEN 'poor' "
+        f"WHEN {kap_u} < 200000 THEN 'slight' "
+        f"WHEN {kap_u} < 400000 THEN 'fair' "
+        f"WHEN {kap_u} < 600000 THEN 'moderate' "
+        f"WHEN {kap_u} < 800000 THEN 'substantial' "
+        f"ELSE 'almost_perfect' END"
+    )
+    ok = "nmin >= 2 AND pe_p < 1000000000000"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+cells AS MATERIALIZED (
+  SELECT {gpfx}item, label, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY {gpfx}item, label),
+per_item AS MATERIALIZED (
+  SELECT {gpfx}item, CAST(sum(c) AS BIGINT) AS ni,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS si
+  FROM cells GROUP BY {gpfx}item),
+gstats AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n_items,
+         CAST(min(ni) AS BIGINT) AS nmin, CAST(max(ni) AS BIGINT) AS nmax,
+         CAST(sum(si) AS BIGINT) AS ss
+  FROM per_item {grp}),
+marg AS MATERIALIZED (
+  SELECT {gpfx}label, CAST(sum(c) AS BIGINT) AS cj
+  FROM cells GROUP BY {gpfx}label),
+tot AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(c) AS BIGINT) AS tt FROM cells {grp}),
+pe_t AS MATERIALIZED (
+  SELECT {gpfx}CAST(sum(CAST(round(
+           (CAST(cj AS DOUBLE) / CAST(tt AS DOUBLE))
+           * (CAST(cj AS DOUBLE) / CAST(tt AS DOUBLE)) * 1e12)
+           AS BIGINT)) AS BIGINT) AS pe_p,
+         CAST(count(*) AS BIGINT) AS n_categories
+  FROM marg JOIN tot {jg} {grp})
+SELECT {gpfx}n_items, CAST({n} AS BIGINT) AS n_raters, n_categories,
+  CASE WHEN ({n}) >= 2 THEN {rnd(pbar)} END AS p_bar,
+  {rnd(pe)} AS p_e,
+  CASE WHEN ({n}) >= 2 AND {ok} THEN {rnd(kap)} END AS kappa,
+  CASE WHEN ({n}) >= 2 AND {ok} THEN {band} END AS agreement
+FROM gstats JOIN pe_t {jg}
+WHERE pe_p IS NOT NULL
+"""
+
+
 def pref_winrate_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -1721,6 +1721,149 @@ def pref_winrate(
     )
 
 
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n_items, n_raters, n_categories, p_bar, p_e, kappa,
+    agreement) — Fleiss' kappa (Fleiss 1971): chance-corrected
+    agreement for a PANEL of raters labeling items, the multi-rater
+    generalization of cohen_kappa (which this engine uses for
+    two-rater lang agreement) — the annotation-QC gate for labeling
+    pipelines: raw percent agreement flatters skewed label sets, and
+    kappa subtracts the agreement a label-frequency-matching random
+    panel would reach. `agreement` reports the Landis-Koch band
+    (poor/slight/fair/moderate/substantial/almost_perfect) as exact
+    integer micro compares on the rounded kappa (the benford band
+    recipe).
+
+    Input is one row per RATING (item, label) — raters are anonymous
+    (Fleiss' model never uses rater identity). The model REQUIRES a
+    constant panel size: groups where items carry differing rating
+    counts fail LOUD with both counts in the message (silently
+    averaging unequal panels changes the statistic); n_raters == 1
+    gives NULL kappa (nothing to agree with) with the stats visible.
+
+    Exactness: cell counts n_ij, the agreement numerator
+    SS = sum_i sum_j n_ij (n_ij - 1) and category marginals C_j are
+    exact BIGINTs; P_bar = SS / (N n (n-1)) is ONE correctly-rounded
+    division of exact integers. P_e = sum_j (C_j / (N n))^2 sums each
+    category's squared share after rounding it ONCE to 1e-12 units
+    and summing exactly (the kl_drift discipline at pico scale —
+    category iteration order is engine-dependent, so the fold must be
+    order-free; micro 1e-6 would be too coarse for squared shares).
+    kappa = (P_bar - P_e) / (1 - P_e) in one fixed order; outputs
+    scale-0 micro-rounded; P_e == 1 (a single category) gives NULL
+    kappa. NULL item/label fail LOUD.
+
+    Scale shape: one map-side-combinable (group, item, label) cell
+    pass; per-item and per-category folds aggregate THAT table;
+    bounded broadcast combines. Zero windows, zero Python."""
+    g = list(group_cols or [])
+
+    def val(col):
+        c0 = F.col(col)
+        return F.when(
+            c0.isNull(),
+            F.raise_error(F.lit(f"fleiss_kappa: NULL {col}")).cast(
+                dict(df.dtypes)[col]
+            ),
+        ).otherwise(c0)
+
+    rows = df.select(
+        *g, val(item_col).alias("_i"), val(label_col).alias("_l")
+    )
+    cells = (
+        rows.groupBy(*g, "_i", "_l")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    per_item = cells.groupBy(*g, "_i").agg(
+        F.sum("_c").cast("long").alias("_ni"),
+        F.sum(F.col("_c") * (F.col("_c") - 1)).cast("long").alias("_si"),
+    )
+    gstats = per_item.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.min("_ni").cast("long").alias("_nmin"),
+        F.max("_ni").cast("long").alias("_nmax"),
+        F.sum("_si").cast("long").alias("_ss"),
+    )
+    marg = cells.groupBy(*g, "_l").agg(
+        F.sum("_c").cast("long").alias("_cj")
+    )
+    tot = cells.groupBy(*g).agg(F.sum("_c").cast("long").alias("_tot"))
+    share2 = (
+        F.col("_cj").cast("double") / F.col("_tot").cast("double")
+    )
+    pe_t = (
+        (
+            marg.join(F.broadcast(tot), g)
+            if g
+            else marg.crossJoin(F.broadcast(tot))
+        )
+        .groupBy(*g)
+        .agg(
+            F.sum(
+                F.round(share2 * share2 * F.lit(1e12)).cast("long")
+            ).alias("_pe_p"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+        .where(F.col("_pe_p").isNotNull())
+    )
+    out = (
+        gstats.join(F.broadcast(pe_t), g)
+        if g
+        else gstats.crossJoin(F.broadcast(pe_t))
+    )
+    n = F.col("_nmin")
+    eq = F.when(
+        F.col("_nmin") != F.col("_nmax"),
+        F.raise_error(
+            F.concat(
+                F.lit("fleiss_kappa: unequal panel sizes "),
+                F.col("_nmin").cast("string"),
+                F.lit(" vs "),
+                F.col("_nmax").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(n)
+    pbar = F.col("_ss").cast("double") / (
+        F.col("n_items").cast("double")
+        * n.cast("double")
+        * (n - 1).cast("double")
+    )
+    pe = F.col("_pe_p").cast("double") / F.lit(1e12)
+    kap = (pbar - pe) / (F.lit(1.0) - pe)
+
+    def rnd(e):
+        return F.round(e * F.lit(1e6)).cast("long").cast("double") / F.lit(
+            1e6
+        )
+
+    ok = (eq >= 2) & (F.col("_pe_p") < F.lit(1_000_000_000_000))
+    kap_u = F.round(kap * F.lit(1e6)).cast("long")
+    band = (
+        F.when(kap_u < 0, F.lit("poor"))
+        .when(kap_u < 200_000, F.lit("slight"))
+        .when(kap_u < 400_000, F.lit("fair"))
+        .when(kap_u < 600_000, F.lit("moderate"))
+        .when(kap_u < 800_000, F.lit("substantial"))
+        .otherwise(F.lit("almost_perfect"))
+    )
+    return out.select(
+        *g,
+        "n_items",
+        eq.alias("n_raters"),
+        "n_categories",
+        F.when(eq >= 2, rnd(pbar)).alias("p_bar"),
+        rnd(pe).alias("p_e"),
+        F.when(ok, rnd(kap)).alias("kappa"),
+        F.when(ok, band).alias("agreement"),
+    )
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,
