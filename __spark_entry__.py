@@ -3883,6 +3883,42 @@ def _staged_bleu_sql() -> str:
     )
 
 
+def q_staged_clusterq(spark, sf_dir):
+    """Clustering QC: Calinski-Harabasz variance-ratio + scatter
+    decomposition T = W + B (similarity.cluster_quality) over the
+    embeddings table split on the SIGN of component 0 — a genuine
+    one-axis structure, so B captures dim-0 spread and CH lands well
+    above the random-assignment baseline of ~1. No centroid table is
+    ever built (the scatter identities need only exact component
+    sums); one posexplode corpus pass onto the bounded (cluster, dim)
+    table; pico-unit per-term rounding keeps the engine-order-
+    dependent folds exact. The missing QC for kmeans_lite /
+    semantic_dedup assignments."""
+    from audiopro_essentia_spark.operators.similarity import (
+        cluster_quality,
+    )
+
+    d = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())
+        .select(
+            F.when(F.col("embedding")[0] >= 0, F.lit("pos"))
+            .otherwise(F.lit("neg"))
+            .alias("cl"),
+            "embedding",
+        )
+    )
+    return cluster_quality(d, "cl", "embedding")
+
+
+def _staged_clusterq_sql() -> str:
+    return DT.cluster_quality_sql(
+        "SELECT CASE WHEN embedding[1] >= 0 THEN 'pos' ELSE 'neg' END"
+        " AS cluster, embedding AS vec FROM embeddings "
+        "WHERE embedding IS NOT NULL"
+    )
+
+
 def q_staged_fleiss(spark, sf_dir):
     """Annotation QC: Fleiss' kappa per source
     (evalmetrics.fleiss_kappa) over a deterministic 5-rater labeling
@@ -4404,6 +4440,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rouge2": q_staged_rouge,
         "pref_winrate": q_staged_pref,
         "fleiss": q_staged_fleiss,
+        "cluster_quality": q_staged_clusterq,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4563,6 +4600,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "rouge2": _staged_rouge_sql(),
         "pref_winrate": _staged_pref_sql(),
         "fleiss": _staged_fleiss_sql(),
+        "cluster_quality": _staged_clusterq_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

@@ -3554,6 +3554,81 @@ WHERE n_pairs > 0
 """
 
 
+def cluster_quality_sql(source: str) -> str:
+    """Twin of similarity.cluster_quality: identical micro
+    quantization, exact HUGEINT (cluster, dim) sums, the same
+    pico-unit per-term rounding + exact folds, the same fixed-order
+    W/B/T/CH chain, guards via error(). `source` must yield
+    (cluster, vec LIST) NULL-free with non-empty vectors."""
+
+    def rnd(e):
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    nck = (
+        "CASE WHEN nmin <> nmax THEN CAST(error("
+        "'cluster_quality: ragged vector dims in cluster ' || cl) "
+        "AS BIGINT) ELSE dim END"
+    )
+    dimck = (
+        "CASE WHEN dmin <> dmax THEN CAST(error("
+        "'cluster_quality: clusters disagree on vector dim') "
+        "AS BIGINT) ELSE dmax END"
+    )
+    ssq_d = "(CAST(ssq_all AS DOUBLE) / 1e12)"
+    w = f"({ssq_d} - CAST(msq_all AS DOUBLE) / 1e12)"
+    t = f"({ssq_d} - CAST(gmsq_p AS DOUBLE) / 1e12)"
+    b = f"({t} - {w})"
+    ch = (
+        f"(({b} / (CAST(k AS DOUBLE) - 1.0e0)) "
+        f"/ ({w} / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))"
+    )
+    ok = f"k > 1 AND n > k AND CAST(round({w} * 1e6) AS BIGINT) > 0"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+ex AS MATERIALIZED (
+  SELECT CAST(cluster AS VARCHAR) AS cl, ds.d AS d,
+         CAST(CAST(round(CAST(ds.v AS DOUBLE) * 1000000) AS BIGINT)
+              AS HUGEINT) AS m
+  FROM (SELECT cluster,
+          unnest(list_transform(generate_series(1, len(vec)),
+                 i -> {{'d': i - 1, 'v': vec[i]}})) AS ds
+        FROM base) q),
+cd AS MATERIALIZED (
+  SELECT cl, d, sum(m) AS s, sum(m * m) AS ss,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM ex GROUP BY cl, d),
+percl AS MATERIALIZED (
+  SELECT cl, min(nc) AS nmin, max(nc) AS nmax,
+         CAST(max(d) + 1 AS BIGINT) AS dim,
+         sum(ss) AS ssq,
+         sum(CAST(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(nc AS DOUBLE)) AS BIGINT)
+                  AS HUGEINT)) AS msq_p
+  FROM cd GROUP BY cl),
+gd AS MATERIALIZED (
+  SELECT d, sum(s) AS gs, CAST(sum(nc) AS BIGINT) AS gn
+  FROM cd GROUP BY d),
+gstats AS (
+  SELECT CAST(max(gn) AS BIGINT) AS n,
+         sum(CAST(CAST(round(CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE)
+                             / CAST(gn AS DOUBLE)) AS BIGINT)
+                  AS HUGEINT)) AS gmsq_p
+  FROM gd),
+ctab AS MATERIALIZED (
+  SELECT cl, CAST({nck} AS BIGINT) AS dim, ssq, msq_p FROM percl),
+ag AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         min(dim) AS dmin, max(dim) AS dmax,
+         sum(ssq) AS ssq_all, sum(msq_p) AS msq_all
+  FROM ctab)
+SELECT k, n, CAST({dimck} AS BIGINT) AS dim,
+       {rnd(w)} AS within, {rnd(b)} AS between, {rnd(t)} AS total,
+       CASE WHEN {ok} THEN {rnd(ch)} END AS ch
+FROM ag CROSS JOIN gstats
+WHERE k > 0
+"""
+
+
 def fleiss_kappa_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -673,3 +673,163 @@ def kmeans_lite(
         "cluster_id", F.element_at(_nearest_centroids_udf(C, 1)(F.col(vec_col)), 1)
     )
     return assigned, C
+
+
+def cluster_quality(
+    df: DataFrame,
+    cluster_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(k, n, dim, within, between, total, ch) — clustering quality
+    from the scatter decomposition T = W + B (total = within +
+    between) plus the Calinski-Harabasz index CH = (B/(k-1)) /
+    (W/(n-k)) (Calinski & Harabasz 1974 — the variance-ratio
+    criterion: higher = tighter, better-separated clusters; the
+    standard k-selection curve): the QC the kmeans_lite /
+    semantic_dedup family was missing — an assignment exists, but
+    nothing measured whether it explains the data. Silhouette is the
+    O(n^2) alternative; CH is the O(n) one that survives corpus
+    scale.
+
+    Identities used (no per-row distance to a centroid is ever
+    computed, so no centroid table is needed):
+      T = sum_i ||x_i||^2            - n * ||global_mean||^2
+      W = sum_i ||x_i||^2 - sum_c n_c ||mean_c||^2 ;  B = T - W
+
+    Exactness: components micro-quantize ONCE; sum-of-squares and
+    per-(cluster, dim) component sums are exact DECIMAL(38,0)/
+    HUGEINT from ONE exploded corpus pass. Each cluster/dim's
+    mean-square term (s_u * s_u / n_c, doubles built from the exact
+    integers) is rounded ONCE to integer PICO units (1e-12 — the
+    fleiss_kappa lesson: the fold over dims/clusters is
+    engine-order-dependent, so each term must be rounded then summed
+    exactly; squared-share scale needs pico, not micro) and summed
+    exactly; W/B/T/CH are fixed-order double chains over those exact
+    pico sums, micro-rounded once. Degenerate contracts: k == 1 (no
+    between structure) or k == n (no within freedom) give NULL ch
+    with W/B/T visible; W == 0 with k < n (duplicate points per
+    cluster) is a genuine +inf variance ratio — reported NULL too
+    (ch is a comparison statistic; an infinite one orders nothing).
+    NULL cluster/vector and ragged vector dims fail LOUD.
+
+    Scale shape: ONE posexplode corpus pass -> map-side-combinable
+    (cluster, dim) sums (bounded k*d table) -> bounded folds +
+    1-row broadcast combines. Zero windows, zero Python.
+
+    Reference parity: no reference analog; standard-literature QC for
+    the engine's clustering/dedup family (kmeans_lite,
+    semantic_dedup)."""
+    d38 = "decimal(38,0)"
+    cl = F.when(
+        F.col(cluster_col).isNull(),
+        F.raise_error(
+            F.lit(f"cluster_quality: NULL {cluster_col}")
+        ).cast("string"),
+    ).otherwise(F.col(cluster_col).cast("string"))
+    vec = F.when(
+        F.col(vec_col).isNull() | (F.size(F.col(vec_col)) < 1),
+        F.raise_error(
+            F.lit(f"cluster_quality: NULL/empty {vec_col}")
+        ).cast(df.schema[vec_col].dataType),
+    ).otherwise(F.col(vec_col))
+    ex = df.select(cl.alias("_cl"), F.posexplode(vec).alias("_d", "_v"))
+    m = F.round(F.col("_v").cast("double") * F.lit(1_000_000)).cast(
+        "long"
+    )
+    cd = ex.groupBy("_cl", "_d").agg(
+        F.sum(m.cast(d38)).alias("_s"),
+        F.sum((m.cast(d38) * m.cast(d38))).alias("_ss"),
+        F.count(F.lit(1)).cast("long").alias("_nc"),
+    ).localCheckpoint(eager=False)
+    # ragged-dim guard: every (cluster, dim) cell must hold the same
+    # count as dim 0 of its cluster — enforced via per-cluster
+    # min/max over the bounded cell table
+    percl = cd.groupBy("_cl").agg(
+        F.min("_nc").alias("_nmin"),
+        F.max("_nc").alias("_nmax"),
+        F.max(F.col("_d") + 1).cast("long").alias("_dim"),
+        F.sum("_ss").alias("_ssq"),
+        F.sum(
+            F.round(
+                F.col("_s").cast("double")
+                * F.col("_s").cast("double")
+                / F.col("_nc").cast("double")
+            )
+            .cast("long")
+            .cast(d38)
+        ).alias("_msq_p"),
+    )
+    # the ragged check must ride a CONSUMED column (Catalyst prunes an
+    # unused raise_error projection — the guard silently dies): fold
+    # it into _dim, which the output's dim check reads
+    nck = F.when(
+        F.col("_nmin") != F.col("_nmax"),
+        F.raise_error(
+            F.concat(
+                F.lit("cluster_quality: ragged vector dims in cluster "),
+                F.col("_cl"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_dim"))
+    gd = cd.groupBy("_d").agg(
+        F.sum("_s").alias("_gs"), F.sum("_nc").cast("long").alias("_gn")
+    )
+    gstats = gd.groupBy().agg(
+        F.max("_gn").cast("long").alias("_n"),
+        F.sum(
+            F.round(
+                F.col("_gs").cast("double")
+                * F.col("_gs").cast("double")
+                / F.col("_gn").cast("double")
+            )
+            .cast("long")
+            .cast(d38)
+        ).alias("_gmsq_p"),
+    )
+    ctab = percl.select(
+        F.col("_cl"),
+        nck.alias("_dim"),
+        "_ssq",
+        "_msq_p",
+    )
+    ag = ctab.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.min("_dim").alias("_dmin"),
+        F.max("_dim").alias("_dmax"),
+        F.sum("_ssq").alias("_ssq_all"),
+        F.sum("_msq_p").alias("_msq_all"),
+    )
+    out = ag.crossJoin(F.broadcast(gstats))
+    dimck = F.when(
+        F.col("_dmin") != F.col("_dmax"),
+        F.raise_error(
+            F.lit("cluster_quality: clusters disagree on vector dim")
+        ).cast("long"),
+    ).otherwise(F.col("_dmax"))
+    ssq_d = F.col("_ssq_all").cast("double") / F.lit(1e12)
+    w = ssq_d - F.col("_msq_all").cast("double") / F.lit(1e12)
+    t = ssq_d - F.col("_gmsq_p").cast("double") / F.lit(1e12)
+    b = t - w
+    kk = F.col("k").cast("double")
+    nn = F.col("_n").cast("double")
+    ch = (b / (kk - F.lit(1.0))) / (w / (nn - kk))
+
+    def rnd(e):
+        return F.round(e * F.lit(1e6)).cast("long").cast("double") / F.lit(
+            1e6
+        )
+
+    ok = (
+        (F.col("k") > 1)
+        & (F.col("_n") > F.col("k"))
+        & (F.round(w * F.lit(1e6)).cast("long") > 0)
+    )
+    return out.where(F.col("k") > 0).select(
+        "k",
+        F.col("_n").alias("n"),
+        dimck.alias("dim"),
+        rnd(w).alias("within"),
+        rnd(b).alias("between"),
+        rnd(t).alias("total"),
+        F.when(ok, rnd(ch)).alias("ch"),
+    )

@@ -36,6 +36,11 @@ EXPECTED_LOUD = {
     "pack_shards": "NULL or negative",
     "shard_manifest": "NULL or negative",  # builds on pack_shards' guard
     "pack_nosplit": "NULL count",
+    # a ragged embedding would silently skew every scatter sum, so the
+    # operator raises by design (similarity.py cluster_quality); the
+    # staged alias is the SAME callable under the pre-rotation key
+    "cluster_quality": "ragged vector dims",
+    "staged:cluster_quality": "ragged vector dims",
 }
 
 
