@@ -3883,6 +3883,74 @@ def _staged_bleu_sql() -> str:
     )
 
 
+def q_staged_kripp(spark, sf_dir):
+    """Annotation QC: Krippendorff's alpha per source
+    (evalmetrics.kripp_alpha) over a deterministic UNEQUAL-panel
+    labeling queue — each doc gets 3 + doc_id % 3 raters (the regime
+    fleiss_kappa refuses by design: real annotation queues have
+    missing/uneven coverage), each rater reporting the doc's language
+    except hash-selected ~20% corrupted draws. Pairable-values
+    nominal form; per-item rational terms micro-rounded once and
+    summed exactly; single-rating items excluded with a visible
+    count."""
+    from audiopro_essentia_spark.functions.text import portable_hash32
+    from audiopro_essentia_spark.operators.evalmetrics import (
+        kripp_alpha,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(
+            F.col("doc_id").isNotNull()
+            & F.col("lang").isNotNull()
+            & F.col("source").isNotNull()
+        )
+        .select(
+            F.col("source").alias("src"),
+            F.col("doc_id").alias("item"),
+            "lang",
+            F.explode(
+                F.sequence(F.lit(0), (F.lit(2) + F.col("doc_id") % 3))
+            ).alias("r"),
+        )
+        .select(
+            "src",
+            "item",
+            F.when(
+                portable_hash32(
+                    F.concat(
+                        F.lit("ka:"),
+                        F.col("item").cast("string"),
+                        F.lit("|"),
+                        F.col("r").cast("string"),
+                    )
+                )
+                % 5
+                == 0,
+                F.concat(F.col("lang"), F.lit("_x")),
+            )
+            .otherwise(F.col("lang"))
+            .alias("label"),
+        )
+    )
+    return kripp_alpha(d, "item", "label", ["src"])
+
+
+def _staged_kripp_sql() -> str:
+    h = DT.H32.format(
+        x="('ka:' || CAST(item AS VARCHAR) || '|' || CAST(r AS VARCHAR))"
+    )
+    return DT.kripp_alpha_sql(
+        "SELECT src, item, "
+        f"CASE WHEN {h} % 5 = 0 THEN lang || '_x' ELSE lang END AS label "
+        "FROM (SELECT source AS src, doc_id AS item, lang, "
+        "unnest(generate_series(0, 2 + doc_id % 3)) AS r "
+        "FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL "
+        "AND source IS NOT NULL) q",
+        ("src",),
+    )
+
+
 def q_staged_clusterq(spark, sf_dir):
     """Clustering QC: Calinski-Harabasz variance-ratio + scatter
     decomposition T = W + B (similarity.cluster_quality) over the
@@ -4441,6 +4509,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_winrate": q_staged_pref,
         "fleiss": q_staged_fleiss,
         "cluster_quality": q_staged_clusterq,
+        "kripp": q_staged_kripp,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4601,6 +4670,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "pref_winrate": _staged_pref_sql(),
         "fleiss": _staged_fleiss_sql(),
         "cluster_quality": _staged_clusterq_sql(),
+        "kripp": _staged_kripp_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

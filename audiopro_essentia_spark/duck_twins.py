@@ -3629,6 +3629,72 @@ WHERE k > 0
 """
 
 
+def kripp_alpha_sql(
+    source: str,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """Twin of evalmetrics.kripp_alpha: identical exact cells,
+    per-item pairable terms micro-rounded once and summed exactly,
+    included-items-only marginals, the same fixed-order D_o/D_e/alpha
+    chain and micro rounding. `source` must yield (group..., item,
+    label) NULL-free."""
+    g = ", ".join(group_cols)
+    gpfx = f"{g}, " if group_cols else ""
+    grp = f"GROUP BY {g}" if group_cols else ""
+    jg = f"USING ({g})" if group_cols else "ON TRUE"
+    ji = "USING (" + ", ".join(list(group_cols) + ["item"]) + ")"
+
+    def rnd(e):
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    n = "CAST(n_ratings AS DOUBLE)"
+    d_o = f"(CAST(do_u AS DOUBLE) / 1e6 / {n})"
+    d_e = f"(({n} * {n} - CAST(msq AS DOUBLE)) / ({n} * ({n} - 1.0e0)))"
+    alpha = f"(1.0e0 - {d_o} / {d_e})"
+    ok = f"n_ratings >= 2 AND CAST(round({d_e} * 1e6) AS BIGINT) > 0"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+cells AS MATERIALIZED (
+  SELECT {gpfx}item, label, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY {gpfx}item, label),
+per_item AS MATERIALIZED (
+  SELECT {gpfx}item, CAST(sum(c) AS BIGINT) AS ni,
+         sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sq
+  FROM cells GROUP BY {gpfx}item),
+inc AS MATERIALIZED (SELECT * FROM per_item WHERE ni >= 2),
+istats AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(ni) AS BIGINT) AS n_ratings,
+         sum(CAST(CAST(round(
+           (CAST(ni AS DOUBLE) * CAST(ni AS DOUBLE)
+            - CAST(sq AS DOUBLE)) / CAST(ni - 1 AS DOUBLE) * 1e6)
+           AS BIGINT) AS HUGEINT)) AS do_u
+  FROM inc {grp}),
+excl AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS items_all,
+         CAST(coalesce(sum(CASE WHEN ni < 2 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_excluded
+  FROM per_item {grp}),
+mcells AS MATERIALIZED (
+  SELECT {gpfx}label, CAST(sum(c) AS BIGINT) AS cj
+  FROM cells JOIN (SELECT {gpfx}item FROM inc) ii {ji}
+  GROUP BY {gpfx}label),
+marg AS MATERIALIZED (
+  SELECT {gpfx}CAST(count(*) AS BIGINT) AS n_categories,
+         sum(CAST(cj AS HUGEINT) * CAST(cj AS HUGEINT)) AS msq
+  FROM mcells {grp})
+SELECT {gpfx}CAST(coalesce(n_items, 0) AS BIGINT) AS n_items,
+       n_excluded,
+       CAST(coalesce(n_ratings, 0) AS BIGINT) AS n_ratings,
+       CAST(coalesce(n_categories, 0) AS BIGINT) AS n_categories,
+       CASE WHEN n_ratings >= 2 THEN {rnd(d_o)} END AS d_o,
+       CASE WHEN n_ratings >= 2 THEN {rnd(d_e)} END AS d_e,
+       CASE WHEN {ok} THEN {rnd(alpha)} END AS alpha
+FROM excl LEFT JOIN istats {jg} LEFT JOIN marg {jg}
+WHERE items_all > 0
+"""
+
+
 def fleiss_kappa_sql(
     source: str,
     group_cols: tuple[str, ...] = (),

@@ -1864,6 +1864,140 @@ def fleiss_kappa(
     )
 
 
+def kripp_alpha(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., n_items, n_excluded, n_ratings, n_categories, d_o,
+    d_e, alpha) — Krippendorff's alpha for NOMINAL labels
+    (Krippendorff 1970/2004): the agreement coefficient for exactly
+    the panels fleiss_kappa REFUSES — unequal rating counts per item
+    and missing ratings are the norm in real annotation queues, and
+    alpha's coincidence-matrix form is built for them. Items with a
+    single rating contribute no pairable information and are EXCLUDED
+    with a visible count (n_excluded) — never silently.
+
+    Nominal form used (pairable-values formulation):
+      t_i = (n_i^2 - sum_c n_ic^2) / (n_i - 1)   per included item
+      D_o = sum_i t_i / n                         (n = pairable total)
+      D_e = (n^2 - sum_c n_c^2) / (n (n - 1))
+      alpha = 1 - D_o / D_e
+
+    Exactness: cell counts, n_i, marginals and their exact squares
+    are BIGINT/DECIMAL(38,0) from ONE corpus pass; each item's
+    rational t_i is ONE correctly-rounded division rounded ONCE to
+    integer micro units and summed exactly (order-free — the
+    kl_drift discipline); D_o/D_e/alpha are fixed-order double
+    chains over exact integers, micro-rounded once. D_e == 0 (one
+    category among pairable ratings) or zero pairable items give
+    NULL alpha with the counts visible. NULL item/label fail LOUD.
+
+    Scale shape: one map-side-combinable (group, item, label) cell
+    pass; per-item and marginal folds aggregate THAT table; bounded
+    broadcast combines. Zero windows, zero Python."""
+    g = list(group_cols or [])
+
+    def val(col):
+        c0 = F.col(col)
+        return F.when(
+            c0.isNull(),
+            F.raise_error(F.lit(f"kripp_alpha: NULL {col}")).cast(
+                dict(df.dtypes)[col]
+            ),
+        ).otherwise(c0)
+
+    d38 = "decimal(38,0)"
+    rows = df.select(
+        *g, val(item_col).alias("_i"), val(label_col).alias("_l")
+    )
+    cells = (
+        rows.groupBy(*g, "_i", "_l")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    per_item = cells.groupBy(*g, "_i").agg(
+        F.sum("_c").cast("long").alias("_ni"),
+        F.sum(F.col("_c").cast(d38) * F.col("_c").cast(d38)).alias(
+            "_sq"
+        ),
+    )
+    inc = per_item.where(F.col("_ni") >= 2)
+    t_u = F.round(
+        (
+            F.col("_ni").cast("double") * F.col("_ni").cast("double")
+            - F.col("_sq").cast("double")
+        )
+        / (F.col("_ni") - 1).cast("double")
+        * F.lit(1e6)
+    ).cast("long")
+    istats = inc.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("_ni").cast("long").alias("n_ratings"),
+        F.sum(t_u.cast(d38)).alias("_do_u"),
+    )
+    excl = per_item.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("_items_all"),
+        F.coalesce(
+            F.sum((F.col("_ni") < 2).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_excluded"),
+    )
+    # marginals over INCLUDED items only (pairable values)
+    mcells = (
+        cells.join(
+            inc.select(*g, "_i"), [*g, "_i"]
+        )
+        .groupBy(*g, "_l")
+        .agg(F.sum("_c").cast("long").alias("_cj"))
+    )
+    marg = mcells.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("_cj").cast(d38) * F.col("_cj").cast(d38)).alias(
+            "_msq"
+        ),
+    )
+
+    def bj(left, right):
+        return (
+            left.join(F.broadcast(right), g, "left")
+            if g
+            else left.crossJoin(F.broadcast(right))
+        )
+
+    # excl is the base frame (it covers every group, including those
+    # whose items were ALL excluded — they must still report)
+    out = bj(bj(excl, istats), marg)
+    n = F.col("n_ratings").cast("double")
+    d_o = F.col("_do_u").cast("double") / F.lit(1e6) / n
+    d_e = (n * n - F.col("_msq").cast("double")) / (
+        n * (n - F.lit(1.0))
+    )
+    alpha = F.lit(1.0) - d_o / d_e
+
+    def rnd(e):
+        return F.round(e * F.lit(1e6)).cast("long").cast("double") / F.lit(
+            1e6
+        )
+
+    ok = (F.col("n_ratings") >= 2) & (
+        F.round(d_e * F.lit(1e6)).cast("long") > 0
+    )
+    zl = F.lit(0).cast("long")
+    return out.where(F.col("_items_all") > 0).select(
+        *g,
+        F.coalesce(F.col("n_items"), zl).alias("n_items"),
+        "n_excluded",
+        F.coalesce(F.col("n_ratings"), zl).alias("n_ratings"),
+        F.coalesce(F.col("n_categories"), zl).alias("n_categories"),
+        F.when(F.col("n_ratings") >= 2, rnd(d_o)).alias("d_o"),
+        F.when(F.col("n_ratings") >= 2, rnd(d_e)).alias("d_e"),
+        F.when(ok, rnd(alpha)).alias("alpha"),
+    )
+
+
 def bh_fdr(
     df: DataFrame,
     p_col: str,
