@@ -146,6 +146,10 @@ STAGED_NOTES = {
     "rouge2": "same shape as bleu at a single n; recall divides by the reference totals",
     "ref_integrity": "one key histogram per side + ONE full-outer histogram join; 1-row broadcast combines",
     "golden": "melted explode -> value counts -> bounded election windows -> conditional-agg pivot; per-cluster representative window",
+    "pref_winrate": "ONE count shuffle onto the bounded pair table; Wilson chain is a codegen projection — zero joins/windows",
+    "fleiss": "one (group,item,label) cell pass; per-item + marginal folds on THAT table; pico-unit order-free P_e fold",
+    "kripp": "same cell pass; included-only marginals; per-item rational terms micro-rounded then exact-summed",
+    "cluster_quality": "one posexplode pass -> bounded (cluster,dim) HUGEINT sums; scatter identities, no centroid table, no row distances",
 }
 
 
