@@ -3883,6 +3883,24 @@ def _staged_bleu_sql() -> str:
     )
 
 
+def q_staged_jsd(spark, sf_dir):
+    """Monitoring: per-source lexical Jensen-Shannon divergence vs the
+    rest of the corpus over the global top-500 words
+    (aggregates.source_js_divergence) — the SYMMETRIC BOUNDED member
+    of the drift family: KL (kl_drift) is unbounded and
+    direction-dependent, JSD <= ln 2 always, so one threshold
+    transfers across sources and releases; jsd_norm lands on [0, 1].
+    Identical spine/shares construction to kl_drift; each JSD term
+    micro-rounded once and summed exactly; one pruned count shuffle."""
+    from audiopro_essentia_spark.operators.aggregates import (
+        source_js_divergence,
+    )
+
+    return source_js_divergence(
+        _t(spark, sf_dir, "documents"), top_n=500
+    )
+
+
 def q_staged_kripp(spark, sf_dir):
     """Annotation QC: Krippendorff's alpha per source
     (evalmetrics.kripp_alpha) over a deterministic UNEQUAL-panel
@@ -4510,6 +4528,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fleiss": q_staged_fleiss,
         "cluster_quality": q_staged_clusterq,
         "kripp": q_staged_kripp,
+        "jsd_drift": q_staged_jsd,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4671,6 +4690,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "fleiss": _staged_fleiss_sql(),
         "cluster_quality": _staged_clusterq_sql(),
         "kripp": _staged_kripp_sql(),
+        "jsd_drift": DT.js_sql(top_n=500),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

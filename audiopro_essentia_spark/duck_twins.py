@@ -1512,6 +1512,58 @@ FROM agg JOIN tg ON agg.grp = tg.grp
 """
 
 
+def js_sql(top_n: int = 500, eps: float = 1e-9, table: str = "documents") -> str:
+    """Twin of aggregates.source_js_divergence: kl_sql's verbatim
+    spine / p / q, the same fixed-order JSD term (p ln(p/m) +
+    q ln(q/m)) * 0.5 micro-rounded per term and summed exactly, and
+    jsd_norm = one division of the exact micronat integer by the SAME
+    driver-side ln(2) literal + scale-0 rounding."""
+    import math
+
+    ln2 = math.log(2.0)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w <> ''),
+head AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c_all
+  FROM tok GROUP BY 1 ORDER BY c_all DESC, word ASC LIMIT {top_n}),
+counts AS MATERIALIZED (
+  SELECT t.grp, t.word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok t JOIN head h ON t.word = h.word GROUP BY 1, 2),
+sp AS (SELECT g.grp, h.word, h.c_all
+       FROM (SELECT DISTINCT grp FROM tok) g, head h),
+f AS MATERIALIZED (
+  SELECT sp.grp, sp.word, sp.c_all,
+         coalesce(c.c, CAST(0 AS BIGINT)) AS c
+  FROM sp LEFT JOIN counts c ON sp.grp = c.grp AND sp.word = c.word),
+tg AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM f GROUP BY 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM f),
+pq AS (SELECT f.grp,
+         CASE WHEN tg.n_g = 0 THEN {eps!r}
+              ELSE greatest(f.c / tg.n_g, {eps!r}) END AS p,
+         CASE WHEN nt.n_all - tg.n_g = 0 THEN {eps!r}
+              ELSE greatest((f.c_all - f.c) / (nt.n_all - tg.n_g), {eps!r})
+              END AS q
+       FROM f JOIN tg ON f.grp = tg.grp CROSS JOIN nt),
+agg AS (
+  SELECT grp,
+         CAST(SUM(CAST(round(
+           ((p * ln(p / ((p + q) / 2.0e0))
+             + q * ln(q / ((p + q) / 2.0e0))) * 0.5e0) * 1e6)
+           AS BIGINT)) AS BIGINT) AS jsd_micronats,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM pq GROUP BY 1)
+SELECT agg.grp AS source, agg.jsd_micronats,
+       CAST(CAST(round(CAST(agg.jsd_micronats AS DOUBLE)
+                       / CAST({ln2!r} AS DOUBLE)) AS BIGINT) AS DOUBLE)
+         / 1e6 AS jsd_norm,
+       agg.n_terms, tg.n_g AS n_head_toks
+FROM agg JOIN tg ON agg.grp = tg.grp
+"""
+
+
 def zipf_sql(top_n: int = 200, table: str = "documents") -> str:
     """Twin of aggregates.zipf_slope: rank = row_number over (count DESC,
     word ASC); ln(rank)/ln(freq) micro-nat integers; Sx/Sy/Sxy/Sxx are

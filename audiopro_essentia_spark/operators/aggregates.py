@@ -587,6 +587,135 @@ def source_kl_divergence(
     )
 
 
+def source_js_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 500,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """(group, jsd_micronats, jsd_norm, n_terms, n_head_toks) —
+    per-source lexical Jensen-Shannon divergence JSD(P_source ||
+    Q_rest) over the corpus' global top-N words: the SYMMETRIC,
+    BOUNDED member of the drift family (KL is unbounded and
+    direction-dependent — a near-empty cell can blow it up; JSD =
+    (KL(P||M) + KL(Q||M))/2 with M the midpoint never exceeds ln 2,
+    so thresholds transfer across sources and releases). jsd_norm =
+    jsd / ln 2 puts it on [0, 1] (per-term micro rounding can
+    overshoot by a few 1e-6 on a saturated source — reported as-is,
+    the kl_drift convention). The spine / p / q construction is
+    source_kl_divergence's VERBATIM (global top-N head by (count
+    DESC, word ASC), eps-floored shares, every source emits a row) —
+    deliberately duplicated rather than refactored so the in-window
+    kl_drift operator's code is untouched; the two specs are pinned
+    equal where they overlap by test.
+
+    Exactness: each term (p ln(p/m) + q ln(q/m)) * 0.5 with
+    m = (p + q) / 2 is evaluated in ONE fixed expression order,
+    rounded once to integer micro-nats and summed exactly; jsd_norm
+    is one division of the exact micronat integer by the driver-side
+    ln(2) literal, micro-rounded (scale-0).
+
+    100-TB shape: identical to source_kl_divergence — one (group,
+    word) count shuffle pruned by the broadcast spine; three
+    checkpointed bounded tables."""
+    import math
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    tok = df.select(
+        g.alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    head = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+        .orderBy(F.desc("c_all"), F.asc("word"))
+        .limit(top_n)
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        tok.join(F.broadcast(head.select("word")), "word")
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    has_word = (
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        )
+        > 0
+    )
+    groups = (
+        df.where(has_word)
+        .select(g.alias("grp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spine = groups.crossJoin(F.broadcast(head))
+    full = spine.join(counts, ["grp", "word"], "left").select(
+        "grp",
+        "word",
+        "c_all",
+        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+    )
+    tot_g = full.groupBy("grp").agg(F.sum("c").alias("n_g"))
+    n_tot = full.agg((F.sum("c")).alias("n_all"))
+    e = F.lit(float(eps))
+    joined = (
+        full.join(F.broadcast(tot_g), "grp")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "grp",
+            F.when(F.col("n_g") == 0, e)
+            .otherwise(F.greatest(F.col("c") / F.col("n_g"), e))
+            .alias("p"),
+            F.when(F.col("n_all") - F.col("n_g") == 0, e)
+            .otherwise(
+                F.greatest(
+                    (F.col("c_all") - F.col("c"))
+                    / (F.col("n_all") - F.col("n_g")),
+                    e,
+                )
+            )
+            .alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term = (
+        F.col("p") * F.log(F.col("p") / m)
+        + F.col("q") * F.log(F.col("q") / m)
+    ) * F.lit(0.5)
+    ln2 = math.log(2.0)
+    agg = (
+        joined.groupBy("grp")
+        .agg(
+            F.sum(F.round(term * F.lit(1e6)).cast("long")).alias(
+                "jsd_micronats"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .join(F.broadcast(tot_g), "grp")
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "jsd_micronats",
+        (
+            F.round(
+                F.col("jsd_micronats").cast("double") / F.lit(ln2)
+            ).cast("long")
+        ).cast("double")
+        .alias("_jn_u"),
+        "n_terms",
+        F.col("n_g").alias("n_head_toks"),
+    ).select(
+        group_col,
+        "jsd_micronats",
+        (F.col("_jn_u") / F.lit(1e6)).alias("jsd_norm"),
+        "n_terms",
+        "n_head_toks",
+    )
+
+
 def zipf_slope(
     df: DataFrame,
     text_col: str = "text",
