@@ -150,6 +150,7 @@ STAGED_NOTES = {
     "fleiss": "one (group,item,label) cell pass; per-item + marginal folds on THAT table; pico-unit order-free P_e fold",
     "kripp": "same cell pass; included-only marginals; per-item rational terms micro-rounded then exact-summed",
     "cluster_quality": "one posexplode pass -> bounded (cluster,dim) HUGEINT sums; scatter identities, no centroid table, no row distances",
+    "jsd_drift": "kl_drift's spine-pruned one-shuffle shape; bounded JSD term fold",
 }
 
 
