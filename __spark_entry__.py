@@ -3883,6 +3883,30 @@ def _staged_bleu_sql() -> str:
     )
 
 
+def q_staged_skewp(spark, sf_dir):
+    """Scale engineering: join-key skew profile of events.user_id
+    (operators/skew.py skew_profile) — the DIAGNOSIS stage for the
+    engine's salting remedies (salted_join / salted_agg /
+    cap_per_group): top-20 keys with shares and cumulative head
+    share, plus hot_ratio = top-1 count over the fair-reducer average
+    — the lower bound on the salt factor that would level the
+    hottest key. NULL keys profile as a real '__null__' level (the
+    classic skew accident must never vanish from a skew report). One
+    key-count shuffle; top-k via TakeOrderedAndProject; the only
+    windows run over the 20 returned rows."""
+    from audiopro_essentia_spark.operators.skew import skew_profile
+
+    return skew_profile(
+        _t(spark, sf_dir, "events"), ["user_id"], top_k=20
+    )
+
+
+def _staged_skewp_sql() -> str:
+    return DT.skew_profile_sql(
+        "SELECT user_id AS k0 FROM events", n_keys=1, top_k=20
+    )
+
+
 def q_staged_jsd(spark, sf_dir):
     """Monitoring: per-source lexical Jensen-Shannon divergence vs the
     rest of the corpus over the global top-500 words
@@ -4529,6 +4553,7 @@ def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_quality": q_staged_clusterq,
         "kripp": q_staged_kripp,
         "jsd_drift": q_staged_jsd,
+        "skew_profile": q_staged_skewp,
         "ols_trend": q_staged_ols,
         "linreg": q_staged_linreg,
         "decay_features": q_staged_decay,
@@ -4691,6 +4716,7 @@ def _staged_oracle_sql() -> dict[str, str]:
         "cluster_quality": _staged_clusterq_sql(),
         "kripp": _staged_kripp_sql(),
         "jsd_drift": DT.js_sql(top_n=500),
+        "skew_profile": _staged_skewp_sql(),
         "robust_tokens": DT.robust_stats_sql(
             f"SELECT source AS src, CAST({nw} AS DOUBLE) AS v "
             "FROM documents WHERE source IS NOT NULL",

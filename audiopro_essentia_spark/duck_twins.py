@@ -5053,6 +5053,52 @@ FROM st
 """
 
 
+def skew_profile_sql(
+    source: str,
+    n_keys: int = 1,
+    top_k: int = 20,
+) -> str:
+    """Twin of skew.skew_profile: the same '__null__'-coalesced
+    '|'-joined key, exact counts, (count DESC, key ASC) top-k, exact
+    integer cumulative counts divided once, and the same micro-rounded
+    share/avg/hot_ratio chain. `source` must yield key columns named
+    k0..k{n-1} in their original types."""
+    key = " || '|' || ".join(
+        f"coalesce(CAST(k{i} AS VARCHAR), '__null__')"
+        for i in range(n_keys)
+    )
+
+    def rnd(e):
+        return f"CAST(CAST(round(({e}) * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+
+    avg = "(CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))"
+    return f"""
+WITH base AS MATERIALIZED ({source}),
+counts AS MATERIALIZED (
+  SELECT {key} AS k, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys FROM counts),
+top AS MATERIALIZED (
+  SELECT k, c FROM counts ORDER BY c DESC, k ASC LIMIT {int(top_k)}),
+ranked AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY c DESC, k ASC) AS BIGINT)
+           AS rank,
+         k AS key, c AS cnt,
+         CAST(sum(c) OVER (ORDER BY c DESC, k ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(max(c) OVER () AS BIGINT) AS top1
+  FROM top)
+SELECT rank, key, cnt,
+       {rnd("CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)")} AS share,
+       {rnd("CAST(cum AS DOUBLE) / CAST(n_rows AS DOUBLE)")} AS cum_share,
+       n_rows, n_keys,
+       {rnd(avg)} AS avg_per_key,
+       {rnd(f"CAST(top1 AS DOUBLE) / {avg}")} AS hot_ratio
+FROM ranked CROSS JOIN tot
+"""
+
+
 def golden_records_sql(
     source: str,
     field_cols: tuple[str, ...],

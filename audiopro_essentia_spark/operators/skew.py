@@ -157,3 +157,101 @@ def capped_top_n(
     return pre.withColumn(rank_col, F.row_number().over(w2)).filter(
         F.col(rank_col) <= n
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """(rank, key, cnt, share, cum_share, n_rows, n_keys, avg_per_key,
+    hot_ratio) — join/aggregation KEY-SKEW profile: the measurement
+    that DECIDES whether a planned shuffle needs salting (salted_agg /
+    salted_broadcast_join / capped_top_n are this engine's remedies;
+    this is the diagnosis). One row per top-k key by count (ties by
+    key ASC — deterministic), each with its share of all rows and the
+    cumulative head share; every row carries the table-level facts:
+    n_rows, n_keys, avg_per_key = n_rows/n_keys, and hot_ratio =
+    top-1 count / avg_per_key — the multiple of a fair reducer's load
+    the hottest key imposes, i.e. the lower bound on the salt factor
+    that would level it. NULL key values profile as a real level
+    (rendered '__null__' — NULL keys are the classic skew accident
+    and must never be dropped from a skew report); multi-column keys
+    join with '|'.
+
+    Exactness: counts are exact BIGINTs from ONE map-side-combinable
+    key count; share/cum_share/avg/hot_ratio are single
+    correctly-rounded divisions of exact integers with scale-0 micro
+    rounding; cum_share accumulates the exact integer counts FIRST
+    (a k-row window) and divides once.
+
+    Scale shape: one (key) count shuffle (checkpointed — two
+    consumers); the global top-k is TakeOrderedAndProject (never a
+    full sort); the only windows run over the k returned rows; totals
+    are a second fold of the SAME key-count table crossed in as a
+    broadcast 1-row aggregate. Zero Python."""
+    if not key_cols:
+        raise ValueError("skew_profile: key_cols is required")
+    if not (1 <= int(top_k) <= 10_000):
+        raise ValueError(
+            f"skew_profile: top_k must be in [1, 10000], got {top_k}"
+        )
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("__null__"))
+            for c in key_cols
+        ],
+    )
+    counts = (
+        df.select(key.alias("_k"))
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.groupBy().agg(
+        F.sum("_c").cast("long").alias("_n_rows"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+    )
+    top = counts.orderBy(F.desc("_c"), F.asc("_k")).limit(int(top_k))
+    w_rank = Window.orderBy(F.desc("_c"), F.asc("_k"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    # k rows — the single-partition windows are intentional and tiny
+    ranked = top.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        F.col("_k").alias("key"),
+        F.col("_c").alias("cnt"),
+        F.sum("_c").over(w_cum).cast("long").alias("_cum"),
+        F.max("_c")
+        .over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_top1"),
+    )
+    out = ranked.crossJoin(F.broadcast(tot))
+
+    def rnd(e):
+        return F.round(e * F.lit(1e6)).cast("long").cast("double") / F.lit(
+            1e6
+        )
+
+    avg = F.col("_n_rows").cast("double") / F.col("_n_keys").cast(
+        "double"
+    )
+    return out.select(
+        "rank",
+        "key",
+        "cnt",
+        rnd(
+            F.col("cnt").cast("double") / F.col("_n_rows").cast("double")
+        ).alias("share"),
+        rnd(
+            F.col("_cum").cast("double") / F.col("_n_rows").cast("double")
+        ).alias("cum_share"),
+        F.col("_n_rows").alias("n_rows"),
+        F.col("_n_keys").alias("n_keys"),
+        rnd(avg).alias("avg_per_key"),
+        rnd(F.col("_top1").cast("double") / avg).alias("hot_ratio"),
+    )
