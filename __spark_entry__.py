@@ -3122,7 +3122,10 @@ def q_staged_dp(spark, sf_dir):
     is the portable hash of salt ':' group under driver-side
     inverse-CDF threshold literals: one salt is ONE reproducible
     release, noise depends only on (salt, group) — never the data —
-    and a fresh salt is a fresh epsilon spend. One map-side-combinable
+    and a fresh salt is a fresh epsilon spend. The committed demo salt
+    makes this a reproducibility demo of the mechanism, NOT a private
+    release (a real release needs a SECRET high-entropy salt — see
+    dp_counts's keyed-PRF caveat). One map-side-combinable
     count shuffle + a codegen literal fold; zero joins, zero
     windows, zero Python."""
     from audiopro_essentia_spark.operators.checks import dp_counts
@@ -3247,7 +3250,8 @@ def q_staged_readability(spark, sf_dir):
     """Text: exact-integer readability features per doc (functions/
     text.py readability_metrics) — ARI (Senter & Smith 1967), chosen
     over Flesch because every input is an exact integer count (no
-    syllable heuristic): chars via separator-stripped length (never an
+    syllable heuristic): chars via space-and-ASCII-punctuation-
+    stripped length (ARI counts letters+digits; never an
     aggregate() over the built words array — the re-inline hazard),
     maximal-[.!?]-run sentence count floored at 1 (never a /0 under
     ANSI), two correctly-rounded divisions in one fixed order +

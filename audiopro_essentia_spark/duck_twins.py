@@ -5062,7 +5062,10 @@ def skew_profile_sql(
     '|'-joined key, exact counts, (count DESC, key ASC) top-k, exact
     integer cumulative counts divided once, and the same micro-rounded
     share/avg/hot_ratio chain. `source` must yield key columns named
-    k0..k{n-1} in their original types."""
+    k0..k{n-1} in their original types — which, per the operator's
+    fail-loud contract, are string/integer/boolean/date only (CAST AS
+    VARCHAR on float/double/timestamp diverges between Java and
+    DuckDB rendering; pre-render such keys via SAMPLE_KEY)."""
     key = " || '|' || ".join(
         f"coalesce(CAST(k{i} AS VARCHAR), '__null__')"
         for i in range(n_keys)
@@ -5252,14 +5255,21 @@ def dp_counts_sql(
     source: str,
     group_cols: tuple[str, ...],
     epsilon: float = 1.0,
-    salt: str = "release0",
+    salt: str = "",
 ) -> str:
     """Twin of checks.dp_counts: the same exact group counts, the same
     portable-hash uniform draw of salt ':' group-values, and the same
     truncated two-sided-geometric inverse-CDF — thresholds imported
     from the operator's OWN dp_geometric_thresholds so the literals
     cannot desync. `source` must yield (group...) already validated
-    the way the Spark entry validates."""
+    the way the Spark entry validates. The salt guard mirrors the
+    operator's keyed-PRF contract (required, never 'release0')."""
+    if not salt or salt == "release0":
+        raise ValueError(
+            "dp_counts_sql: salt is required and must not be the "
+            "historical default constant 'release0' (mirror of the "
+            "operator's keyed-PRF guard)"
+        )
     from .operators.checks import dp_geometric_thresholds
 
     k_trunc, thresholds = dp_geometric_thresholds(epsilon)
@@ -5447,15 +5457,23 @@ WHERE n_t + n_c + n_trimmed > 0
 
 def readability_sql(table: str = "documents") -> str:
     """Twin of functions/text.readability_metrics applied per doc:
-    identical nonempty-word count, separator-stripped char count,
-    maximal-[.!?]-run sentence count floored at 1, and the same
-    fixed-order ARI expression (constants CAST AS DOUBLE — a bare
-    DuckDB decimal literal would run DECIMAL arithmetic)."""
+    identical nonempty-word count, space-and-ASCII-punctuation-
+    stripped char count (the shared ARI_STRIP set, per-code-point
+    translate on both engines — ARI counts letters and digits, not
+    punctuation), maximal-[.!?]-run sentence count floored at 1, and
+    the same fixed-order ARI expression (constants CAST AS DOUBLE —
+    a bare DuckDB decimal literal would run DECIMAL arithmetic)."""
+    from .functions.text import ARI_STRIP
+
+    strip = ARI_STRIP.replace("'", "''")
     nw = (
         "CAST(len(list_filter(string_split(coalesce(text, ''), ' '), "
         "x -> x <> '')) AS BIGINT)"
     )
-    nc = "CAST(len(replace(coalesce(text, ''), ' ', '')) AS BIGINT)"
+    nc = (
+        "CAST(len(translate(coalesce(text, ''), "
+        f"'{strip}', '')) AS BIGINT)"
+    )
     ns = (
         "greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all("
         "coalesce(text, ''), '[.!?]+')) AS BIGINT))"

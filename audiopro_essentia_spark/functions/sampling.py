@@ -535,9 +535,20 @@ def backtest_folds(
     with a HOF over its own named micros column (the funnel lesson:
     the lambda references a NAMED column, never a chained expression)
     and explodes only its qualifying (fold, role) pairs. Row
-    amplification is bounded by k (and only for qualifying rows)."""
+    amplification is bounded by k (and only for qualifying rows).
+
+    The output prepends (fold, role, t_us) to the input's own columns,
+    so those three names are RESERVED: an input already containing any
+    of them would emit duplicate column names that only error on a
+    downstream select — fail LOUD upfront instead (ADVICE r4)."""
     if not origins_us:
         raise ValueError("backtest_folds: empty origins")
+    reserved = {"fold", "role", "t_us"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            "backtest_folds: input columns collide with reserved "
+            f"output names {sorted(reserved)} — rename them first"
+        )
     if sorted(set(origins_us)) != list(origins_us):
         raise ValueError("backtest_folds: origins must be sorted unique")
     if len(origins_us) > 100:

@@ -291,6 +291,14 @@ def chunk_documents(
     )
 
 
+# the ARI char-count strip set: space + the 32 ASCII punctuation
+# chars (string.punctuation, written out so the set is pinned in
+# source, not to a stdlib that could drift). Single source of truth
+# for the operator, the DuckDB twin (escaped there) and the pytest
+# mirror — per-code-point translate is exact on all three engines.
+ARI_STRIP = " " + "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
 def readability_metrics(text: Column) -> dict[str, Column]:
     """Exact-integer readability features for corpus filtering
     (educational-value / complexity gates): ARI (Automated Readability
@@ -300,24 +308,32 @@ def readability_metrics(text: Column) -> dict[str, Column]:
 
         ARI = 4.71 * chars/words + 0.5 * words/sentences - 21.43
 
-    chars = total characters of the nonempty words (whitespace
-    excluded — the ARI convention); sentences = number of MAXIMAL runs
-    of [.!?] (regexp_count; the '[.!?]+' pattern sits in the Java/RE2
-    common subset), floored at 1 so a fragment without terminal
-    punctuation reads as one sentence (never a /0 — ANSI raises).
-    NULL text counts as empty. Docs with zero words give NULL ari.
+    chars = characters excluding spaces AND ASCII punctuation
+    (ARI_STRIP): Senter & Smith define the count over letters and
+    digits, so punctuation must not inflate it (ADVICE r4 — the old
+    all-non-space count overstated ARI on punctuation-heavy docs).
+    Stripping is a per-code-point translate — the only mechanism
+    BOTH engines apply identically (regex Unicode-letter classes
+    track different Unicode versions across Java/RE2). Documented residual
+    deviation: non-ASCII punctuation/symbols still count as chars
+    (multibyte letters MUST count, and no portable class separates
+    them). sentences = number of MAXIMAL runs of [.!?] (regexp_count;
+    the '[.!?]+' pattern sits in the Java/RE2 common subset), floored
+    at 1 so a fragment without terminal punctuation reads as one
+    sentence (never a /0 — ANSI raises). NULL text counts as empty.
+    Docs with zero words give NULL ari.
 
     Exactness: both ratios are single correctly-rounded IEEE divisions
     of exact BIGINT counts, combined in one fixed expression order +
     round-6 — bit-stable cross-engine."""
     ws = nonempty_words(text, null_as_empty=True)
     n_words = F.size(ws).cast("long")
-    # chars of the nonempty words == length with the separators removed
-    # (words() is a single-space split) — NEVER aggregate() over the
-    # built array: the lambda re-inlines the split per element
+    # letters+digits(+non-ASCII) = length with separators and ASCII
+    # punctuation removed — NEVER aggregate() over the built array:
+    # the lambda re-inlines the split per element
     # (the CLAUDE.md array-build re-inline hazard, O(words^2))
     n_chars = F.length(
-        F.translate(F.coalesce(text, F.lit("")), " ", "")
+        F.translate(F.coalesce(text, F.lit("")), ARI_STRIP, "")
     ).cast("long")
     n_sent = F.greatest(
         F.lit(1).cast("long"),

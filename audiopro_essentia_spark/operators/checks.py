@@ -500,7 +500,7 @@ def dp_counts(
     df: DataFrame,
     group_cols: list[str],
     epsilon: float = 1.0,
-    salt: str = "release0",
+    salt: str | None = None,
 ) -> DataFrame:
     """(group..., n_noisy, epsilon) — differentially-private group
     counts: each group's exact count plus two-sided-geometric noise
@@ -520,11 +520,23 @@ def dp_counts(
     (audit-friendly), and (2) releasing AGAIN under a fresh salt is a
     fresh epsilon spend that composes additively — the caller's
     budget ledger owns that. The noise depends ONLY on (salt, group),
-    never on the data (pytest-pinned) — which is exactly the
-    independence the DP proof requires of the mechanism's randomness
-    source, here made reproducible. Noisy counts can be negative
-    (published as-is — clamping is post-processing the caller may
-    apply, but a silent floor here would bias downstream sums).
+    never on the data (pytest-pinned). SECURITY CAVEAT (the keyed-PRF
+    assumption this mechanism rests on): md5(salt || group) is
+    adversary-unpredictable ONLY while the salt is secret and
+    high-entropy. Anyone who knows or guesses the salt recomputes the
+    noise exactly and recovers the raw counts — PUBLISHING the salt,
+    REUSING it across releases, or picking a guessable constant
+    forfeits the epsilon-DP guarantee entirely. The caller must draw
+    the salt from a secret high-entropy source (>= 128 bits of
+    randomness; a secrets-manager entry, never a code literal) and
+    treat it like a key; `salt` is therefore REQUIRED (no default —
+    a shared default constant would make every deployment's noise
+    public knowledge) and the historical default 'release0' is
+    rejected outright. Test/demo fixtures that commit their salt are
+    reproducibility demos of the mechanism, NOT private releases.
+    Noisy counts can be negative (published as-is — clamping is
+    post-processing the caller may apply, but a silent floor here
+    would bias downstream sums).
 
     NULL group values fail LOUD (a NULL key would silently merge into
     one released row). Raw counts and noise are deliberately NOT
@@ -536,6 +548,12 @@ def dp_counts(
     windows, zero joins, zero Python."""
     from ..functions.text import portable_hash32
 
+    if not salt or salt == "release0":
+        raise ValueError(
+            "dp_counts: salt is required and must not be the historical "
+            "default constant 'release0' — supply a SECRET high-entropy "
+            "salt (keyed-PRF assumption; see docstring)"
+        )
     k_trunc, thresholds = dp_geometric_thresholds(epsilon)
     g = list(group_cols or [])
 

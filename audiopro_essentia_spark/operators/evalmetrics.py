@@ -1327,7 +1327,11 @@ def bleu_eval(
     refusing silently to smooth is the honest default); a group with
     zero candidate tokens (C == 0) yields NULL bleu/bp with counts
     visible. NULL id/cand/ref fail LOUD (a dropped pair changes every
-    precision).
+    precision), and so do DUPLICATE ids within a group: gram counts
+    key on (group, id, n, gram), so two pairs sharing an id would
+    clip as min(sum c, sum r) instead of the sum of per-pair mins —
+    silently wrong precisions (ADVICE r4; detected as
+    count != count_distinct(id) riding the consumed n_pairs column).
 
     Exactness: all counts (O_n, T_n, C, R) are exact BIGINTs; p_n are
     single correctly-rounded divisions; the BLEU chain ln/exp runs on
@@ -1408,6 +1412,13 @@ def bleu_eval(
     )
     len_aggs = [
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        # dup-id detector: gram counts merge on (group, id) before
+        # clipping, so two rows sharing an id would clip as
+        # min(sum c, sum r) instead of the sum of per-pair mins —
+        # silently wrong precisions. Counted here and failed LOUD on
+        # the CONSUMED n_pairs column below (a guard on a column
+        # nothing consumes is pruned by Catalyst — pinned hazard).
+        F.count_distinct(F.col("_id")).cast("long").alias("_nid"),
         F.sum(F.size("_wc")).cast("long").alias("cand_len"),
         F.sum(F.size("_wr")).cast("long").alias("ref_len"),
     ]
@@ -1469,9 +1480,24 @@ def bleu_eval(
                 ),
             ).alias(f"p{n}")
         )
+    n_pairs_guarded = (
+        F.when(
+            F.col("n_pairs") != F.col("_nid"),
+            F.raise_error(
+                F.lit(
+                    "bleu_eval: duplicate id within a group — gram "
+                    "counts would merge across pairs before clipping "
+                    "(min of sums != sum of per-pair mins); make "
+                    f"{id_col} unique per group"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_pairs"))
+        .alias("n_pairs")
+    )
     return piv.where(F.col("n_pairs") > 0).select(
         *g,
-        "n_pairs",
+        n_pairs_guarded,
         "cand_len",
         "ref_len",
         *outs,
@@ -1507,7 +1533,9 @@ def rouge_n(
     correctly-rounded divisions; f1 = 2pr/(p+r) on raw doubles in
     fixed order; outputs micro-rounded (scale-0). Zero denominators
     give NULL (and f1 NULL unless both precisions exist and p+r > 0).
-    NULL id/cand/ref fail LOUD.
+    NULL id/cand/ref fail LOUD; duplicate ids within a group fail
+    LOUD too (the bleu_eval clipping-merge hazard — per-id gram
+    counts would merge across pairs before the min).
 
     Scale shape: gram totals from a ROW-LEVEL projection (no
     explode); the overlap path is two map-side-combinable
@@ -1562,6 +1590,10 @@ def rouge_n(
     )
     lens = rows.groupBy(*g).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        # same dup-id hazard as bleu_eval: (group, id, gram) counts
+        # merge across rows sharing an id before the clipped min —
+        # detected here, failed LOUD on the consumed n_pairs below
+        F.count_distinct(F.col("_id")).cast("long").alias("_nid"),
         F.sum(F.greatest(F.size("_wc") - (nn - 1), F.lit(0)))
         .cast("long")
         .alias("cand_grams"),
@@ -1584,9 +1616,23 @@ def rouge_n(
     p_raw = o.cast("double") / F.col("cand_grams").cast("double")
     r_raw = o.cast("double") / F.col("ref_grams").cast("double")
     both = (F.col("cand_grams") > 0) & (F.col("ref_grams") > 0)
+    n_pairs_guarded = (
+        F.when(
+            F.col("n_pairs") != F.col("_nid"),
+            F.raise_error(
+                F.lit(
+                    "rouge_n: duplicate id within a group — gram "
+                    "counts would merge across pairs before clipping; "
+                    f"make {id_col} unique per group"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_pairs"))
+        .alias("n_pairs")
+    )
     return piv.where(F.col("n_pairs") > 0).select(
         *g,
-        "n_pairs",
+        n_pairs_guarded,
         o.alias("overlap"),
         "cand_grams",
         "ref_grams",

@@ -177,7 +177,10 @@ def skew_profile(
     that would level it. NULL key values profile as a real level
     (rendered '__null__' — NULL keys are the classic skew accident
     and must never be dropped from a skew report); multi-column keys
-    join with '|'.
+    join with '|'. key_cols must be string/integer/boolean/date typed
+    (fail-loud): CAST AS STRING on float/double/timestamp keys is not
+    cross-engine portable (Java E-notation/tie rendering) — pre-render
+    those via the SAMPLE_KEY micro-integer recipe.
 
     Exactness: counts are exact BIGINTs from ONE map-side-combinable
     key count; share/cum_share/avg/hot_ratio are single
@@ -196,6 +199,28 @@ def skew_profile(
         raise ValueError(
             f"skew_profile: top_k must be in [1, 10000], got {top_k}"
         )
+    # key rendering is CAST(col AS STRING), which is only cross-engine
+    # byte-identical for string/integer/boolean/date keys — Spark's
+    # Java float/double/timestamp rendering (E-notation thresholds,
+    # tie rounding) diverges from DuckDB's, silently breaking twin
+    # parity (ADVICE r4). Fractional keys must be pre-rendered by the
+    # caller through the pinned SAMPLE_KEY micro-integer recipe
+    # (CAST(round(CAST(x AS DOUBLE)*1e9) AS BIGINT) AS STRING) on
+    # both engines; fail LOUD here rather than profile unportably.
+    _ok_prefixes = ("string", "varchar", "bigint", "int", "smallint",
+                    "tinyint", "boolean", "date")
+    dtypes = dict(df.dtypes)
+    for c in key_cols:
+        t = dtypes.get(c)
+        if t is None:
+            raise ValueError(f"skew_profile: unknown key col {c!r}")
+        if not t.startswith(_ok_prefixes):
+            raise ValueError(
+                f"skew_profile: key col {c!r} has type {t} — only "
+                "string/integer/boolean/date keys render portably; "
+                "pre-render fractional or timestamp keys via the "
+                "SAMPLE_KEY micro-integer recipe first"
+            )
     key = F.concat_ws(
         "|",
         *[

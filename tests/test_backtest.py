@@ -122,6 +122,18 @@ def test_guards_and_fail_louds(spark):
     bad = spark.createDataFrame([("a", None)], SCHEMA)
     with pytest.raises(Exception, match="NULL t"):
         backtest_folds(bad, "t", O, H).collect()
+    # reserved output names collide upfront, not on downstream select
+    # (ADVICE r4)
+    clash = spark.createDataFrame(
+        [("a", 1, 0)], "rid string, t long, fold long"
+    )
+    with pytest.raises(ValueError, match="reserved output names"):
+        backtest_folds(clash, "t", O, H)
+    clash2 = spark.createDataFrame(
+        [("a", 1, "x")], "rid string, t long, role string"
+    )
+    with pytest.raises(ValueError, match="reserved output names"):
+        backtest_folds(clash2, "t", O, H)
 
 
 def test_empty_contract(spark):

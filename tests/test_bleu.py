@@ -152,6 +152,18 @@ def test_guards_and_empty(spark):
     empty = spark.createDataFrame([], SCHEMA)
     assert bleu_eval(empty, "id", "cand", "ref", ["grp"]).collect() == []
     assert bleu_eval(empty, "id", "cand", "ref").collect() == []
+    # duplicate ids within a group fail LOUD: their gram counts would
+    # merge before clipping (min of sums != sum of per-pair mins —
+    # ADVICE r4); same id in DIFFERENT groups stays legal
+    dup = spark.createDataFrame(
+        [("g", "1", "a b", "a b"), ("g", "1", "c d", "c d")], SCHEMA
+    )
+    with pytest.raises(Exception, match="duplicate id"):
+        bleu_eval(dup, "id", "cand", "ref", ["grp"]).collect()
+    ok = spark.createDataFrame(
+        [("g1", "1", "a b", "a b"), ("g2", "1", "c d", "c d")], SCHEMA
+    )
+    assert len(bleu_eval(ok, "id", "cand", "ref", ["grp"]).collect()) == 2
 
 
 def test_twin_equality(spark):

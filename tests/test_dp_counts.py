@@ -116,9 +116,18 @@ def test_distribution_sanity(spark):
 def test_guards_and_empty(spark):
     bad = spark.createDataFrame([(None,)], "s string")
     with pytest.raises(Exception, match="NULL s"):
-        dp_counts(bad, ["s"]).collect()
+        dp_counts(bad, ["s"], 1.0, "gtest").collect()
     empty = spark.createDataFrame([], "s string")
-    assert dp_counts(empty, ["s"]).collect() == []
+    assert dp_counts(empty, ["s"], 1.0, "gtest").collect() == []
+    # salt is REQUIRED and the historical default constant is rejected
+    # (keyed-PRF assumption: a public/guessable salt voids the DP
+    # guarantee — ADVICE r4)
+    with pytest.raises(ValueError, match="salt is required"):
+        dp_counts(empty, ["s"])
+    with pytest.raises(ValueError, match="salt is required"):
+        dp_counts(empty, ["s"], 1.0, "release0")
+    with pytest.raises(ValueError, match="salt is required"):
+        dp_counts(empty, ["s"], 1.0, "")
     # a global release of an empty table is a noisy zero, not no rows
     # (count's empty-aggregate row is a real answer here)
     g = dp_counts(empty, [], 1.0, "e").collect()

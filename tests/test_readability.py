@@ -14,14 +14,20 @@ import duckdb
 from pyspark.sql import functions as F
 
 from audiopro_essentia_spark.duck_twins import readability_sql
-from audiopro_essentia_spark.functions.text import readability_metrics
+from audiopro_essentia_spark.functions.text import (
+    ARI_STRIP,
+    readability_metrics,
+)
+
+_STRIP_TBL = str.maketrans("", "", ARI_STRIP)
 
 
 def _mirror(text):
     t = text or ""
     ws = [w for w in t.split(" ") if w != ""]
     n_words = len(ws)
-    n_chars = len(t.replace(" ", ""))
+    # ARI counts letters+digits: spaces AND ASCII punctuation stripped
+    n_chars = len(t.translate(_STRIP_TBL))
     n_sent = max(1, len(re.findall(r"[.!?]+", t)))
     if n_words:
         raw = (4.71 * (n_chars / n_words) + 0.5 * (n_words / n_sent)
@@ -65,8 +71,13 @@ def test_mirror_and_hand_cases(spark):
     got = _apply(spark, DOCS)
     for i, t in DOCS:
         assert got[i] == _mirror(t), (i, t)
-    # hand counts on doc 0: 9 words, 30 chars, 3 sentences
-    assert got[0][:3] == (9, 30, 3)
+    # hand counts on doc 0: 9 words, 27 letter chars (the three
+    # sentence terminators no longer count — ARI is letters+digits),
+    # 3 sentences
+    assert got[0][:3] == (9, 27, 3)
+    # punctuation-only "word" contributes words but ZERO chars now
+    got_p = _apply(spark, [(0, "a -- b")])
+    assert got_p[0][:2] == (3, 2)
     # fragments floor at ONE sentence (never a /0)
     assert got[1][2] == 1
     # '...' and '?!' are each ONE maximal run: '...', '.', '?!', '.'

@@ -122,6 +122,12 @@ def test_guards_and_empty(spark):
     empty = spark.createDataFrame([], SCHEMA)
     assert rouge_n(empty, "id", "cand", "ref", ["grp"]).collect() == []
     assert rouge_n(empty, "id", "cand", "ref").collect() == []
+    # duplicate ids fail LOUD (the bleu_eval clipping-merge hazard)
+    dup = spark.createDataFrame(
+        [("g", "1", "a b", "a b"), ("g", "1", "c d", "c d")], SCHEMA
+    )
+    with pytest.raises(Exception, match="duplicate id"):
+        rouge_n(dup, "id", "cand", "ref", ["grp"]).collect()
 
 
 def test_twin_equality(spark):

@@ -88,6 +88,23 @@ def test_guards_and_empty(spark):
         skew_profile(df, ["k"], 0)
     empty = spark.createDataFrame([], "k string")
     assert skew_profile(empty, ["k"]).collect() == []
+    # fractional/timestamp keys fail LOUD: CAST AS STRING rendering is
+    # not cross-engine portable for them (ADVICE r4); string/int/
+    # boolean/date pass the gate
+    frac = spark.createDataFrame([(0.5, "a")], "f double, k string")
+    with pytest.raises(ValueError, match="only string/integer"):
+        skew_profile(frac, ["f"])
+    with pytest.raises(ValueError, match="only string/integer"):
+        skew_profile(
+            spark.sql("SELECT TIMESTAMP'2020-01-01' AS ts"), ["ts"]
+        )
+    with pytest.raises(ValueError, match="unknown key col"):
+        skew_profile(frac, ["nope"])
+    okd = spark.sql(
+        "SELECT 'x' AS s, CAST(1 AS BIGINT) AS i, TRUE AS b, "
+        "DATE'2020-01-01' AS d"
+    )
+    assert len(skew_profile(okd, ["s", "i", "b", "d"]).collect()) == 1
 
 
 def test_twin_equality(spark):
