@@ -4539,6 +4539,86 @@ def q_staged_ranking(spark, sf_dir):
     return ranking_report(d, "score", "rel", "tie", ["cohort"], k=20)
 
 
+# --------------------------------------------------------------------------
+# Round-5 window rotation (FINAL — the 50-slot choice is permanent).
+#
+# The driver's correctness gate covers exactly the FIRST 50 queries()
+# entries. All 73 staged-roster entries are compare-green at sf0.001 and
+# sf0.01 with full pytest/twin/sweep evidence, but none has ever had an
+# independent driver check. R5_WINDOW promotes the 50 whose twins are the
+# most intricate (risk-ranked per VERDICT r4 item #2: the all-pairs /
+# edit-distance / full-tuple-ANN joins, the layered generated SQL, the
+# multi-phase exact-integer stats) so the driver's independent run lands
+# where a silent twin bug would hide best. Total driver-checked coverage
+# after r5: 141/164 queries.
+R5_WINDOW = [
+    # similarity / dedup joins — the most failure-prone twin class
+    # (prefix-filtered lossless joins, Levenshtein verify, full-tuple
+    # ANN equality, streaming inverted-index containment)
+    "pq_ann", "edit_neardup", "allpairs_jaccard", "containment",
+    "winnow_fp", "cdc_chunks", "line_scrub", "gopher_quality",
+    # token-scale shuffles / layered generated SQL
+    "bleu", "rouge2", "textrank", "npmi", "rrf_hybrid", "jsd_drift",
+    # sketches with register-level twins
+    "lq_quantiles", "bloom_membership",
+    # eval/stats tier — multi-phase exact-integer arithmetic
+    "auc_eval", "ranking_eval", "isotonic", "boot_ci", "ab_welch",
+    "fleiss", "kripp", "pref_winrate", "cluster_quality", "chi2_assoc",
+    "mi_leakage", "fdr_monitors", "hill_tail", "cusum_drift",
+    # _hist_prefix consumers (shared engine — window checks here cover
+    # the ceil-rank selection path for all eleven consumers)
+    "robust_tokens", "qnorm_tokens", "winsor_tokens", "qbin_tokens",
+    "conformal", "survival",
+    # encoding / linkage / causal / governance (+ funnel: the op whose
+    # HOF-lambda re-inline hazard cost a live measurement — its k-step
+    # chained-window twin earns the driver check over single-shape ops)
+    "target_enc", "target_enc_loo", "fs_linkage", "funnel",
+    "golden", "ref_integrity", "dq_checks", "dp_release", "ate_effect",
+    # behavior changed this round (ADVICE fixes) — driver-check them
+    "readability", "skew_profile",
+    # remaining multi-stage ops
+    "linreg", "neg_pairs", "transitions",
+]
+# The 23 permanent compare-only holdouts — chosen because each is a
+# SINGLE-SHAPE op (one aggregate / one projection / one window) whose
+# exact pytest mirror derives from an outside definition, so the twin
+# has the least room for a silent shared-derivation bug. Per-entry:
+#   time_rolling    one named-sort-key window, inline twin, plan-pinned
+#   interval_join   one bucket-equi join shape, inline twin
+#   weight_ess      one weight aggregate, closed-form mirror
+#   unimax          driver-side waterfall closed form, exact integers
+#   zorder_key      bit-interleave projection, fixed-width hand cases
+#   gini_tokens     one sorted-prefix aggregate, Fraction-exact mirror
+#   chao1_vocab     one (f1,f2) richness fold, textbook closed form
+#   ols_trend       ONE aggregate of five HUGEINT sufficient stats
+#   decay_features  zero-shuffle per-row pow + exact sums
+#   byte_entropy    one byte-histogram fold, hand-computable
+#   kmv_distinct    k-minimum-values register merge, order statistics
+#   kmv_jaccard     same register engine as kmv_distinct
+#   spearman        midrank rho off the shared _hist_prefix engine
+#                   (six other consumers sit IN-window)
+#   lang_kappa      2x2 agreement counts, Cohen closed form
+#   pr_curve        shares the in-window auc_eval histogram+prefix
+#   calibration     ONE map-side-combinable binned aggregate
+#   ks_drift        exact two-sample KS, max-over-prefix shape
+#   benford         9-cell digit histogram vs literal probabilities
+#   priority_sample bit-identical hash order statistics, 1 Exchange
+#   cohort_retention exact BIGINT micros bucketing, zero Python
+#   backtest        zero-shuffle literal fold array (new guard is
+#                   input-validation only — outputs unchanged)
+#   sorted_block    1 Sort/1 Window/0 joins, plan-pinned
+#   exact_pcts      type-1 quantile rule shared verbatim with the
+#                   in-window winsor/qbin/conformal consumers
+R5_HOLDOUTS = [
+    "time_rolling", "interval_join", "weight_ess", "unimax",
+    "zorder_key", "gini_tokens", "chao1_vocab", "ols_trend",
+    "decay_features", "byte_entropy", "kmv_distinct", "kmv_jaccard",
+    "spearman", "lang_kappa", "pr_curve", "calibration", "ks_drift",
+    "benford", "priority_sample", "cohort_retention", "backtest",
+    "sorted_block", "exact_pcts",
+]
+
+
 def _staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gini_tokens": q_staged_gini,
@@ -4889,26 +4969,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's correctness check (which covers exactly
     the FIRST 50 entries) always lands on the least-verified queries.
-    Round-4 rotation per VERDICT.md r3 item #2: the 12 entries with only
-    ONE driver check ever (r2: tfidf, repetition, hashed_embedding,
-    chunk_documents, normalized_dedup, ann_recall, surprisal,
-    encode_tokens, quantize_embed, vocab_by_source, monitor_stats,
-    corpus_rollup) are promoted into the window; 12 double-green rows
-    (green in r3 AND r1-or-r2: salted_join, multimodal,
-    streaming_session, dedup_clusters, simhash, decontaminate, ivf_ann,
-    lsh_ann, corpus_profile, pii_redact, span_dedup, vocab) yielded
-    their slots. Still in-window despite being double-green:
-    kernel_features/fused_pipeline/rhythm (the fused kernel's f32 memory
-    path changes this round — keep its oracles driver-checked).
-    Mid-round-4 rotation for the three NEW queries (hll_distinct,
-    kl_drift, zipf_slope — never driver-checked, must sit in-window):
-    incremental_dedup (r2+r3 green; its bench drift is resolved as
-    environment in BENCH/BASELINE.md) plus kmeans and pack_shards (r2
-    rows-green + r3 hash-green) yielded their slots.
-    Everything outside the window is verified locally by
-    tests/driver_compare.py each round. Positions 92+ are the staged
-    r4 roster (merged in at the bottom) awaiting the r5 window
-    rotation."""
+
+    ROUND-5 (final) rotation per VERDICT.md r4 items #1/#2: positions
+    1-50 are R5_WINDOW — fifty staged-roster entries that have NEVER
+    had a driver check, risk-ranked so the most intricate twins (the
+    all-pairs/edit/containment/PQ joins, layered generated SQL,
+    multi-phase exact-integer stats) get the independent run.
+    Positions 51+ are the 91 veteran queries (every one driver-green
+    in >= 1 prior round, most in >= 2, ALL re-verified locally by
+    tests/driver_compare.py each round) followed by the 23 permanent
+    compare-only holdouts (R5_HOLDOUTS — single-shape ops with
+    outside-definition mirrors; per-entry justification at the
+    constant's definition). Total driver-checked coverage after r5:
+    141/164 queries; the driver_compare ALL-OK logs cover all 164.
+
+    The r1-r4 rotation history lives in git (this docstring described
+    each round's promotions/demotions as they happened)."""
+    staged = _staged_queries()
+    out = {k: staged[k] for k in R5_WINDOW}
     base = {
         # -- core framing / temporal / join surface -------------------
         "pit_assembly": q_pit_assembly,
@@ -4926,7 +5004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         # -- dedup / similarity / featurize ---------------------------
         "semantic_dedup": q_semantic_dedup,
-        # -- round-4 additions (never driver-checked -> in-window) -----
+        # -- r4 window (all 50 below driver-checked green in CORRECTNESS_r04) --
         "hll_distinct": q_hll_distinct,
         "kl_drift": q_kl_drift,
         "zipf_slope": q_zipf_slope,
@@ -4936,7 +5014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via fused_pipeline / kernel_full_geometry /
         # mfcc_delta / spectral_flux / spectral_contrast)
         "cms_freq": q_cms_freq,
-        # -- round-4 promotions (single driver check, r2 only) --------
+        # -- r4 promotions (r2 + r4 driver-green) ---------------------
         "tfidf": q_tfidf,
         "repetition": q_repetition,
         "hashed_embedding": q_hashed_embedding,
@@ -4949,7 +5027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_by_source": q_vocab_by_source,
         "monitor_stats": q_monitor_stats,
         "corpus_rollup": q_corpus_rollup,
-        # -- round-3 additions (single driver check, r3) ---------------
+        # -- r3 additions (r3 + r4 driver-green) -----------------------
         "bigram_surprisal": q_bigram_surprisal,
         "quality_classifier": q_quality_classifier,
         "bpe_merges": q_bpe_merges,
@@ -4970,7 +5048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste": q_padding_waste,
         "shard_manifest": q_shard_manifest,
         "pack_nosplit": q_pack_nosplit,
-        # ---- position 51+: every entry here has >=2 driver-green
+        # ---- every entry below has >=2 driver-green
         # checks (or is a redundant variant of an in-window query, e.g.
         # frame_zcr ⊂ kernel_features zcr); re-verified locally by
         # tests/driver_compare.py each round ----
@@ -5023,16 +5101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "fingerprint": q_fingerprint,
     }
-    # ---- position 92+: the round-4 staged roster, wired beyond the
-    # driver's 50-query window (the driver ignores them; the judge and
-    # tests/driver_compare.py verify them like any other entry). Every
-    # one ships a DuckDB twin, a compare_one pytest at sf0.001/0.01,
-    # corrupt/empty-sweep coverage and a plan pin — see CLAUDE.md's
-    # staged-roster notes. The round-5 rotation promotes 50 of these
-    # into the window (they are the never-driver-checked set); the
-    # remainder stay compare-only with their pytest evidence.
-    base.update(_staged_queries())
-    return base
+    # positions 51-141: the 91 veterans above; tail 142-164: the 23
+    # permanent compare-only holdouts (justifications at R5_HOLDOUTS)
+    out.update(base)
+    out.update({k: staged[k] for k in R5_HOLDOUTS})
+    return out
 
 
 # ---------------------------------------------------------------------------

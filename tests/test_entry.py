@@ -73,10 +73,20 @@ def test_contract_invariants_locked():
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             checked |= set(json.load(open(os.path.join(root, fn))))
     never = [q for q in qs if q not in checked]
-    # The staged r4 roster is wired beyond the window on purpose (the
-    # r5 rotation promotes 50 of them; the rest stay compare-only with
-    # full pytest/twin/sweep evidence). Any OTHER never-checked entry
-    # outside the window is a wasted driver check — keep failing loud.
+    # R5 (final) rotation lock: the window is EXACTLY R5_WINDOW in its
+    # committed order (the driver checks positions 1-50 — an accidental
+    # reorder silently wastes the final round's checks), R5_WINDOW and
+    # R5_HOLDOUTS partition the staged roster, and the ONLY
+    # never-driver-checked entries outside the window are the 23
+    # justified holdouts.
+    assert qs[:50] == list(E.R5_WINDOW), "window != R5_WINDOW order"
     staged = set(E._staged_queries())
-    outside = [q for q in never if q not in set(qs[:50]) and q not in staged]
+    assert set(E.R5_WINDOW) | set(E.R5_HOLDOUTS) == staged
+    assert not set(E.R5_WINDOW) & set(E.R5_HOLDOUTS)
+    assert len(E.R5_WINDOW) == 50 and len(E.R5_HOLDOUTS) == 23
+    outside = [
+        q
+        for q in never
+        if q not in set(qs[:50]) and q not in set(E.R5_HOLDOUTS)
+    ]
     assert not outside, f"never-driver-checked entries past position 50: {outside}"
