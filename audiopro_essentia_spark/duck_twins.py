@@ -1467,15 +1467,15 @@ FROM est LEFT JOIN exact ON est.grp = exact.grp AND est.word = exact.word
 """
 
 
-def kl_sql(top_n: int = 500, eps: float = 1e-9, table: str = "documents") -> str:
-    """Twin of aggregates.source_kl_divergence: per-source lexical KL vs
-    rest-of-corpus over the global top-N words; per-term micro-nat
-    rounding, exact BIGINT sum (HUGEINT cast back per CLAUDE.md). The
-    spine enumerates DISTINCT sources from tok (not counts) so a source
-    with zero head-word overlap still emits its all-eps row, mirroring
-    the Spark side; n_head_toks = the source's head-word token total."""
-    return f"""
-WITH tok AS MATERIALIZED (
+def _divergence_spine_ctes(top_n: int, eps: float, table: str) -> str:
+    """The shared spine / p / q CTE chain for kl_sql and js_sql —
+    twin of aggregates._lex_divergence_pq (extracted together with it
+    in r5; VERDICT r4 item #5). The spine enumerates DISTINCT sources
+    from tok (not counts) so a source with zero head-word overlap
+    still emits its all-eps row, mirroring the Spark side. Every level
+    MATERIALIZED per the layered-CTE rule (plain CTEs re-inline
+    combinatorially in DuckDB)."""
+    return f"""tok AS MATERIALIZED (
   SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
   FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM {table})
   WHERE w <> ''),
@@ -1499,7 +1499,17 @@ pq AS (SELECT f.grp,
          CASE WHEN nt.n_all - tg.n_g = 0 THEN {eps!r}
               ELSE greatest((f.c_all - f.c) / (nt.n_all - tg.n_g), {eps!r})
               END AS q
-       FROM f JOIN tg ON f.grp = tg.grp CROSS JOIN nt),
+       FROM f JOIN tg ON f.grp = tg.grp CROSS JOIN nt)"""
+
+
+def kl_sql(top_n: int = 500, eps: float = 1e-9, table: str = "documents") -> str:
+    """Twin of aggregates.source_kl_divergence: per-source lexical KL vs
+    rest-of-corpus over the global top-N words; per-term micro-nat
+    rounding, exact BIGINT sum (HUGEINT cast back per CLAUDE.md).
+    Spine CTEs from _divergence_spine_ctes (shared with js_sql);
+    n_head_toks = the source's head-word token total."""
+    return f"""
+WITH {_divergence_spine_ctes(top_n, eps, table)},
 agg AS (
   SELECT grp,
          CAST(SUM(CAST(round((p * ln(p / q)) * 1e6) AS BIGINT)) AS BIGINT)
@@ -1513,40 +1523,16 @@ FROM agg JOIN tg ON agg.grp = tg.grp
 
 
 def js_sql(top_n: int = 500, eps: float = 1e-9, table: str = "documents") -> str:
-    """Twin of aggregates.source_js_divergence: kl_sql's verbatim
-    spine / p / q, the same fixed-order JSD term (p ln(p/m) +
-    q ln(q/m)) * 0.5 micro-rounded per term and summed exactly, and
-    jsd_norm = one division of the exact micronat integer by the SAME
-    driver-side ln(2) literal + scale-0 rounding."""
+    """Twin of aggregates.source_js_divergence: kl_sql's spine / p / q
+    (the shared _divergence_spine_ctes), the same fixed-order JSD term
+    (p ln(p/m) + q ln(q/m)) * 0.5 micro-rounded per term and summed
+    exactly, and jsd_norm = one division of the exact micronat integer
+    by the SAME driver-side ln(2) literal + scale-0 rounding."""
     import math
 
     ln2 = math.log(2.0)
     return f"""
-WITH tok AS MATERIALIZED (
-  SELECT coalesce(CAST(source AS VARCHAR), '__null__') AS grp, w AS word
-  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM {table})
-  WHERE w <> ''),
-head AS MATERIALIZED (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS c_all
-  FROM tok GROUP BY 1 ORDER BY c_all DESC, word ASC LIMIT {top_n}),
-counts AS MATERIALIZED (
-  SELECT t.grp, t.word, CAST(COUNT(*) AS BIGINT) AS c
-  FROM tok t JOIN head h ON t.word = h.word GROUP BY 1, 2),
-sp AS (SELECT g.grp, h.word, h.c_all
-       FROM (SELECT DISTINCT grp FROM tok) g, head h),
-f AS MATERIALIZED (
-  SELECT sp.grp, sp.word, sp.c_all,
-         coalesce(c.c, CAST(0 AS BIGINT)) AS c
-  FROM sp LEFT JOIN counts c ON sp.grp = c.grp AND sp.word = c.word),
-tg AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g FROM f GROUP BY 1),
-nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM f),
-pq AS (SELECT f.grp,
-         CASE WHEN tg.n_g = 0 THEN {eps!r}
-              ELSE greatest(f.c / tg.n_g, {eps!r}) END AS p,
-         CASE WHEN nt.n_all - tg.n_g = 0 THEN {eps!r}
-              ELSE greatest((f.c_all - f.c) / (nt.n_all - tg.n_g), {eps!r})
-              END AS q
-       FROM f JOIN tg ON f.grp = tg.grp CROSS JOIN nt),
+WITH {_divergence_spine_ctes(top_n, eps, table)},
 agg AS (
   SELECT grp,
          CAST(SUM(CAST(round(

@@ -464,50 +464,36 @@ def source_drift_psi(
     )
 
 
-def source_kl_divergence(
+def _lex_divergence_pq(
     df: DataFrame,
-    text_col: str = "text",
-    group_col: str = "source",
-    top_n: int = 500,
-    eps: float = 1e-9,
-) -> DataFrame:
-    """Per-source lexical KL divergence KL(P_source || Q_rest) over the
-    corpus' global top-N words — the mixture-shift monitor PSI
-    (source_drift_psi) can't provide: PSI buckets a scalar, KL compares
-    the actual token distributions, the quantity mixture-balancing /
-    DoReMi-style reweighting reasons about.
+    text_col: str,
+    group_col: str,
+    top_n: int,
+    eps: float,
+):
+    """Shared spine / p / q construction for source_kl_divergence and
+    source_js_divergence (extracted in r5 per VERDICT r4 item #5, once
+    kl_drift had left the driver window; the two operators' overlap
+    stays pinned equal by test). Returns (joined, tot_g):
 
-    Spec (fully deterministic, engine-portable):
-    - vocabulary spine = global top-N words by (corpus count DESC, word
-      ASC) — bounded and broadcastable, the standard restrict-to-head
-      trick (the tail's KL mass is negligible and unstable);
-    - p_w = source's share of its OWN top-N token total, q_w = the
-      rest-of-corpus share of ITS top-N total, both floored at eps over
-      the fixed spine (empty cells count as eps); the spine covers
-      EVERY source present in the corpus — a source sharing none of
-      the top-N words still emits a row (all-eps p, n_head_toks = 0,
-      KL ~ a few negative micro-nats), it never silently vanishes;
-    - each term p_w * ln(p_w / q_w) is rounded ONCE to integer
-      micro-nats and the terms are summed as exact BIGINTs — the
-      bigram_surprisal/DSIR rule: never expose an engine-order float
-      sum to the oracle hash.
+    - joined: one row per (group, head word) with the eps-floored
+      shares p (the source's share of its own top-N token total) and
+      q (the rest-of-corpus share of its top-N total), over the global
+      top-N-by-(count DESC, word ASC) word spine; every source present
+      in the corpus emits rows even with zero head overlap (all-eps p).
+    - tot_g: (grp, n_g) — each source's head-word token total, for the
+      n_head_toks output column.
 
-    100-TB shape: one (group, word) count shuffle that the spine join
-    immediately prunes to n_groups x top_n rows; the global head is one
-    map-side-combinable word count + a top-N broadcast. Output one row
-    per source: (group, kl_micronats, n_terms, n_head_toks)."""
+    100-TB shape (unchanged from the pre-merge twins): one (group,
+    word) count shuffle immediately pruned by the broadcast top-N
+    spine; head / counts / groups are the three checkpointed bounded
+    tables (without the checkpoints every downstream consumer re-ran
+    the whole scan+explode subtree — 16 corpus passes measured)."""
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
     tok = df.select(
         g.alias("grp"),
         F.explode(F.split(F.col(text_col), " ")).alias("word"),
     ).where(F.col("word") != "")
-    # three corpus passes TOTAL, each truncated where it becomes
-    # bounded: without the checkpoints every downstream consumer
-    # (spine, full, tot_g, n_tot, the term fold, the final join) re-ran
-    # the whole scan+explode subtree — 16 FileScans in the measured
-    # plan, i.e. 16 corpus passes at 100 TB for one monitor row per
-    # source. head is <= top_n rows, counts <= n_groups * top_n;
-    # checkpointing them is free next to the passes it removes.
     head = (
         tok.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
@@ -531,8 +517,6 @@ def source_kl_divergence(
         )
         > 0
     )
-    # n_groups rows; checkpointed for the same reason — full's four
-    # consumers otherwise re-ran this narrow scan each
     groups = (
         df.where(has_word)
         .select(g.alias("grp"))
@@ -568,6 +552,44 @@ def source_kl_divergence(
             .alias("q"),
         )
     )
+    return joined, tot_g
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_n: int = 500,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Per-source lexical KL divergence KL(P_source || Q_rest) over the
+    corpus' global top-N words — the mixture-shift monitor PSI
+    (source_drift_psi) can't provide: PSI buckets a scalar, KL compares
+    the actual token distributions, the quantity mixture-balancing /
+    DoReMi-style reweighting reasons about.
+
+    Spec (fully deterministic, engine-portable):
+    - vocabulary spine = global top-N words by (corpus count DESC, word
+      ASC) — bounded and broadcastable, the standard restrict-to-head
+      trick (the tail's KL mass is negligible and unstable);
+    - p_w = source's share of its OWN top-N token total, q_w = the
+      rest-of-corpus share of ITS top-N total, both floored at eps over
+      the fixed spine (empty cells count as eps); the spine covers
+      EVERY source present in the corpus — a source sharing none of
+      the top-N words still emits a row (all-eps p, n_head_toks = 0,
+      KL ~ a few negative micro-nats), it never silently vanishes;
+    - each term p_w * ln(p_w / q_w) is rounded ONCE to integer
+      micro-nats and the terms are summed as exact BIGINTs — the
+      bigram_surprisal/DSIR rule: never expose an engine-order float
+      sum to the oracle hash.
+
+    100-TB shape: one (group, word) count shuffle that the spine join
+    immediately prunes to n_groups x top_n rows; the global head is one
+    map-side-combinable word count + a top-N broadcast (the shared
+    _lex_divergence_pq builder — see its docstring for the checkpoint
+    rationale). Output one row per source: (group, kl_micronats,
+    n_terms, n_head_toks)."""
+    joined, tot_g = _lex_divergence_pq(df, text_col, group_col, top_n, eps)
     term = F.col("p") * F.log(F.col("p") / F.col("q"))
     return (
         joined.groupBy("grp")
@@ -604,11 +626,11 @@ def source_js_divergence(
     jsd / ln 2 puts it on [0, 1] (per-term micro rounding can
     overshoot by a few 1e-6 on a saturated source — reported as-is,
     the kl_drift convention). The spine / p / q construction is
-    source_kl_divergence's VERBATIM (global top-N head by (count
-    DESC, word ASC), eps-floored shares, every source emits a row) —
-    deliberately duplicated rather than refactored so the in-window
-    kl_drift operator's code is untouched; the two specs are pinned
-    equal where they overlap by test.
+    source_kl_divergence's — the shared _lex_divergence_pq builder
+    (global top-N head by (count DESC, word ASC), eps-floored shares,
+    every source emits a row), extracted in r5 once kl_drift left the
+    driver window; the two operators' overlap stays pinned equal by
+    test.
 
     Exactness: each term (p ln(p/m) + q ln(q/m)) * 0.5 with
     m = (p + q) / 2 is evaluated in ONE fixed expression order,
@@ -621,65 +643,7 @@ def source_js_divergence(
     checkpointed bounded tables."""
     import math
 
-    g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
-    tok = df.select(
-        g.alias("grp"),
-        F.explode(F.split(F.col(text_col), " ")).alias("word"),
-    ).where(F.col("word") != "")
-    head = (
-        tok.groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_all"))
-        .orderBy(F.desc("c_all"), F.asc("word"))
-        .limit(top_n)
-        .localCheckpoint(eager=False)
-    )
-    counts = (
-        tok.join(F.broadcast(head.select("word")), "word")
-        .groupBy("grp", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    has_word = (
-        F.size(
-            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-        )
-        > 0
-    )
-    groups = (
-        df.where(has_word)
-        .select(g.alias("grp"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    spine = groups.crossJoin(F.broadcast(head))
-    full = spine.join(counts, ["grp", "word"], "left").select(
-        "grp",
-        "word",
-        "c_all",
-        F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
-    )
-    tot_g = full.groupBy("grp").agg(F.sum("c").alias("n_g"))
-    n_tot = full.agg((F.sum("c")).alias("n_all"))
-    e = F.lit(float(eps))
-    joined = (
-        full.join(F.broadcast(tot_g), "grp")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            "grp",
-            F.when(F.col("n_g") == 0, e)
-            .otherwise(F.greatest(F.col("c") / F.col("n_g"), e))
-            .alias("p"),
-            F.when(F.col("n_all") - F.col("n_g") == 0, e)
-            .otherwise(
-                F.greatest(
-                    (F.col("c_all") - F.col("c"))
-                    / (F.col("n_all") - F.col("n_g")),
-                    e,
-                )
-            )
-            .alias("q"),
-        )
-    )
+    joined, tot_g = _lex_divergence_pq(df, text_col, group_col, top_n, eps)
     m = (F.col("p") + F.col("q")) / F.lit(2.0)
     term = (
         F.col("p") * F.log(F.col("p") / m)
