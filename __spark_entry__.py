@@ -5563,9 +5563,15 @@ uc AS (SELECT w1, COUNT(*) AS c1
        FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
 v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uc),
 s AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        round(-(CAST(SUM(CAST(round(
+        -- scale-0 micro recipe (NOT round(x, 6)): -sm/(1e6 n) lands on
+        -- an exact 6-decimal half whenever n | 2*sm (hit live at sf0.1,
+        -- n=10) and the engines' round-6 tie rules split; round() at
+        -- scale 0 ties away from zero in BOTH engines
+        CAST(CAST(round(-(CAST(CAST(SUM(CAST(round(
                   ln((bc.cb + 0.5) / (uc.c1 + 0.5 * v.v)) * 1e6)
-                AS BIGINT)) AS BIGINT) / 1e6) / COUNT(*), 6) AS avg_logloss
+                AS BIGINT)) AS BIGINT) AS DOUBLE))
+              / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6
+          AS avg_logloss
       FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
       GROUP BY bg.doc_id)
 SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
@@ -5696,9 +5702,11 @@ WITH tok AS (SELECT doc_id, w FROM (
 wc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
 total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM wc)
 SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-  round((-(CAST(SUM(CAST(round(ln(wc.c / total.n) * 1e6) AS BIGINT))
-           AS DOUBLE) / 1e6))
-        / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logloss
+  -- scale-0 micro recipe, NOT round(x, 6) — the bigram tie fix
+  CAST(CAST(round((-CAST(SUM(CAST(round(ln(wc.c / total.n) * 1e6)
+                             AS BIGINT)) AS DOUBLE))
+                  / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6
+    AS avg_logloss
 FROM tok t JOIN wc USING (w) CROSS JOIN total
 GROUP BY t.doc_id
 """,

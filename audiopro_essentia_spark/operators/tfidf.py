@@ -84,7 +84,14 @@ def bigram_surprisal(
     selection.py DSIR/BM25) — float avg() summation order is engine- and
     partitioning-dependent, integer sums are not, so the score is
     bit-stable at any scale; the single float division by n_bigrams
-    happens once per doc on the exact integer sum."""
+    happens once per doc on the exact integer sum, IN MICRO UNITS with
+    SCALE-0 rounding: avg_micro = round(-sm / n). The old form rounded
+    (-sm/1e6)/n with round(x, 6), and -sm/(1e6 n) lands on an EXACT
+    6-decimal half whenever n | 2*sm with odd quotient — a real sf0.1
+    doc (n=10, sm -> 3.4144135) split the engines (Spark HALF_UP
+    3.414413 vs DuckDB 3.414414; caught by the r5 sf0.1 full-surface
+    sweep, pinned by test). round() at scale 0 ties AWAY FROM ZERO in
+    both engines — the CLAUDE.md SAMPLE_KEY recipe."""
     cw = nonempty_words(F.col(text_col))
     base = df.select(F.col(id_col), cw.alias("_ws"))
     n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
@@ -131,10 +138,14 @@ def bigram_surprisal(
         .select(
             F.col(id_col),
             "n_bigrams",
-            F.round(
-                -(F.col("_sm").cast("double") / F.lit(1e6))
-                / F.col("n_bigrams"),
-                6,
+            (
+                F.round(
+                    -F.col("_sm").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                )
+                .cast("long")
+                .cast("double")
+                / F.lit(1e6)
             ).alias("avg_logloss"),
         )
     )
@@ -171,7 +182,11 @@ def unigram_surprisal(
     micro-nats and summed as exact BIGINTs (the bigram_surprisal/DSIR
     rule — avg() exposes an engine/partitioning-dependent float
     accumulation order to the round-6 oracle hash); the mean is one
-    final division of exact integers."""
+    final division of exact integers in MICRO units with SCALE-0
+    rounding (round(-sm / n) / 1e6 — the bigram_surprisal tie fix:
+    -sm/(1e6 n) can land on an exact 6-decimal half where engines'
+    round(x, 6) tie rules split; scale-0 round() ties away from zero
+    in both)."""
     tok = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
     ).where(F.col("_w") != "")
@@ -191,10 +206,14 @@ def unigram_surprisal(
         .select(
             id_col,
             "n_words",
-            F.round(
-                -(F.col("_sm").cast("double") / F.lit(1e6))
-                / F.col("n_words").cast("double"),
-                6,
+            (
+                F.round(
+                    -F.col("_sm").cast("double")
+                    / F.col("n_words").cast("double")
+                )
+                .cast("long")
+                .cast("double")
+                / F.lit(1e6)
             ).alias("avg_logloss"),
         )
     )

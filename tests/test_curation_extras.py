@@ -403,6 +403,39 @@ def test_bigram_surprisal_hand_computed(spark):
     assert got[3].n_bigrams == 0 and got[3].avg_logloss is None
 
 
+def test_surprisal_mean_tie_rounding_portable(spark):
+    """Regression pin for the r5 sf0.1 live mismatch: with micro-nat sum
+    sm and n bigrams, -sm/(1e6 n) lands on an EXACT 6-decimal half
+    whenever n | 2*sm with odd quotient (the real case: n=10,
+    sm -> 3.4144135), and the engines' round(x, 6) tie rules split
+    (Spark HALF_UP down-casts the sub-half double to 3.414413, DuckDB
+    reads 3.414414). The shipped form — scale-0 round() on the ONE
+    division -sm/n in micro units — ties away from zero in BOTH
+    engines. Pin all three facts."""
+    import duckdb
+
+    # the engines AGREE on the shipped scale-0 form at the tie
+    new_spark = spark.sql(
+        "SELECT CAST(round(CAST(34144135 AS DOUBLE) / CAST(10 AS DOUBLE))"
+        " AS BIGINT) / 1e6 AS v"
+    ).collect()[0]["v"]
+    new_duck = duckdb.connect().execute(
+        "SELECT CAST(CAST(round(CAST(34144135 AS DOUBLE) /"
+        " CAST(10 AS DOUBLE)) AS BIGINT) AS DOUBLE) / 1e6"
+    ).fetchone()[0]
+    assert new_spark == new_duck == 3.414414
+    # and the OLD round(x, 6) form is genuinely divergent at this value
+    # (documents why the fix exists; if an engine upgrade ever makes
+    # these agree, the pin below tells us the hazard class changed)
+    old_spark = spark.sql(
+        "SELECT round(CAST(34144135 AS DOUBLE) / 1e6 / 10, 6) AS v"
+    ).collect()[0]["v"]
+    old_duck = duckdb.connect().execute(
+        "SELECT round(CAST(34144135 AS DOUBLE) / 1e6 / 10, 6)"
+    ).fetchone()[0]
+    assert old_spark == 3.414413 and old_duck == 3.414414
+
+
 def test_quality_classifier_deterministic_and_bounded(spark):
     """Hashed linear classifier: scores in (0,1), deterministic across
     runs, 0.5 exactly for empty text (zero feature vector), and sensitive
