@@ -376,6 +376,20 @@ def main() -> None:
     if len(line) > 1900:
         out.pop("bw", None)
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # a uniformly slow (contended) sweep renders 6-7-char times;
+        # 2dp keeps every per-query number meaningful and always fits
+        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        out.pop("total_sec", None)
+        out.pop("steal_suspect", None)
+        line = json.dumps(out, separators=(",", ":"))
+    # never crash the driver's bench run over formatting: as an absolute
+    # last resort ship the contract-required fields only
+    if len(line) > 1900:
+        out = {k: out[k] for k in ("metric", "value", "unit", "queries", "sf")}
+        line = json.dumps(out, separators=(",", ":"))
     assert len(line) <= 1900, f"bench stdout line {len(line)} > 1900"
     print(line)
 
