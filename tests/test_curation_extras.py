@@ -436,6 +436,46 @@ def test_surprisal_mean_tie_rounding_portable(spark):
     assert old_spark == 3.414413 and old_duck == 3.414414
 
 
+def test_round6_tie_mechanism_documented(spark):
+    """Documentation pin refining the CLAUDE.md round-6 tie audit with
+    the MEASURED divergence mechanism: Spark round(x, 6) rounds the
+    double's EXACT decimal value HALF_UP, while DuckDB's scale-6 round
+    goes through a x*1e6 double multiply — so:
+
+    (a) at an exactly-representable binary half (1/128 = 0.0078125,
+        the jaccard/reciprocal-rank denominator class) BOTH engines
+        see the true half and BOTH round away from zero -> AGREE;
+    (b) the divergent class is NON-representable near-halves from
+        arbitrary-count ratios (34144135/(1e6*10) -> double just under
+        the half: Spark's exact-decimal view rounds DOWN while
+        DuckDB's multiply lands exactly on 3414413.5 and rounds UP —
+        the live bigram_surprisal split, pinned in
+        test_surprisal_mean_tie_rounding_portable).
+
+    Consequence for the audit: binary-rational ratio sites are safe;
+    only arbitrary-count-denominator sites carry the (twin-parity-
+    only) limitation. If an engine upgrade changes this pin, re-run
+    the audit."""
+    import duckdb
+
+    s6 = spark.sql(
+        "SELECT round(CAST(1 AS DOUBLE) / CAST(128 AS DOUBLE), 6) AS v"
+    ).collect()[0]["v"]
+    d6 = duckdb.connect().execute(
+        "SELECT round(CAST(1 AS DOUBLE) / CAST(128 AS DOUBLE), 6)"
+    ).fetchone()[0]
+    assert s6 == d6 == 0.007813  # representable half: both away, agree
+    sm = spark.sql(
+        "SELECT CAST(round(CAST(1 AS DOUBLE) / CAST(128 AS DOUBLE) * 1e6)"
+        " AS BIGINT) / 1e6 AS v"
+    ).collect()[0]["v"]
+    dm = duckdb.connect().execute(
+        "SELECT CAST(CAST(round(CAST(1 AS DOUBLE) / CAST(128 AS DOUBLE)"
+        " * 1e6) AS BIGINT) AS DOUBLE) / 1e6"
+    ).fetchone()[0]
+    assert sm == dm == 0.007813  # the portable recipe agrees too
+
+
 def test_quality_classifier_deterministic_and_bounded(spark):
     """Hashed linear classifier: scores in (0,1), deterministic across
     runs, 0.5 exactly for empty text (zero feature vector), and sensitive
