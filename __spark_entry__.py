@@ -965,7 +965,10 @@ def q_hll_distinct(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    base = d.select("source", ws.alias("_ws"))
+    # spread first: the bigram explode + register build is the corpus
+    # pass and ran on the single-row-group scan partition (r6; no-op at
+    # scale)
+    base = D._spread(d.select("source", ws.alias("_ws")))
     n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
     bg = base.select(
         "source",
@@ -1008,7 +1011,11 @@ def q_cms_freq(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    tok = d.select(
+    # spread first: the token explode feeds BOTH the register build and
+    # the exact-count branch, and ran on the single-row-group scan
+    # partition (~10 s of the 12.5 s sf1.0 run on one task; r6, no-op at
+    # scale)
+    tok = D._spread(d.select("source", "text")).select(
         F.coalesce(F.col("source").cast("string"), F.lit("__null__")).alias(
             "source"
         ),
@@ -1886,7 +1893,11 @@ def q_staged_bloom(spark, sf_dir):
         "int"
     )
     flags = (
-        d.select(
+        # spread first: the shingle explode + map-side flag aggregate is
+        # the corpus pass and ran on the single-row-group scan partition
+        # (16.5 s of the 17.3 s sf1.0 run on one task; r6, no-op at scale)
+        D._spread(d.select("source", "text"))
+        .select(
             F.when(parity % 2 == 0, 1).otherwise(0).alias("is_build"),
             F.explode(word_ngrams(F.col("text"), n=3)).alias("shingle"),
         )
@@ -3849,9 +3860,15 @@ def q_staged_bleu(spark, sf_dir):
     from audiopro_essentia_spark.operators.evalmetrics import bleu_eval
 
     ws = nonempty_words(F.col("text"), null_as_empty=True)
+    # spread the raw rows BEFORE the 80%-prefix candidate build: the
+    # slice/concat_ws projection is token-heavy and would otherwise run
+    # on the single-row-group scan partition (r6; no-op at scale)
     d = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("source").isNotNull() & F.col("doc_id").isNotNull())
+        D._spread(
+            _t(spark, sf_dir, "documents").where(
+                F.col("source").isNotNull() & F.col("doc_id").isNotNull()
+            )
+        )
         .select(
             F.col("source").alias("src"),
             F.col("doc_id").cast("string").alias("rid"),

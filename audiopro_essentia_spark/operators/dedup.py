@@ -42,6 +42,27 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_mat(df: DataFrame, *exprs: Column) -> DataFrame:
+    """_spread, then project `exprs`, then LAZY localCheckpoint: spread
+    the small doc table, run the heavy projection ABOVE the spread
+    exchange, and cut lineage. Two measured failure modes of plain
+    _spread motivate the checkpoint (r6, sf1.0 profiling):
+    (a) Catalyst pushes a filter on a heavy DERIVED column (e.g.
+    size(word_ngrams(text)) > 0) below the spread exchange, re-inlining
+    the whole shingle build into the single-partition scan stage — the
+    14-17 s single-task stages simhash/containment/allpairs paid despite
+    _spread; (b) a multi-branch consumer re-runs the scan-side subtree
+    per branch. Checkpointing the spread projection materializes the
+    built columns once across defaultParallelism partitions; downstream
+    filters/branches read the materialized rows. eager=False: each new
+    plan builds and materializes its own checkpoint inside its own
+    execution, so every bench/oracle invocation still computes from the
+    parquet inputs (no cross-run state). Pass a pre-projected `df`
+    (cheap columns only) so the shuffle carries just what the exprs
+    need."""
+    return _spread(df).select(*exprs).localCheckpoint(eager=False)
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -534,10 +555,16 @@ def simhash_neardup_pairs(
             f"max_hamming must be < 4 (4 x 16-bit chunk pigeonhole); "
             f"got {max_hamming}"
         )
+    # _spread_mat (not _spread): the size filter below used to push BELOW
+    # the spread exchange, re-inlining the whole word_ngrams build into
+    # the single-partition scan stage (measured 14.4 s of a 17.7 s sf1.0
+    # run on ONE task); the checkpoint materializes the shingle arrays
+    # once across the spread partitions and the filter/UDF read them.
     sig = (
-        _spread(df)
-        .select(
-            F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("_sh")
+        _spread_mat(
+            df.select(F.col(id_col), F.col(text_col)),
+            F.col(id_col),
+            word_ngrams(F.col(text_col), ngram).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)  # empty docs carry no near-dup signal
         .select(
@@ -783,9 +810,15 @@ def source_ngram_overlap(
     join closes the matrix. The corpus is never self-joined; shingles
     use the same word_ngrams/_shingle twin convention as MinHash."""
     g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    # _spread: the explode + map-side collect_set ran on the scan's
+    # partitioning (ONE task for 14.5 s of the 24.3 s sf1.0 run on the
+    # single-row-group doc table); spreading the raw (grp, text) rows
+    # first parallelizes the shingle build. No-op when the scan is
+    # already parallel (the 100-TB case).
     gs = (
-        df.select(
-            g.alias("grp"),
+        _spread(df.select(g.alias("grp"), F.col(text_col)))
+        .select(
+            "grp",
             F.explode(word_ngrams(F.col(text_col), ngram)).alias("gram"),
         )
         .groupBy("gram")
@@ -1104,7 +1137,14 @@ def span_scrub(
     per-partition sort is the SMJ sort it replaces."""
     ws = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                   lambda w: w != "")
-    base = df.select(F.col(id_col), ws.alias("_ws"))
+    # _spread_mat: the one-pass md5 span explode ran on the scan's single
+    # partition (12.8 s of the 15.6 s sf1.0 run on one task); the word
+    # arrays are also consumed twice (occurrence build + mask join-back).
+    base = _spread_mat(
+        df.select(F.col(id_col), F.col(text_col)),
+        F.col(id_col),
+        ws.alias("_ws"),
+    )
     span_txt = lambda i: F.concat_ws(" ", F.slice(F.col("_ws"), i, n))
     # ONE md5 hex per span inside the transform lambda; the two 32-bit
     # halves split in the outer (codegen) projection. Higher-order-
@@ -1216,7 +1256,15 @@ def line_scrub(
     if min_doc_freq < 2:
         raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
     lines_arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
-    base = df.select(F.col(id_col), lines_arr.alias("_ls"))
+    # _spread_mat: the posexplode + per-line md5 map side ran on the
+    # scan's single partition (9.8 s of the 16.2 s sf1.0 run on one
+    # task), and the line arrays are consumed twice (occurrence build +
+    # reassembly join-back).
+    base = _spread_mat(
+        df.select(F.col(id_col), F.col(text_col)),
+        F.col(id_col),
+        lines_arr.alias("_ls"),
+    )
     occ = base.select(
         F.col(id_col),
         F.posexplode("_ls").alias("_p0", "_line"),
@@ -1327,7 +1375,13 @@ def cdc_chunks(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda x: x != "",
     )
-    base = df.select(F.col(id_col), ws.alias("_ws")).where(
+    # _spread: the md5-per-boundary-candidate projection is the whole
+    # cost of this operator and ran on the scan's single partition
+    # (14.6 s of the 15.8 s sf1.0 run on one task). The spread is the
+    # ONE exchange in the plan, carries only (id, words), and no-ops
+    # when the scan is already parallel — the per-doc chunking itself
+    # stays embarrassingly position-parallel as documented.
+    base = _spread(df.select(F.col(id_col), ws.alias("_ws"))).where(
         F.size("_ws") >= 1
     )
     n = F.size("_ws")
@@ -1446,10 +1500,17 @@ def allpairs_jaccard_pairs(
         )
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
+    # _spread_mat: the shingle build is materialized ONCE above the
+    # spread exchange — it feeds FIVE plan branches (dfreq, ranked, and
+    # the two verify sides below), each of which used to re-run the
+    # whole build, and the size filter used to push the build below the
+    # exchange onto the single-partition scan (two 15-16 s single-task
+    # stages of the 27.9 s sf1.0 run).
     sh = (
-        _spread(df)
-        .select(
-            F.col(id_col), word_ngrams(F.col(text_col), ngram).alias("shingles")
+        _spread_mat(
+            df.select(F.col(id_col), F.col(text_col)),
+            F.col(id_col),
+            word_ngrams(F.col(text_col), ngram).alias("shingles"),
         )
         .filter(F.size("shingles") > 0)
         .withColumn("_n", F.size("shingles").cast("long"))
@@ -1733,9 +1794,13 @@ def containment_pairs(
         )
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
+    # _spread_mat: shingle build materialized once above the spread
+    # exchange (five consumers; the size filter used to re-inline the
+    # build below the exchange — two 15-16 s single-task stages of the
+    # 39.4 s sf1.0 run). Same shape as allpairs_jaccard_pairs.
     sh = (
-        _spread(df)
-        .select(
+        _spread_mat(
+            df.select(F.col(id_col), F.col(text_col)),
             F.col(id_col),
             word_ngrams(F.col(text_col), ngram).alias("shingles"),
         )

@@ -1362,24 +1362,34 @@ def bleu_eval(
         ).otherwise(c0.cast(t) if as_str else c0)
         return out
 
-    rows = df.select(
-        *g,
-        val(id_col, as_str=True).alias("_id"),
-        nonempty_words(val(cand_col)).alias("_wc"),
-        nonempty_words(val(ref_col)).alias("_wr"),
+    # _spread (r6): the gram explode + map-side count ran on the doc
+    # scan's partitioning (two sequential single-task stages of 25-31 s
+    # each in the 50.5 s sf1.0 run); spreading the checkpointed pair
+    # rows parallelizes the gram build. No-op when the scan is already
+    # parallel (the 100-TB case).
+    from .dedup import _spread
+
+    rows = _spread(
+        df.select(
+            *g,
+            val(id_col, as_str=True).alias("_id"),
+            nonempty_words(val(cand_col)).alias("_wc"),
+            nonempty_words(val(ref_col)).alias("_wr"),
+        )
     ).localCheckpoint(eager=False)
 
-    def grams(arr):
+    def grams(arr, side):
         # the loop variable must close via a FACTORY, never
         # `lambda i, n=n: ...` — F.transform reads the lambda's arity
         # and a second parameter silently becomes the ELEMENT INDEX
         # (transform's (element, index) form), clobbering the default
-        st = "array<struct<n:int,gram:string>>"
+        st = "array<struct<n:int,gram:string,side:int>>"
 
         def mk(n):
             return lambda i: F.struct(
                 F.lit(n).cast("int").alias("n"),
                 F.concat_ws(" ", F.slice(arr, i, n)).alias("gram"),
+                F.lit(side).cast("int").alias("side"),
             )
 
         parts = []
@@ -1395,18 +1405,33 @@ def bleu_eval(
             )
         return F.concat(*parts)
 
-    def counts(arr, alias):
-        return (
-            rows.select(*g, "_id", F.explode(grams(arr)).alias("_s"))
-            .groupBy(*g, "_id", F.col("_s.n").alias("_n"),
-                     F.col("_s.gram").alias("_gram"))
-            .agg(F.count(F.lit(1)).cast("long").alias(alias))
-        )
-
-    cc = counts(F.col("_wc"), "_c")
-    rc = counts(F.col("_wr"), "_r")
+    # ONE tagged explode + ONE (group, id, n, gram) aggregate computes
+    # BOTH sides' counts (r6; guide §2.3/§2.4): the old form exploded
+    # the grams twice (cand pass + ref pass = two token-scale exchanges)
+    # and inner-joined the two count tables (a third sort + merge).
+    # side=1 tags candidate grams, side=0 reference grams; a gram
+    # appears in the clipped overlap iff both conditional counts are
+    # positive — exactly the old inner join's row set, with identical
+    # exact-BIGINT least(c, r) terms.
+    both = rows.select(
+        *g,
+        "_id",
+        F.explode(
+            F.concat(grams(F.col("_wc"), 1), grams(F.col("_wr"), 0))
+        ).alias("_s"),
+    )
+    cnts = both.groupBy(
+        *g, "_id", F.col("_s.n").alias("_n"), F.col("_s.gram").alias("_gram")
+    ).agg(
+        F.sum(F.when(F.col("_s.side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_c"),
+        F.sum(F.when(F.col("_s.side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("_r"),
+    )
     ov = (
-        cc.join(rc, [*g, "_id", "_n", "_gram"])
+        cnts.where((F.col("_c") > 0) & (F.col("_r") > 0))
         .groupBy(*g, "_n")
         .agg(F.sum(F.least(F.col("_c"), F.col("_r"))).cast("long").alias("_o"))
     )

@@ -55,14 +55,20 @@ BM25_B = 0.75
 _MICRO = 1e6
 
 
-def _doc_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, feat): unigrams + adjacent-bigram strings, empties dropped.
-    Bigrams via zip_with(ws[:-1], ws[1:]) — one pass, no posexplode."""
+def _doc_features(
+    df: DataFrame, text_col: str, id_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *carry, feat): unigrams + adjacent-bigram strings, empties
+    dropped. Bigrams via zip_with(ws[:-1], ws[1:]) — one pass, no
+    posexplode. `carry` columns ride each feature row unchanged (r6:
+    lets dsir tag the class inline instead of joining it back on)."""
     ws = nonempty_words(F.col(text_col))
-    unis = df.select(F.col(id_col), F.explode(ws).alias("feat"))
+    cc = [F.col(c) for c in carry]
+    unis = df.select(F.col(id_col), *cc, F.explode(ws).alias("feat"))
     n = F.size(ws)
     bis = df.select(
         F.col(id_col),
+        *cc,
         F.explode(
             F.when(
                 n >= 2,
@@ -109,12 +115,21 @@ def dsir_importance(
     Docs with zero features (empty/whitespace text) keep weight 0 via
     the left join + coalesce — they are never silently dropped.
     """
-    feats = _doc_features(df, text_col, id_col).withColumn(
-        "_b", dsir_bucket(F.col("feat"), n_buckets)
+    from .dedup import _spread
+
+    # r6: (a) _spread — the two feature explodes + md5 bucket hashing
+    # ran on the scan's partitioning (four 3-7.5 s single-task stages of
+    # the 13.9 s sf1.0 run); no-op when the scan is already parallel.
+    # (b) the class tag rides each feature row inline (carry=) instead
+    # of being joined back on id — same tag values (is_target is a
+    # per-row expression of df's columns), one join fewer.
+    base = _spread(
+        df.select(F.col(id_col), F.col(text_col), is_target.alias("_is_tgt"))
     )
-    tgt = is_target  # evaluated against df's columns
-    tagged = df.select(F.col(id_col), tgt.alias("_is_tgt"))
-    fb = feats.join(tagged, id_col)  # feature rows tagged by class
+    feats = _doc_features(
+        base, text_col, id_col, carry=("_is_tgt",)
+    ).withColumn("_b", dsir_bucket(F.col("feat"), n_buckets))
+    fb = feats
 
     # one shuffle: per-bucket counts for BOTH classes (conditional sums)
     counts = fb.groupBy("_b").agg(
@@ -202,8 +217,14 @@ def bm25_topk(
     probe); the final per-query top-k runs through the two-phase salted
     window so a hot query never serializes on one reducer.
     """
+    from .dedup import _spread
+
     ws = nonempty_words(F.col(text_col))
-    toks = docs.select(
+    # _spread (r6): the token explode + broadcast probe + map-side tf
+    # aggregate ran on the scan's partitioning — ONE task for 20.2 s of
+    # the 21 s sf1.0 run on the single-row-group doc table. No-op when
+    # the scan is already parallel (the 100-TB case).
+    toks = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.size(ws).alias("_dl"), F.explode(ws).alias("term")
     )
     qterms = queries.select(
@@ -229,9 +250,16 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("_tf"), F.min("_dl").alias("_dl"))
     )
     # df(t) = #docs containing t = tf rows per term (tf is distinct on
-    # (doc, term)); computed on the probed subset, the result is
-    # |query terms| rows -> broadcast straight back
-    dfreq = tfq.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # (doc, term)). r6: computed as ONE window count over tfq instead of
+    # a separate aggregate joined back — the aggregate-and-join form
+    # made tfq a TWO-consumer subtree, so Catalyst re-ran the whole
+    # corpus token pass (explode + probe + tf aggregate) once per branch
+    # (measured: a duplicate 20.2 s single-task stage at sf1.0). The
+    # window shuffles only the bounded probed tfq rows by term; every
+    # tfq row's term exists, so count(*) over (partition by term) is
+    # row-for-row identical to the old inner join's _df.
+    w_term = Window.partitionBy("term")
+    tfq = tfq.withColumn("_df", F.count(F.lit(1)).over(w_term))
     # N / avgdl over the WHOLE corpus (standard BM25 statistics).
     # avgdl as exact-BIGINT-sum / exact-count: one IEEE division both
     # engines compute identically (avg()'s internal accumulation order
@@ -243,10 +271,8 @@ def bm25_topk(
             / F.count(F.lit(1)).cast("double")
         ).alias("_avgdl"),
     )
-    hits = (
-        tfq.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+    hits = tfq.join(F.broadcast(qterms), "term").crossJoin(
+        F.broadcast(stats)
     )
     idf = F.log(
         1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)

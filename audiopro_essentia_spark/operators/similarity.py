@@ -119,30 +119,61 @@ def margin_pair_fold(ids, vecs, norms, margin, max_bucket=None):
                 if L >= 0
             ]
         )
-        ia_l, ib_l, dot_l, den_l = [], [], [], []
+        # Tiled upper-triangle scan (r6): the old single (m, m)
+        # accumulator was 200 MB+ per 5k-row cluster and its 64
+        # incremental full passes streamed gigabytes through DRAM —
+        # measured bus-bound on the shared VM. 256-wide tiles keep the
+        # accumulator cache-resident; each pair's dot still adds its
+        # j-th product plane in dimension order onto a 0.0 start
+        # (acc_tile[p, q] += Ei[p, j] * Ej[q, j] — the identical IEEE
+        # multiply/add sequence per pair the full-matrix form ran), so
+        # every returned cosine is bit-identical; only the row ORDER of
+        # the returned pair list changes (callers distinct/aggregate).
+        # The margin filter applies per tile — same kept set.
+        tile = 256
+        ia_l, ib_l, cos_l = [], [], []
         for idx in classes:
             m = len(idx)
             if m < 2:
                 continue
             E = np.stack([np.asarray(vecs[i], dtype=np.float64) for i in idx])
-            acc = np.zeros((m, m), dtype=np.float64)
-            for j in range(E.shape[1]):
-                col = E[:, j]
-                acc += np.multiply.outer(col, col)
             nn = norms[idx]
-            den = np.multiply.outer(nn, nn)
-            ua, ub = np.triu_indices(m, 1)
-            ia_l.append(idx[ua])
-            ib_l.append(idx[ub])
-            dot_l.append(acc[ua, ub])
-            den_l.append(den[ua, ub])
+            d = E.shape[1]
+            for i0 in range(0, m, tile):
+                i1 = min(i0 + tile, m)
+                Ei = E[i0:i1]
+                for j0 in range(i0, m, tile):
+                    j1 = min(j0 + tile, m)
+                    Ej = E[j0:j1]
+                    acc = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                    for j in range(d):
+                        acc += np.multiply.outer(Ei[:, j], Ej[:, j])
+                    den = np.multiply.outer(nn[i0:i1], nn[j0:j1])
+                    if j0 == i0:
+                        ua, ub = np.triu_indices(i1 - i0, 1)
+                    else:
+                        ua, ub = np.divmod(
+                            np.arange((i1 - i0) * (j1 - j0)), j1 - j0
+                        )
+                    dots_t = acc[ua, ub]
+                    dens_t = den[ua, ub]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos_t = np.where(
+                            dens_t == 0.0, 0.0, dots_t / dens_t
+                        )
+                    keep = cos_t >= margin  # NaN compares False, like SQL
+                    if keep.any():
+                        ia_l.append(idx[i0 + ua[keep]])
+                        ib_l.append(idx[j0 + ub[keep]])
+                        cos_l.append(cos_t[keep])
         if not ia_l:
             z = np.zeros(0, dtype=np.int64)
             return z, z, np.zeros(0, dtype=np.float64)
-        ia = np.concatenate(ia_l)
-        ib = np.concatenate(ib_l)
-        dots = np.concatenate(dot_l)
-        dens = np.concatenate(den_l)
+        return (
+            np.concatenate(ia_l),
+            np.concatenate(ib_l),
+            np.concatenate(cos_l),
+        )
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = np.where(dens == 0.0, 0.0, dots / dens)
     keep = cos >= margin  # NaN compares False, like SQL
@@ -166,12 +197,18 @@ def brute_force_topk(
     inner loop over the broadcast rows), so the per-pair expression pays
     only the dot — the inline form re-folded both dim-d norms per pair,
     tripling the flops of the scan."""
+    from .dedup import _spread
+
     q = queries.select(
         F.col(query_id),
         F.col(query_vec).alias("_qv"),
         norm_expr(F.col(query_vec)).alias("_qn"),
     )
-    c = corpus.select(
+    # _spread (r6): the corpus-side cosine scan (the whole cost of a
+    # brute-force pass) ran on the scan's partitioning — ONE task for
+    # 18.2 s of rrf_hybrid's 21.6 s sf1.0 run when the corpus came from
+    # a single-row-group table. No-op when the scan is already parallel.
+    c = _spread(corpus.select(F.col(corpus_id), F.col(corpus_vec))).select(
         F.col(corpus_id),
         F.col(corpus_vec).alias("_cv"),
         norm_expr(F.col(corpus_vec)).alias("_cn"),
@@ -631,6 +668,13 @@ def kmeans_lite(
     corpus has fewer than k distinct vectors.
 
     Returns (corpus + cluster_id, final centroids ndarray)."""
+    from .dedup import _spread
+
+    # _spread (r6): every pass below (md5 sample, per-iteration Arrow
+    # assignment + posexplode stats, final assignment) runs at the
+    # corpus scan's parallelism — 1-2 tasks when the vectors come from
+    # a single-row-group table. No-op when already parallel.
+    corpus = _spread(corpus)
     C = _md5_sample(corpus, vec_col, k, distinct=True)
     if C.ndim != 2 or C.shape[0] < k:
         found = 0 if C.ndim != 2 else C.shape[0]

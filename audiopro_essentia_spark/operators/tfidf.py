@@ -28,18 +28,28 @@ def tfidf_top_terms(
     k: int = 5,
 ) -> DataFrame:
     """(id, term, rank, score): the k highest-tf-idf terms per document."""
+    from .dedup import _spread
+
     # drop empty-string tokens (consecutive/leading/trailing spaces):
     # '' would otherwise get a df count and — sorting before every real
-    # term — could claim a top-k slot on ties
-    tokens = df.select(
+    # term — could claim a top-k slot on ties.
+    # _spread (r6): the token explode + map-side tf aggregate ran on the
+    # single-row-group scan partition; no-op when already parallel.
+    tokens = _spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("_tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    # df(t) as ONE window count over tf (r6): the aggregate-and-join
+    # form made tf a two-consumer subtree, so the whole corpus
+    # explode + tf pass ran once per branch; every tf row's term exists,
+    # so count(*) over (partition by term) is row-for-row identical to
+    # the old inner join's _df (the bm25 dfreq lesson).
+    tf = tf.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
+        tf.crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
             "term",
@@ -92,8 +102,18 @@ def bigram_surprisal(
     3.414413 vs DuckDB 3.414414; caught by the r5 sf0.1 full-surface
     sweep, pinned by test). round() at scale 0 ties AWAY FROM ZERO in
     both engines — the CLAUDE.md SAMPLE_KEY recipe."""
+    from .dedup import _spread_mat
+
     cw = nonempty_words(F.col(text_col))
-    base = df.select(F.col(id_col), cw.alias("_ws"))
+    # _spread_mat (r6): the word arrays feed THREE consumers (bigram
+    # explode, unigram explode, and the per-doc score join-back), each
+    # of which re-ran the split on the single-row-group scan partition;
+    # materialize them once across the spread partitions.
+    base = _spread_mat(
+        df.select(F.col(id_col), F.col(text_col)),
+        F.col(id_col),
+        cw.alias("_ws"),
+    )
     n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
     bg = base.select(
         F.col(id_col),
@@ -265,8 +285,18 @@ def npmi_collocations(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from .dedup import _spread_mat
+
     cw = nonempty_words(F.col(text_col))
-    base = df.select(F.col(id_col), cw.alias("_ws"))
+    # _spread_mat (r6): the word arrays feed three consumers (bigram
+    # explode, unigram explode, narrow totals aggregate) on the
+    # single-row-group scan partition; materialize them once across the
+    # spread partitions (4.1 s single-task of the 6.8 s sf1.0 run).
+    base = _spread_mat(
+        df.select(F.col(id_col), F.col(text_col)),
+        F.col(id_col),
+        cw.alias("_ws"),
+    )
     nb = F.greatest(F.size("_ws") - 1, F.lit(0))
     bg = base.select(
         F.explode(
