@@ -549,7 +549,9 @@ def q_normalized_dedup(spark, sf_dir):
     The twin construction uses the same portable ASCII translate as
     normalize_text (upper() itself diverges cross-engine on unicode —
     see normalize_text's docstring)."""
-    d = _t(spark, sf_dir, "documents")
+    # spread: the normalize_text translate/regex projection ran twice on
+    # the single-row-group scan partition (both union branches; r6)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     up = d.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.translate(F.col("text"), T.ASCII_LOWER, T.ASCII_UPPER).alias("text"),
@@ -717,7 +719,10 @@ def q_hashed_embedding(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     """Text: quality metrics + composite score per doc."""
-    d = _t(spark, sf_dir, "documents")
+    # spread: pure projection query on the single-row-group scan (r6)
+    d = D._spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    )
     m = T.quality_metrics(F.col("text"))
     return d.select(
         "doc_id",
@@ -822,7 +827,9 @@ def q_quality_classifier(spark, sf_dir):
     deploy)."""
     from audiopro_essentia_spark.functions.text import quality_classifier_score
 
-    d = _t(spark, sf_dir, "documents")
+    # spread: the hashed-BoW scoring projection is the whole query and
+    # ran on the single-row-group scan partition (r6; no-op at scale)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         quality_classifier_score(F.col("text")).alias("clf_score"),
@@ -1178,7 +1185,9 @@ def q_c4_clean(spark, sf_dir):
         synthesize_lines,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # spread BEFORE the line synthesis (md5-per-sentence) — it ran on
+    # the single-row-group scan partition (r6; no-op at scale)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     lined = synthesize_lines(F.col("text"))
     text2 = (
         F.when(
@@ -1319,7 +1328,9 @@ def q_pii_redact(spark, sf_dir):
     check is vacuous. Narrow JVM regexp map, zero shuffle."""
     from audiopro_essentia_spark.functions import pii as P
 
-    d = _t(spark, sf_dir, "documents")
+    # spread: the regex redaction projection is the whole query and ran
+    # on the single-row-group scan partition (r6; no-op at scale)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     injected = F.concat(
         F.col("text"),
         F.when(
@@ -1791,7 +1802,10 @@ def q_staged_gopher(spark, sf_dir):
         synthesize_lines,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # spread BEFORE the rule-exercising text synthesis: the md5-based
+    # line/bullet rewrite is the expensive projection and ran on the
+    # single-row-group scan partition (r6; no-op at scale)
+    d = D._spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     lined = F.concat(
         synthesize_lines(F.col("text")), F.lit("\nthe and that have with")
     )
@@ -2159,7 +2173,11 @@ def q_staged_line_scrub(spark, sf_dir):
     from audiopro_essentia_spark.functions.cleaning import synthesize_lines
     from audiopro_essentia_spark.operators.dedup import line_scrub
 
-    d = _t(spark, sf_dir, "documents")
+    # spread BEFORE the line synthesis (md5-per-sentence) — it ran on
+    # the single-row-group scan partition (r6; no-op at scale)
+    d = D._spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
     lined = F.concat(
         synthesize_lines(F.col("text")),
         F.lit("\n=== subscribe to "),
@@ -2235,8 +2253,13 @@ def q_staged_cdc(spark, sf_dir):
     Muthitacharoen et al. SOSP 2001)."""
     from audiopro_essentia_spark.operators.dedup import cdc_chunks
 
-    d = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    # spread once at the top: BOTH cdc passes and the perturbed-twin
+    # text build hang off this frame (the twin build otherwise ran on
+    # the single-row-group scan partition; r6, no-op at scale)
+    d = D._spread(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     )
     pw = F.filter(
         F.split(F.coalesce(F.col("text"), F.lit("")), " "),

@@ -913,8 +913,11 @@ def duplicate_span_stats(
     n_spans = (F.size(ws) / span_words).cast("int")
     # guard BEFORE the explode: sequence(0, -1) would generate a DESCENDING
     # range, not an empty one — docs shorter than one span yield no rows
+    # _spread (r6): the span explode + per-span md5 ran on the
+    # single-row-group scan partition; no-op when already parallel
     spans = (
-        df.select(F.col(id_col), ws.alias("_ws"), n_spans.alias("_n"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), ws.alias("_ws"), n_spans.alias("_n"))
         .where(F.col("_n") >= 1)
         .select(
             F.col(id_col),

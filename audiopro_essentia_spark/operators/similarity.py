@@ -552,6 +552,12 @@ def ivf_assign(
     column would otherwise surface as a raw numpy AxisError from the
     centroid normalization deep inside the assign UDF (found by the
     empty-input sweep, tools_empty_sweep.py)."""
+    from .dedup import _spread
+
+    # _spread (r6): the md5 sample pass and the Arrow assignment pass
+    # (and every downstream probe of the assigned frame) run at the
+    # corpus scan's parallelism; no-op when already parallel.
+    corpus = _spread(corpus)
     sample = _md5_sample(corpus, corpus_vec, n_centroids, distinct=False)
     if sample.shape[0] == 0:
         raise ValueError(
