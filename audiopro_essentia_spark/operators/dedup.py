@@ -1521,8 +1521,13 @@ def allpairs_jaccard_pairs(
     inv = sh.select(
         F.col(id_col), F.col("_n"), F.explode("shingles").alias("_sh")
     )
-    dfreq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_dfc"))
-    ranked = inv.join(dfreq, "_sh")
+    # df(shingle) as a WINDOW count (r6 wave 3; guide §2.4): replaces
+    # the groupBy(_sh) + join-back that exchanged the token-scale inv
+    # twice and paid a sort-merge join — identical per-shingle document
+    # frequency (shingles are distinct per doc), ONE exchange + sort.
+    ranked = inv.withColumn(
+        "_dfc", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+    )
     # prefix_len = n - ceil(t_micro*n/1e6) + 1 in pure BIGINT math
     # (float t*n then ceil() can land on either side of an exact integer)
     min_ov = F.expr(f"CAST(({t_micro} * _n + 999999) div 1000000 AS BIGINT)")
@@ -1813,8 +1818,16 @@ def containment_pairs(
     inv = sh.select(
         F.col(id_col), F.col("_n"), F.explode("shingles").alias("_sh")
     )
-    dfreq = inv.groupBy("_sh").agg(F.count(F.lit(1)).alias("_dfc"))
-    ranked = inv.join(dfreq, "_sh")
+    # df(shingle) as a WINDOW count over the inverted index (r6 wave 3;
+    # guide §2.4): the former groupBy(_sh) + join-back exchanged the
+    # token-scale inv twice and paid a sort-merge join; one
+    # count-over-partition computes the identical per-shingle document
+    # frequency (shingles are distinct per doc) with ONE exchange + one
+    # sort, and its output stays hash-partitioned/sorted on _sh for the
+    # probe join below to reuse.
+    ranked = inv.withColumn(
+        "_dfc", F.count(F.lit(1)).over(Window.partitionBy("_sh"))
+    )
     min_ov = F.expr(f"CAST(({t_micro} * _n + 999999) div 1000000 AS BIGINT)")
     docp = (
         ranked.groupBy(id_col)
