@@ -1378,15 +1378,22 @@ def cdc_chunks(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
         lambda x: x != "",
     )
-    # _spread: the md5-per-boundary-candidate projection is the whole
-    # cost of this operator and ran on the scan's single partition
-    # (14.6 s of the 15.8 s sf1.0 run on one task). The spread is the
-    # ONE exchange in the plan, carries only (id, words), and no-ops
-    # when the scan is already parallel — the per-doc chunking itself
-    # stays embarrassingly position-parallel as documented.
-    base = _spread(df.select(F.col(id_col), ws.alias("_ws"))).where(
-        F.size("_ws") >= 1
-    )
+    # _spread_mat: the md5-per-boundary-candidate projection is the
+    # whole cost of this operator and ran on the scan's single partition
+    # (14.6 s of the 15.8 s sf1.0 run on one task). Plain _spread was
+    # not enough: Catalyst pushed the derived `size(_ws) >= 1` filter
+    # BELOW the spread exchange, re-running the word split on the
+    # single-partition scan stage (2.3 s med=max single-task codegen in
+    # the r6 wave-5 profile) — the checkpoint materializes the split
+    # once across the spread partitions. Still the ONE exchange in the
+    # plan, carrying only (id, words); no-op when the scan is already
+    # parallel — the per-doc chunking itself stays embarrassingly
+    # position-parallel as documented.
+    base = _spread_mat(
+        df.select(F.col(id_col), F.col(text_col)),
+        F.col(id_col),
+        ws.alias("_ws"),
+    ).where(F.size("_ws") >= 1)
     n = F.size("_ws")
     # boundary candidates live in [w, n-1] (a chunk always runs to the
     # last word; no shingle ends before w). sequence() DESCENDS when
