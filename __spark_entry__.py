@@ -72,21 +72,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tokens := per-word char lengths of documents.text (portable).
 
-    r6: conditional `_spread` of the raw (doc_id, text) rows BEFORE the
-    token projection — the driver testdata doc table is one parquet row
-    group, so every `_framed`-derived kernel/token query (frame_rms,
-    kernel_features/full_geometry, spectral_*, rhythm, mfcc_delta,
-    silence_segments, session_tempo, ...) ran its frame explode and
-    Arrow kernel on 1-2 of 32 cores (measured: kernel stages `(1+1)/2`
-    at sf1.0). The spread shuffles only the ~6 MB compact doc rows —
-    NOT the exploded token/frame payload (CLAUDE.md rule) — and no-ops
-    when the scan is already parallel (the 100-TB case). Kernel
-    internals untouched (VERDICT #7)."""
-    from audiopro_essentia_spark.operators.dedup import _spread
+    r6: conditional `_spread_mat` of the raw (doc_id, text) rows BEFORE
+    the token projection — the driver testdata doc table is one parquet
+    row group, so every `_framed`-derived kernel/token query
+    (frame_rms, kernel_features/full_geometry, spectral_*, rhythm,
+    mfcc_delta, silence_segments, session_tempo, ...) ran its frame
+    explode and Arrow kernel on 1-2 of 32 cores (measured: kernel
+    stages `(1+1)/2` at sf1.0). The lazy-checkpoint form rather than a
+    bare `_spread`: consumers filter on DERIVED token columns (e.g.
+    mfcc_delta's size(toks) frame gate) and Catalyst pushes those
+    filters below a bare spread exchange, re-tokenizing on the single
+    scan partition (caught by the mfcc_delta plan pin). The spread
+    shuffles only the ~6 MB compact doc rows — NOT the exploded
+    token/frame payload (CLAUDE.md rule) — and no-ops when the scan is
+    already parallel (the 100-TB case). Kernel internals untouched
+    (VERDICT #7)."""
+    from audiopro_essentia_spark.operators.dedup import _spread_mat
 
-    return _spread(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_id", T.token_lengths(F.col("text")).alias("toks"))
+    return _spread_mat(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        F.col("doc_id"),
+        T.token_lengths(F.col("text")).alias("toks"),
+    )
 
 
 # SQL twins of _docs_tokens / frame_tokens (DuckDB)

@@ -1300,6 +1300,70 @@ def chi2_assoc(
     )
 
 
+def _pair_clip_arrow(rows, g, ns):
+    """ONE mapInArrow batch pass computing, per pair row, the word-array
+    lengths and the exact clipped n-gram overlaps sum_g min(c_g, r_g)
+    for each n in `ns` — the BLEU/ROUGE per-pair multiset clip with
+    ZERO gram shuffle (r6; guide §4.2 "heavy lifting in native code
+    inside the UDF" + §2.3 "aggregate before you shuffle"). Input
+    `rows` must carry (*g, _id string, _wc array<string>, _wr
+    array<string>); output is (_id, *g, _lc, _lr, _po{n}...).
+
+    Counts are Counters of word TUPLES — injective (words cannot
+    contain the space separator), so every integer equals what the
+    former (group, id, n, gram) gram-string count aggregate produced.
+    A pure-SQL row-local fold was tried first and REJECTED: Catalyst
+    evaluates higher-order-function lambdas interpreted, and the
+    struct-accumulator fold measured 1.29x SLOWER than the explode it
+    replaced; the Arrow batch path wins because the per-row work stays
+    in C-implemented Counter/zip machinery."""
+    import pyarrow as pa
+
+    gcols = list(g)
+    ns_ = [int(n) for n in ns]
+    out_names = ["_id"] + gcols + ["_lc", "_lr"] + [
+        f"_po{n}" for n in ns_
+    ]
+    gtypes = dict(rows.dtypes)
+    out_schema = ", ".join(
+        ["_id string"]
+        + [f"`{c}` {gtypes[c]}" for c in gcols]
+        + ["_lc long", "_lr long"]
+        + [f"_po{n} long" for n in ns_]
+    )
+
+    def _clip_batches(it):
+        from collections import Counter
+
+        for batch in it:
+            wc = batch.column("_wc").to_pylist()
+            wr = batch.column("_wr").to_pylist()
+            n_rows = len(wc)
+            lc = [len(w) for w in wc]
+            lr = [len(w) for w in wr]
+            os_ = [[0] * n_rows for _ in ns_]
+            for i in range(n_rows):
+                a, b = wc[i], wr[i]
+                for k, n in enumerate(ns_):
+                    if len(a) < n or len(b) < n:
+                        continue
+                    ca = Counter(zip(*[a[j:] for j in range(n)]))
+                    cb = Counter(zip(*[b[j:] for j in range(n)]))
+                    os_[k][i] = sum(
+                        min(v, cb[t]) for t, v in ca.items() if t in cb
+                    )
+            arrays = [batch.column("_id")]
+            arrays += [batch.column(c) for c in gcols]
+            arrays += [
+                pa.array(lc, type=pa.int64()),
+                pa.array(lr, type=pa.int64()),
+            ]
+            arrays += [pa.array(o, type=pa.int64()) for o in os_]
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return rows.mapInArrow(_clip_batches, out_schema)
+
+
 def bleu_eval(
     df: DataFrame,
     id_col: str,
@@ -1339,12 +1403,14 @@ def bleu_eval(
     ulp noise is absorbed by the scale-0 micro rounding — the
     kaplan_meier exp precedent); outputs micro-rounded once.
 
-    Scale shape: gram totals T_n, lengths and pair counts come from a
-    ROW-LEVEL projection (no explode); only the clipped-overlap path
-    explodes tokens — two (id, n, gram) count aggregates (map-side
-    combinable) + one inner equi-join, the tfidf shuffle class —
-    then everything folds onto the bounded (group, n) table. Zero
-    windows, zero Python."""
+    Scale shape: EVERYTHING row-local until one bounded per-group
+    aggregate. The clip is per PAIR, so it never needs a gram shuffle:
+    one mapInArrow batch pass computes each row's lengths and clipped
+    overlaps o_1..o_max_n (exact Counter-of-word-tuples intersection —
+    injective, so the integers equal the gram-string aggregate's), and
+    the per-group aggregate folds them with the T_n totals. No
+    token-scale Exchange exists in the plan; the Arrow pass ships only
+    the two word arrays + id/group. Zero joins, zero windows."""
     if not (1 <= int(max_n) <= 4):
         raise ValueError(
             f"bleu_eval: max_n must be in [1, 4], got {max_n}"
@@ -1362,113 +1428,51 @@ def bleu_eval(
         ).otherwise(c0.cast(t) if as_str else c0)
         return out
 
-    # _spread (r6): the gram explode + map-side count ran on the doc
-    # scan's partitioning (two sequential single-task stages of 25-31 s
-    # each in the 50.5 s sf1.0 run); spreading the checkpointed pair
-    # rows parallelizes the gram build. No-op when the scan is already
-    # parallel (the 100-TB case).
+    # _spread (r6): the gram work ran on the doc scan's partitioning
+    # (two sequential single-task stages of 25-31 s each in the 50.5 s
+    # sf1.0 round-start run); spreading the pair rows parallelizes it.
+    # No-op when the scan is already parallel (the 100-TB case).
     from .dedup import _spread
 
     rows = _spread(
-        df.select(
-            *g,
-            val(id_col, as_str=True).alias("_id"),
-            nonempty_words(val(cand_col)).alias("_wc"),
-            nonempty_words(val(ref_col)).alias("_wr"),
-        )
-    ).localCheckpoint(eager=False)
-
-    def grams(arr, side):
-        # the loop variable must close via a FACTORY, never
-        # `lambda i, n=n: ...` — F.transform reads the lambda's arity
-        # and a second parameter silently becomes the ELEMENT INDEX
-        # (transform's (element, index) form), clobbering the default
-        st = "array<struct<n:int,gram:string,side:int>>"
-
-        def mk(n):
-            return lambda i: F.struct(
-                F.lit(n).cast("int").alias("n"),
-                F.concat_ws(" ", F.slice(arr, i, n)).alias("gram"),
-                F.lit(side).cast("int").alias("side"),
-            )
-
-        parts = []
-        for n in range(1, mn + 1):
-            cnt = F.size(arr) - (n - 1)
-            parts.append(
-                F.when(cnt < 1, F.array().cast(st)).otherwise(
-                    F.transform(
-                        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-                        mk(n),
-                    )
-                )
-            )
-        return F.concat(*parts)
-
-    # ONE tagged explode + ONE (group, id, n, gram) aggregate computes
-    # BOTH sides' counts (r6; guide §2.3/§2.4): the old form exploded
-    # the grams twice (cand pass + ref pass = two token-scale exchanges)
-    # and inner-joined the two count tables (a third sort + merge).
-    # side=1 tags candidate grams, side=0 reference grams; a gram
-    # appears in the clipped overlap iff both conditional counts are
-    # positive — exactly the old inner join's row set, with identical
-    # exact-BIGINT least(c, r) terms.
-    both = rows.select(
+        df.select(*g, F.col(id_col), F.col(cand_col), F.col(ref_col))
+    ).select(
         *g,
-        "_id",
-        F.explode(
-            F.concat(grams(F.col("_wc"), 1), grams(F.col("_wr"), 0))
-        ).alias("_s"),
+        val(id_col, as_str=True).alias("_id"),
+        nonempty_words(val(cand_col)).alias("_wc"),
+        nonempty_words(val(ref_col)).alias("_wr"),
     )
-    cnts = both.groupBy(
-        *g, "_id", F.col("_s.n").alias("_n"), F.col("_s.gram").alias("_gram")
-    ).agg(
-        F.sum(F.when(F.col("_s.side") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("_c"),
-        F.sum(F.when(F.col("_s.side") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("_r"),
-    )
-    ov = (
-        cnts.where((F.col("_c") > 0) & (F.col("_r") > 0))
-        .groupBy(*g, "_n")
-        .agg(F.sum(F.least(F.col("_c"), F.col("_r"))).cast("long").alias("_o"))
-    )
+
+    # Per-pair clipped overlaps via ONE mapInArrow batch pass
+    # (_pair_clip_arrow; r6 wave 6, guide §4.2 + §2.3): the clip
+    # sum_g min(c_g, r_g) combines only the two texts of one row (ids
+    # unique per group — the dup-id fail-loud below), so it never needs
+    # the former token-scale (group, id, n, gram) explode + exchange
+    # (~2(max_n) gram rows per token, the dominant cost). The only
+    # shuffle left is the bounded per-group aggregate.
+    mapped = _pair_clip_arrow(rows, g, list(range(1, mn + 1)))
+
     len_aggs = [
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        # dup-id detector: gram counts merge on (group, id) before
-        # clipping, so two rows sharing an id would clip as
-        # min(sum c, sum r) instead of the sum of per-pair mins —
-        # silently wrong precisions. Counted here and failed LOUD on
-        # the CONSUMED n_pairs column below (a guard on a column
-        # nothing consumes is pruned by Catalyst — pinned hazard).
+        # dup-id detector: per-pair clips would merge across rows
+        # sharing an id (min of sums != sum of per-pair mins).
+        # Counted here and failed LOUD on the CONSUMED n_pairs column
+        # below (a guard on a column nothing consumes is pruned by
+        # Catalyst — pinned hazard).
         F.count_distinct(F.col("_id")).cast("long").alias("_nid"),
-        F.sum(F.size("_wc")).cast("long").alias("cand_len"),
-        F.sum(F.size("_wr")).cast("long").alias("ref_len"),
+        F.sum(F.col("_lc")).cast("long").alias("cand_len"),
+        F.sum(F.col("_lr")).cast("long").alias("ref_len"),
     ]
     for n in range(1, mn + 1):
         len_aggs.append(
             F.sum(
-                F.greatest(F.size("_wc") - (n - 1), F.lit(0))
+                F.greatest(F.col("_lc") - (n - 1), F.lit(0))
             ).cast("long").alias(f"_t{n}")
         )
-    lens = rows.groupBy(*g).agg(*len_aggs)
-    # fold the per-n overlaps onto one row per group by conditional
-    # aggregation (a left join per n would be mn bounded joins)
-    ovp = ov.groupBy(*g).agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("_n") == n, F.col("_o"))), F.lit(0)
-            ).cast("long").alias(f"_o{n}")
-            for n in range(1, mn + 1)
-        ]
-    )
-    piv = (
-        lens.join(F.broadcast(ovp), g, "left")
-        if g
-        else lens.crossJoin(F.broadcast(ovp))
-    )
+        len_aggs.append(
+            F.sum(F.col(f"_po{n}")).cast("long").alias(f"_o{n}")
+        )
+    piv = mapped.groupBy(*g).agg(*len_aggs)
     on_cols = [
         F.coalesce(F.col(f"_o{n}"), F.lit(0).cast("long"))
         for n in range(1, mn + 1)
@@ -1562,10 +1566,11 @@ def rouge_n(
     LOUD too (the bleu_eval clipping-merge hazard — per-id gram
     counts would merge across pairs before the min).
 
-    Scale shape: gram totals from a ROW-LEVEL projection (no
-    explode); the overlap path is two map-side-combinable
-    (id, gram) count aggregates + one inner equi-join — the tfidf
-    class. Zero windows, zero Python."""
+    Scale shape: everything row-local until one bounded per-group
+    aggregate — the per-pair clip folds inside one mapInArrow batch
+    pass (_pair_clip_arrow; exact Counter-of-word-tuples counts), so
+    no token-scale Exchange exists in the plan. Zero joins, zero
+    windows."""
     if not (1 <= int(n) <= 4):
         raise ValueError(f"rouge_n: n must be in [1, 4], got {n}")
     nn = int(n)
@@ -1580,56 +1585,36 @@ def rouge_n(
             F.raise_error(F.lit(f"rouge_n: NULL {col}")).cast(t),
         ).otherwise(c0.cast(t) if as_str else c0)
 
-    rows = df.select(
+    # same r6 shape as bleu_eval: spread the raw pair rows, compute the
+    # per-pair clip in ONE mapInArrow batch pass (_pair_clip_arrow —
+    # zero gram shuffle; the former two gram-count aggregates + their
+    # equi-join are gone), fold everything in one bounded per-group
+    # aggregate.
+    from .dedup import _spread
+
+    rows = _spread(
+        df.select(*g, F.col(id_col), F.col(cand_col), F.col(ref_col))
+    ).select(
         *g,
         val(id_col, as_str=True).alias("_id"),
         nonempty_words(val(cand_col)).alias("_wc"),
         nonempty_words(val(ref_col)).alias("_wr"),
-    ).localCheckpoint(eager=False)
-
-    def gram_col(arr):
-        cnt = F.size(arr) - (nn - 1)
-        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(arr, i, nn)),
-            )
-        )
-
-    def counts(arr, alias):
-        return (
-            rows.select(*g, "_id", F.explode(gram_col(arr)).alias("_gram"))
-            .groupBy(*g, "_id", "_gram")
-            .agg(F.count(F.lit(1)).cast("long").alias(alias))
-        )
-
-    ov = (
-        counts(F.col("_wc"), "_c")
-        .join(counts(F.col("_wr"), "_r"), [*g, "_id", "_gram"])
-        .groupBy(*g)
-        .agg(
-            F.sum(F.least(F.col("_c"), F.col("_r")))
-            .cast("long")
-            .alias("_o")
-        )
     )
-    lens = rows.groupBy(*g).agg(
+    mapped = _pair_clip_arrow(rows, g, [nn])
+
+    piv = mapped.groupBy(*g).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        # same dup-id hazard as bleu_eval: (group, id, gram) counts
-        # merge across rows sharing an id before the clipped min —
-        # detected here, failed LOUD on the consumed n_pairs below
+        # same dup-id hazard as bleu_eval: per-pair clips would merge
+        # across rows sharing an id — detected here, failed LOUD on
+        # the consumed n_pairs below
         F.count_distinct(F.col("_id")).cast("long").alias("_nid"),
-        F.sum(F.greatest(F.size("_wc") - (nn - 1), F.lit(0)))
+        F.sum(F.greatest(F.col("_lc") - (nn - 1), F.lit(0)))
         .cast("long")
         .alias("cand_grams"),
-        F.sum(F.greatest(F.size("_wr") - (nn - 1), F.lit(0)))
+        F.sum(F.greatest(F.col("_lr") - (nn - 1), F.lit(0)))
         .cast("long")
         .alias("ref_grams"),
-    )
-    piv = (
-        lens.join(F.broadcast(ov), g, "left")
-        if g
-        else lens.crossJoin(F.broadcast(ov))
+        F.sum(F.col(f"_po{nn}")).cast("long").alias("_o"),
     )
     o = F.coalesce(F.col("_o"), F.lit(0).cast("long"))
 

