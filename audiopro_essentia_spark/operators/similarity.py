@@ -52,6 +52,13 @@ def cosine_precomputed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.coalesce(F.try_divide(dot_expr(a, b), na * nb), F.lit(0.0))
 
 
+# semantic_dedup hot-cluster block split: clusters above this many rows
+# cut into id-range blocks so the O(m^2) pair scan parallelizes across
+# block-pair tasks (module constant so the equivalence test can shrink
+# it and compare split vs unsplit output bit-for-bit)
+SEMANTIC_BLOCK_ROWS = 2048
+
+
 def margin_pair_fold(ids, vecs, norms, margin, max_bucket=None):
     """The ONE in-UDF pair-cosine fold shared by semantic_dedup and
     dedup.embedding_neardup_pairs — the IEEE-order contract lives here
@@ -178,6 +185,68 @@ def margin_pair_fold(ids, vecs, norms, margin, max_bucket=None):
         cos = np.where(dens == 0.0, 0.0, dots / dens)
     keep = cos >= margin  # NaN compares False, like SQL
     return ia[keep], ib[keep], cos[keep]
+
+
+def margin_cross_fold(vecs_a, norms_a, vecs_b, norms_b, margin):
+    """Rectangular companion of margin_pair_fold for the hot-cluster
+    block split (r6; guide §2.5 "split hot keys"): every (a, b) pair
+    with a from the A side and b from the B side, same tile loop, same
+    plane-ordered IEEE accumulation (acc += outer(Ai[:, j], Bj[:, j])
+    onto a 0.0 start), same zero-den/NaN margin semantics — so a pair's
+    unrounded cosine is bit-identical whether it was evaluated here or
+    in margin_pair_fold's upper triangle. Pairs only fold within equal
+    vector lengths (the zip_with NULL-pad contract); NULL vectors
+    (length -1) never pair. Returns (ia, ib, cos) as LOCAL indices
+    into the A / B inputs."""
+    la = np.fromiter(
+        (-1 if v is None else len(v) for v in vecs_a),
+        dtype=np.int64,
+        count=len(vecs_a),
+    )
+    lb = np.fromiter(
+        (-1 if v is None else len(v) for v in vecs_b),
+        dtype=np.int64,
+        count=len(vecs_b),
+    )
+    tile = 256
+    ia_l, ib_l, cos_l = [], [], []
+    for L in np.unique(la):
+        if L < 0:
+            continue
+        idx_a = np.nonzero(la == L)[0]
+        idx_b = np.nonzero(lb == L)[0]
+        if not len(idx_a) or not len(idx_b):
+            continue
+        A = np.stack([np.asarray(vecs_a[i], dtype=np.float64) for i in idx_a])
+        B = np.stack([np.asarray(vecs_b[i], dtype=np.float64) for i in idx_b])
+        na, nb = norms_a[idx_a], norms_b[idx_b]
+        d = A.shape[1]
+        for i0 in range(0, len(idx_a), tile):
+            i1 = min(i0 + tile, len(idx_a))
+            Ai = A[i0:i1]
+            for j0 in range(0, len(idx_b), tile):
+                j1 = min(j0 + tile, len(idx_b))
+                Bj = B[j0:j1]
+                acc = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                for j in range(d):
+                    acc += np.multiply.outer(Ai[:, j], Bj[:, j])
+                den = np.multiply.outer(na[i0:i1], nb[j0:j1])
+                ua, ub = np.divmod(
+                    np.arange((i1 - i0) * (j1 - j0)), j1 - j0
+                )
+                dots_t = acc[ua, ub]
+                dens_t = den[ua, ub]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos_t = np.where(dens_t == 0.0, 0.0, dots_t / dens_t)
+                keep = cos_t >= margin  # NaN compares False, like SQL
+                if keep.any():
+                    ia_l.append(idx_a[i0 + ua[keep]])
+                    ib_l.append(idx_b[j0 + ub[keep]])
+                    cos_l.append(cos_t[keep])
+    if not ia_l:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros(0, dtype=np.float64)
+    return np.concatenate(ia_l), np.concatenate(ib_l), np.concatenate(cos_l)
 
 
 def brute_force_topk(
@@ -399,26 +468,138 @@ def semantic_dedup(
 
     id_sql_type = assigned.schema[id_col].dataType.simpleString()
 
-    def _pair_candidates(pdf):
-        if len(pdf) < 2:
-            return pd.DataFrame({"_cid": pdf["_id"][:0], "_cos": []})
-        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
-        ids = pdf["_id"].to_numpy()[order]
-        vecs = pdf["_v"].to_numpy()[order]
-        n = pdf["_n"].to_numpy()[order].astype(np.float64)
-        # ids sorted asc => id_a < id_b; fold contract: margin_pair_fold
-        _, ib, c = margin_pair_fold(ids, vecs, n, margin)
-        return pd.DataFrame({"_cid": ids[ib], "_cos": c})
+    # Hot-cluster block split (r6; guide §2.5 "split hot keys"): one
+    # cluster = one applyInPandas task made the biggest cluster a
+    # straggler (measured med 0.6 s / max 4.5 s across the 7-task pair
+    # stage at the sf1.0 tier — O(m^2) concentrates on the hottest
+    # key). Rows are ranked by id within their cluster and cut into
+    # ceil(m / 2048) id-RANGE blocks; every unordered pair (i < j)
+    # then falls in exactly ONE (block_p <= block_q) group — diagonal
+    # groups run the original triangle fold, cross groups the
+    # rectangular margin_cross_fold, and both evaluate a pair with the
+    # identical plane-ordered IEEE fold, so every candidate cosine is
+    # bit-identical and the distinct/round-6 decision downstream is
+    # unchanged. A row is shipped to its ~nb block-pair groups (the
+    # standard skew-split trade: O(nb) extra shuffle copies to divide
+    # O(m^2) work by ~nb(nb+1)/2); clusters under 2048 rows keep nb=1
+    # — exactly the old one-group topology.
+    block_rows = SEMANTIC_BLOCK_ROWS
+    base = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col("_norm").alias("_n"),
+    )
+    wcl = Window.partitionBy("cluster_id")
+    base = base.withColumn(
+        "_m", F.count(F.lit(1)).over(wcl)
+    ).withColumn("_rk", F.row_number().over(wcl.orderBy("_id")))
+    nb = F.ceil(F.col("_m") / F.lit(block_rows)).cast("int")
+    blk = F.floor(
+        (F.col("_rk") - 1).cast("double")
+        * nb.cast("double")
+        / F.col("_m").cast("double")
+    ).cast("int")
+    base = base.withColumn("_nb", nb).withColumn("_b", blk)
+    up = F.transform(
+        F.sequence(F.col("_b"), F.col("_nb") - 1),
+        lambda q: F.struct(F.col("_b").cast("int").alias("p"),
+                           q.cast("int").alias("q")),
+    )
+    down = F.when(
+        F.col("_b") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_b") - 1),
+            lambda p: F.struct(p.cast("int").alias("p"),
+                               F.col("_b").cast("int").alias("q")),
+        ),
+    ).otherwise(F.array().cast("array<struct<p:int,q:int>>"))
+    pairs_df = base.select(
+        "cluster_id", "_id", "_v", "_n", "_b",
+        F.explode(F.concat(up, down)).alias("_pq"),
+    ).select(
+        "cluster_id", "_id", "_v", "_n", "_b",
+        F.col("_pq.p").alias("_p"), F.col("_pq.q").alias("_q"),
+    )
 
-    cand = (
-        assigned.select(
-            F.col("cluster_id"),
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            F.col("_norm").alias("_n"),
+    import pyarrow as pa_
+
+    def _vec_objects(tbl):
+        """Object array of per-row f64 vectors from the Arrow list
+        column — matrix-view fast path when no row is NULL and all
+        lengths agree (one flatten + reshape instead of per-row python
+        list boxing; the row views hold the identical f64 values, so
+        the fold's IEEE stream is unchanged), per-row fallback
+        otherwise (ragged/NULL rows keep the zip_with contract)."""
+        m = tbl.num_rows
+        v = tbl.column("_v")
+        v = v.combine_chunks() if v.num_chunks != 1 else v.chunk(0)
+        out = np.empty(m, dtype=object)
+        if v.null_count == 0 and m:
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            offs = v.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offs)
+            if lens.min() == lens.max() and lens[0] > 0:
+                M = flat.reshape(m, int(lens[0])).astype(
+                    np.float64, copy=False
+                )
+                for i in range(m):
+                    out[i] = M[i]
+                return out
+        for i, x in enumerate(v.to_pylist()):
+            out[i] = x
+        return out
+
+    def _pair_candidates(tbl):
+        ids_arr = tbl.column("_id")
+        id_type = ids_arr.type
+
+        def empty():
+            return pa_.Table.from_arrays(
+                [
+                    pa_.array([], type=id_type),
+                    pa_.array([], type=pa_.float64()),
+                ],
+                names=["_cid", "_cos"],
+            )
+
+        m = tbl.num_rows
+        if m < 2:
+            return empty()
+        ids = ids_arr.to_numpy(zero_copy_only=False)
+        n = tbl.column("_n").to_numpy(zero_copy_only=False).astype(
+            np.float64
         )
-        .groupBy("cluster_id")
-        .applyInPandas(_pair_candidates, f"_cid {id_sql_type}, _cos double")
+        vecs = _vec_objects(tbl)
+        p = tbl.column("_p")[0].as_py()
+        q = tbl.column("_q")[0].as_py()
+        if p == q:
+            order = np.argsort(ids, kind="stable")
+            ids_s = ids[order]
+            # ids sorted asc => id_a < id_b; fold contract:
+            # margin_pair_fold
+            _, ib, c = margin_pair_fold(
+                ids_s, vecs[order], n[order], margin
+            )
+            cid = ids_s[ib]
+        else:
+            am = tbl.column("_b").to_numpy(zero_copy_only=False) == p
+            if not am.any() or am.all():
+                return empty()
+            # cross group: every a (lower-id block) x b — id_a < id_b
+            # by the id-ranked block construction; only the larger-id
+            # side is ever a dup candidate, as in the triangle fold
+            _, jb, c = margin_cross_fold(
+                vecs[am], n[am], vecs[~am], n[~am], margin
+            )
+            cid = ids[~am][jb]
+        return pa_.Table.from_arrays(
+            [pa_.array(cid, type=id_type), pa_.array(c)],
+            names=["_cid", "_cos"],
+        )
+
+    cand = pairs_df.groupBy("cluster_id", "_p", "_q").applyInArrow(
+        _pair_candidates, f"_cid {id_sql_type}, _cos double"
     )
     dropped = (
         cand.where(F.round(F.col("_cos"), 6) >= F.lit(threshold))

@@ -960,3 +960,63 @@ def test_semantic_dedup_ragged_length_row_never_dup_not_crash(spark):
     assert by_id[200].is_dup is False and by_id[200].cluster_id is None
     # the genuine duplicate structure is still found
     assert any(r.is_dup for r in out)
+
+
+def test_semantic_dedup_block_split_bit_identical(spark, monkeypatch):
+    """r6 hot-cluster block split: splitting a cluster's pair scan into
+    id-range block-pair tasks must be invisible in the OUTPUT — same
+    cluster ids, same is_dup set, bit-for-bit — because every pair is
+    evaluated exactly once with the identical plane-ordered IEEE fold
+    (margin_cross_fold mirrors margin_pair_fold's tile loop). Forces
+    nb > 1 by shrinking SEMANTIC_BLOCK_ROWS far below the cluster
+    size, and compares against the unsplit run on the same frame."""
+    from audiopro_essentia_spark.operators import similarity as S
+
+    rng = np.random.RandomState(42)
+    base = rng.normal(size=(150, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(150)]
+    # planted near-dups: perturbed twins of every 7th row
+    for i in range(0, 150, 7):
+        v = base[i] + rng.normal(scale=1e-4, size=16)
+        rows.append((1000 + i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run():
+        out = S.semantic_dedup(df, k=3, iters=1, threshold=0.98).collect()
+        return sorted((r.vec_id, r.cluster_id, r.is_dup) for r in out)
+
+    monkeypatch.setattr(S, "SEMANTIC_BLOCK_ROWS", 10**9)
+    unsplit = run()
+    monkeypatch.setattr(S, "SEMANTIC_BLOCK_ROWS", 16)  # ~9 blocks/cluster
+    split = run()
+    assert split == unsplit
+    assert any(d for _, _, d in split)  # the planted dups are found
+
+
+def test_margin_cross_fold_matches_triangle_fold():
+    """Direct fold-level pin: cutting a sorted member list at any point
+    and evaluating cross pairs with margin_cross_fold yields exactly
+    the triangle fold's pairs for that rectangle, with bit-identical
+    cosines (same plane-ordered accumulation)."""
+    from audiopro_essentia_spark.operators.similarity import (
+        margin_cross_fold,
+        margin_pair_fold,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(400, 8))
+    norms = np.linalg.norm(vecs, axis=1)
+    ids = np.arange(400)
+    vlist = np.empty(400, dtype=object)
+    for i in range(400):
+        vlist[i] = vecs[i].tolist()
+    ia, ib, cos = margin_pair_fold(ids, vlist, norms, -2.0)  # keep all
+    tri = {(a, b): c for a, b, c in zip(ia, ib, cos)}
+    cut = 170
+    ca, cb, cc = margin_cross_fold(
+        vlist[:cut], norms[:cut], vlist[cut:], norms[cut:], -2.0
+    )
+    assert len(cc) == cut * (400 - cut)
+    for a, b, c in zip(ca, cb, cc):
+        assert tri[(a, cut + b)] == c  # bit-identical, not approx
