@@ -162,7 +162,12 @@ def test_plan_pins(spark):
     with contextlib.redirect_stdout(buf):
         out.explain()
     plan = buf.getvalue().split("Initial Plan")[0]
+    # r6 shape: the per-pair clip runs in exactly ONE mapInArrow batch
+    # pass (no row-at-a-time Python, no gram explode/exchange, no join)
+    assert plan.count("MapInArrow") == 1, plan
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # the token-scale gram explode is gone
